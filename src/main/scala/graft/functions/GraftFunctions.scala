@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import graft.internal.Bridge
+
+/** Column-API facade over the custom Catalyst expressions, plus SQL
+  * registration so `expr("cosine_sim(a,b)")` / `spark.sql` work too.
+  */
+object GraftFunctions {
+
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def l2_norm(a: Column): Column = Bridge.column(L2Norm(Bridge.expression(a)))
+
+  def l2_normalize(a: Column): Column = Bridge.column(L2Normalize(Bridge.expression(a)))
+
+  def hamming_dist(a: Column, b: Column): Column =
+    Bridge.column(HammingDistance(
+      Bridge.expression(a.cast("bigint")), Bridge.expression(b.cast("bigint"))))
+
+  /** Idempotent per-session SQL registration. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hamming_dist", es => HammingDistance(es(0), es(1)), "scala_udf")
+  }
+}

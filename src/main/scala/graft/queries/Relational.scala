@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q._
+
+/** Relational core over the TPC-H-ish star schema: the Spark re-expression
+  * of the reference's scan/filter/join/aggregate surface (SURVEY.md §2.1-2.6).
+  *
+  * Each entry exists in two forms with identical column names and ordering:
+  * a DataFrame program (Catalyst-optimized: pushdown, pruning, broadcast)
+  * and an ANSI-SQL oracle for DuckDB.
+  */
+object Relational {
+
+  val queries: Map[String, QueryFn] = Map(
+    // Pricing summary (TPC-H Q1 shape): scan + filter + groupBy aggregate.
+    // Covers SURVEY §2.2 P2 (range predicate pushed to parquet) + §2.4 A5/A6.
+    "q01_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      val one = lit(1).cast(DecimalType(12, 2))
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity", 2).as("sum_qty"),
+          dsum($"l_extendedprice", 2).as("sum_base_price"),
+          sum(($"l_extendedprice".cast(DecimalType(12, 2)) *
+            (one - $"l_discount".cast(DecimalType(12, 2))))).cast("double").as("sum_disc_price"),
+          (dsum($"l_quantity", 2) / count(lit(1))).as("avg_qty"),
+          (dsum($"l_extendedprice", 2) / count(lit(1))).as("avg_price"),
+          (dsum($"l_discount", 2) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // Revenue-from-discounts (TPC-H Q6 shape): tight predicate pushdown to
+    // the parquet scan; single-row exact-decimal aggregate. SURVEY §2.2 P1/P2.
+    "q02_revenue_filter" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter(
+          $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(
+          sum(($"l_extendedprice".cast(DecimalType(12, 2)) *
+            $"l_discount".cast(DecimalType(12, 2)))).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Star join: orders ⋈ customer ⋈ nation ⋈ region with broadcast dims
+    // (the reference's J6 device-dimension join, SURVEY §2.3). nation/region
+    // are tiny → explicit broadcast; Catalyst/AQE handles customer.
+    "q03_star_join" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").filter($"o_orderstatus" === "F")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(dsum($"o_totalprice", 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // Latest order per customer: the reference's PER PARTITION LIMIT 1 /
+    // ORDER BY ... DESC LIMIT 1 pattern (SURVEY §2.2 P6, §2.5 W3).
+    "q04_latest_order_per_customer" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey")
+    }),
+
+    // Global top-k by value with deterministic tie-break (SURVEY §2.5 W5/W7).
+    "q05_top_orders" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .limit(10)
+    }),
+
+    // Anti join: customers with no finalized orders — the Spark-native form
+    // of the reference's exclusion scans (SURVEY §2.2 P5/P7, §2.3 note).
+    "q06_customers_without_f_orders" -> ((s, dir) => {
+      import s.implicits._
+      val fOrders = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+      t(s, dir, "customer")
+        .join(fOrders, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // Distinct + union (SURVEY §2.6 U1/U2).
+    "q07_distinct_union_tags" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer").select($"c_mktsegment".as("tag")).distinct()
+        .union(t(s, dir, "orders").select($"o_orderpriority".as("tag")).distinct())
+        .distinct()
+        .orderBy($"tag")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty,
+         |  ${dsumSql("l_extendedprice", 2)} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+         |  ${dsumSql("l_quantity", 2)} / COUNT(*) AS avg_qty,
+         |  ${dsumSql("l_extendedprice", 2)} / COUNT(*) AS avg_price,
+         |  ${dsumSql("l_discount", 2)} / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_filter" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q03_star_join" ->
+      s"""SELECT r_name, n_name, ${dsumSql("o_totalprice", 2)} AS revenue, COUNT(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderstatus = 'F'
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q05_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q06_customers_without_f_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_distinct_union_tags" ->
+      """SELECT DISTINCT c_mktsegment AS tag FROM customer
+        |UNION
+        |SELECT DISTINCT o_orderpriority AS tag FROM orders
+        |ORDER BY tag""".stripMargin,
+  )
+}

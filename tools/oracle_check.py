@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+
+Reads each <verify_out_dir>/<name>/ parquet (written by graft.Verify),
+runs the matching SQL from oracle_sql.json in DuckDB over <sf_dir>'s
+tables, sorts columns by name and rows by all columns, and compares.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize list/array cells to tuples so sorting/compare works
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or
+                     getattr(v, "__len__", None) is not None and
+                     not isinstance(v, str), na_action="ignore").any():
+            try:
+                df[c] = df[c].map(lambda v: tuple(v) if not isinstance(v, str) and hasattr(v, "__iter__") else v)
+            except Exception:
+                pass
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def cells_equal(a, b) -> bool:
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    return a == b
+
+
+def main():
+    vdir, sfdir = sys.argv[1], sys.argv[2]
+    sql = json.load(open(f"{vdir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    failed = []
+    for name, q in sorted(sql.items()):
+        try:
+            got = canon(pd.read_parquet(f"{vdir}/{name}"))
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            failed.append(name)
+            continue
+        try:
+            exp = canon(con.execute(q).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failed.append(name)
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            failed.append(name)
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            failed.append(name)
+            continue
+        mism = None
+        for c in got.columns:
+            for i, (x, y) in enumerate(zip(got[c].tolist(), exp[c].tolist())):
+                xna = x is None or (isinstance(x, float) and math.isnan(x))
+                yna = y is None or (isinstance(y, float) and math.isnan(y))
+                if xna and yna:
+                    continue
+                if xna != yna or not cells_equal(x, y):
+                    mism = (c, i, x, y)
+                    break
+            if mism:
+                break
+        if mism:
+            c, i, x, y = mism
+            print(f"FAIL {name}: first mismatch col={c} row={i}: spark={x!r} oracle={y!r}")
+            failed.append(name)
+        else:
+            print(f"OK   {name}: {len(got)} rows")
+    print(f"\n{len(sql) - len(failed)}/{len(sql)} queries match")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
