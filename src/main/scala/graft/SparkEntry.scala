@@ -14,11 +14,12 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, Q.QueryFn], Map[String, String])] = Seq(
     (Relational.queries, Relational.oracleSql),
+    (Vectors.queries, Vectors.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q25_path2_centroid_anomaly")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_._1).reduce(_ ++ _)

@@ -22,6 +22,21 @@ object GraftFunctions {
     Bridge.column(HammingDistance(
       Bridge.expression(a.cast("bigint")), Bridge.expression(b.cast("bigint"))))
 
+  def top_k_by_score(score: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKByScore(Bridge.expression(score), Bridge.expression(id), k)
+      .toAggregateExpression())
+
+  def rhp_signature(vec: Column, nBits: Int, dim: Int, seed: Long): Column =
+    Bridge.column(RandomHyperplaneSignature(Bridge.expression(vec), nBits, dim, seed))
+
+  /** vector_centroid over array<double> columns (cast floats first). */
+  def vector_centroid(vec: Column): Column = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    org.apache.spark.sql.functions
+      .udaf(VectorCentroid, ExpressionEncoder[Seq[Double]]())
+      .apply(vec.cast("array<double>"))
+  }
+
   /** Idempotent per-session SQL registration. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

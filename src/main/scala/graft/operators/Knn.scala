@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** k-nearest-neighbor joins by cosine similarity.
+  *
+  * Re-expresses the reference's `ORDER BY embedding ANN OF ? LIMIT k`
+  * (`/root/reference/pipeline/path3_vector_search.py:119-127`,
+  * `/root/reference/pipeline/find_similar_states.py:110-121`) as Spark
+  * dataflow. Three strategies, all returning
+  * `[query_id, rk, neighbor_id, sim]` (rk = 1-based, best first,
+  * ties broken by lower neighbor id):
+  *
+  *  - [[Knn.exact]]: broadcast the (small) query set over the corpus and
+  *    aggregate a bounded top-k per query with map-side partial
+  *    aggregation. Scales with corpus size: no global sort, no window over
+  *    the |Q|x|C| similarity matrix; shuffle is `partitions x |Q| x k` rows.
+  *  - [[Knn.exactWithin]]: per-group self-kNN (the reference's
+  *    filter-before-ANN "same device" search) — a shuffle-hash self-join
+  *    co-partitioned on the group key, so each group's similarity block is
+  *    computed partition-locally.
+  *  - [[Knn.approxLsh]]: sign-random-projection prefilter (Hamming radius
+  *    over signature bits) before exact rescoring — the scale path standing
+  *    in for the reference's HNSW index at 100 TB.
+  */
+object Knn {
+
+  /** Exact top-k neighbors of each query row against the corpus.
+    *
+    * @param corpus  (id bigint, vec array<float|double>) — arbitrarily large
+    * @param queries (id bigint, vec array<float|double>) — broadcastable
+    */
+  def exact(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nvec"))
+    val pairs = c.join(broadcast(q),
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    reduceTopK(pairs.withColumn("_sim", cosine_sim(col("_qvec"), col("_nvec"))), k)
+  }
+
+  /** Per-group self-kNN: neighbors restricted to rows sharing `groupCol`.
+    * Pre-filtering before the similarity search (rather than the
+    * reference's global-ANN-then-filter, whose k can starve after
+    * filtering) — see SURVEY.md §3.3. */
+  def exactWithin(
+      corpus: DataFrame, groupCol: String, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(groupCol).as("_g"), col(idCol).as("query_id"),
+      col(vecCol).as("_qvec"))
+    val b = corpus.select(col(groupCol).as("_g2"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("_nvec"))
+    val pairs = a.join(b, col("_g") === col("_g2") && col("query_id") =!= col("neighbor_id"))
+    reduceTopK(pairs.withColumn("_sim", cosine_sim(col("_qvec"), col("_nvec"))), k)
+  }
+
+  /** Approximate top-k: candidates must be within `hammingRadius` bits of
+    * the query's `nBits`-bit sign-random-projection signature; candidates
+    * are then exactly rescored. Recall improves with radius; cost drops
+    * with it. */
+  def approxLsh(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, nBits: Int = 16, hammingRadius: Int = 6, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"),
+      rhp_signature(col(vecCol), nBits, dim, seed).as("_qsig"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nvec"),
+      rhp_signature(col(vecCol), nBits, dim, seed).as("_nsig"))
+    val pairs = c.join(broadcast(q),
+      (if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)) &&
+        hamming_dist(col("_qsig"), col("_nsig")) <= hammingRadius)
+    reduceTopK(pairs.withColumn("_sim", cosine_sim(col("_qvec"), col("_nvec"))), k)
+  }
+
+  /** Shared reduction: bounded top-k per query via [[graft.functions.TopKByScore]].
+    * `pairs` must carry `query_id`, `neighbor_id`, `_sim`. */
+  def reduceTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .groupBy(col("query_id"))
+      .agg(top_k_by_score(col("_sim"), col("neighbor_id").cast("bigint"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_r", "_p")))
+      .select(
+        col("query_id"),
+        (col("_r") + 1).as("rk"),
+        col("_p.id").as("neighbor_id"),
+        col("_p.score").as("sim"))
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.operators.Knn
+import Q._
+
+/** Vector-search operator suite over the `embeddings` table (SURVEY §2.5 W1/W2,
+  * §2.3 J3, §2.4 A4, §2.9 Paths 2-3), plus the LLM-pipeline similarity-search
+  * extensions. `label` plays the reference's `device_id` role: the unit of
+  * same-entity comparison.
+  *
+  * Determinism: all cosine math is double with fixed rounding on output;
+  * orderings always tie-break on ids (see [[Q]] scaladoc).
+  */
+object Vectors {
+
+  /** Per-label mean embedding (full precision), positions exploded so the
+    * aggregation is a plain shuffle-agg (scales to any corpus; dim is the
+    * small axis). */
+  private def centroidsFor(e: DataFrame): DataFrame = {
+    e.select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), expr("transform(pm, p -> p.m)").as("centroid"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    // Cosine similarity of every vector against one query vector (the ANN
+    // probe test_ann_query.py re-expressed as a broadcast scalar join).
+    "q20_cosine_vs_query" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosine_sim(col("embedding"), col("qvec")), 6).as("cos_sim"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Vector centroid per label (reference A4: np.mean(embeddings, axis=0),
+    // build_profiles.py:90-105) via posexplode + shuffle agg.
+    "q21_label_centroids" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label"), expr("transform(pm, p -> round(p.m, 6))").as("centroid"))
+        .orderBy(col("label"))
+    }),
+
+    // Exact k-NN top-k for a small query set against the whole corpus
+    // (reference W1: ORDER BY embedding ANN OF ? LIMIT k) — broadcast
+    // queries + bounded map-side top-k aggregation.
+    "q22_knn_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Knn.exact(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rk").cast("bigint").as("rk"),
+          col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // Per-label self-kNN (reference W2: ANN with device/date prefix —
+    // filter-before-search, co-partitioned self-join).
+    "q23_knn_same_label" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Knn.exactWithin(e, "label", k = 3)
+        .select(col("query_id"), col("rk").cast("bigint").as("rk"),
+          col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // Embedding near-duplicate pairs above a cosine threshold (LLM-pipeline
+    // near-dup dedup; exact blocked self-join at this scale, LSH banding is
+    // the 100 TB path — see graft.operators.Knn.approxLsh).
+    "q24_neardup_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cs", cosine_sim(col("va"), col("vb")))
+        .filter(col("cs") >= 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cs"), 6).as("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Path 2 (profile fingerprint): cosine(vector, own-label centroid) with
+    // threshold verdict (anomaly_detection.py:133-140; detect_anomalies.py:28).
+    "q25_path2_centroid_anomaly" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.join(broadcast(centroidsFor(e)), Seq("label"))
+        .withColumn("cs", cosine_sim(col("embedding"), col("centroid")))
+        .select(col("vec_id"), round(col("cs"), 6).as("sim"),
+          (col("cs") < -0.05).as("is_anomalous"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Path 3 (ANN novelty): count same-label neighbors with cosine >= tau;
+    // anomalous iff matches < minMatches (path3_vector_search.py:98-175).
+    "q26_path3_novelty" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("label").as("la"), col("vec_id").as("qid"), col("embedding").as("va"))
+      val b = e.select(col("label").as("lb"), col("vec_id").as("nid"), col("embedding").as("vb"))
+      val m = a.join(b, col("la") === col("lb") && col("qid") =!= col("nid"))
+        .filter(cosine_sim(col("va"), col("vb")) >= 0.1)
+        .groupBy(col("qid")).agg(count(lit(1)).as("nm"))
+      t(s, dir, "embeddings").select(col("vec_id"))
+        .join(m, col("vec_id") === col("qid"), "left")
+        .select(col("vec_id"), coalesce(col("nm"), lit(0L)).as("n_matches"))
+        .withColumn("is_anomalous", col("n_matches") < 5)
+        .orderBy(col("vec_id"))
+    }),
+
+    // IVF-style approximate k-NN: labels as coarse cells, probe the 2
+    // nearest cell centroids, exact top-k within probed cells only — the
+    // deterministic skeleton of the 100 TB ANN path (cells would come from
+    // k-means; the search dataflow is identical).
+    "q27_ivf_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cent = centroidsFor(e)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("_qvec"))
+      val probed = q.crossJoin(broadcast(cent))
+        .withColumn("csim", cosine_sim(col("_qvec"), col("centroid")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("label").asc)))
+        .filter(col("crk") <= 2)
+        .select(col("query_id"), col("_qvec"), col("label"))
+      val pairs = probed
+        .join(e.select(col("label"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("_nvec")), Seq("label"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("_sim", cosine_sim(col("_qvec"), col("_nvec")))
+      Knn.reduceTopK(pairs, 5)
+        .select(col("query_id"), col("rk").cast("bigint").as("rk"),
+          col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+  )
+
+  private val centroidCte =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |u AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+      |g AS (SELECT label, pos, avg(x) AS m FROM u GROUP BY label, pos),
+      |c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM g GROUP BY label)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_cosine_vs_query" ->
+      """SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                               CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings e
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY e.vec_id""".stripMargin,
+
+    "q21_label_centroids" ->
+      s"""$centroidCte,
+         |r AS (SELECT label, pos, round(m, 6) AS m FROM g)
+         |SELECT label, list(m ORDER BY pos) AS centroid FROM r
+         |GROUP BY label ORDER BY label""".stripMargin,
+
+    "q22_knn_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, e.v) AS cs
+        |      FROM q JOIN e ON e.vec_id <> qid),
+        |r AS (SELECT qid, nid, cs,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk FROM s)
+        |SELECT qid AS query_id, rk, nid AS neighbor_id, round(cs, 6) AS sim
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "q23_knn_same_label" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |             list_cosine_similarity(a.v, b.v) AS cs
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, nid, cs,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk FROM s)
+        |SELECT qid AS query_id, rk, nid AS neighbor_id, round(cs, 6) AS sim
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+
+    "q24_neardup_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q25_path2_centroid_anomaly" ->
+      s"""$centroidCte
+         |SELECT e.vec_id,
+         |  round(list_cosine_similarity(e.v, c.centroid), 6) AS sim,
+         |  list_cosine_similarity(e.v, c.centroid) < -0.05 AS is_anomalous
+         |FROM e JOIN c USING (label)
+         |ORDER BY e.vec_id""".stripMargin,
+
+    "q26_path3_novelty" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |m AS (SELECT a.vec_id, count(*) AS nm
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |      WHERE list_cosine_similarity(a.v, b.v) >= 0.1
+        |      GROUP BY a.vec_id)
+        |SELECT e.vec_id, coalesce(m.nm, 0) AS n_matches,
+        |       coalesce(m.nm, 0) < 5 AS is_anomalous
+        |FROM e LEFT JOIN m USING (vec_id)
+        |ORDER BY e.vec_id""".stripMargin,
+
+    "q27_ivf_knn" ->
+      s"""$centroidCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |pc AS (SELECT qid, qv, label,
+         |       row_number() OVER (PARTITION BY qid
+         |         ORDER BY list_cosine_similarity(qv, centroid) DESC, label ASC) AS crk
+         |       FROM q CROSS JOIN c),
+         |probe AS (SELECT qid, qv, label FROM pc WHERE crk <= 2),
+         |s AS (SELECT p.qid, e.vec_id AS nid, list_cosine_similarity(p.qv, e.v) AS cs
+         |      FROM probe p JOIN e ON e.label = p.label AND e.vec_id <> p.qid),
+         |r AS (SELECT qid, nid, cs,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk FROM s)
+         |SELECT qid AS query_id, rk, nid AS neighbor_id, round(cs, 6) AS sim
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+  )
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, sf("sf0.001"), "embeddings").cache()
+
+  test("exact kNN: nearest neighbor of a vector in a toy corpus") {
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(-1.0, 0.0))).toDF("vec_id", "embedding")
+    val out = Knn.exact(corpus, corpus.filter($"vec_id" === 0), k = 2)
+      .orderBy($"rk").select($"neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("exact kNN matches a window-function reference implementation") {
+    val q = emb.filter($"vec_id" < 5)
+    val got = Knn.exact(emb, q, k = 10)
+      .select($"query_id", $"rk", $"neighbor_id")
+      .orderBy($"query_id", $"rk").collect().toSeq
+    // reference: full cross join + global window (fine at test scale)
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.cosine_sim
+    val a = q.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val b = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("nv"))
+    val w = Window.partitionBy($"query_id").orderBy($"s".desc, $"neighbor_id".asc)
+    val exp = a.join(b, $"query_id" =!= $"neighbor_id")
+      .withColumn("s", cosine_sim($"qv", $"nv"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+      .select($"query_id", $"rk", $"neighbor_id")
+      .orderBy($"query_id", $"rk").collect().toSeq
+    assert(got == exp)
+  }
+
+  test("exactWithin restricts neighbors to the same group") {
+    val out = Knn.exactWithin(emb, "label", k = 3)
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    out.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().foreach {
+      case (q, n) => assert(labels(q) == labels(n), s"$q -> $n crossed labels")
+    }
+  }
+
+  test("approxLsh achieves reasonable recall@10 vs exact") {
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Knn.exact(emb, q, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Knn.approxLsh(emb, q, k = 10, dim = 64, nBits = 16, hammingRadius = 7)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
+  test("approxLsh prunes the candidate set (it is actually approximate)") {
+    val q = emb.filter($"vec_id" < 20)
+    val approx = Knn.approxLsh(emb, q, k = 500, dim = 64, nBits = 16, hammingRadius = 4)
+    // with a tight radius, far fewer than |corpus| candidates survive per query
+    val meanCand = approx.groupBy($"query_id").count()
+      .agg(avg($"count")).as[Double].head()
+    val n = emb.count().toDouble
+    assert(meanCand < n * 0.8, s"avg candidates $meanCand vs corpus $n")
+  }
+}
