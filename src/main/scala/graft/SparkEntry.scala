@@ -15,6 +15,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, Q.QueryFn], Map[String, String])] = Seq(
     (Relational.queries, Relational.oracleSql),
     (Vectors.queries, Vectors.oracleSql),
+    (Events.queries, Events.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

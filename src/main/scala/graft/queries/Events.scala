@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q._
+
+/** Event-stream operator suite over the `events` table: the reference's
+  * windowing/detection semantics (SURVEY §2.4 A1-A3/A8-A9, §2.7 F3/F8,
+  * §2.8 rules, §2.3 J5 as-of) re-expressed as batch dataflow. `user_id`
+  * plays `device_id`, `event_type` plays `metric_name`.
+  *
+  * Timestamps are exported as epoch seconds/micros (bigint) — engine-neutral,
+  * unlike raw timestamp columns whose parquet logical types differ.
+  */
+object Events {
+
+  val queries: Map[String, QueryFn] = Map(
+    // Tumbling 60 s window aggregation (reference A1: floor-to-window
+    // bucketing, kafka_consumer.py:285-289) via Spark's window().
+    "q10_window_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "60 seconds").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value", 2).as("sum_value"))
+        .select($"w.start".cast("long").as("window_start"), $"event_type", $"n", $"sum_value")
+        .orderBy($"window_start", $"event_type")
+    }),
+
+    // Sliding 5 min / 1 min windows (Spark window(ts, len, slide)).
+    "q11_window_sliding" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "300 seconds", "60 seconds").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".cast("long").as("window_start"), $"event_type", $"n")
+        .orderBy($"window_start", $"event_type")
+    }),
+
+    // Narrow→wide pivot (reference A3: rows → per-entity metric map,
+    // kafka_consumer.py:421-446): per-user average value per event type as
+    // wide columns, all in exact decimal arithmetic.
+    "q12_pivot_wide" -> ((s, dir) => {
+      import s.implicits._
+      def avgFor(tpe: String) = {
+        val cnt = count(when($"event_type" === tpe, 1))
+        val total = sum(when($"event_type" === tpe, $"value").cast(DecimalType(30, 2))).cast("double")
+        when(cnt > 0, total / cnt)
+      }
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          avgFor("click").as("click_avg"), avgFor("error").as("error_avg"),
+          avgFor("purchase").as("purchase_avg"), avgFor("signup").as("signup_avg"),
+          avgFor("view").as("view_avg"))
+        .orderBy($"user_id")
+    }),
+
+    // Path 1 statistical outliers (reference F8/z-score,
+    // anomaly_detection.py:47-73): z vs per-event-type population stats,
+    // flag z > 3. Stats via exact decimal sums so both engines derive
+    // identical doubles.
+    "q14_zscore_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val stats = ev.groupBy($"event_type").agg(
+        (dsum($"value", 2) / count(lit(1))).as("mu"),
+        sqrt((dsum($"value" * $"value", 4) / count(lit(1))) -
+          pow(dsum($"value", 2) / count(lit(1)), 2)).as("sigma"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", abs($"value" - $"mu") / $"sigma")
+        .filter($"sigma" > 0 && $"z" > 3)
+        .select($"event_id", $"event_type", round($"z", 4).as("z"))
+        .orderBy($"event_id")
+    }),
+
+    // Per-entity profile stats (reference A5: mean/std/min/max per metric,
+    // build_profiles.py:108-135; std is population std for NumPy parity).
+    "q15_user_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          (dsum($"value", 2) / count(lit(1))).as("mean_value"),
+          sqrt((dsum($"value" * $"value", 4) / count(lit(1))) -
+            pow(dsum($"value", 2) / count(lit(1)), 2)).as("std_value"),
+          min($"value").as("min_value"),
+          max($"value").as("max_value"))
+        .orderBy($"user_id")
+    }),
+
+    // Latest row per entity (reference A11 argmax / W3 ORDER BY ... LIMIT 1,
+    // dashboard/app.py:147-154) via max_by over a composite order key.
+    "q16_latest_event_per_user" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(max_by(
+          struct($"event_id", $"event_type", $"value", unix_micros($"ts").as("ts_us")),
+          struct($"ts", $"event_id")).as("e"))
+        .select($"user_id", $"e.event_id".as("event_id"), $"e.event_type".as("event_type"),
+          $"e.value".as("value"), $"e.ts_us".as("ts_us"))
+        .orderBy($"user_id")
+    }),
+
+    // As-of join (reference J5, dashboard/app.py:532-541 bucket-matching,
+    // strengthened to a true as-of): each error event paired with the most
+    // recent click of the same user at-or-before it — last_value over an
+    // ordered window, no self-join.
+    "q17_asof_click_before_error" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .withColumn("click_us",
+          last(when($"event_type" === "click", unix_micros($"ts")), ignoreNulls = true).over(w))
+        .filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"click_us")
+        .orderBy($"event_id")
+    }),
+
+    // Consensus vote (reference A9: >=2 of 3 methods agree,
+    // detect_anomalies_all.py:219-231).
+    "q18_consensus_flags" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("n_flags",
+          ($"value" > 100).cast("int") + ($"event_type" === "error").cast("int") +
+            (hour($"ts") < 6).cast("int"))
+        .filter($"n_flags" >= 1)
+        .select($"event_id", $"n_flags".cast("bigint").as("n_flags"),
+          ($"n_flags" >= 2).as("is_consensus"))
+        .orderBy($"event_id")
+    }),
+
+    // Rules engine + score (reference R1/R2 threshold+relationship rules and
+    // F11 score min(1, 0.3*crit + 0.1*warn), detect_anomalies_rules.py):
+    // per (user, 60 s window): critical if error-value sum > 100; warnings
+    // for click-without-purchase and any value > 400.
+    "q19_rules_score" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id", window($"ts", "60 seconds").as("w"))
+        .agg(
+          sum(when($"event_type" === "error", $"value").cast(DecimalType(30, 2)))
+            .cast("double").as("err_sum"),
+          count(when($"event_type" === "click", 1)).as("n_click"),
+          count(when($"event_type" === "purchase", 1)).as("n_purchase"),
+          max($"value").as("max_value"))
+        .select(
+          $"user_id", $"w.start".cast("long").as("window_start"),
+          (coalesce($"err_sum", lit(0.0)) > 100).cast("int").as("crit"),
+          (($"n_click" > 0 && $"n_purchase" === 0).cast("int") +
+            ($"max_value" > 400).cast("int")).as("warn"))
+        .withColumn("n_crit", $"crit".cast("bigint"))
+        .withColumn("n_warn", $"warn".cast("bigint"))
+        .withColumn("score", least(lit(1.0), $"crit" * 0.3 + $"warn" * 0.1))
+        .filter($"n_crit" + $"n_warn" > 0)
+        .select($"user_id", $"window_start", $"n_crit", $"n_warn", $"score")
+        .orderBy($"user_id", $"window_start")
+    }),
+  )
+
+  private val statsCte =
+    s"""WITH st AS (SELECT event_type,
+       |  ${dsumSql("value", 2)} / COUNT(*) AS mu,
+       |  sqrt(${dsumSql("value * value", 4)} / COUNT(*)
+       |       - (${dsumSql("value", 2)} / COUNT(*)) ^ 2) AS sigma
+       |FROM events GROUP BY event_type)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q10_window_tumbling" ->
+      s"""SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS window_start, event_type,
+         |  COUNT(*) AS n, ${dsumSql("value", 2)} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_window_sliding" ->
+      """SELECT ws AS window_start, event_type, COUNT(*) AS n FROM (
+        |  SELECT CAST((floor(epoch(ts) / 60) - o.k) * 60 AS BIGINT) AS ws, event_type, epoch(ts) AS ep
+        |  FROM events CROSS JOIN (VALUES (0), (1), (2), (3), (4)) o(k))
+        |WHERE ep >= ws AND ep < ws + 300
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q12_pivot_wide" -> {
+      def avgFor(tpe: String, alias: String) =
+        s"""CASE WHEN count(*) FILTER (event_type = '$tpe') > 0 THEN
+           |  CAST(SUM(CAST(value AS DECIMAL(30,2))) FILTER (event_type = '$tpe') AS DOUBLE)
+           |  / count(*) FILTER (event_type = '$tpe') END AS $alias""".stripMargin
+      s"""SELECT user_id, ${avgFor("click", "click_avg")}, ${avgFor("error", "error_avg")},
+         |  ${avgFor("purchase", "purchase_avg")}, ${avgFor("signup", "signup_avg")},
+         |  ${avgFor("view", "view_avg")}
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    "q14_zscore_outliers" ->
+      s"""$statsCte
+         |SELECT event_id, e.event_type, round(abs(value - mu) / sigma, 4) AS z
+         |FROM events e JOIN st ON e.event_type = st.event_type
+         |WHERE sigma > 0 AND abs(value - mu) / sigma > 3
+         |ORDER BY event_id""".stripMargin,
+
+    "q15_user_stats" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  ${dsumSql("value", 2)} / COUNT(*) AS mean_value,
+         |  sqrt(${dsumSql("value * value", 4)} / COUNT(*)
+         |       - (${dsumSql("value", 2)} / COUNT(*)) ^ 2) AS std_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q16_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q17_asof_click_before_error" ->
+      """SELECT event_id, user_id, click_us FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+        |  FROM events)
+        |WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+
+    "q18_consensus_flags" ->
+      """SELECT event_id, n_flags, n_flags >= 2 AS is_consensus FROM (
+        |  SELECT event_id,
+        |    CAST((value > 100) AS INT) + CAST((event_type = 'error') AS INT)
+        |    + CAST((hour(ts) < 6) AS INT) AS n_flags
+        |  FROM events)
+        |WHERE n_flags >= 1 ORDER BY event_id""".stripMargin,
+
+    "q19_rules_score" ->
+      """SELECT user_id, window_start, CAST(crit AS BIGINT) AS n_crit,
+        |  CAST(warn AS BIGINT) AS n_warn,
+        |  least(1.0, crit * 0.3 + warn * 0.1) AS score
+        |FROM (
+        |  SELECT user_id, window_start,
+        |    CAST(coalesce(err_sum, 0) > 100 AS INT) AS crit,
+        |    CAST((n_click > 0 AND n_purchase = 0) AS INT) + CAST(max_value > 400 AS INT) AS warn
+        |  FROM (
+        |    SELECT user_id, CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS window_start,
+        |      CAST(SUM(CAST(value AS DECIMAL(30,2))) FILTER (event_type = 'error') AS DOUBLE) AS err_sum,
+        |      count(*) FILTER (event_type = 'click') AS n_click,
+        |      count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |      max(value) AS max_value
+        |    FROM events GROUP BY 1, 2))
+        |WHERE crit + warn > 0
+        |ORDER BY user_id, window_start""".stripMargin,
+  )
+}
