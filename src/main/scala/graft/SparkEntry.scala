@@ -16,6 +16,7 @@ object SparkEntry {
     (Relational.queries, Relational.oracleSql),
     (Vectors.queries, Vectors.oracleSql),
     (Events.queries, Events.oracleSql),
+    (Documents.queries, Documents.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives (LLM-data-pipeline extensions: dedup, language
+  * ID, quality scoring, fingerprinting).
+  *
+  * Everything here is a composition of codegen'd built-ins — no UDFs — and
+  * every hash is *portable*: derived from md5 hex so an external engine
+  * (the DuckDB oracle, or any other system) can reproduce signatures
+  * bit-for-bit. That matters operationally: minhash/simhash signatures
+  * written by this engine stay comparable with signatures computed
+  * elsewhere in a pipeline.
+  */
+object TextFunctions {
+
+  /** Canonical form: lowercase, trimmed, whitespace collapsed to single
+    * spaces. All tokenization starts here so results are stable under
+    * formatting noise. */
+  def normText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the canonical form. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Portable 32-bit hash in [0, 2^32): first 8 hex digits of
+    * md5(s + "#" + seed), as bigint. Seed gives independent hash families
+    * for minhash permutations. */
+  def hash32(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(c, lit("#" + seed))), 1, 8), 16, 10).cast("bigint")
+
+  /** Word n-gram shingles of a token array (empty if fewer than n tokens).
+    * Element order follows token order; duplicates preserved (min-hash is
+    * insensitive to them). */
+  def shingles(tok: Column, n: Int): Column =
+    when(size(tok) >= n,
+      transform(sequence(lit(0), size(tok) - n),
+        i => concat_ws(" ", (1 to n).map(j => element_at(tok, i + j)): _*)))
+      .otherwise(array())
+
+  /** Subword-ish segment count: alphabetic runs, digit runs, and single
+    * punctuation marks of the canonical text (a deterministic stand-in for
+    * a BPE tokenizer's pre-tokenization). */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(normText(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint")
+}

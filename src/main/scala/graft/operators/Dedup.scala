@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.GraftFunctions.hamming_dist
+
+/** Document deduplication operators (LLM-data-pipeline extension).
+  *
+  * Four strategies with different cost/recall trade-offs, all shuffle-lean:
+  *
+  *  - [[exactGroups]]: hash-groupBy on canonical text — one shuffle on a
+  *    16-byte key regardless of document size.
+  *  - [[minhashSignatures]] + [[minhashCandidates]] + [[nearDupPairs]]:
+  *    MinHash+LSH banding. Candidate generation is an equi-join on band
+  *    keys (shuffle on small hashes, never a cross join), then candidates
+  *    only are exactly re-scored with shingle Jaccard. This is the 100 TB
+  *    near-dup path: cost ~ O(docs x shingles) + O(candidate pairs).
+  *  - [[simhash64]] + [[simhashPairs]]: 64-bit simhash fingerprints;
+  *    Hamming-close pairs. Fingerprints are 16 bytes/doc — the all-pairs
+  *    stage must be blocked/banded at scale (see `blockBits` param).
+  *  - embedding cosine near-dup lives in [[Knn]] / queries q24.
+  *
+  * All hashes are md5-portable (see [[graft.functions.TextFunctions]]), so
+  * the DuckDB oracle reproduces signatures exactly.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by canonical text: (keep_id = min doc id,
+    * n_copies). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(normText(col(textCol))).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Per-document minhash signature columns sig0..sig{n-1} over word
+    * 3-shingles. */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), 3)).as("sh"))
+    val aggs = (0 until numHashes).map(i => min(hash32(col("sh"), i)).as(s"sig$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: docs sharing any band of `rowsPerBand` consecutive
+    * signature components become candidate pairs (id_a < id_b, distinct).
+    * Equi-join on (band index, band hash) — no cross join anywhere. */
+  def minhashCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bands = array((0 until nBands).map { b =>
+      val key = md5(concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}").cast("string")): _*))
+      struct(lit(b).as("b"), key.as("v"))
+    }: _*)
+    val e = sigs.select(col("doc_id"), explode(bands).as("bv"))
+    e.as("x").join(e.as("y"),
+        col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact word-3-shingle Jaccard for given (id_a, id_b) pairs. */
+  def shingleJaccard(
+      docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ds = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), 3)).as("sh"))
+      .distinct()
+    val counts = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val inter = pairs
+      .join(ds.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+      .join(ds.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+      .filter(col("sha") === col("shb"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(counts.select(col("doc_id").as("id_a"), col("ns").as("na")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("ns").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates by banding, then exact
+    * Jaccard >= `minJaccard` on candidates only. */
+  def nearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
+    val cand = minhashCandidates(sigs, numHashes, rowsPerBand)
+    shingleJaccard(docs, cand, idCol, textCol).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 64-bit simhash as two 32-bit halves (lo, hi) — term-frequency-weighted
+    * bit-majority over token hashes. Two halves sidestep int64 sign issues
+    * and keep the oracle SQL portable. */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("h0", hash32(col("w"), 0))
+      .withColumn("h1", hash32(col("w"), 1))
+    val votes = tf
+      .select(col("doc_id"), col("c"), col("h0"), col("h1"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(
+        sum(when(expr("(h0 >> b) & 1") === 1, col("c")).otherwise(-col("c"))).as("v0"),
+        sum(when(expr("(h1 >> b) & 1") === 1, col("c")).otherwise(-col("c"))).as("v1"))
+    votes.groupBy(col("doc_id")).agg(
+      sum(when(col("v0") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("sim_lo"),
+      sum(when(col("v1") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("sim_hi"))
+  }
+
+  /** Pairs of documents whose 64-bit simhashes differ by at most
+    * `maxHamming` bits. The pair stage self-joins on `blockBits` leading
+    * bits of the low half as a cheap block (exact for maxHamming = 0;
+    * probabilistic prune otherwise unless blockBits = 0 → all pairs). */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, blockBits: Int = 0): DataFrame = {
+    val sh = simhash64(docs, idCol, textCol)
+    val a = sh.select(col("doc_id").as("id_a"), col("sim_lo").as("lo_a"), col("sim_hi").as("hi_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sim_lo").as("lo_b"), col("sim_hi").as("hi_b"))
+    val block =
+      if (blockBits <= 0) lit(true)
+      else expr(s"(lo_a >> ${32 - blockBits}) = (lo_b >> ${32 - blockBits})")
+    a.join(b, col("id_a") < col("id_b") && block)
+      .withColumn("hd",
+        (hamming_dist(col("lo_a"), col("lo_b")) + hamming_dist(col("hi_a"), col("hi_b")))
+          .cast("bigint"))
+      .filter(col("hd") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hd"))
+  }
+}

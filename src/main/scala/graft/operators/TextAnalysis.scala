@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators (LLM-data-pipeline extension): language ID,
+  * quality scoring, token statistics, document fingerprinting.
+  *
+  * Determinism discipline: scores that feed verdicts are integers (language
+  * ID uses per-million integer rates) or single IEEE divisions of integers,
+  * so results are bit-identical across engines — no float-accumulation
+  * order dependence anywhere.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] = Seq("a", "the")
+
+  /** Frequency-vote language ID. Training split supplies per-language token
+    * frequencies, converted to integer per-million rates; a document's
+    * score for a language is the sum of rates over its token occurrences;
+    * prediction is the argmax (ties → lexicographically first language).
+    *
+    * The rate table is tiny (vocab x languages) → broadcast join; the big
+    * side streams. */
+  def languageId(
+      train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, langCol: String): DataFrame = {
+    val trainTok = train.select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("w"))
+    val freq = trainTok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+    val tot = trainTok.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+    val rate = freq.join(tot, "lang")
+      .select(col("lang"), col("w"), expr("(freq * 1000000) div total").as("rate"))
+    val testTok = test.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+    val scores = testTok.join(broadcast(rate), "w")
+      .groupBy(col("doc_id"), col("lang")).agg(sum(col("rate")).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang").asc)
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+  }
+
+  /** Length/stopword/word-shape quality heuristics + a [0,1] composite. */
+  def qualityScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+    tk.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("w").isInCollection(stopwords), 1)).as("n_stop"),
+        sum(length(col("w"))).as("sum_len"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len", col("sum_len").cast("double") / col("n_tokens"))
+      .withColumn("quality", round(
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - col("stop_ratio")) * 0.4 +
+          least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3, 6))
+      .select(col("doc_id"), col("n_tokens"), round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("avg_token_len"), 6).as("avg_token_len"), col("quality"))
+  }
+
+  /** Whitespace token count, subword-ish segment count, distinct tokens. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("bigint").as("n_ws_tokens"),
+      subwordCount(col(textCol)).as("n_subword"),
+      size(array_distinct(tokens(col(textCol)))).cast("bigint").as("n_distinct"))
+
+  /** Winnowing-style fingerprint: the `k` smallest distinct 32-bit hashes
+    * of word `n`-gram shingles, ascending. Documents shorter than `n`
+    * tokens produce no row. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, k: Int = 5): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), n)).as("sh"))
+      .select(col("doc_id"), hash32(col("sh"), 0).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("fingerprint"))
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+import Q._
+
+/** LLM-data-pipeline suite over the `documents` table: deduplication
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard) and text analysis
+  * (language ID, quality scoring, token stats, fingerprinting).
+  *
+  * All hashing is md5-portable so the DuckDB oracle reproduces signatures
+  * bit-for-bit; see [[graft.functions.TextFunctions]] and
+  * [[graft.operators.Dedup]].
+  */
+object Documents {
+
+  val queries: Map[String, QueryFn] = Map(
+    // Exact dedup by canonical text hash (hash-groupBy; one 16-byte-key
+    // shuffle regardless of document size).
+    "q30_exact_dedup" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id"))
+    }),
+
+    // MinHash(8 perms) + LSH(4 bands x 2 rows) candidates, exact-Jaccard
+    // verified at >= 0.5. Candidate generation is an equi-join on band
+    // hashes — never a cross join.
+    "q31_minhash_neardup" -> ((s, dir) => {
+      Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // 64-bit term-frequency SimHash; near-dup pairs at Hamming <= 3.
+    "q32_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Exact word-3-gram Jaccard within same-source blocks (blocking keeps
+    // the pair space linear-ish; the quadratic blow-up is per block).
+    "q33_same_source_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"), col("source").as("src_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+          col("src_a") === col("src_b") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.shingleJaccard(docs, pairs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Frequency-vote language ID: train on doc_id % 5 != 0, predict the
+    // held-out fifth. Integer per-million rates -> engine-exact argmax.
+    "q40_lang_id" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.languageId(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality heuristics + composite score.
+    "q41_quality_score" -> ((s, dir) => {
+      TextAnalysis.qualityScores(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace, subword-ish segments, distinct.
+    "q42_token_stats" -> ((s, dir) => {
+      TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing-style fingerprint: 5 smallest distinct 4-gram hashes.
+    "q43_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  // ---- shared SQL fragments -------------------------------------------
+
+  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val tokCte = s"t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents)"
+
+  private def shingleCte(n: Int): String = {
+    val parts = (0 until n).map(j => if (j == 0) "tok[i]" else s"tok[i+$j]").mkString(" || ' ' || ")
+    s"""sh AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= $n THEN
+       |  list_transform(range(1, len(tok) - ${n - 2}), i -> $parts) ELSE [] END) AS s FROM t)""".stripMargin
+  }
+
+  private def h32(expr: String, seed: Int): String =
+    s"CAST('0x' || substr(md5($expr || '#$seed'), 1, 8) AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM documents GROUP BY md5($normSql) ORDER BY keep_id""".stripMargin,
+
+    "q31_minhash_neardup" -> {
+      val sigCols = (0 until 8).map(i => s"min(${h32("s", i)}) AS sig$i").mkString(",\n  ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+         |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS ni
+         |          FROM cand JOIN dsh a ON a.doc_id = id_a
+         |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
+         |          GROUP BY id_a, id_b)
+         |SELECT id_a, id_b,
+         |  round(CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni), 4) AS jaccard
+         |FROM inter JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+         |WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q32_simhash_pairs" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |tf AS (SELECT doc_id, w, count(*) AS c, ${h32("w", 0)} AS h0, ${h32("w", 1)} AS h1
+         |       FROM tk GROUP BY doc_id, w),
+         |bits AS (SELECT doc_id, b.b,
+         |    sum(CASE WHEN (h0 >> b.b) & 1 = 1 THEN c ELSE -c END) AS v0,
+         |    sum(CASE WHEN (h1 >> b.b) & 1 = 1 THEN c ELSE -c END) AS v1
+         |  FROM tf CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b GROUP BY doc_id, b.b),
+         |sh64 AS (SELECT doc_id,
+         |    sum(CASE WHEN v0 > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS lo,
+         |    sum(CASE WHEN v1 > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS hi
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(CAST(xor(a.lo, b.lo) AS BIGINT))
+         |     + bit_count(CAST(xor(a.hi, b.hi) AS BIGINT)) AS BIGINT) AS hd
+         |FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(CAST(xor(a.lo, b.lo) AS BIGINT))
+         |    + bit_count(CAST(xor(a.hi, b.hi) AS BIGINT)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q33_same_source_jaccard" ->
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+         |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM documents a JOIN documents b
+         |        ON a.source = b.source AND a.doc_id < b.doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS ni
+         |          FROM p JOIN dsh a ON a.doc_id = id_a
+         |                 JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
+         |          GROUP BY id_a, id_b)
+         |SELECT id_a, id_b,
+         |  round(CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni), 4) AS jaccard
+         |FROM inter JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+         |WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q40_lang_id" ->
+      s"""WITH tr AS (SELECT lang, unnest(string_split($normSql, ' ')) AS w
+         |            FROM documents WHERE doc_id % 5 <> 0),
+         |freq AS (SELECT lang, w, count(*) AS freq FROM tr GROUP BY lang, w),
+         |tot AS (SELECT lang, count(*) AS total FROM tr GROUP BY lang),
+         |rate AS (SELECT lang, w, (freq * 1000000) // total AS rate
+         |         FROM freq JOIN tot USING (lang)),
+         |te AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+         |       FROM documents WHERE doc_id % 5 = 0),
+         |sc AS (SELECT doc_id, lang, sum(rate) AS score
+         |       FROM te JOIN rate USING (w) GROUP BY doc_id, lang),
+         |r AS (SELECT doc_id, lang, score, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM sc)
+         |SELECT doc_id, lang AS pred_lang, score FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    "q41_quality_score" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |g AS (SELECT doc_id, count(*) AS n_tokens,
+         |        count(*) FILTER (w IN ('a', 'the')) AS n_stop,
+         |        sum(length(w)) AS sum_len
+         |      FROM tk GROUP BY doc_id),
+         |d AS (SELECT doc_id, n_tokens,
+         |        CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |        CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len
+         |      FROM g)
+         |SELECT doc_id, n_tokens, round(stop_ratio, 6) AS stop_ratio,
+         |  round(avg_token_len, 6) AS avg_token_len,
+         |  round(least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+         |      + (CAST(1.0 AS DOUBLE) - stop_ratio) * CAST(0.4 AS DOUBLE)
+         |      + least(avg_token_len / CAST(8.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE), 6) AS quality
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q42_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subword,
+         |  CAST(len(list_distinct(string_split($normSql, ' '))) AS BIGINT) AS n_distinct
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_fingerprint" ->
+      s"""WITH $tokCte,
+         |${shingleCte(4)},
+         |hs AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS h FROM sh),
+         |r AS (SELECT doc_id, h, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY h) AS rk FROM hs)
+         |SELECT doc_id, list(h ORDER BY h) AS fingerprint
+         |FROM r WHERE rk <= 5 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "  The  QUICK brown fox jumps over the lazy dog "), // exact dup after norm
+    (2L, "the quick brown fox jumps over the lazy cat"),     // near dup of 0/1
+    (3L, "completely different words entirely here today now friend"),
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses normalization-equivalent duplicates") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .orderBy($"keep_id").as[(Long, Long)].collect().toSeq
+    assert(g == Seq((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds the near-duplicate pair") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))              // identical → always banded
+    assert(!pairs.exists(p => p._2 == 3L))        // unrelated doc never pairs
+  }
+
+  test("simhash of identical docs has Hamming distance 0; dissimilar docs don't") {
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 1L)))
+    assert(!out.contains((0L, 3L)))
+  }
+
+  test("shingleJaccard computes exact jaccard") {
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.shingleJaccard(docs, pairs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((0L, 1L)) === 1.0)          // identical shingle sets
+    assert(!j.contains((0L, 3L)))        // zero intersection → no row
+  }
+
+  test("simhash blockBits prunes the pair space") {
+    val all = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64, blockBits = 0).count()
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64, blockBits = 8).count()
+    assert(blocked <= all)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: count and content") {
+    val df = Seq(Tuple1("a b c d")).toDF("text")
+    val sh = df.select(TextFunctions.shingles(TextFunctions.tokens($"text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq(Tuple1("a b")).toDF("text")
+      .select(TextFunctions.shingles(TextFunctions.tokens($"text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("hash32 is deterministic and in [0, 2^32)") {
+    val df = Seq(Tuple1("abc")).toDF("s")
+    val h1 = df.select(TextFunctions.hash32($"s", 0)).as[Long].head()
+    val h2 = df.select(TextFunctions.hash32($"s", 0)).as[Long].head()
+    val h3 = df.select(TextFunctions.hash32($"s", 1)).as[Long].head()
+    assert(h1 == h2 && h1 != h3)
+    assert(h1 >= 0L && h1 < (1L << 32))
+  }
+
+  test("languageId predicts the training language for training-identical text") {
+    val train = Seq(
+      ("aa", "foo bar baz foo bar", "x1"), ("aa", "foo baz foo", "x2"),
+      ("bb", "uno dos tres uno", "x3"), ("bb", "dos tres dos", "x4"))
+      .toDF("lang", "text", "ignore").withColumn("doc_id", monotonically_increasing_id())
+    val test = Seq((100L, "foo bar foo"), (101L, "uno dos tres")).toDF("doc_id", "text")
+    val pred = TextAnalysis.languageId(train, test, "doc_id", "text", "lang")
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+    assert(pred(100L) == "aa" && pred(101L) == "bb")
+  }
+
+  test("qualityScores: ratios are exact and composite is bounded") {
+    val df = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScores(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 2.0 / 6) < 1e-6)
+    val q = r.getAs[Double]("quality")
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("fingerprints: k smallest distinct hashes ascending") {
+    val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(df, "doc_id", "text", n = 4, k = 5)
+      .select($"fingerprint").as[Seq[Long]].head()
+    assert(fp.length == 5)
+    assert(fp == fp.sorted)
+    assert(fp.distinct.length == 5)
+  }
+}
