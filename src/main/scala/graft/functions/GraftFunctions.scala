@@ -29,6 +29,9 @@ object GraftFunctions {
   def rhp_signature(vec: Column, nBits: Int, dim: Int, seed: Long): Column =
     Bridge.column(RandomHyperplaneSignature(Bridge.expression(vec), nBits, dim, seed))
 
+  def hash_featurize(metrics: Column, dim: Int): Column =
+    Bridge.column(HashFeaturize(Bridge.expression(metrics), dim))
+
   /** vector_centroid over array<double> columns (cast floats first). */
   def vector_centroid(vec: Column): Column = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.DetectionConfig
+import graft.functions.GraftFunctions.cosine_sim
+
+/** The three detection paths + combined verdict (reference §2.9,
+  * `/root/reference/pipeline/anomaly_detection.py:91-173`,
+  * `/root/reference/pipeline/path3_vector_search.py`).
+  *
+  * Dataflow shape at scale: snapshots (huge) ⋈ broadcast(profiles) (tiny,
+  * one row/device — reference J1's per-device profile cache), all scoring
+  * as codegen'd column expressions; Path 3 is a per-device self-kNN
+  * co-partitioned on device_id. Nothing mutates: the reference's
+  * `UPDATE snapshot SET is_anomalous` back-writes become appended verdict
+  * columns (SURVEY §7.3 hard-part 3).
+  */
+object Detection {
+
+  /** Paths 1+2 in one pass (detect_anomaly_paths_1_2,
+    * anomaly_detection.py:91-173). Appends:
+    * outliers (metric→z over threshold), similarity_to_profile,
+    * path1_triggered, path2_triggered, anomaly_score, is_anomalous,
+    * detection_details. Snapshots of devices without a profile are kept
+    * with the reference's no-profile defaults (not anomalous, sim 1.0). */
+  def pathsOneTwo(
+      snapshots: DataFrame, profiles: DataFrame,
+      cfg: DetectionConfig = DetectionConfig.Consumer): DataFrame = {
+    val prof = broadcast(profiles.select(
+      col("device_id"), col("profile_embedding"), col("metric_stats")))
+
+    val joined = snapshots.join(prof, Seq("device_id"), "left")
+
+    // Path 1: z-scores vs profile stats (check_metric_outliers,
+    // anomaly_detection.py:47-73): skip sigma<=0; keep z > threshold.
+    val outliers = filter(
+      transform(col("metric_stats"), st =>
+        struct(
+          st.getField("metric").as("metric"),
+          when(st.getField("std") > 0,
+            abs(element_at(col("metrics"), st.getField("metric")) - st.getField("mean"))
+              / st.getField("std")).as("z"))),
+      e => e.getField("z").isNotNull && e.getField("z") > cfg.zThreshold)
+
+    val withPaths = joined
+      .withColumn("outliers",
+        when(col("metric_stats").isNotNull, outliers)
+          .otherwise(array().cast("array<struct<metric:string,z:double>>")))
+      .withColumn("similarity_to_profile",
+        when(col("profile_embedding").isNotNull,
+          cosine_sim(col("embedding"), col("profile_embedding")))
+          .otherwise(lit(1.0))) // no profile → defaults (anomaly_detection.py:114-125)
+      .withColumn("path1_triggered", size(col("outliers")) >= cfg.outlierCount)
+      .withColumn("path2_triggered",
+        col("profile_embedding").isNotNull &&
+          col("similarity_to_profile") < cfg.fingerprintThreshold)
+
+    // F10 score (anomaly_detection.py:142-148): max(0, 1-sim) +
+    // (if outliers) min(1, Σ min(10, z) / 40)
+    val outlierMagnitude = aggregate(col("outliers"), lit(0.0),
+      (acc, e) => acc + least(lit(10.0), e.getField("z")))
+
+    // F12 details (anomaly_detection.py:151-162): top-3 outliers by z desc
+    val top3 = slice(reverse(array_sort(transform(col("outliers"),
+      e => struct(e.getField("z").as("z"), e.getField("metric").as("metric"))))), 1, 3)
+    val path1Detail = concat(
+      lit("PATH 1 (Rules): "), size(col("outliers")), lit(" outliers - "),
+      concat_ws(", ", transform(top3,
+        e => concat(e.getField("metric"), lit(" (Z: "),
+          format_string("%.1f", e.getField("z")), lit(")")))))
+    val path2Detail = concat(
+      lit("PATH 2 (Fingerprint): similarity="),
+      format_string("%.3f", col("similarity_to_profile")),
+      lit(" (< "), format_string("%.2f", lit(cfg.fingerprintThreshold)), lit(")"))
+
+    withPaths
+      .withColumn("anomaly_score",
+        greatest(lit(0.0), lit(1.0) - col("similarity_to_profile")) +
+          when(size(col("outliers")) > 0,
+            least(lit(1.0), outlierMagnitude / 40.0)).otherwise(0.0))
+      .withColumn("is_anomalous", col("path1_triggered") || col("path2_triggered"))
+      .withColumn("detection_details",
+        when(col("is_anomalous"), concat_ws(" | ",
+          when(col("path1_triggered"), path1Detail),
+          when(col("path2_triggered"), path2Detail))))
+      .drop("profile_embedding", "metric_stats")
+  }
+
+  /** Path 3 — ANN novelty (path3_vector_search.py:98-175): for each
+    * snapshot, count same-device neighbors within the lookback window that
+    * are cosine-similar above the threshold; too few matches ⇒ novel ⇒
+    * anomalous. Warmup guard: fewer than `warmupCount` corpus snapshots in
+    * the lookback ⇒ no judgment (NULL verdict, py:325-332).
+    *
+    * Pre-filters (device, time, normal-only) run *before* the kNN — see
+    * SURVEY §3.3 on why this beats the reference's global-ANN-then-filter.
+    * The pair stage is a self-join co-partitioned on device_id. */
+  def pathThree(
+      snapshots: DataFrame,
+      cfg: DetectionConfig = DetectionConfig.VectorSearch): DataFrame = {
+    val lookbackSec = cfg.lookbackHours * 3600L
+    val q = snapshots.select(
+      col("device_id"), col("snapshot_time").as("q_time"), col("embedding").as("q_vec"))
+    val c = snapshots.select(
+      col("device_id"), col("snapshot_time").as("c_time"), col("c_anom"), col("embedding").as("c_vec"))
+
+    val pairs = q.join(c, Seq("device_id"))
+      .filter(col("c_time") =!= col("q_time") &&
+        col("c_time") >= col("q_time") - expr(s"INTERVAL $lookbackSec SECONDS") &&
+        col("c_time") <= col("q_time"))
+
+    val counted = pairs
+      .groupBy(col("device_id"), col("q_time"))
+      .agg(
+        count(lit(1)).as("corpus_n"),
+        count(when(!col("c_anom") &&
+          cosine_sim(col("q_vec"), col("c_vec")) >= cfg.knnSimThreshold, 1))
+          .as("match_n"))
+
+    snapshots
+      .join(counted.withColumnRenamed("q_time", "snapshot_time"),
+        Seq("device_id", "snapshot_time"), "left")
+      .withColumn("corpus_n", coalesce(col("corpus_n"), lit(0L)))
+      .withColumn("match_n", coalesce(col("match_n"), lit(0L)))
+      .withColumn("path3_triggered",
+        when(col("corpus_n") < cfg.warmupCount, lit(null).cast("boolean")) // warmup
+          .otherwise(col("match_n") < cfg.knnMinMatches))
+  }
+
+  /** Convenience overload: corpus anomaly flags come from a prior
+    * pathsOneTwo pass ("normal" neighbors only, py:137-159). */
+  def pathThreeAfterOneTwo(detected: DataFrame, cfg: DetectionConfig): DataFrame =
+    pathThree(
+      detected.withColumn("c_anom", coalesce(col("is_anomalous"), lit(false))),
+      cfg)
+
+  /** All-methods consensus (detect_anomalies_all.py:219-231): anomalous iff
+    * >= `votes` of {rules, path1∨path2, path3} agree. */
+  def consensus(df: DataFrame, votes: Int = 2): DataFrame =
+    df.withColumn("consensus_votes",
+      coalesce(col("rules_triggered").cast("int"), lit(0)) +
+        coalesce((col("path1_triggered") || col("path2_triggered")).cast("int"), lit(0)) +
+        coalesce(col("path3_triggered").cast("int"), lit(0)))
+      .withColumn("consensus_anomalous", col("consensus_votes") >= votes)
+
+  /** Anomaly event rows (FIXTURES.md A4 / create_iot_schema.py:185-203 +
+    * extended columns kafka_consumer.py:229-283). anomaly_id is a
+    * deterministic surrogate for the reference's timeuuid (SURVEY F14). */
+  def anomalyEvents(detected: DataFrame, anomalyType: String = "consumer_paths_1_2"): DataFrame =
+    detected.filter(col("is_anomalous"))
+      .select(
+        col("device_id"),
+        col("date"),
+        hex(xxhash64(col("device_id"), col("snapshot_time"), lit(anomalyType))).as("anomaly_id"),
+        col("device_type"),
+        col("snapshot_time").as("detected_at"),
+        col("snapshot_time"),
+        col("anomaly_score"),
+        lit(anomalyType).as("anomaly_type"),
+        col("metrics").as("metrics_snapshot"),
+        lit("open").as("resolution_status"),
+        col("path1_triggered"),
+        col("path2_triggered").as("path2_fingerprint_triggered"),
+        lit(false).as("path3_vector_triggered"),
+        col("detection_details"))
+      .withColumnRenamed("path1_triggered", "path1_rules_triggered")
+}
