@@ -30,6 +30,21 @@ object TextFunctions {
   def hash32(c: Column, seed: Int): Column =
     conv(substring(md5(concat(c, lit("#" + seed))), 1, 8), 16, 10).cast("bigint")
 
+  /** Mersenne prime 2^31−1: modulus of the minhash permutation family. */
+  val MinhashP = 2147483647L
+
+  /** i-th minhash permutation of a base 32-bit hash: classic universal
+    * hashing h_i = (a_i·h + b_i) mod p. One md5 per shingle total (the base
+    * hash); permutations are integer ops — 8× cheaper than independent
+    * md5 families, same banding quality. Constants stay < 2^15 so products
+    * fit in int64 in any engine. */
+  def minhashPerm(h: Column, i: Int): Column =
+    ((lit(2L * i + 1) * (h % MinhashP) + lit(7919L * (i + 1))) % MinhashP)
+
+  /** DuckDB spelling of [[minhashPerm]] over a base-hash SQL expression. */
+  def minhashPermSql(h: String, i: Int): String =
+    s"((${2 * i + 1} * (($h) % $MinhashP) + ${7919 * (i + 1)}) % $MinhashP)"
+
   /** Word n-gram shingles of a token array (empty if fewer than n tokens).
     * Element order follows token order; duplicates preserved (min-hash is
     * insensitive to them). */

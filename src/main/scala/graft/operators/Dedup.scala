@@ -34,13 +34,15 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
 
   /** Per-document minhash signature columns sig0..sig{n-1} over word
-    * 3-shingles. */
+    * 3-shingles: one md5 base hash per shingle, then the universal-hash
+    * permutation family ([[graft.functions.TextFunctions.minhashPerm]]). */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame = {
     val sh = docs
       .select(col(idCol).as("doc_id"),
         explode(shingles(tokens(col(textCol)), 3)).as("sh"))
-    val aggs = (0 until numHashes).map(i => min(hash32(col("sh"), i)).as(s"sig$i"))
+      .select(col("doc_id"), hash32(col("sh"), 0).as("h"))
+    val aggs = (0 until numHashes).map(i => min(minhashPerm(col("h"), i)).as(s"sig$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -61,12 +63,15 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact word-3-shingle Jaccard for given (id_a, id_b) pairs. */
+  /** Exact word-3-shingle Jaccard for given (id_a, id_b) pairs. Shingles
+    * are compared by 32-bit hash (collisions negligible; shuffles carry
+    * 8-byte keys instead of strings). */
   def shingleJaccard(
       docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ds = docs
       .select(col(idCol).as("doc_id"),
-        explode(shingles(tokens(col(textCol)), 3)).as("sh"))
+        explode(shingles(tokens(col(textCol)), 3)).as("sh0"))
+      .select(col("doc_id"), hash32(col("sh0"), 0).as("sh"))
       .distinct()
     val counts = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val inter = pairs
@@ -89,6 +94,34 @@ object Dedup {
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
     val cand = minhashCandidates(sigs, numHashes, rowsPerBand)
     shingleJaccard(docs, cand, idCol, textCol).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact shingle-Jaccard for *all* pairs within a blocking key (e.g.
+    * same source/language). Unlike [[shingleJaccard]] (which fans each
+    * candidate pair out to its shingles), this joins the exploded shingle
+    * sets directly — cost is O(Σ_shingle multiplicity²) within blocks, not
+    * O(pairs × shingles) — and only then attaches per-doc counts. The right
+    * shape when blocks are large but shingle overlap is sparse. */
+  def jaccardWithin(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      minJaccard: Double): DataFrame = {
+    val ds = docs
+      .select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), 3)).as("sh0"))
+      .select(col("blk"), col("doc_id"), hash32(col("sh0"), 0).as("sh"))
+      .distinct()
+    val counts = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val inter = ds.select(col("blk"), col("doc_id").as("id_a"), col("sh"))
+      .join(ds.select(col("blk"), col("doc_id").as("id_b"), col("sh")),
+        Seq("blk", "sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(counts.select(col("doc_id").as("id_a"), col("ns").as("na")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("ns").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** 64-bit simhash as two 32-bit halves (lo, hi) — term-frequency-weighted

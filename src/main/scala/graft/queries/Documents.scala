@@ -41,13 +41,8 @@ object Documents {
     // Exact word-3-gram Jaccard within same-source blocks (blocking keeps
     // the pair space linear-ish; the quadratic blow-up is per block).
     "q33_same_source_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = docs.select(col("doc_id").as("id_a"), col("source").as("src_a"))
-        .join(docs.select(col("doc_id").as("id_b"), col("source").as("src_b")),
-          col("src_a") === col("src_b") && col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      Dedup.shingleJaccard(docs, pairs, "doc_id", "text")
-        .filter(col("jaccard") >= 0.3)
+      Dedup.jaccardWithin(t(s, dir, "documents"), "doc_id", "text", "source",
+          minJaccard = 0.3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -102,7 +97,9 @@ object Documents {
          |FROM documents GROUP BY md5($normSql) ORDER BY keep_id""".stripMargin,
 
     "q31_minhash_neardup" -> {
-      val sigCols = (0 until 8).map(i => s"min(${h32("s", i)}) AS sig$i").mkString(",\n  ")
+      import graft.functions.TextFunctions.minhashPermSql
+      val sigCols = (0 until 8)
+        .map(i => s"min(${minhashPermSql(h32("s", 0), i)}) AS sig$i").mkString(",\n  ")
       val bandRows = (0 until 4).map { b =>
         s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
       }.mkString("\n UNION ALL ")
@@ -112,7 +109,7 @@ object Documents {
          |band AS ($bandRows),
          |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
-         |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
          |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
          |inter AS (SELECT id_a, id_b, count(*) AS ni
          |          FROM cand JOIN dsh a ON a.doc_id = id_a
@@ -149,7 +146,7 @@ object Documents {
     "q33_same_source_jaccard" ->
       s"""WITH $tokCte,
          |${shingleCte(3)},
-         |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
          |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |      FROM documents a JOIN documents b

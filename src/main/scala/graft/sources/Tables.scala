@@ -23,6 +23,14 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else if (name == "documents") {
+      // One small parquet file = one input split = single-core execution for
+      // the md5-heavy text pipelines. Re-spread by doc_id: the shuffle is
+      // tiny and buys full parallelism. (At real scale the source has many
+      // splits and this is unnecessary — it's a local-fixture artifact.)
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.repartition(spark.sparkContext.defaultParallelism,
+        org.apache.spark.sql.functions.col("doc_id"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
