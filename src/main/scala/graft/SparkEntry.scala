@@ -17,6 +17,7 @@ object SparkEntry {
     (Vectors.queries, Vectors.oracleSql),
     (Events.queries, Events.oracleSql),
     (Documents.queries, Documents.oracleSql),
+    (Extras.queries, Extras.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
