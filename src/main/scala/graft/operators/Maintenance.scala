@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table maintenance — the Spark-native equivalents of the reference's TTLs
+  * and reset scripts (S7: `/root/reference/pipeline/clear_all_data.py:71-151`,
+  * `clear_anomalies.py:31-74`; TTLs in `create_iot_schema.py:85,110,133,202`).
+  *
+  * ScyllaDB expires rows with per-table TTLs and deletes with per-partition
+  * tombstones. With date-partitioned parquet the equivalents are partition
+  * operations: retention = drop partitions older than the cutoff (no data
+  * rewrite — O(partitions) metadata work, which is what survives at 100 TB),
+  * selective clearing = overwrite only the affected partitions
+  * (`partitionOverwriteMode=dynamic`).
+  */
+object Maintenance {
+
+  /** Write a snapshot-like table date-partitioned — the layout every
+    * maintenance op here relies on (and the analog of the reference's
+    * `(device_id, date)` partition keys). */
+  def writePartitioned(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy("date").parquet(path)
+
+  /** Retention (TTL analog): keep only partitions with date >= cutoff.
+    * Implemented as partition-directory removal, not a rewrite. */
+  def retainSince(spark: SparkSession, path: String, cutoffDate: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(base)) return Nil
+    val dropped = fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("date=") && n.stripPrefix("date=") < cutoffDate
+      }
+    dropped.foreach(p => fs.delete(p, true))
+    dropped.map(_.getName)
+  }
+
+  /** Selective clear (the reference's windowed delete): rewrite only the
+    * partitions that still contain surviving rows; untouched partitions are
+    * never read or written. */
+  def deleteWhere(spark: SparkSession, path: String, condition: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val df = spark.read.parquet(path)
+      val affected = df.filter(condition).select(col("date")).distinct()
+      val surviving = df.join(broadcast(affected), Seq("date"), "left_semi")
+        .filter(s"NOT ($condition)")
+      surviving.write.mode(SaveMode.Overwrite).partitionBy("date").parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** Hard reset (clear_all_data.py): drop the whole table path. */
+  def truncate(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+}

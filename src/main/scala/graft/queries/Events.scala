@@ -160,6 +160,56 @@ object Events {
         .select($"user_id", $"window_start", $"n_crit", $"n_warn", $"score")
         .orderBy($"user_id", $"window_start")
     }),
+    // Top-3 outliers per entity (reference W6: worst 3 z-scores shown in
+    // details, anomaly_detection.py:156-159) — rank within partition.
+    "q13_top3_outliers_per_user" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val stats = ev.groupBy($"event_type").agg(
+        (dsum($"value", 2) / count(lit(1))).as("mu"),
+        sqrt((dsum($"value" * $"value", 4) / count(lit(1))) -
+          pow(dsum($"value", 2) / count(lit(1)), 2)).as("sigma"))
+      val w = Window.partitionBy($"user_id").orderBy($"z".desc, $"event_id".asc)
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", abs($"value" - $"mu") / $"sigma")
+        .filter($"sigma" > 0)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"user_id", $"rk".cast("bigint").as("rk"), $"event_id", round($"z", 4).as("z"))
+        .orderBy($"user_id", $"rk")
+    }),
+
+    // Map-diff semantics flattened to rows (reference J4/F13: element-wise
+    // % change between two metric maps, find_similar_states.py:152-170):
+    // each (user, window, type) sum vs the previous window's, μ=0 guarded.
+    "q44_window_metric_diff" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"window_start")
+      t(s, dir, "events")
+        .groupBy($"user_id", window($"ts", "3600 seconds").as("w"), $"event_type")
+        .agg(dsum($"value", 2).as("cur"))
+        .select($"user_id", $"w.start".cast("long").as("window_start"), $"event_type", $"cur")
+        .withColumn("prev", lag($"cur", 1).over(w))
+        .filter($"prev".isNotNull && $"prev" =!= 0.0)
+        .select($"user_id", $"window_start", $"event_type",
+          round(($"cur" - $"prev") / $"prev" * 100.0, 4).as("pct_change"))
+        .orderBy($"user_id", $"window_start", $"event_type")
+    }),
+
+    // Counter-table recompute (reference A7: device_statistics counters —
+    // Spark has no mutable counters; recompute, SURVEY §7.3 hard-part 4).
+    "q45_user_counters" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("total_events"),
+          count(when($"value" > 100, 1)).as("high_value_count"),
+          max(unix_micros($"ts")).as("last_seen_us"))
+        .orderBy($"user_id")
+    }),
   )
 
   private val statsCte =
@@ -192,6 +242,35 @@ object Events {
          |  ${avgFor("view", "view_avg")}
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+
+    "q13_top3_outliers_per_user" ->
+      s"""$statsCte
+         |SELECT user_id, rk, event_id, round(z, 4) AS z FROM (
+         |  SELECT user_id, event_id, abs(value - mu) / sigma AS z,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY abs(value - mu) / sigma DESC, event_id ASC) AS rk
+         |  FROM events e JOIN st ON e.event_type = st.event_type
+         |  WHERE sigma > 0)
+         |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+
+    "q44_window_metric_diff" ->
+      s"""WITH g AS (
+         |  SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+         |    event_type, ${dsumSql("value", 2)} AS cur
+         |  FROM events GROUP BY 1, 2, 3),
+         |d AS (SELECT user_id, window_start, event_type, cur,
+         |  lag(cur, 1) OVER (PARTITION BY user_id, event_type ORDER BY window_start) AS prev
+         |  FROM g)
+         |SELECT user_id, window_start, event_type,
+         |  round((cur - prev) / prev * 100.0, 4) AS pct_change
+         |FROM d WHERE prev IS NOT NULL AND prev <> 0.0
+         |ORDER BY user_id, window_start, event_type""".stripMargin,
+
+    "q45_user_counters" ->
+      """SELECT user_id, COUNT(*) AS total_events,
+        |  count(*) FILTER (value > 100) AS high_value_count,
+        |  max(epoch_us(ts)) AS last_seen_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q14_zscore_outliers" ->
       s"""$statsCte

@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.IoTSimulator
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() = Files.createTempDirectory("graft_maint").toString
+
+  // 3 days of data, 1 tick/hour → small but multi-partition
+  private def table() = Snapshotter.snapshots(
+    IoTSimulator.readings(spark, nTicks = 72, tickSeconds = 3600), dim = 8)
+
+  test("retention drops whole partitions without rewriting survivors") {
+    val dir = freshDir()
+    Maintenance.writePartitioned(table(), dir)
+    val before = spark.read.parquet(dir)
+    assert(before.select($"date").distinct().count() == 3) // 72 hourly ticks
+    val dropped = Maintenance.retainSince(spark, dir, "2024-01-02")
+    assert(dropped == Seq("date=2024-01-01"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter($"date" < "2024-01-02").count() == 0)
+    assert(after.count() == before.filter($"date" >= "2024-01-02").count())
+  }
+
+  test("deleteWhere rewrites only affected partitions") {
+    val dir = freshDir()
+    Maintenance.writePartitioned(table(), dir)
+    val before = spark.read.parquet(dir).count()
+    val victims = spark.read.parquet(dir)
+      .filter("device_id = 'RTU-001' AND date = '2024-01-02'").count()
+    assert(victims > 0)
+    Maintenance.deleteWhere(spark, dir,
+      "device_id = 'RTU-001' AND date = '2024-01-02'")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == before - victims)
+    assert(after.filter("device_id = 'RTU-001' AND date = '2024-01-02'").count() == 0)
+    // untouched partition still intact
+    assert(after.filter($"date" === "2024-01-01").count() > 0)
+  }
+
+  test("truncate removes the table") {
+    val dir = freshDir()
+    Maintenance.writePartitioned(table(), dir)
+    Maintenance.truncate(spark, dir)
+    assert(!new java.io.File(dir).exists())
+  }
+}

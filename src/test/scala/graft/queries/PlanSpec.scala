@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan quality gates: the properties that make these dataflows
+  * survive a 100× scale-up must be visible in the plan, not just hoped for.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.collect() // finalize AQE so the executed plan shows real operators
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicates are pushed to the parquet scan") {
+    val p = plan("q02_revenue_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), "shipdate range must reach the scan")
+  }
+
+  test("q01: scan reads only referenced columns (column pruning)") {
+    val p = plan("q01_pricing_summary")
+    assert(!p.contains("l_orderkey"), "unreferenced column must be pruned:\n" + p)
+    assert(p.contains("l_quantity"))
+  }
+
+  test("q03: dimension joins are broadcast, no shuffle of the fact side per dim") {
+    val p = plan("q03_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q22: kNN is broadcast-join + partial top-k aggregation, no window over pairs") {
+    val p = plan("q22_knn_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("top_k_by_score"), "bounded top-k aggregate must be used")
+    assert(p.contains("partial_top_k_by_score") || p.contains("HashAggregate"),
+      "map-side partial aggregation expected:\n" + p)
+    assert(!p.contains("Window"), "no global window over the similarity matrix")
+  }
+
+  test("q01 aggregation has a map-side partial phase") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), "partial aggregation expected before the shuffle:\n" + p)
+  }
+
+  test("q31: minhash LSH plan contains no cartesian product") {
+    val p = plan("q31_minhash_neardup")
+    assert(!p.contains("CartesianProduct"), "banding must be an equi-join:\n" + p)
+  }
+
+  test("q40: language-ID rate table is broadcast") {
+    val p = plan("q40_lang_id")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("whole-stage codegen covers the cosine hot path (equi-join variant)") {
+    // q20's BroadcastNestedLoopJoin disables whole-stage codegen around its
+    // projection (cosine_sim still evaluates, interpreted); the equi-join
+    // detection path q25 is the hot shape and must stay codegen'd.
+    val p = plan("q25_path2_centroid_anomaly")
+    // codegen spans print as "*(n) Operator" in the executed-plan string
+    assert(p.contains("*(") && """\*\(\d+\) Project \[.*cosine_sim""".r
+      .findFirstIn(p).isDefined, p)
+  }
+}
