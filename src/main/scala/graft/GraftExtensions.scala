@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** SparkSessionExtensions entry point: makes every graft SQL function
+  * available in any session without touching application code —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * after which `SELECT cosine_sim(a, b)` etc. work in plain SQL. (The same
+  * registrations are available per-session via
+  * [[graft.functions.GraftFunctions.register]].)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float/double arrays; 0.0 for zero vectors") {
+      es => CosineSimilarity(es(0), es(1))
+    }
+    inject("dot_product", "dot_product(a, b) - inner product in double") {
+      es => DotProduct(es(0), es(1))
+    }
+    inject("l2_norm", "l2_norm(a) - Euclidean norm") { es => L2Norm(es.head) }
+    inject("l2_normalize",
+      "l2_normalize(a) - unit vector; zero vectors pass through") { es => L2Normalize(es.head) }
+    inject("hamming_dist",
+      "hamming_dist(a, b) - differing bits between two bigints") {
+      es => HammingDistance(es(0), es(1))
+    }
+  }
+}
