@@ -87,13 +87,36 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates by banding, then exact
-    * Jaccard >= `minJaccard` on candidates only. */
+    * Jaccard >= `minJaccard` on candidates only.
+    *
+    * Signatures, per-doc counts and the intersection join all derive from
+    * ONE distinct (doc, shingle-hash) subtree — its shuffle appears
+    * identically in every branch, so Catalyst's ReuseExchange computes the
+    * explode+md5 scan once. (Minhash over the distinct set equals minhash
+    * over the multiset: min ignores duplicates.) */
   def nearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
+    val ds = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), 3)).as("sh0"))
+      .select(col("doc_id"), hash32(col("sh0"), 0).as("h"))
+      .distinct()
+    val sigAggs = (0 until numHashes).map(i => min(minhashPerm(col("h"), i)).as(s"sig$i"))
+    val sigs = ds.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
     val cand = minhashCandidates(sigs, numHashes, rowsPerBand)
-    shingleJaccard(docs, cand, idCol, textCol).filter(col("jaccard") >= minJaccard)
+    val counts = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val inter = cand
+      .join(ds.select(col("doc_id").as("id_a"), col("h").as("ha")), Seq("id_a"))
+      .join(ds.select(col("doc_id").as("id_b"), col("h").as("hb")), Seq("id_b"))
+      .filter(col("ha") === col("hb"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(counts.select(col("doc_id").as("id_a"), col("ns").as("na")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("ns").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Exact shingle-Jaccard for *all* pairs within a blocking key (e.g.

@@ -40,14 +40,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
   }
 
-  /** Length/stopword/word-shape quality heuristics + a [0,1] composite. */
+  /** Length/stopword/word-shape quality heuristics + a [0,1] composite.
+    * Entirely narrow (array expressions per row) — zero shuffles, scales
+    * embarrassingly. */
   def qualityScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tk = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
-    tk.groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        count(when(col("w").isInCollection(stopwords), 1)).as("n_stop"),
-        sum(length(col("w"))).as("sum_len"))
+    val stopArr = array(stopwords.map(lit): _*)
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      .select(
+        col("doc_id"),
+        size(col("tok")).cast("bigint").as("n_tokens"),
+        size(filter(col("tok"), w => array_contains(stopArr, w))).cast("bigint").as("n_stop"),
+        aggregate(col("tok"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
       .withColumn("avg_token_len", col("sum_len").cast("double") / col("n_tokens"))
       .withColumn("quality", round(
