@@ -12,6 +12,27 @@ import Q._
 object Extras {
 
   val queries: Map[String, QueryFn] = Map(
+    // Flagship IoT dataflow (reference §3.1-3.2 end-to-end): simulate a
+    // fleet with an injected compressor failure, snapshot, profile on the
+    // clean period, detect (paths 1+2), emit events. Rows-only: validated
+    // by PipelineSpec E2E (50/50 injected ticks flagged, 0 false positives).
+    "q50_iot_detect_pipeline" -> ((s, dir) => {
+      import graft.operators.{Detection, Profiles, Snapshotter}
+      import graft.sources.IoTSimulator
+      import graft.core.DetectionConfig
+      val _ = dir // driven by the generator, not the testdata tables
+      val readings = IoTSimulator.readings(s, nTicks = 360,
+        injections = IoTSimulator.compressorFailure("RTU-001", 240, 300))
+      val snaps = Snapshotter.snapshots(readings, dim = 128)
+      val profiles = Profiles.build(snaps.filter(
+        col("snapshot_time") < timestamp_seconds(lit(1704067200L + 200 * 10))))
+      Detection.anomalyEvents(
+        Detection.pathsOneTwo(snaps, profiles, DetectionConfig.Standalone))
+        .select(col("device_id"), col("snapshot_time"), col("anomaly_score"),
+          col("anomaly_type"), col("detection_details"))
+        .orderBy(col("device_id"), col("snapshot_time"))
+    }),
+
     // LSH-approximate kNN (the 100 TB ANN path): sign-random-projection
     // Hamming prefilter + exact rescoring. Oracle omitted: approximate
     // results are validated by recall tests, not row equality.
