@@ -5,13 +5,14 @@ object BenchOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warmup
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     args.foreach { name =>
-      (1 to 2).foreach { i =>
+      (1 to 5).foreach { i =>
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         println(f"TIMING $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")

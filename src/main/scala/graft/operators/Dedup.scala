@@ -75,8 +75,8 @@ object Dedup {
       .distinct()
     val counts = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val inter = pairs
-      .join(ds.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
-      .join(ds.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+      .join(ds.select(col("doc_id").as("id_a"), col("sh").as("sha")).hint("shuffle_hash"), Seq("id_a"))
+      .join(ds.select(col("doc_id").as("id_b"), col("sh").as("shb")).hint("shuffle_hash"), Seq("id_b"))
       .filter(col("sha") === col("shb"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
     inter
@@ -106,9 +106,12 @@ object Dedup {
     val sigs = ds.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
     val cand = minhashCandidates(sigs, numHashes, rowsPerBand)
     val counts = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    // shuffle_hash: never broadcast the (large) shingle-hash set — Spark's
+    // size estimate for it sits near the auto-broadcast threshold and a
+    // driver-side collect of it is the slow mode (recomputed per branch).
     val inter = cand
-      .join(ds.select(col("doc_id").as("id_a"), col("h").as("ha")), Seq("id_a"))
-      .join(ds.select(col("doc_id").as("id_b"), col("h").as("hb")), Seq("id_b"))
+      .join(ds.select(col("doc_id").as("id_a"), col("h").as("ha")).hint("shuffle_hash"), Seq("id_a"))
+      .join(ds.select(col("doc_id").as("id_b"), col("h").as("hb")).hint("shuffle_hash"), Seq("id_b"))
       .filter(col("ha") === col("hb"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
     inter
@@ -135,7 +138,7 @@ object Dedup {
       .distinct()
     val counts = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val inter = ds.select(col("blk"), col("doc_id").as("id_a"), col("sh"))
-      .join(ds.select(col("blk"), col("doc_id").as("id_b"), col("sh")),
+      .join(ds.select(col("blk"), col("doc_id").as("id_b"), col("sh")).hint("shuffle_hash"),
         Seq("blk", "sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
