@@ -45,6 +45,10 @@ object PipelineDemo {
       .select(Snapshotter.snapshotText(col("device_id"), col("metrics"))).head().getString(0).take(100))
     events.select("device_id", "snapshot_time", "anomaly_score", "detection_details")
       .orderBy("snapshot_time").show(5, 100)
+    println("all-methods comparison (detect_anomalies_all):")
+    Detection.methodComparison(
+      withP3.join(ruled, Seq("device_id", "snapshot_time")))
+      .orderBy("device_id").show(10, false)
     spark.stop()
   }
 }

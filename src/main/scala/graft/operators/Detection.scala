@@ -144,6 +144,30 @@ object Detection {
         coalesce(col("path3_triggered").cast("int"), lit(0)))
       .withColumn("consensus_anomalous", col("consensus_votes") >= votes)
 
+  /** All-methods comparison report (detect_anomalies_all.py:66-246): per
+    * device, how often each method fires, pairwise agreement, and the
+    * ≥2-vote consensus rate. Input: a frame carrying `rules_triggered`,
+    * `path1_triggered`, `path2_triggered`, `path3_triggered`. */
+  def methodComparison(df: DataFrame): DataFrame = {
+    val m1 = coalesce(col("rules_triggered"), lit(false))
+    val m2 = coalesce(col("path1_triggered"), lit(false)) ||
+      coalesce(col("path2_triggered"), lit(false))
+    val m3 = coalesce(col("path3_triggered"), lit(false))
+    val votes = m1.cast("int") + m2.cast("int") + m3.cast("int")
+    df.groupBy(col("device_id"))
+      .agg(
+        count(lit(1)).as("n_snapshots"),
+        count(when(m1, 1)).as("rules_n"),
+        count(when(m2, 1)).as("profile_n"),
+        count(when(m3, 1)).as("vector_n"),
+        count(when(m1 && m2, 1)).as("rules_profile_agree"),
+        count(when(m2 && m3, 1)).as("profile_vector_agree"),
+        count(when(m1 && m3, 1)).as("rules_vector_agree"),
+        count(when(votes >= 2, 1)).as("consensus_n"))
+      .withColumn("consensus_rate",
+        round(col("consensus_n").cast("double") / col("n_snapshots"), 4))
+  }
+
   /** Anomaly event rows (FIXTURES.md A4 / create_iot_schema.py:185-203 +
     * extended columns kafka_consumer.py:229-283). anomaly_id is a
     * deterministic surrogate for the reference's timeuuid (SURVEY F14). */

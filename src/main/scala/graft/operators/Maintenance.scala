@@ -18,9 +18,20 @@ object Maintenance {
 
   /** Write a snapshot-like table date-partitioned — the layout every
     * maintenance op here relies on (and the analog of the reference's
-    * `(device_id, date)` partition keys). */
-  def writePartitioned(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).partitionBy("date").parquet(path)
+    * `(device_id, date)` partition keys). `sortCols` gives the reference's
+    * clustering order on disk (W4, create_iot_schema.py:81,129):
+    * sort-within-partition costs nothing extra at write time and turns
+    * parquet row-group min/max stats into an index for range scans. */
+  def writePartitioned(
+      df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite,
+      sortCols: Seq[String] = Seq("device_id", "snapshot_time")): Unit = {
+    val sorted =
+      if (sortCols.nonEmpty && sortCols.forall(df.columns.contains))
+        df.sortWithinPartitions(sortCols.map(col): _*)
+      else df
+    sorted.write.mode(mode).partitionBy("date").parquet(path)
+  }
 
   /** Retention (TTL analog): keep only partitions with date >= cutoff.
     * Implemented as partition-directory removal, not a rewrite. */

@@ -102,6 +102,23 @@ class PipelineSpec extends SparkSpec {
     assert(c.filter(!inWindow && $"consensus_anomalous").count() <= 5)
   }
 
+  test("method comparison report: rates and consensus per device") {
+    val ruled = Rules.evaluate(spark, snaps)
+      .select($"device_id", $"snapshot_time", $"rules_triggered")
+    val p3 = Detection.pathThreeAfterOneTwo(detected, graft.core.DetectionConfig.VectorSearch)
+      .join(ruled, Seq("device_id", "snapshot_time"))
+    val rep = Detection.methodComparison(p3)
+    assert(rep.count() == 5)
+    val rtu = rep.filter($"device_id" === "RTU-001").head()
+    assert(rtu.getAs[Long]("n_snapshots") == nTicks)
+    assert(rtu.getAs[Long]("profile_n") >= 45)   // path1 fires in the window
+    assert(rtu.getAs[Long]("rules_n") >= 45)     // relationship rule fires too
+    assert(rtu.getAs[Long]("rules_profile_agree") >= 45)
+    assert(rtu.getAs[Long]("consensus_n") >= 45)
+    val quiet = rep.filter($"device_id" === "CT-001").head()
+    assert(quiet.getAs[Long]("consensus_n") <= nTicks / 50)
+  }
+
   test("anomaly events: deterministic ids, one row per anomalous snapshot") {
     val ev = Detection.anomalyEvents(detected)
     assert(ev.count() == detected.filter($"is_anomalous").count())
