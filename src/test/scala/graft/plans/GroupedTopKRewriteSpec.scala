@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftExtensions
+
+class GroupedTopKRewriteSpec extends AnyFunSuite {
+
+  private def withExtSession[T](f: SparkSession => T): T = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach(_.stop())
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("topk-rewrite").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.graft.groupedTopK", "always")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    try f(spark) finally {
+      spark.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("window top-k pattern is rewritten to the bounded aggregate and matches results") {
+    withExtSession { spark =>
+      import spark.implicits._
+      val df = spark.range(0, 10000)
+        .select(($"id" % 7).as("g"), $"id",
+          (($"id" * 2654435761L) % 1000).cast("double").as("score"))
+      val w = Window.partitionBy($"g").orderBy($"score".desc)
+      val q = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("top_k_rows"), "rewrite should fire:\n" + plan)
+      assert(!plan.contains("Window"), "window should be gone:\n" + plan)
+
+      val got = q.select($"g", $"rk", $"id", $"score")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3))).toSet
+      // expected via plain Scala (ties broken arbitrarily -> compare scores)
+      val rows = df.select($"g", $"id", $"score")
+        .as[(Long, Long, Double)].collect()
+      val exp = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.map(_._3).sorted(Ordering[Double].reverse).take(3)
+          .zipWithIndex.map { case (s, i) => (g, i + 1, s) }.toSeq
+      }.toSet
+      assert(got == exp)
+    }
+  }
+
+  test("ascending order and rk < k variants rewrite too") {
+    withExtSession { spark =>
+      import spark.implicits._
+      val df = spark.range(0, 1000)
+        .select(($"id" % 5).as("g"), (($"id" * 131) % 97).cast("double").as("score"))
+      val w = Window.partitionBy($"g").orderBy($"score".asc)
+      val q = df.withColumn("rk", row_number().over(w)).filter($"rk" < 4)
+      assert(q.queryExecution.optimizedPlan.toString.contains("top_k_rows"))
+      val got = q.groupBy($"g").agg(max($"score")).as[(Long, Double)].collect().toMap
+      val exp = df.as[(Long, Double)].collect().groupBy(_._1)
+        .map { case (g, rs) => g -> rs.map(_._2).sorted.take(3).max }
+      assert(got == exp)
+    }
+  }
+
+  test("auto mode: narrow primitive payload keeps the window; wide payload rewrites") {
+    withExtSession { spark =>
+      import spark.implicits._
+      spark.conf.set("spark.graft.groupedTopK", "auto")
+      try {
+        val narrow = spark.range(0, 100)
+          .select(($"id" % 5).as("g"), ($"id" % 13).cast("double").as("score"))
+        val w = Window.partitionBy($"g").orderBy($"score".desc)
+        val qn = narrow.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        assert(qn.queryExecution.optimizedPlan.toString.contains("Window"),
+          "narrow rows: sort wins, no rewrite")
+        val wide = narrow.withColumn("vec",
+          expr("transform(sequence(1, 8), i -> cast(g as double))"))
+        val qw = wide.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        assert(qw.queryExecution.optimizedPlan.toString.contains("top_k_rows"),
+          "array payload: shuffle-bound, rewrite")
+      } finally spark.conf.set("spark.graft.groupedTopK", "always")
+    }
+  }
+
+  test("non-matching windows (rank, multiple order keys) are left alone") {
+    withExtSession { spark =>
+      import spark.implicits._
+      val df = spark.range(0, 100)
+        .select(($"id" % 5).as("g"), $"id", ($"id" % 13).cast("double").as("score"))
+      val w = Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)
+      val q = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      assert(q.queryExecution.optimizedPlan.toString.contains("Window"),
+        "two order keys must not be rewritten (tie-break is load-bearing)")
+      val q2 = df.withColumn("rk", rank().over(Window.partitionBy($"g").orderBy($"score".desc)))
+        .filter($"rk" <= 3)
+      assert(q2.queryExecution.optimizedPlan.toString.contains("Window"),
+        "rank() has different tie semantics; must not rewrite")
+    }
+  }
+}
