@@ -71,6 +71,18 @@ object Maintenance {
     }
   }
 
+  /** NDJSON sink (reference S6: simulator --sink stdout prints one JSON per
+    * reading, iot_simulator.py:740-743). */
+  def writeNdjson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** The reference's `recent_device_states` materialized view
+    * (create_iot_schema.py:219-229): latest snapshots fleet-wide, newest
+    * first — as a query (Spark recomputes; a real deployment would make
+    * this an incremental sink). */
+  def recentDeviceStates(snapshots: DataFrame, n: Int): DataFrame =
+    snapshots.orderBy(col("snapshot_time").desc, col("device_id").asc).limit(n)
+
   /** Hard reset (clear_all_data.py): drop the whole table path. */
   def truncate(spark: SparkSession, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

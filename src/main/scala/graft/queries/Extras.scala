@@ -45,6 +45,19 @@ object Extras {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // Trained IVF ANN (k-means cells + nprobe search): the production form
+    // of q27's skeleton. Rows-only: k-means cells are seed-stable but not
+    // SQL-reproducible; recall bounds live in IvfSpec.
+    "q29_ivf_trained" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings")
+      val idx = Ivf.build(e, nCells = 8)
+      Ivf.search(idx, e.filter(col("vec_id") < 10), k = 5, nprobe = 3)
+        .select(col("query_id"), col("rk").cast("bigint").as("rk"),
+          col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // Multimodal feature extraction: binary payload columns → fixed-dim
     // features via per-partition decoder (stubbed decode; real plumbing).
     "q60_media_features" -> ((s, dir) => {

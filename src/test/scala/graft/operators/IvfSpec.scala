@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, sf("sf0.001"), "embeddings").cache()
+
+  test("build: every corpus vector lands in exactly one of k cells") {
+    val idx = Ivf.build(emb, nCells = 8)
+    assert(idx.cells.count() == 8)
+    assert(idx.assigned.count() == emb.count())
+    val cells = idx.assigned.select($"cell_id").distinct().as[Int].collect().toSet
+    assert(cells.subsetOf((0 until 8).toSet))
+    // centroids have the corpus dimensionality
+    assert(idx.cells.select(size($"centroid")).distinct().as[Int].head() == 64)
+  }
+
+  test("search: probing fewer cells trades recall for candidate pruning") {
+    val idx = Ivf.build(emb, nCells = 8)
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Knn.exact(emb, q, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+
+    def recallAt(nprobe: Int): Double = {
+      val approx = Ivf.search(idx, q, k = 10, nprobe = nprobe)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2); val r8 = recallAt(8)
+    assert(r8 >= 0.999, s"nprobe=k must be exhaustive, recall=$r8")
+    assert(r2 >= 0.3, s"nprobe=2 recall too low: $r2")
+    assert(r2 <= r8 + 1e-9)
+  }
+
+  test("search output follows the standard kNN contract") {
+    val idx = Ivf.build(emb, nCells = 4)
+    val out = Ivf.search(idx, emb.filter($"vec_id" < 3), k = 5, nprobe = 2)
+    assert(out.count() == 15)
+    assert(out.filter($"query_id" === $"neighbor_id").count() == 0)
+    val rks = out.filter($"query_id" === 0).select($"rk").as[Int].collect().sorted.toSeq
+    assert(rks == Seq(1, 2, 3, 4, 5))
+  }
+}
