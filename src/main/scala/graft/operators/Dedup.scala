@@ -172,6 +172,34 @@ object Dedup {
       sum(when(col("v1") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("sim_hi"))
   }
 
+  /** Embedding near-duplicate pairs at scale: sign-random-projection
+    * signatures banded into `nBands` buckets; only same-bucket pairs are
+    * exactly rescored with cosine. The banding join replaces the O(n²)
+    * self-join of the exact variant (queries q24) — candidates per doc
+    * scale with bucket occupancy, not corpus size. Recall grows with
+    * nBands (each band is an independent chance to collide). */
+  def embeddingNearDup(
+      corpus: DataFrame, minCosine: Double,
+      dim: Int, nBands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.GraftFunctions.{cosine_sim, rhp_signature}
+    val sigCols = Seq(col(idCol).as("doc_id"), col(vecCol).as("v")) ++
+      (0 until nBands).map(b =>
+        rhp_signature(col(vecCol), bitsPerBand, dim, seed + b).as(s"band$b"))
+    val sigs = corpus.select(sigCols: _*)
+    val bands = sigs.select(col("doc_id"), col("v"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("b"), col(s"band$b").as("s"))): _*)).as("bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .distinct()
+      .withColumn("sim", cosine_sim(col("va"), col("vb")))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Pairs of documents whose 64-bit simhashes differ by at most
     * `maxHamming` bits. The pair stage self-joins on `blockBits` leading
     * bits of the low half as a cheap block (exact for maxHamming = 0;

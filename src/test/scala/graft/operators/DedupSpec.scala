@@ -41,6 +41,30 @@ class DedupSpec extends SparkSpec {
     assert(!j.contains((0L, 3L)))        // zero intersection → no row
   }
 
+  test("embeddingNearDup: LSH banding finds near-identical vectors without O(n^2)") {
+    // synthetic near-dup regime: 50 bases x 3 noisy copies, true pairs at
+    // cosine ~0.99+ (sign-LSH collision prob per bit ~1 there)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50).flatMap { g =>
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 3).map { c =>
+        val v = base.map(x => (x + rnd.nextGaussian() * 0.02).toFloat).toSeq
+        ((g * 3 + c).toLong, v)
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, minCosine = 0.95, dim = 64)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val truePairs = (0 until 50).flatMap { g =>
+      val ids = (0 until 3).map(c => (g * 3 + c).toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    val recall = (truePairs & pairs).size.toDouble / truePairs.size
+    assert(recall >= 0.95, s"recall $recall")
+    // rescoring keeps only genuinely similar pairs
+    assert(pairs.forall { case (a, b) => a / 3 == b / 3 }, "no cross-group pairs")
+  }
+
   test("simhash blockBits prunes the pair space") {
     val all = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64, blockBits = 0).count()
     val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64, blockBits = 8).count()
