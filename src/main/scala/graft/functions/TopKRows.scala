@@ -96,7 +96,6 @@ case class TopKRows(
   override def nullable: Boolean = false
   override def prettyName: String = "top_k_rows"
 
-  @transient private lazy val payloadProj = UnsafeProjection.create(payload.map(_.dataType).toArray)
   @transient private lazy val serProj = UnsafeProjection.create(
     (DoubleType +: payload.map(_.dataType)).toArray)
 
