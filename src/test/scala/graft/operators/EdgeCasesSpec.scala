@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Degenerate-input behavior: operators must return empty/identity results,
+  * not throw, when fed empty frames, empty documents, or single rows —
+  * the shapes that appear constantly in incremental production runs.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  private def emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+
+  test("dedup operators on empty input return empty output") {
+    assert(Dedup.exactGroups(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.nearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("documents shorter than the shingle width survive (empty text, one word)") {
+    val docs = Seq((1L, ""), (2L, "word"), (3L, "two words"),
+      (4L, "three whole words here")).toDF("doc_id", "text")
+    // doc 4 is the only one with >=3 tokens -> only possible signature row
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 4)
+    assert(sigs.select($"doc_id").as[Long].collect().toSet == Set(4L))
+    // no pairs, no exceptions
+    assert(Dedup.nearDupPairs(docs, "doc_id", "text").count() == 0)
+    // quality scoring still covers all docs (empty text = 1 empty token)
+    assert(TextAnalysis.qualityScores(docs, "doc_id", "text").count() == 4)
+  }
+
+  test("kNN with an empty query set returns empty") {
+    val corpus = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    assert(Knn.exact(corpus, corpus.limit(0), k = 3).count() == 0)
+  }
+
+  test("kNN with a single-row corpus excludes self and returns nothing") {
+    val one = Seq((7L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    assert(Knn.exact(one, one, k = 5).count() == 0)
+  }
+
+  test("profiles below minSnapshots are suppressed, not emitted half-built") {
+    val snaps = graft.operators.Snapshotter.snapshots(
+      graft.sources.IoTSimulator.readings(spark, 3), dim = 8)
+    val p = Profiles.build(snaps, minSnapshots = 5)
+    assert(p.count() == 0)
+    // detection without profiles: no-profile defaults (not anomalous)
+    val d = Detection.pathsOneTwo(snaps, p.limit(0))
+    assert(d.filter($"is_anomalous").count() == 0)
+    assert(d.select(min($"similarity_to_profile")).as[Double].head() == 1.0)
+  }
+
+  test("rules on a device type with no rules defined yields zero violations") {
+    val snaps = graft.operators.Snapshotter.snapshots(
+      graft.sources.IoTSimulator.readings(spark, 5), dim = 8)
+      .withColumn("device_type", lit("unknown_type"))
+    val r = Rules.evaluate(spark, snaps)
+    assert(r.filter($"rules_triggered").count() == 0)
+    assert(r.filter(size($"rule_violations") =!= 0).count() == 0)
+  }
+}
