@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.operators.Snapshotter
+import graft.sources.IoTSimulator
+
+/** The reference's delivery semantics (SURVEY §2.10): at-least-once Kafka
+  * consumption + idempotent inserts. Spark-native replacement: checkpointed
+  * streaming with a transactional file sink = exactly-once. This spec
+  * kills a streaming snapshot query mid-stream and restarts it from the
+  * checkpoint: the final output must be exactly the batch result — no
+  * duplicates, no gaps.
+  */
+class CheckpointRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming snapshotter resumes from checkpoint exactly-once") {
+    val src = Files.createTempDirectory("graft_src").toString
+    val sink = Files.createTempDirectory("graft_sink").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+
+    val all = IoTSimulator.readings(spark, 60).where($"device_id" === "RTU-001").cache()
+    val schema = all.schema
+    def appendBatch(fromTick: Int, untilTick: Int): Unit =
+      all.where($"timestamp" >= timestamp_seconds(lit(1704067200L + fromTick * 10)) &&
+          $"timestamp" < timestamp_seconds(lit(1704067200L + untilTick * 10)))
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema).parquet(src)
+      StreamingSnapshotter.snapshots(stream, dim = 16,
+          watermarkDelay = "0 seconds")
+        .drop("metrics") // parquet sink-friendly (and not needed for the check)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", sink)
+        .start()
+    }
+
+    // phase 1: first half, then stop (simulated crash)
+    appendBatch(0, 30)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    val afterPhase1 = spark.read.parquet(sink).count()
+
+    // phase 2: second half arrives while "down"; restart from checkpoint
+    appendBatch(30, 60)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    // and a sentinel far ahead so the watermark finalizes everything
+    all.limit(1).withColumn("timestamp", timestamp_seconds(lit(1704067200L + 100000)))
+      .coalesce(1).write.mode("append").parquet(src)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(sink)
+      .filter($"snapshot_time" < timestamp_seconds(lit(1704067200L + 90000)))
+      .select($"device_id", $"snapshot_time")
+    val batch = Snapshotter.snapshots(all, dim = 16)
+      .select($"device_id", $"snapshot_time")
+
+    assert(afterPhase1 > 0, "phase 1 must have emitted finalized snapshots")
+    assert(streamed.count() == 60, s"got ${streamed.count()} of 60")
+    assert(streamed.distinct().count() == 60, "no duplicates across restart")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+}
