@@ -47,6 +47,55 @@ object Documents {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Deterministic hash-based train/test split (training-pipeline staple):
+    // portable md5 hash of the id -> stable 80/20 assignment on any engine.
+    "q34_train_split" -> ((s, dir) => {
+      import graft.functions.TextFunctions.hash32
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(hash32(col("doc_id").cast("string"), 9) % 100 < 80, "train")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
+    // Decontamination: test-split documents sharing >=2 winnowing-fingerprint
+    // hashes with any train-split document (near-dup leakage across the
+    // boundary). Fingerprint join is equi on 8-byte hashes — no pairwise scan.
+    "q35_decontamination" -> ((s, dir) => {
+      import graft.functions.TextFunctions.hash32
+      val docs = t(s, dir, "documents")
+      val split = docs.select(col("doc_id"),
+        (hash32(col("doc_id").cast("string"), 9) % 100 < 80).as("is_train"))
+      val fp = TextAnalysis.fingerprints(docs, "doc_id", "text")
+        .select(col("doc_id"), explode(col("fingerprint")).as("h"))
+      val te = fp.join(split.filter(!col("is_train")), Seq("doc_id"))
+        .select(col("doc_id").as("test_id"), col("h"))
+      val tr = fp.join(split.filter(col("is_train")), Seq("doc_id"))
+        .select(col("doc_id").as("train_id"), col("h"))
+      te.join(tr, Seq("h"))
+        .groupBy(col("test_id"), col("train_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("test_id"), col("train_id"))
+    }),
+
+    // Dataset-card statistics: per-language token-count distribution
+    // (min / exact interpolated p50+p90 / max).
+    "q36_token_distribution" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      t(s, dir, "documents")
+        .select(col("lang"), size(tokens(col("text"))).as("nt"))
+        .groupBy(col("lang"))
+        .agg(
+          min(col("nt")).cast("bigint").as("min_tokens"),
+          round(expr("percentile(nt, 0.5)"), 4).as("p50_tokens"),
+          round(expr("percentile(nt, 0.9)"), 4).as("p90_tokens"),
+          max(col("nt")).cast("bigint").as("max_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // Frequency-vote language ID: train on doc_id % 5 != 0, predict the
     // held-out fifth. Integer per-million rates -> engine-exact argmax.
     "q40_lang_id" -> ((s, dir) => {
@@ -160,6 +209,36 @@ object Documents {
          |FROM inter JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
          |WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q34_train_split" ->
+      s"""SELECT CASE WHEN ${h32("CAST(doc_id AS VARCHAR)", 9)} % 100 < 80
+         |  THEN 'train' ELSE 'test' END AS split, lang, count(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q35_decontamination" ->
+      s"""WITH $tokCte,
+         |${shingleCte(4)},
+         |hs AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS h FROM sh),
+         |r AS (SELECT doc_id, h, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY h) AS rk FROM hs),
+         |fp AS (SELECT doc_id, h FROM r WHERE rk <= 5),
+         |sp AS (SELECT doc_id,
+         |       ${h32("CAST(doc_id AS VARCHAR)", 9)} % 100 < 80 AS is_train
+         |       FROM documents)
+         |SELECT te.doc_id AS test_id, tr.doc_id AS train_id, count(*) AS n_shared
+         |FROM fp te JOIN sp ste ON te.doc_id = ste.doc_id AND NOT ste.is_train
+         |JOIN fp tr ON te.h = tr.h
+         |JOIN sp str ON tr.doc_id = str.doc_id AND str.is_train
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY test_id, train_id""".stripMargin,
+
+    "q36_token_distribution" ->
+      s"""WITH n AS (SELECT lang, len(string_split($normSql, ' ')) AS nt FROM documents)
+         |SELECT lang, CAST(min(nt) AS BIGINT) AS min_tokens,
+         |  round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+         |  round(quantile_cont(nt, 0.9), 4) AS p90_tokens,
+         |  CAST(max(nt) AS BIGINT) AS max_tokens
+         |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q40_lang_id" ->
       s"""WITH tr AS (SELECT lang, unnest(string_split($normSql, ' ')) AS w
