@@ -44,5 +44,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "hamming_dist(a, b) - differing bits between two bigints") {
       es => HammingDistance(es(0), es(1))
     }
+    inject("hash_featurize",
+      "hash_featurize(metrics_map, dim) - deterministic feature-hashing embedding") { es =>
+      HashFeaturize(es(0), intLit(es(1), "hash_featurize dim"))
+    }
+    inject("rhp_signature",
+      "rhp_signature(vec, nbits, dim, seed) - sign-random-projection LSH signature") { es =>
+      RandomHyperplaneSignature(es(0), intLit(es(1), "rhp nbits"),
+        intLit(es(2), "rhp dim"), longLit(es(3), "rhp seed"))
+    }
   }
+
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+    }
+
+  private def longLit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Long =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+      case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+    }
 }

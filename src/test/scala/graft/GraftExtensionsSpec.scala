@@ -26,6 +26,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(0) === 1.0)
       assert(r.getDouble(1) === 5.0)
       assert(r.getInt(2) === 4)
+      val r2 = spark.sql(
+        """SELECT l2_norm(hash_featurize(map('a', 1.0D, 'b', 2.0D), 16)) AS n,
+          |       rhp_signature(array(1.0D, -1.0D), 8, 2, 42L) AS sig""".stripMargin).head()
+      assert(math.abs(r2.getDouble(0) - 1.0) < 1e-5)
+      assert(r2.getLong(1) >= 0L && r2.getLong(1) < 256L)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
