@@ -96,6 +96,14 @@ object Documents {
         .orderBy(col("lang"))
     }),
 
+    // Capstone corpus-preparation pipeline: exact dedup -> near-dup
+    // removal -> quality floor -> deterministic split, one pass.
+    "q37_corpus_prepare" -> ((s, dir) => {
+      graft.operators.Corpus.prepare(t(s, dir, "documents"))
+        .select(col("doc_id"), col("split"), round(col("quality"), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frequency-vote language ID: train on doc_id % 5 != 0, predict the
     // held-out fifth. Integer per-million rates -> engine-exact argmax.
     "q40_lang_id" -> ((s, dir) => {
@@ -239,6 +247,50 @@ object Documents {
          |  round(quantile_cont(nt, 0.9), 4) AS p90_tokens,
          |  CAST(max(nt) AS BIGINT) AS max_tokens
          |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q37_corpus_prepare" -> {
+      val sigCols = (0 until 8)
+        .map(i => s"min(${graft.functions.TextFunctions.minhashPermSql(h32("s", 0), i)}) AS sig$i")
+        .mkString(",\n  ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents
+         |               GROUP BY md5($normSql)),
+         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
+         |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS ni
+         |          FROM cand JOIN dsh a ON a.doc_id = id_a
+         |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
+         |          GROUP BY id_a, id_b),
+         |near_losers AS (SELECT DISTINCT id_b AS doc_id FROM inter
+         |  JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+         |  WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.5),
+         |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |g AS (SELECT doc_id, count(*) AS nt,
+         |        count(*) FILTER (w IN ('a', 'the')) AS ns, sum(length(w)) AS sl
+         |      FROM tk GROUP BY doc_id),
+         |qd AS (SELECT doc_id,
+         |  least(CAST(nt AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+         |  + (CAST(1.0 AS DOUBLE) - CAST(ns AS DOUBLE) / nt) * CAST(0.4 AS DOUBLE)
+         |  + least((CAST(sl AS DOUBLE) / nt) / CAST(8.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE) AS q
+         |  FROM g)
+         |SELECT d.doc_id, CASE WHEN ${h32("CAST(d.doc_id AS VARCHAR)", 9)} % 100 < 80
+         |    THEN 'train' ELSE 'test' END AS split,
+         |  round(q, 6) AS quality
+         |FROM documents d
+         |JOIN exact_keep ek ON d.doc_id = ek.doc_id
+         |LEFT JOIN near_losers nl ON d.doc_id = nl.doc_id
+         |JOIN qd ON d.doc_id = qd.doc_id
+         |WHERE nl.doc_id IS NULL AND q >= 0.65
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "q40_lang_id" ->
       s"""WITH tr AS (SELECT lang, unnest(string_split($normSql, ' ')) AS w
