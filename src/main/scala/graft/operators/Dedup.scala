@@ -172,6 +172,33 @@ object Dedup {
       sum(when(col("v1") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("sim_hi"))
   }
 
+  /** Transitive closure of near-dup pairs: connected components over the
+    * similarity graph, so chains (A≈B, B≈C, A̸≈C) still collapse to one
+    * survivor. Returns (doc_id, keep_id) for every doc in some component;
+    * keep_id is the component's lowest doc id (keep-first policy). Uses
+    * GraphX connected components — O(diameter) Pregel iterations, and
+    * near-dup graphs have tiny diameters. */
+  def nearDupGroups(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    val graph = Graph.fromEdges(edges, ())
+    graph.connectedComponents().vertices
+      .toDF("doc_id", "keep_id")
+  }
+
+  /** Full transitive near-dup dedup: survivors = docs that are their own
+    * component minimum (plus all docs untouched by any pair). */
+  def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val groups = nearDupGroups(nearDupPairs(docs, idCol, textCol, minJaccard = minJaccard))
+    docs.select(col(idCol))
+      .join(groups.filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs at scale: sign-random-projection
     * signatures banded into `nBands` buckets; only same-bucket pairs are
     * exactly rescored with cosine. The banding join replaces the O(n²)

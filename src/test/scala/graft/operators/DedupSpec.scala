@@ -65,6 +65,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a / 3 == b / 3 }, "no cross-group pairs")
   }
 
+  test("nearDupGroups: transitive chains collapse to one component") {
+    // component logic on explicit pairs: 10-11-12 chained, 20-21 separate
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val groups = Dedup.nearDupGroups(pairs).as[(Long, Long)].collect().toMap
+    assert(groups(11L) == 10L && groups(12L) == 10L && groups(10L) == 10L)
+    assert(groups(21L) == 20L)
+  }
+
+  test("nearDupSurvivors: one survivor per near-identical group, others untouched") {
+    val base = (1 to 30).map(i => f"w$i%02d").mkString(" ")
+    val v1 = base.replace("w30", "zzz")            // ~ base
+    val v2 = v1.replace("w01", "yyy")               // ~ v1 (and ~ base)
+    val docs = Seq((10L, base), (11L, v1), (12L, v2),
+      (13L, "completely unrelated words entirely different content here")).toDF("doc_id", "text")
+    val survivors = Dedup.nearDupSurvivors(docs, "doc_id", "text", minJaccard = 0.5)
+      .as[Long].collect().toSet
+    assert(survivors == Set(10L, 13L), s"survivors: $survivors")
+  }
+
   test("simhash blockBits prunes the pair space") {
     val all = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64, blockBits = 0).count()
     val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64, blockBits = 8).count()
