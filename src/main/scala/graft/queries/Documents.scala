@@ -96,6 +96,14 @@ object Documents {
         .orderBy(col("lang"))
     }),
 
+    // Transitive near-dup components: GraphX connected components over the
+    // LSH-verified pair graph (oracle: recursive-CTE min-reachability).
+    "q38_neardup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupGroups(Dedup.nearDupPairs(docs, "doc_id", "text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone corpus-preparation pipeline: exact dedup -> near-dup
     // removal -> quality floor -> deterministic split, one pass.
     "q37_corpus_prepare" -> ((s, dir) => {
@@ -247,6 +255,37 @@ object Documents {
          |  round(quantile_cont(nt, 0.9), 4) AS p90_tokens,
          |  CAST(max(nt) AS BIGINT) AS max_tokens
          |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q38_neardup_components" -> {
+      val sigCols = (0 until 8)
+        .map(i => s"min(${graft.functions.TextFunctions.minhashPermSql(h32("s", 0), i)}) AS sig$i")
+        .mkString(",\n  ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""WITH RECURSIVE $tokCte,
+         |${shingleCte(3)},
+         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
+         |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS ni
+         |          FROM cand JOIN dsh a ON a.doc_id = id_a
+         |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
+         |          GROUP BY id_a, id_b),
+         |p AS (SELECT id_a, id_b FROM inter
+         |  JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+         |  WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(n, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n)
+         |SELECT n AS doc_id, min(r) AS keep_id FROM reach
+         |GROUP BY n ORDER BY doc_id""".stripMargin
+    },
 
     "q37_corpus_prepare" -> {
       val sigCols = (0 until 8)
