@@ -102,10 +102,13 @@ object Dedup {
         explode(shingles(tokens(col(textCol)), 3)).as("sh0"))
       .select(col("doc_id"), hash32(col("sh0"), 0).as("h"))
       .distinct()
-    val sigAggs = (0 until numHashes).map(i => min(minhashPerm(col("h"), i)).as(s"sig$i"))
+    // one aggregate pass yields both signatures and the distinct-shingle
+    // count (same grouping key — no separate counts branch)
+    val sigAggs = (0 until numHashes).map(i => min(minhashPerm(col("h"), i)).as(s"sig$i")) :+
+      count(lit(1)).as("ns")
     val sigs = ds.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
     val cand = minhashCandidates(sigs, numHashes, rowsPerBand)
-    val counts = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val counts = sigs.select(col("doc_id"), col("ns"))
     // shuffle_hash: never broadcast the (large) shingle-hash set — Spark's
     // size estimate for it sits near the auto-broadcast threshold and a
     // driver-side collect of it is the slow mode (recomputed per branch).

@@ -128,6 +128,47 @@ object Detection {
           .otherwise(col("match_n") < cfg.knnMinMatches))
   }
 
+  /** Reference-parity Path 3: GLOBAL top-k ANN first, device/time/normal
+    * filters applied only to the k survivors — bit-faithful to
+    * detect_anomalies_vector_search.py:122-149, where ScyllaDB could not
+    * combine ANN with WHERE. Kept for parity testing: when a device's
+    * snapshots have close cross-device neighbors, the global top-k fills up
+    * with rows the post-filter then discards, starving the match count and
+    * producing false anomalies — exactly why [[pathThree]] pre-filters
+    * instead (SURVEY §3.3). O(n²) pair stage; parity/testing use only. */
+  def pathThreeGlobalParity(
+      snapshots: DataFrame,
+      cfg: DetectionConfig = DetectionConfig.VectorSearch): DataFrame = {
+    val lookbackSec = cfg.lookbackHours * 3600L
+    val q = snapshots.select(col("device_id").as("q_dev"),
+      col("snapshot_time").as("q_time"), col("embedding").as("q_vec"))
+    val c = snapshots.select(col("device_id").as("c_dev"),
+      col("snapshot_time").as("c_time"), col("c_anom"), col("embedding").as("c_vec"))
+    // global ANN: top-k across ALL devices (self excluded); a rank window
+    // over the pair matrix is acceptable at parity-test scale
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_dev"), col("q_time"))
+      .orderBy(col("_sim").desc, col("c_dev").asc, col("c_time").asc)
+    val ranked = q.join(c, col("q_dev") =!= col("c_dev") || col("q_time") =!= col("c_time"))
+      .withColumn("_sim", cosine_sim(col("q_vec"), col("c_vec")))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cfg.knnK) // the global top-k, reference-style
+    val counted = ranked
+      .groupBy(col("q_dev"), col("q_time"))
+      .agg(count(when(
+        col("c_dev") === col("q_dev") && !col("c_anom") &&
+          col("c_time") >= col("q_time") - expr(s"INTERVAL $lookbackSec SECONDS") &&
+          col("c_time") <= col("q_time") &&
+          col("_sim") >= cfg.knnSimThreshold, 1)).as("match_n"))
+    snapshots
+      .join(counted
+          .withColumnRenamed("q_dev", "device_id")
+          .withColumnRenamed("q_time", "snapshot_time"),
+        Seq("device_id", "snapshot_time"), "left")
+      .withColumn("match_n", coalesce(col("match_n"), lit(0L)))
+      .withColumn("path3_triggered", col("match_n") < cfg.knnMinMatches)
+  }
+
   /** Convenience overload: corpus anomaly flags come from a prior
     * pathsOneTwo pass ("normal" neighbors only, py:137-159). */
   def pathThreeAfterOneTwo(detected: DataFrame, cfg: DetectionConfig): DataFrame =
