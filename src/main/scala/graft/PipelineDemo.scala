@@ -45,6 +45,12 @@ object PipelineDemo {
       .select(Snapshotter.snapshotText(col("device_id"), col("metrics"))).head().getString(0).take(100))
     events.select("device_id", "snapshot_time", "anomaly_score", "detection_details")
       .orderBy("snapshot_time").show(5, 100)
+    println("similar-states investigation for the first anomaly:")
+    val firstAnom = detected.filter(col("is_anomalous"))
+      .orderBy(col("snapshot_time")).limit(1)
+    val investigation = SimilarStates.find(detected, firstAnom, topN = 3)
+    investigation.select("device_id", "rk", "sim", "similar_time", "similar_anomalous").show(3)
+    SimilarStates.summary(investigation).show(1, false)
     println("all-methods comparison (detect_anomalies_all):")
     Detection.methodComparison(
       withP3.join(ruled, Seq("device_id", "snapshot_time")))

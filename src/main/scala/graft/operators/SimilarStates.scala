@@ -50,4 +50,18 @@ object SimilarStates {
         col("sim"), col("c_time").as("similar_time"),
         col("c_anom").as("similar_anomalous"), col("metric_diffs"))
   }
+
+  /** "Has this happened before?" report per target (reference
+    * find_similar_states.py:298-315): how many similar past states exist,
+    * how many of those were anomalous, and the mean similarity — the
+    * operator's verdict line ("N similar states, M were anomalous"). */
+  def summary(found: DataFrame): DataFrame =
+    found.groupBy(col("device_id"), col("snapshot_time"))
+      .agg(
+        count(lit(1)).as("n_similar"),
+        count(when(col("similar_anomalous"), 1)).as("n_similar_anomalous"),
+        round(avg(col("sim")), 6).as("avg_similarity"), // reference A12
+        max(col("sim")).as("best_similarity"))
+      .withColumn("seen_before_normal",
+        col("n_similar") > col("n_similar_anomalous"))
 }

@@ -135,5 +135,11 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter($"similar_time" === $"snapshot_time").count() == 0)
     val diffs = out.select($"metric_diffs").head().getMap[String, Double](0)
     assert(diffs.nonEmpty)
+    // "happened before?" summary (find_similar_states.py:298-315)
+    val rep = SimilarStates.summary(out)
+    assert(rep.count() == 2)
+    val r = rep.head()
+    assert(r.getAs[Long]("n_similar") == 3L)
+    assert(r.getAs[Double]("avg_similarity") <= r.getAs[Double]("best_similarity") + 1e-9)
   }
 }
