@@ -33,7 +33,7 @@ object PipelineDemo {
       snaps.filter(col("snapshot_time") < timestamp_seconds(lit(1704067200L + 300 * 10))))
     val detected = Detection.pathsOneTwo(snaps, profiles, DetectionConfig.Standalone).cache()
     val withP3 = Detection.pathThreeAfterOneTwo(detected, DetectionConfig.VectorSearch)
-    val ruled = Rules.evaluate(spark, snaps)
+    val ruled = Rules.evaluateNarrow(snaps) // shuffle-free rules path
       .select(col("device_id"), col("snapshot_time"), col("rules_triggered"))
     val consensus = Detection.consensus(withP3.join(ruled, Seq("device_id", "snapshot_time")))
     val events = Detection.anomalyEvents(detected)

@@ -63,6 +63,45 @@ object Rules {
       "Delta T too low - possible flow issues")(m =>
       m.getItem("chilled_water_delta_t") < 3.0))
 
+  /** Narrow variant: the static rule tables compiled into one per-row
+    * column expression — no explode, no join, no shuffle. Streaming-safe
+    * (pure projection) and the faster batch path when rules are compile-time
+    * constants; [[evaluate]] remains the shape for rules-as-data. Output
+    * columns match [[evaluate]] exactly. */
+  def evaluateNarrow(snapshots: DataFrame): DataFrame = {
+    val dt = col("device_type")
+    val m = col("metrics")
+    val thresholdStructs = thresholdRules.map { case (rdt, metric, mn, mx, crit) =>
+      val v = m.getItem(metric)
+      when(dt === rdt && v.isNotNull && (v < mn || v > mx),
+        struct(
+          lit("threshold").as("rule"), lit(metric).as("metric"),
+          lit(if (crit) "CRITICAL" else "WARNING").as("severity"),
+          concat(lit(metric), lit(s" out of range [${fmt(mn)}, ${fmt(mx)}]: "), v).as("message")))
+    }
+    val relStructs = relationshipRules.map { r =>
+      when(dt === r.deviceType && coalesce(r.condition(m), lit(false)),
+        struct(
+          lit(r.name).as("rule"), lit(null).cast("string").as("metric"),
+          lit(if (r.critical) "CRITICAL" else "WARNING").as("severity"),
+          lit(r.message).as("message")))
+    }
+    val all = array_sort(filter(array((thresholdStructs ++ relStructs): _*), v => v.isNotNull))
+    snapshots
+      .withColumn("rule_violations", all)
+      .withColumn("n_critical",
+        size(filter(col("rule_violations"), v => v.getField("severity") === "CRITICAL")))
+      .withColumn("n_warning",
+        size(filter(col("rule_violations"), v => v.getField("severity") === "WARNING")))
+      .withColumn("rules_score",
+        least(lit(1.0), col("n_critical") * 0.3 + col("n_warning") * 0.1))
+      .withColumn("rules_triggered", size(col("rule_violations")) > 0)
+  }
+
+  /** Format thresholds the way the join-based message does (Spark casts the
+    * numeric literal to string: integral doubles render like "50.0"). */
+  private def fmt(d: Double): String = d.toString
+
   /** Snapshot-level rules verdict: appends
     * `rule_violations array<struct<rule,metric,severity,message>>`,
     * `rules_score` (F11) and `rules_triggered`. */

@@ -83,6 +83,22 @@ class PipelineSpec extends SparkSpec {
     assert(s.forall(x => x >= 0.0 && x <= 1.0))
   }
 
+  test("narrow rules evaluator is equivalent to the join-based one") {
+    val a = Rules.evaluate(spark, snaps)
+      .select($"device_id", $"snapshot_time", $"rule_violations",
+        $"n_critical", $"n_warning", $"rules_score", $"rules_triggered")
+    val b = Rules.evaluateNarrow(snaps)
+      .select($"device_id", $"snapshot_time", $"rule_violations",
+        $"n_critical", $"n_warning", $"rules_score", $"rules_triggered")
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+    // and it is a pure projection: adds no exchange beyond the input's own
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(exchanges(Rules.evaluateNarrow(snaps)) == exchanges(snaps.toDF()),
+      "narrow rules must not add a shuffle")
+  }
+
   test("path 3: warmup guard yields NULL verdicts early, verdicts later") {
     val p3 = Detection.pathThreeAfterOneTwo(detected, DetectionConfig.VectorSearch)
     val first = p3.filter($"device_id" === "RTU-001")
