@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities.
+  *
+  * AQE's skew-join handling covers sort-merge joins it can observe; salting
+  * is the explicit tool when a hot key would otherwise pin one task at 100 TB
+  * (e.g. one device producing most telemetry, one document template
+  * dominating a corpus). The classic trade: the small side is replicated
+  * `saltFactor`× so the hot key's rows spread over `saltFactor` reducers.
+  */
+object Skew {
+
+  /** Equi-join `large ⋈ small` on `key`, with the large side salted and the
+    * small side replicated. Result rows are identical to the plain join;
+    * only the shuffle distribution changes. */
+  def saltedJoin(
+      large: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1)
+    val salted = large.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Shuffle-spread report for a join/aggregation key: rows per hash
+    * partition at `numPartitions`, with and without `saltFactor` salting —
+    * the observability half of the tool (decide whether to salt). */
+  def keySpread(df: DataFrame, key: String, numPartitions: Int, saltFactor: Int): DataFrame = {
+    val plain = df.repartition(numPartitions, col(key))
+      .groupBy(spark_partition_id().as("partition")).count()
+      .agg(max(col("count")).as("max_rows"), count(lit(1)).as("used_partitions"))
+      .withColumn("mode", lit("plain"))
+    val salted = df.withColumn("_salt",
+        pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+      .repartition(numPartitions, col(key), col("_salt"))
+      .groupBy(spark_partition_id().as("partition")).count()
+      .agg(max(col("count")).as("max_rows"), count(lit(1)).as("used_partitions"))
+      .withColumn("mode", lit(s"salted_x$saltFactor"))
+    plain.unionByName(salted)
+  }
+}

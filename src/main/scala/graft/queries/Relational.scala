@@ -97,6 +97,43 @@ object Relational {
         .orderBy($"c_custkey")
     }),
 
+    // Region-filtered multi-join revenue (TPC-H Q5 shape): 5-table join
+    // with dimension broadcast and a selective region predicate that
+    // Catalyst pushes through the join tree.
+    "q08_region_order_revenue" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "EUROPE" &&
+          $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        .groupBy($"n_name")
+        .agg(
+          sum(($"l_extendedprice".cast(DecimalType(12, 2)) *
+            (lit(1).cast(DecimalType(12, 2)) - $"l_discount".cast(DecimalType(12, 2)))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    }),
+
+    // Returned-items customer ranking (TPC-H Q10 shape): revenue lost to
+    // returns per customer, top 20.
+    "q09_returned_revenue" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name", $"c_mktsegment")
+        .agg(sum(($"l_extendedprice".cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(12, 2)) - $"l_discount".cast(DecimalType(12, 2)))))
+          .cast("double").as("lost_revenue"))
+        .orderBy($"lost_revenue".desc, $"c_custkey".asc)
+        .limit(20)
+    }),
+
     // Distinct + union (SURVEY §2.6 U1/U2).
     "q07_distinct_union_tags" -> ((s, dir) => {
       import s.implicits._
@@ -155,6 +192,32 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q08_region_order_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q09_returned_revenue" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS lost_revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     "q07_distinct_union_tags" ->
       """SELECT DISTINCT c_mktsegment AS tag FROM customer

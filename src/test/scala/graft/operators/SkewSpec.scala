@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 90% of rows share one key
+  private lazy val large = spark.range(0, 20000)
+    .select(when($"id" % 10 < 9, "hot").otherwise(concat(lit("k"), $"id" % 50)).as("key"),
+      $"id".as("payload"))
+  private lazy val small = (Seq("hot") ++ (0 until 50).map("k" + _))
+    .toDF("key").withColumn("dim_val", length($"key"))
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    val plain = large.join(small, Seq("key"))
+      .select($"key", $"payload", $"dim_val")
+    val salted = Skew.saltedJoin(large, small, "key", saltFactor = 8)
+      .select($"key", $"payload", $"dim_val")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("salting spreads the hot key across partitions") {
+    val rep = Skew.keySpread(large, "key", numPartitions = 16, saltFactor = 8)
+      .collect().map(r => r.getAs[String]("mode") -> r.getAs[Long]("max_rows")).toMap
+    val total = 20000.0
+    assert(rep("plain") >= total * 0.8, s"hot key should dominate one partition: $rep")
+    assert(rep("salted_x8") <= total * 0.35, s"salting should spread it: $rep")
+  }
+
+  test("left joins preserve unmatched rows under salting") {
+    val missing = large.limit(100).withColumn("key", lit("nowhere"))
+    val all = large.unionByName(missing)
+    val salted = Skew.saltedJoin(all, small, "key", 4, "left")
+    assert(salted.filter($"key" === "nowhere" && $"dim_val".isNull).count() == 100)
+  }
+}
