@@ -30,7 +30,10 @@ class StreamingDetectionSpec extends SparkSpec {
 
     val mem = MemoryStream[MetricReading](spark)
     val snaps = StreamingSnapshotter.snapshots(mem.toDF(), dim = 32)
-    val detected = Detection.pathsOneTwo(snaps, profiles, DetectionConfig.Standalone)
+    // narrow rules are a pure projection -> legal inside a streaming query
+    val ruled = graft.operators.Rules.evaluateNarrow(
+      Detection.pathsOneTwo(snaps, profiles, DetectionConfig.Standalone))
+    val detected = ruled
     val events = Detection.anomalyEvents(detected)
     val q = events.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("stream_events").start()
