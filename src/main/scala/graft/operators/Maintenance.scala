@@ -71,6 +71,19 @@ object Maintenance {
     }
   }
 
+  /** Fixed-size shard writing (training-data layout: bounded files so
+    * dataloader workers stream uniformly). `maxRecordsPerFile` bounds every
+    * output file; range partitioning by `orderCol` keeps shards
+    * range-disjoint and the layout deterministic. */
+  def writeSharded(
+      df: DataFrame, path: String, orderCol: String,
+      recordsPerShard: Int, numShards: Int): Unit =
+    df.repartitionByRange(numShards, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", recordsPerShard)
+      .parquet(path)
+
   /** NDJSON sink (reference S6: simulator --sink stdout prints one JSON per
     * reading, iot_simulator.py:740-743). */
   def writeNdjson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =

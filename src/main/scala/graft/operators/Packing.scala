@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines: group documents into packs
+  * whose total token count stays within a budget (what a dataloader does
+  * before concatenating samples into fixed-length training sequences).
+  *
+  * Distributed shape: documents are range-partitioned by id, then packed
+  * greedily *within* each partition (first-fit in id order) — deterministic
+  * for a fixed partition count, no global coordination, and pack quality is
+  * within one partial pack per partition of the sequential greedy result.
+  * Oversized documents (> budget) become singleton packs.
+  */
+object Packing {
+
+  case class Pack(pack_id: Long, doc_ids: Seq[Long], total_tokens: Long)
+
+  def packGreedy(
+      docs: DataFrame, idCol: String, tokensCol: String,
+      tokenBudget: Long, numPartitions: Int = 32): Dataset[Pack] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"), col(tokensCol).cast("long").as("nt"))
+      .repartitionByRange(numPartitions, col("id"))
+      .sortWithinPartitions(col("id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val packs = scala.collection.mutable.ArrayBuffer.empty[Pack]
+        var ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var tot = 0L
+        var first = -1L
+        def flush(): Unit = if (ids.nonEmpty) {
+          packs += Pack(first, ids.toSeq, tot)
+          ids = scala.collection.mutable.ArrayBuffer.empty[Long]; tot = 0L; first = -1L
+        }
+        it.foreach { case (id, nt) =>
+          if (ids.nonEmpty && tot + nt > tokenBudget) flush()
+          if (ids.isEmpty) first = id // pack_id = first member's id (deterministic)
+          ids += id; tot += nt
+        }
+        flush()
+        packs.iterator
+      }
+  }
+}

@@ -74,6 +74,15 @@ object IoTSimulator {
     Injection(deviceId, "power_consumption", from, until, scale = 0.1),
     Injection(deviceId, "supply_air_temp", from, until, offset = 18.0))
 
+  /** Three simultaneous failure modes — the demo-validation injector
+    * (inject_extreme_anomaly.py:16-80): compressor failure + fan failure +
+    * filter blockage at once. */
+  def extremeAnomaly(deviceId: String, from: Long, until: Long): Seq[Injection] =
+    compressorFailure(deviceId, from, until) ++ Seq(
+      Injection(deviceId, "fan_speed", from, until, scale = 0.2),
+      Injection(deviceId, "fan_current", from, until, scale = 2.5),
+      Injection(deviceId, "filter_dp", from, until, scale = 4.0))
+
   /** Narrow metric readings DataFrame (FIXTURES.md A1 schema). */
   def readings(
       spark: SparkSession,
