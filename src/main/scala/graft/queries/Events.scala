@@ -198,6 +198,28 @@ object Events {
         .orderBy($"user_id", $"window_start", $"event_type")
     }),
 
+    // Gap-based sessionization: a new session starts after 30 min of
+    // inactivity per user (lag + cumulative-sum boundary trick — the batch
+    // equivalent of streaming session windows).
+    "q46_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when($"prev_us".isNull ||
+            unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum($"is_new").over(cum))
+        .groupBy($"user_id", $"session_idx")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(unix_micros($"ts")).as("session_start_us"),
+          max(unix_micros($"ts")).as("session_end_us"))
+        .orderBy($"user_id", $"session_idx")
+    }),
+
     // Counter-table recompute (reference A7: device_statistics counters —
     // Spark has no mutable counters; recompute, SURVEY §7.3 hard-part 4).
     "q45_user_counters" -> ((s, dir) => {
@@ -265,6 +287,23 @@ object Events {
          |  round((cur - prev) / prev * 100.0, 4) AS pct_change
          |FROM d WHERE prev IS NOT NULL AND prev <> 0.0
          |ORDER BY user_id, window_start, event_type""".stripMargin,
+
+    "q46_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |sess AS (SELECT user_id, us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  min(us) AS session_start_us, max(us) AS session_end_us
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "q45_user_counters" ->
       """SELECT user_id, COUNT(*) AS total_events,
