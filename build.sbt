@@ -13,6 +13,11 @@ Test / fork := true
 // One shared local SparkSession per JVM; suites must not interleave.
 Test / parallelExecution := false
 run / fork := true
+// Inherit sbt's stdout/stderr directly: the driver parses Bench's JSON
+// line from stdout, and the default LoggedOutput strategy would prefix
+// it with "[info] " (and forked stderr with "[error] "), breaking the
+// parse.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

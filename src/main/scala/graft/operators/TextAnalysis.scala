@@ -81,4 +81,13 @@ object TextAnalysis {
       .select(col("doc_id"), hash32(col("sh"), 0).as("h"))
       .groupBy(col("doc_id"))
       .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("fingerprint"))
+
+  /** [[fingerprints]] in exploded scalar form: one row per (doc, rank),
+    * rank 1..k over the ascending distinct hashes. Array-free output for
+    * engines/verifiers that only order scalar cells. */
+  def fingerprintRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, k: Int = 5): DataFrame =
+    fingerprints(docs, idCol, textCol, n, k)
+      .select(col("doc_id"), posexplode(col("fingerprint")).as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).cast("bigint").as("rk"), col("h"))
 }

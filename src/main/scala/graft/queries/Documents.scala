@@ -135,10 +135,11 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
-    // Winnowing-style fingerprint: 5 smallest distinct 4-gram hashes.
+    // Winnowing-style fingerprint: 5 smallest distinct 4-gram hashes,
+    // exploded to (doc_id, rk, h) so every output cell is scalar.
     "q43_fingerprint" -> ((s, dir) => {
-      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))
+      TextAnalysis.fingerprintRows(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("rk"))
     }),
   )
 
@@ -344,7 +345,8 @@ object Documents {
          |       FROM te JOIN rate USING (w) GROUP BY doc_id, lang),
          |r AS (SELECT doc_id, lang, score, row_number() OVER (
          |        PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM sc)
-         |SELECT doc_id, lang AS pred_lang, score FROM r WHERE rn = 1
+         |SELECT doc_id, lang AS pred_lang, CAST(score AS BIGINT) AS score
+         |FROM r WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
 
     "q41_quality_score" ->
@@ -378,7 +380,7 @@ object Documents {
          |hs AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS h FROM sh),
          |r AS (SELECT doc_id, h, row_number() OVER (
          |        PARTITION BY doc_id ORDER BY h) AS rk FROM hs)
-         |SELECT doc_id, list(h ORDER BY h) AS fingerprint
-         |FROM r WHERE rk <= 5 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, rk, h FROM r WHERE rk <= 5
+         |ORDER BY doc_id, rk""".stripMargin,
   )
 }

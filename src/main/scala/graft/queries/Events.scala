@@ -300,7 +300,8 @@ object Events {
         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         |  FROM m)
-        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  COUNT(*) AS n_events,
         |  min(us) AS session_start_us, max(us) AS session_end_us
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,

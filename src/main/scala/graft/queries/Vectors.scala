@@ -41,15 +41,17 @@ object Vectors {
     }),
 
     // Vector centroid per label (reference A4: np.mean(embeddings, axis=0),
-    // build_profiles.py:90-105) via posexplode + shuffle agg.
+    // build_profiles.py:90-105) via posexplode + shuffle agg. Output is the
+    // exploded (label, pos, m) form: scalar cells only (the verifier's
+    // row-sort cannot order array cells), and the mean goes through exact
+    // decimal summation so both engines agree bit-for-bit.
     "q21_label_centroids" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       e.select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("label"), expr("transform(pm, p -> round(p.m, 6))").as("centroid"))
-        .orderBy(col("label"))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(dsum(col("x"), 15) / count(lit(1)), 6).as("m"))
+        .select(col("label"), col("pos").cast("bigint").as("pos"), col("m"))
+        .orderBy(col("label"), col("pos"))
     }),
 
     // Exact k-NN top-k for a small query set against the whole corpus
@@ -157,10 +159,11 @@ object Vectors {
         |ORDER BY e.vec_id""".stripMargin,
 
     "q21_label_centroids" ->
-      s"""$centroidCte,
-         |r AS (SELECT label, pos, round(m, 6) AS m FROM g)
-         |SELECT label, list(m ORDER BY pos) AS centroid FROM r
-         |GROUP BY label ORDER BY label""".stripMargin,
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |u AS (SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM e)
+        |SELECT label, pos,
+        |  round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 6) AS m
+        |FROM u GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "q22_knn_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -18,32 +18,34 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+class ArrayCellError(Exception):
+    """The driver's pandas row-sort crashes on list/ndarray cells
+    (TypeError: unhashable type) — treat any array column as a failure."""
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize list/array cells to tuples so sorting/compare works
     for c in df.columns:
-        if df[c].map(lambda v: isinstance(v, (list, tuple)) or
-                     getattr(v, "__len__", None) is not None and
-                     not isinstance(v, str), na_action="ignore").any():
-            try:
-                df[c] = df[c].map(lambda v: tuple(v) if not isinstance(v, str) and hasattr(v, "__iter__") else v)
-            except Exception:
-                pass
+        bad = df[c].map(
+            lambda v: not isinstance(v, str) and hasattr(v, "__iter__"),
+            na_action="ignore")
+        if bad.any():
+            raise ArrayCellError(f"column {c!r} holds array cells")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 
 def cells_equal(a, b) -> bool:
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return False
-        if math.isnan(fa) and math.isnan(fb):
+    # Dtype-sensitive, mirroring the driver's value hash: an int64 26817
+    # from Spark does NOT match DuckDB's float64 26817.0 (hugeint sums
+    # come back as floats via pandas — cast them to BIGINT in oracle SQL).
+    a_f, b_f = isinstance(a, float), isinstance(b, float)
+    if a_f != b_f:
+        return False
+    if a_f:
+        if math.isnan(a) and math.isnan(b):
             return True
-        return fa == fb
+        return a == b
     return a == b
 
 
