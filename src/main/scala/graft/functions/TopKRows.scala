@@ -8,15 +8,27 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded buffer of the k best (score, payload-row) pairs, worst-first
-  * binary heap. Used by [[TopKRows]]. */
+  * binary heap, plus a side buffer of up to k null-score rows (their rank
+  * relative to non-null rows is decided at eval time by the null ordering;
+  * among themselves nulls are order-equal, so keeping an arbitrary k
+  * matches the `row_number` tie contract). Used by [[TopKRows]]. */
 final class RowTopKBuffer(val k: Int, val asc: Boolean) {
   val scores = new Array[Double](k)
   val rows = new Array[InternalRow](k)
   var size: Int = 0
+  val nullRows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
 
-  // "a is worse than b": for desc ranking lower score is worse; asc inverts
+  /** Admit a null-score row (capped at k — more can never be ranked). */
+  def insertNull(row: InternalRow): Unit =
+    if (nullRows.length < k) nullRows += row
+
+  // "a is worse than b": for desc ranking lower score is worse; asc inverts.
+  // java.lang.Double.compare gives Spark's total order over doubles (NaN
+  // sorts greater than any value) — plain </> would never admit NaN and
+  // break the heap invariant once one is present.
   @inline private def worse(a: Double, b: Double): Boolean =
-    if (asc) a > b else a < b
+    if (asc) java.lang.Double.compare(a, b) > 0
+    else java.lang.Double.compare(a, b) < 0
 
   /** Would a row with this score be kept? Callers use this to skip
     * materializing the payload for the (common) rejected case. */
@@ -58,7 +70,8 @@ final class RowTopKBuffer(val k: Int, val asc: Boolean) {
   def sortedRows: Array[InternalRow] = {
     val idx = Array.tabulate(size)(identity)
     val sorted = idx.sortWith((a, b) =>
-      if (asc) scores(a) < scores(b) else scores(a) > scores(b))
+      if (asc) java.lang.Double.compare(scores(a), scores(b)) < 0
+      else java.lang.Double.compare(scores(a), scores(b)) > 0)
     sorted.map(rows)
   }
 }
@@ -71,12 +84,18 @@ final class RowTopKBuffer(val k: Int, val asc: Boolean) {
   * pattern can be computed as a bounded aggregate — O(k) state per group
   * with map-side partial aggregation — instead of a full shuffle + sort of
   * every candidate row (see [[graft.plans.GroupedTopKRewrite]]).
+  *
+  * `nullsFirst` replicates the window SortOrder's null ordering: true means
+  * null scores rank before every non-null score (Spark's default for asc),
+  * false ranks them after (default for desc). NaN follows Spark's total
+  * order: greater than every other double.
   */
 case class TopKRows(
     score: Expression,
     payload: Seq[Expression],
     k: Int,
     asc: Boolean,
+    nullsFirst: Boolean,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[RowTopKBuffer] {
@@ -103,7 +122,12 @@ case class TopKRows(
 
   override def update(buf: RowTopKBuffer, input: InternalRow): RowTopKBuffer = {
     val s = score.eval(input)
-    if (s != null && buf.wouldAdmit(s.asInstanceOf[Double])) {
+    if (s == null) {
+      if (buf.nullRows.length < k) {
+        val vals = payload.map(e => InternalRow.copyValue(e.eval(input)))
+        buf.insertNull(InternalRow.fromSeq(vals))
+      }
+    } else if (buf.wouldAdmit(s.asInstanceOf[Double])) {
       // payload is materialized ONLY for admitted rows; deep-copy values
       // since eval results may be views into reused buffers
       val vals = payload.map(e => InternalRow.copyValue(e.eval(input)))
@@ -115,11 +139,20 @@ case class TopKRows(
   override def merge(buf: RowTopKBuffer, other: RowTopKBuffer): RowTopKBuffer = {
     var i = 0
     while (i < other.size) { buf.insert(other.scores(i), other.rows(i)); i += 1 }
+    other.nullRows.foreach(buf.insertNull)
     buf
   }
 
-  override def eval(buf: RowTopKBuffer): Any =
-    new GenericArrayData(buf.sortedRows.map(_.asInstanceOf[Any]))
+  /** Best-first rows under the full SortOrder semantics: null-score rows
+    * take the leading ranks when `nullsFirst`, the trailing ranks
+    * otherwise; total output truncated to k. */
+  override def eval(buf: RowTopKBuffer): Any = {
+    val nonNull = buf.sortedRows
+    val all =
+      if (nullsFirst) buf.nullRows.iterator ++ nonNull.iterator
+      else nonNull.iterator ++ buf.nullRows.iterator
+    new GenericArrayData(all.take(k).map(_.asInstanceOf[Any]).toArray)
+  }
 
   override def serialize(buf: RowTopKBuffer): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -134,6 +167,15 @@ case class TopKRows(
       out.writeInt(u.getSizeInBytes)
       u.writeToStream(out, new Array[Byte](4096))
       i += 1
+    }
+    out.writeInt(buf.nullRows.length)
+    buf.nullRows.foreach { r =>
+      val joined = InternalRow.fromSeq(
+        (0.0d +: (0 until payload.length).map(j =>
+          r.get(j, payload(j).dataType))).toIndexedSeq)
+      val u = serProj(joined)
+      out.writeInt(u.getSizeInBytes)
+      u.writeToStream(out, new Array[Byte](4096))
     }
     out.flush(); bos.toByteArray
   }
@@ -152,6 +194,18 @@ case class TopKRows(
       val s = u.getDouble(0)
       val vals = (0 until payload.length).map(j => u.get(j + 1, payload(j).dataType))
       buf.insert(s, InternalRow.fromSeq(vals).copy())
+      i += 1
+    }
+    val nNull = in.readInt()
+    i = 0
+    while (i < nNull) {
+      val sz = in.readInt()
+      val arr = new Array[Byte](sz)
+      in.readFully(arr)
+      val u = new UnsafeRow(1 + payload.length)
+      u.pointTo(arr, sz)
+      val vals = (0 until payload.length).map(j => u.get(j + 1, payload(j).dataType))
+      buf.insertNull(InternalRow.fromSeq(vals).copy())
       i += 1
     }
     buf

@@ -22,9 +22,19 @@ object Packing {
       tokenBudget: Long, numPartitions: Int = 32): Dataset[Pack] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    val narrow = docs
       .select(col(idCol).cast("long").as("id"), col(tokensCol).cast("long").as("nt"))
-      .repartitionByRange(numPartitions, col("id"))
+    // Deterministic partitioning: repartitionByRange samples bounds with an
+    // RDD-id-dependent seed, so pack boundaries could differ across runs of
+    // the same input. Instead bucket ids into fixed-width ranges computed
+    // from the exact min/max (one cheap agg) — same buckets every run.
+    val bounds = narrow.agg(min(col("id")), max(col("id"))).head()
+    if (bounds.isNullAt(0)) return spark.emptyDataset[Pack]
+    val minId = bounds.getLong(0)
+    val span = bounds.getLong(1) - minId + 1
+    val width = math.max(1L, (span + numPartitions - 1) / numPartitions)
+    narrow
+      .repartition(numPartitions, ((col("id") - minId) / width).cast("long"))
       .sortWithinPartitions(col("id"))
       .as[(Long, Long)]
       .mapPartitions { it =>

@@ -13,13 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types for which replicating the small side is sound: unmatched
+    * SMALL-side rows are never emitted, so the `saltFactor` copies of a
+    * small-side row either all match (producing the same pairs a plain join
+    * would, spread over salts) or are all dropped. Right/full outer would
+    * emit each unmatched small-side row `saltFactor` times. */
+  private val saltableJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+
   /** Equi-join `large ⋈ small` on `key`, with the large side salted and the
     * small side replicated. Result rows are identical to the plain join;
-    * only the shuffle distribution changes. */
+    * only the shuffle distribution changes. Restricted to join types where
+    * small-side replication cannot surface (right/full outer are not
+    * expressible under salting without a dedup pass — use AQE skew handling
+    * for those). */
   def saltedJoin(
       large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1)
+    require(saltableJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support joinType=$joinType: replicating the small side " +
+        "would duplicate its unmatched rows under right/full outer semantics")
     val salted = large.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val replicated = small.withColumn("_salt",

@@ -28,6 +28,18 @@ object Snapshotter {
         e => concat(e.getField("key"), lit(":"),
           format_string("%.2f", e.getField("value"))))))
 
+  /** Sorted (metric_name, metric_value) entries with duplicate names
+    * removed, keeping the greatest value per name. The reference's dict
+    * build last-write-wins on arrival order when a device emits the same
+    * metric twice in one tick; arrival order doesn't exist in a shuffled
+    * batch, so max-per-name is the deterministic stand-in — and it keeps
+    * `map_from_entries` from throwing DUPLICATED_MAP_KEY under Spark's
+    * default mapKeyDedupPolicy=EXCEPTION. */
+  private[graft] def dedupEntries(entries: Column): Column =
+    filter(entries, (e, i) =>
+      (i === size(entries) - 1) ||
+        (element_at(entries, i + 2).getField("metric_name") =!= e.getField("metric_name")))
+
   /** Batch snapshot build: group by (device, tick timestamp), pivot the
     * metric rows into a map, featurize into an embedding.
     *
@@ -40,8 +52,8 @@ object Snapshotter {
         first(col("device_type")).as("device_type"),
         first(col("location")).as("location"),
         first(col("building_id")).as("building_id"),
-        map_from_entries(array_sort(
-          collect_list(struct(col("metric_name"), col("metric_value"))))).as("metrics"))
+        map_from_entries(dedupEntries(array_sort(
+          collect_list(struct(col("metric_name"), col("metric_value")))))).as("metrics"))
       .select(
         col("device_id"),
         date_format(col("timestamp"), "yyyy-MM-dd").as("date"),

@@ -28,6 +28,9 @@ import graft.functions.TopKRows
   *
   * Semantics note: `row_number` breaks score ties arbitrarily (Spark gives
   * no guarantee without a total order); the rewrite has the same contract.
+  * Null scores follow the window's SortOrder nullOrdering (leading ranks
+  * under NULLS FIRST, trailing under NULLS LAST) and NaN sorts greater than
+  * every other double, both matching the window's ordering exactly.
   * Enabled via [[graft.GraftExtensions]].
   */
 object GroupedTopKRewrite extends Rule[LogicalPlan] {
@@ -44,7 +47,8 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] {
 
   private case class Pattern(
       k: Int, groupExprs: Seq[Expression], sortExpr: Expression, asc: Boolean,
-      rkAttr: Attribute, windowChild: LogicalPlan, passThrough: Option[Project])
+      nullsFirst: Boolean, rkAttr: Attribute, windowChild: LogicalPlan,
+      passThrough: Option[Project])
 
   private def matchPattern(plan: LogicalPlan): Option[Pattern] = plan match {
     case Filter(cond, w: Window) => matchWindow(cond, w, None)
@@ -57,13 +61,17 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] {
 
   private def matchWindow(cond: Expression, w: Window, proj: Option[Project]): Option[Pattern] =
     w match {
+      // The SortOrder's nullOrdering is captured and replicated by the
+      // aggregate (null scores take the leading or trailing ranks), so
+      // nullable sort keys rewrite correctly too.
       case Window(Seq(Alias(WindowExpression(RowNumber(),
-          WindowSpecDefinition(partitionSpec, Seq(SortOrder(sortExpr, dir, _, _)), _)), _)),
+          WindowSpecDefinition(partitionSpec, Seq(SortOrder(sortExpr, dir, nullOrd, _)), _)), _)),
           _, _, child, _) if sortExpr.dataType == DoubleType =>
         val rkAttr = w.windowOutputSet.head
         limitFromCondition(cond, rkAttr).map { k =>
           Pattern(k, partitionSpec, sortExpr,
-            asc = dir == Ascending, rkAttr, child, proj)
+            asc = dir == Ascending, nullsFirst = nullOrd == NullsFirst,
+            rkAttr, child, proj)
         }
       case _ => None
     }
@@ -109,7 +117,7 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] {
       case e => Alias(e, "_g")()
     }
 
-    val agg = TopKRows(p.sortExpr, payload, p.k, p.asc)
+    val agg = TopKRows(p.sortExpr, payload, p.k, p.asc, p.nullsFirst)
       .toAggregateExpression()
     val topAlias = Alias(agg, "_topk")()
     val aggregate = Aggregate(groupNamed, groupNamed :+ topAlias, child)

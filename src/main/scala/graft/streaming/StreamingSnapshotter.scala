@@ -68,8 +68,8 @@ object StreamingSnapshotter {
         first(col("device_type")).as("device_type"),
         first(col("location")).as("location"),
         first(col("building_id")).as("building_id"),
-        map_from_entries(array_sort(
-          collect_list(struct(col("metric_name"), col("metric_value"))))).as("metrics"))
+        map_from_entries(graft.operators.Snapshotter.dedupEntries(array_sort(
+          collect_list(struct(col("metric_name"), col("metric_value")))))).as("metrics"))
       .select(
         col("device_id"),
         date_format(col("timestamp"), "yyyy-MM-dd").as("date"),
@@ -90,7 +90,14 @@ object HighWaterMark {
   /** Batch/incremental filter: keep rows strictly newer than each key's
     * stored high-water mark, advancing the state as rows pass. With
     * `mapGroupsWithState` + checkpointing this survives restarts exactly
-    * like the reference's watermark file — but per device, not global. */
+    * like the reference's watermark file — but per device, not global.
+    *
+    * The batch iterator is consumed in one streaming pass: rows at or below
+    * the stored mark are dropped without buffering (a hot device replaying
+    * history costs O(1) memory), only genuinely fresh rows are buffered
+    * (downstream holds them anyway), and equal-epoch duplicates within one
+    * batch are deduplicated — matching the reference watermark file's
+    * strictly-after contract (path3_vector_search.py:255-312). */
   def filterNew(
       rows: Dataset[Keyed]): Dataset[Keyed] = {
     import rows.sparkSession.implicits._
@@ -98,9 +105,17 @@ object HighWaterMark {
       .flatMapGroupsWithState[Long, Keyed](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, it: Iterator[Keyed], state: GroupState[Long]) =>
-          val hwm = state.getOption.getOrElse(Long.MinValue)
-          val fresh = it.filter(_.epoch_us > hwm).toSeq
-          if (fresh.nonEmpty) state.update(math.max(hwm, fresh.map(_.epoch_us).max))
+          val stored = state.getOption.getOrElse(Long.MinValue)
+          val seen = new java.util.HashSet[java.lang.Long]()
+          val fresh = scala.collection.mutable.ArrayBuffer.empty[Keyed]
+          var maxSeen = stored
+          it.foreach { k =>
+            if (k.epoch_us > stored && seen.add(k.epoch_us)) {
+              fresh += k
+              if (k.epoch_us > maxSeen) maxSeen = k.epoch_us
+            }
+          }
+          if (maxSeen > stored) state.update(maxSeen)
           fresh.iterator
       }
   }

@@ -37,4 +37,12 @@ class SkewSpec extends SparkSpec {
     val salted = Skew.saltedJoin(all, small, "key", 4, "left")
     assert(salted.filter($"key" === "nowhere" && $"dim_val".isNull).count() == 100)
   }
+
+  test("right/full outer join types are rejected (small-side replication would duplicate)") {
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      intercept[IllegalArgumentException] {
+        Skew.saltedJoin(large, small, "key", 4, jt)
+      }
+    }
+  }
 }

@@ -31,4 +31,18 @@ class SnapshotterGenericSpec extends SparkSpec {
       .as[Double].collect()
     assert(norms.forall(n => math.abs(n - 1.0) < 1e-4 || n == 0.0))
   }
+
+  test("duplicate metric readings within one tick keep the max value (no map-key crash)") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val readings = Seq(
+      ("d1", "hvac", ts, "temp", 20.0, "c", "l", "b"),
+      ("d1", "hvac", ts, "temp", 21.5, "c", "l", "b"), // same metric, same tick
+      ("d1", "hvac", ts, "fan", 1.0, "rpm", "l", "b"))
+      .toDF("device_id", "device_type", "timestamp", "metric_name",
+        "metric_value", "unit", "location", "building_id")
+    val snaps = Snapshotter.snapshots(readings, dim = 16).collect()
+    assert(snaps.length == 1)
+    val m = snaps.head.getAs[Map[String, Double]]("metrics")
+    assert(m == Map("temp" -> 21.5, "fan" -> 1.0))
+  }
 }

@@ -83,6 +83,41 @@ class GroupedTopKRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("null and NaN scores rank exactly like the window they replace") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // scores: nulls, NaNs, and plain doubles mixed per group
+      val df = spark.range(0, 300)
+        .select(($"id" % 3).as("g"), $"id",
+          when($"id" % 7 === 0, lit(null).cast("double"))
+            .when($"id" % 11 === 0, lit(Double.NaN))
+            .otherwise(($"id" % 13).cast("double")).as("score"))
+      for (ord <- Seq($"score".desc, $"score".asc,
+          $"score".desc_nulls_first, $"score".asc_nulls_last)) {
+        val w = Window.partitionBy($"g").orderBy(ord)
+        val q = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        assert(q.queryExecution.optimizedPlan.toString.contains("top_k_rows"),
+          "rewrite should fire on nullable keys")
+        // compare the multiset of (g, score) — tie order within equal
+        // scores is arbitrary in both implementations
+        val got = q.select($"g", $"score").collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) "null"
+            else { val d = r.getDouble(1); if (d.isNaN) "nan" else d.toString }))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        spark.conf.set("spark.graft.groupedTopK", "never")
+        val exp = try {
+          val p = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+          assert(!p.queryExecution.optimizedPlan.toString.contains("top_k_rows"))
+          p.select($"g", $"score").collect()
+            .map(r => (r.getLong(0), if (r.isNullAt(1)) "null"
+            else { val d = r.getDouble(1); if (d.isNaN) "nan" else d.toString }))
+            .groupBy(identity).view.mapValues(_.length).toMap
+        } finally spark.conf.set("spark.graft.groupedTopK", "always")
+        assert(got == exp, s"order $ord")
+      }
+    }
+  }
+
   test("non-matching windows (rank, multiple order keys) are left alone") {
     withExtSession { spark =>
       import spark.implicits._

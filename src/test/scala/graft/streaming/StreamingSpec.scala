@@ -98,4 +98,19 @@ class StreamingSpec extends SparkSpec {
       Keyed("a", 25), Keyed("b", 6)), s"got $got")
     q.stop()
   }
+
+  test("high-water mark dedups equal-epoch duplicates within a batch") {
+    import HighWaterMark.Keyed
+    val mem = MemoryStream[Keyed](spark)
+    val q = HighWaterMark.filterNew(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("hwm_dup").start()
+    // same epoch three times in one batch -> exactly one passes
+    mem.addData(Keyed("a", 10), Keyed("a", 10), Keyed("a", 10), Keyed("a", 7))
+    q.processAllAvailable()
+    val got = spark.table("hwm_dup").as[Keyed].collect().toSeq
+    assert(got.count(_ == Keyed("a", 10)) == 1, s"got $got")
+    assert(got.count(_ == Keyed("a", 7)) == 1, s"got $got")
+    q.stop()
+  }
 }
