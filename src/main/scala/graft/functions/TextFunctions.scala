@@ -47,7 +47,13 @@ object TextFunctions {
 
   /** Word n-gram shingles of a token array (empty if fewer than n tokens).
     * Element order follows token order; duplicates preserved (min-hash is
-    * insensitive to them). */
+    * insensitive to them).
+    *
+    * PERF: pass a *materialized* token column (project `tokens(text)` into
+    * its own select first), never `shingles(tokens(text), n)` inline — the
+    * lambda below references `tok` ~3n times and Catalyst re-evaluates a
+    * non-attribute subtree at every reference, turning one regex split per
+    * row into O(tokens·n) of them (~25× slower measured). */
   def shingles(tok: Column, n: Int): Column =
     when(size(tok) >= n,
       transform(sequence(lit(0), size(tok) - n),

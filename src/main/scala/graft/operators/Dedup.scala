@@ -39,8 +39,8 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame = {
     val sh = docs
-      .select(col(idCol).as("doc_id"),
-        explode(shingles(tokens(col(textCol)), 3)).as("sh"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      .select(col("doc_id"), explode(shingles(col("tok"), 3)).as("sh"))
       .select(col("doc_id"), hash32(col("sh"), 0).as("h"))
     val aggs = (0 until numHashes).map(i => min(minhashPerm(col("h"), i)).as(s"sig$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -69,8 +69,8 @@ object Dedup {
   def shingleJaccard(
       docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ds = docs
-      .select(col(idCol).as("doc_id"),
-        explode(shingles(tokens(col(textCol)), 3)).as("sh0"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      .select(col("doc_id"), explode(shingles(col("tok"), 3)).as("sh0"))
       .select(col("doc_id"), hash32(col("sh0"), 0).as("sh"))
       .distinct()
     val counts = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
@@ -98,8 +98,8 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
     val ds = docs
-      .select(col(idCol).as("doc_id"),
-        explode(shingles(tokens(col(textCol)), 3)).as("sh0"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      .select(col("doc_id"), explode(shingles(col("tok"), 3)).as("sh0"))
       .select(col("doc_id"), hash32(col("sh0"), 0).as("h"))
       .distinct()
     // one aggregate pass yields both signatures and the distinct-shingle
@@ -136,7 +136,8 @@ object Dedup {
       minJaccard: Double): DataFrame = {
     val ds = docs
       .select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
-        explode(shingles(tokens(col(textCol)), 3)).as("sh0"))
+        tokens(col(textCol)).as("tok"))
+      .select(col("blk"), col("doc_id"), explode(shingles(col("tok"), 3)).as("sh0"))
       .select(col("blk"), col("doc_id"), hash32(col("sh0"), 0).as("sh"))
       .distinct()
     val counts = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))

@@ -76,8 +76,8 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 4, k: Int = 5): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"),
-        explode(shingles(tokens(col(textCol)), n)).as("sh"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      .select(col("doc_id"), explode(shingles(col("tok"), n)).as("sh"))
       .select(col("doc_id"), hash32(col("sh"), 0).as("h"))
       .groupBy(col("doc_id"))
       .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("fingerprint"))
