@@ -18,6 +18,7 @@ object SparkEntry {
     (Events.queries, Events.oracleSql),
     (Documents.queries, Documents.oracleSql),
     (Extras.queries, Extras.oracleSql),
+    (TrainingOps.queries, TrainingOps.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

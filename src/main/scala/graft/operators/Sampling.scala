@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.hash32
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `sample(fraction)` draws a different set every run (and every retry of a
+  * failed task!); at 100 TB a corpus sample must be a pure function of the
+  * row so reruns, incremental refreshes and lineage audits agree. These
+  * samplers keep a row iff a portable md5-derived hash of its id lands
+  * under the target rate — embarrassingly parallel, no shuffle, and any
+  * engine in the pipeline (the DuckDB oracle included) reproduces the
+  * selection bit-for-bit.
+  *
+  * Reference analogue: the fleet simulator's per-device deterministic
+  * seeding (`/root/reference/iot_simulator/iot_simulator.py:25-151`) — the
+  * same reproducibility contract, applied to row selection.
+  */
+object Sampling {
+
+  /** Keep rows whose hash lands in [0, pct) of 100 buckets. */
+  def hashSample(df: DataFrame, idCol: String, pct: Int, seed: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100)
+    df.filter(hash32(col(idCol).cast("string"), seed) % 100 < pct)
+  }
+
+  /** Stratified variant: per-stratum percentages (e.g. boost low-resource
+    * languages, downsample crawl dumps), `defaultPct` for unlisted strata.
+    * The rate table is compiled into a CASE expression — no join, the
+    * filter stays a narrow codegen'd predicate the scan can stream
+    * through. */
+  def stratifiedHashSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultPct: Int, seed: Int): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100))
+    val pct: Column = rates.foldLeft(lit(null).cast("int")) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hash32(col(idCol).cast("string"), seed) % 100 <
+      coalesce(pct, lit(defaultPct)))
+  }
+}

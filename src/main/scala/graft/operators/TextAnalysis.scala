@@ -90,4 +90,46 @@ object TextAnalysis {
     fingerprints(docs, idCol, textCol, n, k)
       .select(col("doc_id"), posexplode(col("fingerprint")).as(Seq("p", "h")))
       .select(col("doc_id"), (col("p") + 1).cast("bigint").as("rk"), col("h"))
+
+  /** TF-IDF top-`k` terms per document with engine-exact integer scoring:
+    * idf is the per-million integer rate `(N · 10^6) div df` and the score
+    * is `tf · idfRate` (bigint) — argmax is bit-identical everywhere, the
+    * same trick as [[languageId]]. Ties break lexicographically.
+    *
+    * Shape: two shuffles (per-doc tf, corpus df), df table broadcast back —
+    * the classic scalable TF-IDF dataflow. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfc = tok.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfc), "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr("(n_docs * 1000000) div df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("bigint").as("rk"),
+        col("w").as("term"), col("score"))
+  }
+
+  /** Repetition scoring (a Gopher-style quality rule): fraction of
+    * duplicate word `n`-grams per document. Zero-shuffle narrow
+    * computation — the whole signal is array expressions per row. */
+  def repetitionScores(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      .select(col("doc_id"), shingles(col("tok"), n).as("sh"))
+      .select(
+        col("doc_id"),
+        size(col("sh")).cast("bigint").as("n_ngrams"),
+        size(array_distinct(col("sh"))).cast("bigint").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_ngrams") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 6))
+          .otherwise(lit(0.0)))
 }

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.{Sampling, TextAnalysis}
+import Q._
+
+/** Training-data-pipeline operator suite, round 2: deterministic sampling,
+  * rolling event-time aggregates, TF-IDF term salience, n-gram repetition
+  * quality (SURVEY §2 LLM-pipeline extensions).
+  *
+  * Determinism: sampling and TF-IDF are pure integer/hash arithmetic;
+  * rolling averages use exact decimal window sums ([[Q]] scaladoc).
+  */
+object TrainingOps {
+
+  val queries: Map[String, QueryFn] = Map(
+    // Deterministic stratified sampling: per-language rates (boost de/fr,
+    // downsample en), md5-hash row selection — reruns and engines agree
+    // bit-for-bit (no rand(), no sample()).
+    "q47_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedHashSample(t(s, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 15, "de" -> 60, "fr" -> 60),
+          defaultPct = 30, seed = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-user rolling 1-hour mean over event time (RANGE frame keyed on
+    // epoch micros): the scalable form of "recent activity" features —
+    // one shuffle on user_id, frame scan within partition.
+    "q48_rolling_hourly_avg" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      ev.select(
+          col("user_id"), col("event_id"), col("us"),
+          count(lit(1)).over(w).as("n_window"),
+          round(sum(col("value").cast(DecimalType(30, 2))).over(w).cast("double")
+            / count(lit(1)).over(w), 6).as("rolling_avg"))
+        .orderBy(col("user_id"), col("us"), col("event_id"))
+    }),
+
+    // TF-IDF top-3 terms per document with integer per-million idf rates —
+    // engine-exact argmax (see TextAnalysis.tfidfTopTerms).
+    "q49_tfidf_top_terms" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // Gopher-style repetition quality: duplicate word-bigram fraction.
+    "q51_ngram_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionScores(t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q47_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#5'), 1, 8) AS BIGINT) % 100
+        |      < (CASE WHEN lang = 'en' THEN 15 WHEN lang = 'de' THEN 60
+        |              WHEN lang = 'fr' THEN 60 ELSE 30 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q48_rolling_hourly_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+        |SELECT user_id, event_id, us,
+        |  COUNT(*) OVER w AS n_window,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE)
+        |        / COUNT(*) OVER w, 6) AS rolling_avg
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
+
+    "q49_tfidf_top_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+         |             FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+         |dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, w, CAST(tf * ((n_docs * 1000000) // df) AS BIGINT) AS score
+         |       FROM tf JOIN dfc USING (w) CROSS JOIN n),
+         |r AS (SELECT doc_id, w, score, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rk FROM sc)
+         |SELECT doc_id, rk, w AS term, score FROM r WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
+
+    "q51_ngram_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
+         |s AS (SELECT doc_id, CASE WHEN len(tok) >= 2 THEN
+         |        list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])
+         |      ELSE [] END AS sh FROM t),
+         |c AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_ngrams,
+         |        CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct FROM s)
+         |SELECT doc_id, n_ngrams, n_distinct,
+         |  CASE WHEN n_ngrams > 0
+         |       THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6)
+         |       ELSE 0.0 END AS rep_ratio
+         |FROM c ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -47,6 +47,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q >= 0.0 && q <= 1.0)
   }
 
+  test("tfidf: rare terms outrank common ones; ties break lexicographically") {
+    val df = Seq(
+      (1L, "alpha common common"),
+      (2L, "beta common"),
+      (3L, "common common gamma")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .orderBy($"doc_id", $"rk")
+      .select($"doc_id", $"rk", $"term").as[(Long, Long, String)].collect()
+    // every doc's rank-1 term is its unique word (df=1 beats df=3)
+    assert(top.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap ==
+      Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    // doc 1: tf(common)=2 at rank 2
+    assert(top.contains((1L, 2L, "common")))
+  }
+
+  test("repetition: duplicate bigram fraction, zero for short docs") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+      (2L, "x y z"),          // 2 distinct of 2
+      (3L, "single")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScores(df, "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"n_ngrams", $"n_distinct", $"rep_ratio")
+      .as[(Long, Long, Double)].collect()
+    assert(r(0) == ((5L, 2L, 0.6)))
+    assert(r(1) == ((2L, 2L, 0.0)))
+    assert(r(2) == ((0L, 0L, 0.0)))
+  }
+
   test("fingerprints: k smallest distinct hashes ascending") {
     val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(df, "doc_id", "text", n = 4, k = 5)
