@@ -99,6 +99,29 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming session windows: gap-based sessions emit once closed by the watermark") {
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val sessions = mem.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 seconds")
+      .groupBy($"user", session_window($"ts", "30 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user", $"session_window.start".as("s"), $"n_events")
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess").start()
+    // user a: events at 0s,10s,20s (one session), then 100s (new session:
+    // gap 80s > 30s); user b: single event
+    mem.addData((ts(0), "a"), (ts(10), "a"), (ts(20), "a"), (ts(100), "a"), (ts(5), "b"))
+    q.processAllAvailable()
+    // close everything: watermark past 100s + 30s gap + 10s delay
+    mem.addData((ts(500), "z"))
+    q.processAllAvailable()
+    val got = spark.table("sess").select($"user", $"n_events")
+      .as[(String, Long)].collect().toSet
+    assert(got.contains(("a", 3L)) && got.contains(("a", 1L)) && got.contains(("b", 1L)),
+      s"got $got")
+    q.stop()
+  }
+
   test("high-water mark dedups equal-epoch duplicates within a batch") {
     import HighWaterMark.Keyed
     val mem = MemoryStream[Keyed](spark)
