@@ -54,6 +54,19 @@ object TrainingOps {
       TextAnalysis.repetitionScores(t(s, dir, "documents"), "doc_id", "text", n = 2)
         .orderBy(col("doc_id"))
     }),
+
+    // Bloom-accelerated decontamination: broadcast Bloom prefilter over the
+    // test-set shingle universe + exact verify — identical results to the
+    // plain join (no false negatives; false positives verified away), but
+    // the training shingle set is pruned at the scan instead of shuffled.
+    "q53_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.contaminated(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -89,6 +102,20 @@ object TrainingOps {
          |        PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rk FROM sc)
          |SELECT doc_id, rk, w AS term, score FROM r WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin,
+
+    "q53_bloom_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= 4 THEN
+         |  list_transform(range(1, len(tok) - 2),
+         |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])
+         |  ELSE [] END) AS s FROM t),
+         |hs AS (SELECT DISTINCT doc_id,
+         |  CAST('0x' || substr(md5(s || '#0'), 1, 8) AS BIGINT) AS h FROM sh),
+         |te AS (SELECT DISTINCT h FROM hs WHERE doc_id % 5 = 0),
+         |tr AS (SELECT doc_id, h FROM hs WHERE doc_id % 5 <> 0)
+         |SELECT tr.doc_id, count(*) AS n_shared
+         |FROM tr JOIN te USING (h)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     "q51_ngram_repetition" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf("sf0.01"), "documents")
+  private lazy val train = docs.filter($"doc_id" % 5 =!= 0)
+  private lazy val test_ = docs.filter($"doc_id" % 5 === 0)
+
+  private def exactContaminated() = {
+    def hs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", tokens($"text").as("tok"))
+      .select($"doc_id", explode(shingles($"tok", 4)).as("sh"))
+      .select($"doc_id", hash32($"sh", 0).as("h")).distinct()
+    hs(train).join(hs(test_).select($"h").distinct(), Seq("h"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  test("bloom-accelerated contamination equals the exact join") {
+    val got = Decontaminate.contaminated(train, test_, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val exp = exactContaminated().as[(Long, Long)].collect().toMap
+    assert(got == exp, s"bloom result must be exact (no FNs, FPs verified away)")
+    assert(exp.nonEmpty, "fixture should contain contamination")
+  }
+
+  test("clean() removes exactly the contaminated train docs") {
+    val cleaned = Decontaminate.clean(train, test_, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    val contaminatedIds = exactContaminated().as[(Long, Long)].collect().map(_._1).toSet
+    val all = train.select($"doc_id").as[Long].collect().toSet
+    assert(cleaned == all -- contaminatedIds)
+  }
+}
