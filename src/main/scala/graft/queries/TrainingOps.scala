@@ -55,6 +55,21 @@ object TrainingOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-language document-length distribution: exact linear-interpolated
+    // percentiles (the corpus-profiling op behind length-based filtering
+    // thresholds). Exact `percentile` needs a per-group sort — fine when
+    // groups are few and wide; approx_percentile is the sketch fallback at
+    // extreme cardinality.
+    "q54_length_percentiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(n_chars, 0.25)"), 6).as("q25"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("q50"),
+          round(expr("percentile(n_chars, 0.9)"), 6).as("q90"))
+        .orderBy(col("lang"))
+    }),
+
     // Bloom-accelerated decontamination: broadcast Bloom prefilter over the
     // test-set shingle universe + exact verify — identical results to the
     // plain join (no false negatives; false positives verified away), but
@@ -102,6 +117,13 @@ object TrainingOps {
          |        PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rk FROM sc)
          |SELECT doc_id, rk, w AS term, score FROM r WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin,
+
+    "q54_length_percentiles" ->
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, 0.25), 6) AS q25,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS q50,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS q90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q53_bloom_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
