@@ -33,6 +33,21 @@ object Maintenance {
     sorted.write.mode(mode).partitionBy("date").parquet(path)
   }
 
+  /** Write a table bucketed (and sorted) by join key into the session
+    * catalog. Two tables bucketed the same way equi-join with ZERO
+    * exchanges — each bucket pair joins locally — which is how repeated
+    * big-to-big joins (snapshots ⋈ events by device, corpus ⋈ signatures
+    * by doc) amortize their shuffle at 100 TB: pay it once at write time,
+    * never again per query. See BucketJoinSpec for the plan-level proof. */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Retention (TTL analog): keep only partitions with date >= cutoff.
     * Implemented as partition-directory removal, not a rewrite. */
   def retainSince(spark: SparkSession, path: String, cutoffDate: String): Seq[String] = {
