@@ -30,15 +30,16 @@ object Corpus {
     // 2. near-dup losers (higher id of each verified pair)
     val nearLosers = Dedup.nearDupPairs(docs, idCol, textCol, minJaccard = minJaccard)
       .select(col("id_b").as(idCol)).distinct()
-    // 3. quality scores
+    // 3. quality scores (ppm integers; the floor compares in integer space
+    // so the cut is engine-exact)
     val quality = TextAnalysis.qualityScores(docs, idCol, textCol)
-      .select(col("doc_id").as(idCol), col("quality"))
+      .select(col("doc_id").as(idCol), col("quality_ppm"), col("quality"))
 
     docs.select(col(idCol))
       .join(exactKeep, Seq(idCol), "left_semi")
       .join(nearLosers, Seq(idCol), "left_anti")
       .join(quality, Seq(idCol))
-      .filter(col("quality") >= minQuality)
+      .filter(col("quality_ppm") >= math.round(minQuality * 1000000))
       .withColumn("split",
         when(hash32(col(idCol).cast("string"), splitSeed) % 100 < trainPct, "train")
           .otherwise("test"))

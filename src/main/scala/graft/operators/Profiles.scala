@@ -51,7 +51,8 @@ object Profiles {
       .agg(
         (dsum(col("v"), 2) / count(lit(1))).as("mean"),
         sqrt((dsum(col("v") * col("v"), 4) / count(lit(1))) -
-          pow(dsum(col("v"), 2) / count(lit(1)), 2)).as("std"),
+          (dsum(col("v"), 2) / count(lit(1))) *
+            (dsum(col("v"), 2) / count(lit(1)))).as("std"),
         min(col("v")).as("min"),
         max(col("v")).as("max"))
       .groupBy(col("device_id"))

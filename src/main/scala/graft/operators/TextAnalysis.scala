@@ -42,7 +42,15 @@ object TextAnalysis {
 
   /** Length/stopword/word-shape quality heuristics + a [0,1] composite.
     * Entirely narrow (array expressions per row) — zero shuffles, scales
-    * embarrassingly. */
+    * embarrassingly.
+    *
+    * All scoring is integer parts-per-million arithmetic: `round(double,6)`
+    * is NOT portable at the half boundary (Spark rounds the shortest
+    * decimal repr half-up, DuckDB rounds in binary float math — they
+    * disagree when a ratio of small integers lands exactly on ...5, seen
+    * at sf0.1). Integer `div` and the `(2a+b) div 2b` half-up trick give
+    * bit-identical results in every engine; the exposed doubles are a
+    * single exact division by 10^6. */
   def qualityScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val stopArr = array(stopwords.map(lit): _*)
     docs
@@ -52,14 +60,20 @@ object TextAnalysis {
         size(col("tok")).cast("bigint").as("n_tokens"),
         size(filter(col("tok"), w => array_contains(stopArr, w))).cast("bigint").as("n_stop"),
         aggregate(col("tok"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"))
-      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
-      .withColumn("avg_token_len", col("sum_len").cast("double") / col("n_tokens"))
-      .withColumn("quality", round(
-        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3 +
-          (lit(1.0) - col("stop_ratio")) * 0.4 +
-          least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3, 6))
-      .select(col("doc_id"), col("n_tokens"), round(col("stop_ratio"), 6).as("stop_ratio"),
-        round(col("avg_token_len"), 6).as("avg_token_len"), col("quality"))
+      .withColumn("stop_ppm", expr("(n_stop * 1000000) div n_tokens"))
+      .withColumn("len_ppm",
+        least(expr("(sum_len * 1000000) div (8 * n_tokens)"), lit(1000000L)))
+      .withColumn("tok_ppm", least(col("n_tokens") * 10000L, lit(1000000L)))
+      .withColumn("quality_ppm",
+        expr("(tok_ppm * 3 + (1000000 - stop_ppm) * 4 + len_ppm * 3) div 10"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (expr("(n_stop * 2000000 + n_tokens) div (2 * n_tokens)")
+          .cast("double") / 1000000.0).as("stop_ratio"),
+        (expr("(sum_len * 2000000 + n_tokens) div (2 * n_tokens)")
+          .cast("double") / 1000000.0).as("avg_token_len"),
+        col("quality_ppm"),
+        (col("quality_ppm").cast("double") / 1000000.0).as("quality"))
   }
 
   /** Whitespace token count, subword-ish segment count, distinct tokens. */

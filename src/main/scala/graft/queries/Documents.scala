@@ -108,7 +108,7 @@ object Documents {
     // removal -> quality floor -> deterministic split, one pass.
     "q37_corpus_prepare" -> ((s, dir) => {
       graft.operators.Corpus.prepare(t(s, dir, "documents"))
-        .select(col("doc_id"), col("split"), round(col("quality"), 6).as("quality"))
+        .select(col("doc_id"), col("split"), col("quality"))
         .orderBy(col("doc_id"))
     }),
 
@@ -314,21 +314,22 @@ object Documents {
          |  WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.5),
          |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
          |g AS (SELECT doc_id, count(*) AS nt,
-         |        count(*) FILTER (w IN ('a', 'the')) AS ns, sum(length(w)) AS sl
+         |        count(*) FILTER (w IN ('a', 'the')) AS ns,
+         |        CAST(sum(length(w)) AS BIGINT) AS sl
          |      FROM tk GROUP BY doc_id),
          |qd AS (SELECT doc_id,
-         |  least(CAST(nt AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
-         |  + (CAST(1.0 AS DOUBLE) - CAST(ns AS DOUBLE) / nt) * CAST(0.4 AS DOUBLE)
-         |  + least((CAST(sl AS DOUBLE) / nt) / CAST(8.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE) AS q
+         |  (least(nt * 10000, 1000000) * 3
+         |   + (1000000 - (ns * 1000000) // nt) * 4
+         |   + least((sl * 1000000) // (8 * nt), 1000000) * 3) // 10 AS qppm
          |  FROM g)
          |SELECT d.doc_id, CASE WHEN ${h32("CAST(d.doc_id AS VARCHAR)", 9)} % 100 < 80
          |    THEN 'train' ELSE 'test' END AS split,
-         |  round(q, 6) AS quality
+         |  CAST(qppm AS DOUBLE) / 1000000.0 AS quality
          |FROM documents d
          |JOIN exact_keep ek ON d.doc_id = ek.doc_id
          |LEFT JOIN near_losers nl ON d.doc_id = nl.doc_id
          |JOIN qd ON d.doc_id = qd.doc_id
-         |WHERE nl.doc_id IS NULL AND q >= 0.65
+         |WHERE nl.doc_id IS NULL AND qppm >= 650000
          |ORDER BY d.doc_id""".stripMargin
     },
 
@@ -354,18 +355,19 @@ object Documents {
          |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
          |g AS (SELECT doc_id, count(*) AS n_tokens,
          |        count(*) FILTER (w IN ('a', 'the')) AS n_stop,
-         |        sum(length(w)) AS sum_len
+         |        CAST(sum(length(w)) AS BIGINT) AS sum_len
          |      FROM tk GROUP BY doc_id),
-         |d AS (SELECT doc_id, n_tokens,
-         |        CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-         |        CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len
+         |p AS (SELECT doc_id, n_tokens, n_stop, sum_len,
+         |        (n_stop * 1000000) // n_tokens AS stop_ppm,
+         |        least((sum_len * 1000000) // (8 * n_tokens), 1000000) AS len_ppm,
+         |        least(n_tokens * 10000, 1000000) AS tok_ppm
          |      FROM g)
-         |SELECT doc_id, n_tokens, round(stop_ratio, 6) AS stop_ratio,
-         |  round(avg_token_len, 6) AS avg_token_len,
-         |  round(least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
-         |      + (CAST(1.0 AS DOUBLE) - stop_ratio) * CAST(0.4 AS DOUBLE)
-         |      + least(avg_token_len / CAST(8.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE), 6) AS quality
-         |FROM d ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, n_tokens,
+         |  CAST((n_stop * 2000000 + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1000000.0 AS stop_ratio,
+         |  CAST((sum_len * 2000000 + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1000000.0 AS avg_token_len,
+         |  CAST((tok_ppm * 3 + (1000000 - stop_ppm) * 4 + len_ppm * 3) // 10 AS BIGINT) AS quality_ppm,
+         |  CAST((tok_ppm * 3 + (1000000 - stop_ppm) * 4 + len_ppm * 3) // 10 AS DOUBLE) / 1000000.0 AS quality
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "q42_token_stats" ->
       s"""SELECT doc_id,

@@ -66,7 +66,8 @@ object Events {
       val stats = ev.groupBy($"event_type").agg(
         (dsum($"value", 2) / count(lit(1))).as("mu"),
         sqrt((dsum($"value" * $"value", 4) / count(lit(1))) -
-          pow(dsum($"value", 2) / count(lit(1)), 2)).as("sigma"))
+          (dsum($"value", 2) / count(lit(1))) *
+            (dsum($"value", 2) / count(lit(1)))).as("sigma"))
       ev.join(broadcast(stats), "event_type")
         .withColumn("z", abs($"value" - $"mu") / $"sigma")
         .filter($"sigma" > 0 && $"z" > 3)
@@ -83,8 +84,12 @@ object Events {
         .agg(
           count(lit(1)).as("n_events"),
           (dsum($"value", 2) / count(lit(1))).as("mean_value"),
+          // mu*mu, not pow(mu,2): multiplication is a single correctly-
+          // rounded IEEE op in every engine, while pow() differs by 1 ulp
+          // between libm implementations (seen at sf0.1)
           sqrt((dsum($"value" * $"value", 4) / count(lit(1))) -
-            pow(dsum($"value", 2) / count(lit(1)), 2)).as("std_value"),
+            (dsum($"value", 2) / count(lit(1))) *
+            (dsum($"value", 2) / count(lit(1)))).as("std_value"),
           min($"value").as("min_value"),
           max($"value").as("max_value"))
         .orderBy($"user_id")
@@ -169,7 +174,8 @@ object Events {
       val stats = ev.groupBy($"event_type").agg(
         (dsum($"value", 2) / count(lit(1))).as("mu"),
         sqrt((dsum($"value" * $"value", 4) / count(lit(1))) -
-          pow(dsum($"value", 2) / count(lit(1)), 2)).as("sigma"))
+          (dsum($"value", 2) / count(lit(1))) *
+            (dsum($"value", 2) / count(lit(1)))).as("sigma"))
       val w = Window.partitionBy($"user_id").orderBy($"z".desc, $"event_id".asc)
       ev.join(broadcast(stats), "event_type")
         .withColumn("z", abs($"value" - $"mu") / $"sigma")
@@ -238,7 +244,8 @@ object Events {
     s"""WITH st AS (SELECT event_type,
        |  ${dsumSql("value", 2)} / COUNT(*) AS mu,
        |  sqrt(${dsumSql("value * value", 4)} / COUNT(*)
-       |       - (${dsumSql("value", 2)} / COUNT(*)) ^ 2) AS sigma
+       |       - (${dsumSql("value", 2)} / COUNT(*))
+       |         * (${dsumSql("value", 2)} / COUNT(*))) AS sigma
        |FROM events GROUP BY event_type)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -323,7 +330,8 @@ object Events {
       s"""SELECT user_id, COUNT(*) AS n_events,
          |  ${dsumSql("value", 2)} / COUNT(*) AS mean_value,
          |  sqrt(${dsumSql("value * value", 4)} / COUNT(*)
-         |       - (${dsumSql("value", 2)} / COUNT(*)) ^ 2) AS std_value,
+         |       - (${dsumSql("value", 2)} / COUNT(*))
+         |         * (${dsumSql("value", 2)} / COUNT(*))) AS std_value,
          |  min(value) AS min_value, max(value) AS max_value
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
