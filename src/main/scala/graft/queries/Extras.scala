@@ -68,6 +68,29 @@ object Extras {
         .orderBy(col("media_id"))
     }),
 
+    // All-methods comparison (reference detect_anomalies_all.py:66-246):
+    // rules + profile paths + ANN novelty over the simulated fleet, per-
+    // device firing rates, pairwise agreement, >=2-vote consensus.
+    // Rows-only: asserted quantitatively in PipelineSpec (injected-window
+    // detection rates, quiet-device false-positive bounds).
+    "q55_iot_all_methods" -> ((s, dir) => {
+      import graft.operators.{Detection, Profiles, Rules, Snapshotter}
+      import graft.sources.IoTSimulator
+      import graft.core.DetectionConfig
+      val _ = dir
+      val readings = IoTSimulator.readings(s, nTicks = 360,
+        injections = IoTSimulator.compressorFailure("RTU-001", 240, 300))
+      val snaps = Snapshotter.snapshots(readings, dim = 128)
+      val profiles = Profiles.build(snaps.filter(
+        col("snapshot_time") < timestamp_seconds(lit(1704067200L + 200 * 10))))
+      val detected = Detection.pathsOneTwo(snaps, profiles, DetectionConfig.Standalone)
+      val ruled = Rules.evaluate(s, snaps)
+        .select(col("device_id"), col("snapshot_time"), col("rules_triggered"))
+      val p3 = Detection.pathThreeAfterOneTwo(detected, DetectionConfig.VectorSearch)
+        .join(ruled, Seq("device_id", "snapshot_time"))
+      Detection.methodComparison(p3).orderBy(col("device_id"))
+    }),
+
     // Token-budget sequence packing (what a dataloader does before
     // concatenating samples into fixed-length training sequences): greedy
     // first-fit in id order within deterministic id-range buckets.
