@@ -52,8 +52,13 @@ object Snapshotter {
         first(col("device_type")).as("device_type"),
         first(col("location")).as("location"),
         first(col("building_id")).as("building_id"),
-        map_from_entries(dedupEntries(array_sort(
-          collect_list(struct(col("metric_name"), col("metric_value")))))).as("metrics"))
+        // entries land in their own column first so the dedup lambda
+        // references a bound attribute (a lambda body re-evaluates any
+        // non-attribute subtree per element — see TextFunctions.shingles)
+        array_sort(collect_list(struct(col("metric_name"), col("metric_value"))))
+          .as("_entries"))
+      .withColumn("metrics", map_from_entries(dedupEntries(col("_entries"))))
+      .drop("_entries")
       .select(
         col("device_id"),
         date_format(col("timestamp"), "yyyy-MM-dd").as("date"),

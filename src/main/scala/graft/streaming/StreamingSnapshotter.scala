@@ -68,8 +68,11 @@ object StreamingSnapshotter {
         first(col("device_type")).as("device_type"),
         first(col("location")).as("location"),
         first(col("building_id")).as("building_id"),
-        map_from_entries(graft.operators.Snapshotter.dedupEntries(array_sort(
-          collect_list(struct(col("metric_name"), col("metric_value")))))).as("metrics"))
+        array_sort(collect_list(struct(col("metric_name"), col("metric_value"))))
+          .as("_entries"))
+      .withColumn("metrics",
+        map_from_entries(graft.operators.Snapshotter.dedupEntries(col("_entries"))))
+      .drop("_entries")
       .select(
         col("device_id"),
         date_format(col("timestamp"), "yyyy-MM-dd").as("date"),
