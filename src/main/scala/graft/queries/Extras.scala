@@ -68,6 +68,31 @@ object Extras {
         .orderBy(col("media_id"))
     }),
 
+    // Similar-states investigation (reference find_similar_states.py:
+    // 86-315): for each detected anomaly, the "has this happened before?"
+    // verdict over same-device history. Rows-only: map-diff internals are
+    // asserted in SimilarStatesSpec; output is the scalar summary report.
+    "q56_similar_states" -> ((s, dir) => {
+      import graft.operators.{Detection, Profiles, Snapshotter, SimilarStates}
+      import graft.sources.IoTSimulator
+      import graft.core.DetectionConfig
+      val _ = dir
+      val readings = IoTSimulator.readings(s, nTicks = 360,
+        injections = IoTSimulator.compressorFailure("RTU-001", 240, 300))
+      val snaps = Snapshotter.snapshots(readings, dim = 128)
+      val profiles = Profiles.build(snaps.filter(
+        col("snapshot_time") < timestamp_seconds(lit(1704067200L + 200 * 10))))
+      val detected = Detection.pathsOneTwo(snaps, profiles, DetectionConfig.Standalone)
+      val anomalous = detected.filter(col("is_anomalous"))
+      SimilarStates.summary(
+          SimilarStates.find(detected, anomalous, topN = 5, minSimilarity = 0.5))
+        .select(col("device_id"), unix_micros(col("snapshot_time")).as("t_us"),
+          col("n_similar"), col("n_similar_anomalous"),
+          col("avg_similarity"), round(col("best_similarity"), 6).as("best_similarity"),
+          col("seen_before_normal"))
+        .orderBy(col("device_id"), col("t_us"))
+    }),
+
     // All-methods comparison (reference detect_anomalies_all.py:66-246):
     // rules + profile paths + ANN novelty over the simulated fleet, per-
     // device firing rates, pairwise agreement, >=2-vote consensus.
