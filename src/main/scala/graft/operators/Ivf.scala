@@ -45,6 +45,25 @@ object Ivf {
     IvfIndex(cells, assigned)
   }
 
+  /** Persist the index with the corpus PARTITIONED BY cell_id — the layout
+    * that turns a probe into partition pruning: a search that probes 3 of
+    * 1024 cells reads 3/1024 of the corpus bytes, enforced by the storage
+    * layer, not a runtime filter. This is the concrete 100 TB ANN story
+    * (IvfSpec asserts the pruned scan in the physical plan). */
+  def writeIndex(index: IvfIndex, path: String): Unit = {
+    index.cells.write.mode("overwrite").parquet(s"$path/cells")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell_id").parquet(s"$path/assigned")
+  }
+
+  /** Reload a persisted index. The assigned corpus comes back with
+    * `cell_id` as a partition column, so [[search]]'s cell-membership join
+    * prunes partitions at plan time. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      cells = spark.read.parquet(s"$path/cells"),
+      assigned = spark.read.parquet(s"$path/assigned"))
+
   /** Approximate top-k by cosine: probe the `nprobe` nearest cells per
     * query, exact-rescore only their members. Returns the standard
     * [query_id, rk, neighbor_id, sim] kNN shape. */
@@ -52,15 +71,45 @@ object Ivf {
       index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"))
-    val probed = q.crossJoin(broadcast(index.cells))
+    val probed = probeCells(index, queries, nprobe, idCol, vecCol)
+    rescore(probed, index.assigned, k, idCol, vecCol, excludeSelf)
+  }
+
+  /** [[search]] against a stored index with STATIC partition pruning: the
+    * probed cell set (|queries| × nprobe ints — always driver-sized) is
+    * resolved first and pushed into the scan as a partition filter, so at
+    * most that many cell directories are read from storage. With 1024
+    * cells and nprobe 3, a query batch touching 10 distinct cells reads
+    * ~1% of corpus bytes — pruning enforced by layout, not a runtime
+    * filter (plan-asserted in IvfSpec). */
+  def searchPruned(
+      index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val probed = probeCells(index, queries, nprobe, idCol, vecCol)
+    val cellIds = probed.select(col("cell_id")).distinct()
+      .collect().map(_.get(0))
+    val pruned = index.assigned.filter(col("cell_id").isin(cellIds: _*))
+    rescore(probed, pruned, k, idCol, vecCol, excludeSelf)
+  }
+
+  /** nprobe nearest cell centroids per query (tiny: centroids broadcast). */
+  private def probeCells(
+      index: IvfIndex, queries: DataFrame, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"))
+      .crossJoin(broadcast(index.cells))
       .withColumn("_csim", cosine_sim(col("_qvec"), col("centroid")))
       .withColumn("_crk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("_csim").desc, col("cell_id").asc)))
       .filter(col("_crk") <= nprobe)
       .select(col("query_id"), col("_qvec"), col("cell_id"))
+
+  private def rescore(
+      probed: DataFrame, assigned: DataFrame, k: Int,
+      idCol: String, vecCol: String, excludeSelf: Boolean): DataFrame = {
     val pairs = probed
-      .join(index.assigned.select(col("cell_id"),
+      .join(assigned.select(col("cell_id"),
         col(idCol).as("neighbor_id"), col(vecCol).as("_nvec")), Seq("cell_id"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("_sim", cosine_sim(col("_qvec"), col("_nvec")))

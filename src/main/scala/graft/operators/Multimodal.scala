@@ -86,6 +86,26 @@ object Multimodal {
         i => substring(col("payload"), i * chunkBytes + 1, lit(chunkBytes))))
         .as(Seq("chunk_idx", "chunk")))
 
+  /** Stub resize: the real implementation decodes, resizes, re-encodes;
+    * the stub keeps the dataflow shape (binary in → binary out + metadata
+    * preserved) with a deterministic byte downsample to `targetBytes`.
+    * Per-partition decoder-style init is unnecessary here — resize is pure
+    * per-row — so it stays a narrow map. */
+  def resizeStub(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(targetBytes > 0)
+    media.map { r =>
+      val p = r.payload
+      val out =
+        if (p.length <= targetBytes) p
+        else {
+          val step = p.length.toDouble / targetBytes
+          Array.tabulate(targetBytes)(i => p((i * step).toInt))
+        }
+      r.copy(payload = out)
+    }
+  }
+
   /** Demo/test media table derived from documents (text bytes as payload —
     * the plumbing doesn't care that it isn't a real JPEG). */
   def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {

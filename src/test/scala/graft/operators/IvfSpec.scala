@@ -36,6 +36,31 @@ class IvfSpec extends SparkSpec {
     assert(r2 <= r8 + 1e-9)
   }
 
+
+  test("stored index: search prunes cell partitions at the scan (100 TB path)") {
+    val idx = Ivf.build(emb, nCells = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      Ivf.writeIndex(idx, path)
+      val stored = Ivf.readIndex(spark, path)
+      val q = emb.filter($"vec_id" < 5)
+      val pruned = Ivf.searchPruned(stored, q, k = 5, nprobe = 2)
+      pruned.collect() // finalize the adaptive plan
+      // the probed cell set must reach the scan as a static partition
+      // filter (PartitionFilters: [cell_id ... IN/EqualTo ...])
+      val planStr = pruned.queryExecution.executedPlan.toString
+      val hasPartFilter = "PartitionFilters: \\[cell_id".r
+        .findFirstIn(planStr).isDefined
+      assert(hasPartFilter, s"probed cells must prune the scan:\n$planStr")
+      // results identical to the unpruned search over the same stored index
+      val full = Ivf.search(stored, q, k = 5, nprobe = 2)
+      assert(pruned.select($"query_id", $"rk", $"neighbor_id").collect().toSet ==
+        full.select($"query_id", $"rk", $"neighbor_id").collect().toSet)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("search output follows the standard kNN contract") {
     val idx = Ivf.build(emb, nCells = 4)
     val out = Ivf.search(idx, emb.filter($"vec_id" < 3), k = 5, nprobe = 2)

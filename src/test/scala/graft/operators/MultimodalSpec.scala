@@ -36,6 +36,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(length($"chunk") > 50).count() == 0)
   }
 
+  test("resize stub: caps payload size, preserves metadata, deterministic") {
+    val resized = Multimodal.resizeStub(media, targetBytes = 40)
+    assert(resized.collect().forall(_.payload.length <= 40))
+    val before = media.collect().map(r => r.media_id -> r.kind).toMap
+    assert(resized.collect().map(r => r.media_id -> r.kind).toMap == before)
+    val a = Multimodal.resizeStub(media, 40).collect().map(_.payload.toSeq).toSet
+    val b = Multimodal.resizeStub(media, 40).collect().map(_.payload.toSeq).toSet
+    assert(a == b)
+    // short payloads pass through untouched
+    val short = media.filter(r => r.payload.length <= 40).collect().map(_.media_id).toSet
+    val kept = Multimodal.resizeStub(media, 40).collect()
+      .filter(r => short(r.media_id)).map(_.payload.length).toSet
+    assert(media.collect().filter(r => short(r.media_id))
+      .map(_.payload.length).toSet == kept)
+  }
+
   test("features feed the standard vector operators (cosine over media)") {
     import graft.functions.GraftFunctions.cosine_sim
     val f = Multimodal.extractFeatures(media).toDF()
