@@ -76,13 +76,15 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Cost guard. Measured on local[16] (RewriteBench): with narrow all-
-    * primitive rows Spark's radix-sort window wins (~2x) — sorting 12-byte
-    * rows is cheaper than interpreted heap admission; with variable-length
-    * payloads (arrays/strings — the kNN embedding shape) the rewrite wins
-    * even locally, and on a network-shuffling cluster the groups×k vs n
-    * shuffle-volume gap dominates. `auto` rewrites only the shuffle-bound
-    * shape; override with spark.graft.groupedTopK = always | never. */
+  /** Cost guard. Measured locally (RewriteBench): with narrow all-
+    * primitive rows the radix-sort window and the bounded aggregate are
+    * within noise of each other; with variable-length payloads
+    * (arrays/strings — the kNN embedding shape) the rewrite wins even
+    * locally, and on a network-shuffling cluster the groups×k vs n
+    * shuffle-volume gap dominates for any payload. `auto` conservatively
+    * rewrites only the clearly shuffle-bound shape (keeping Spark's
+    * default plan where the two tie); override with
+    * spark.graft.groupedTopK = always | never. */
   private def shouldRewrite(payload: Seq[Attribute]): Boolean = {
     val mode = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.groupedTopK", "auto")
