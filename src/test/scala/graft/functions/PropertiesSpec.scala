@@ -70,6 +70,72 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("top-k buffer law: admit/merge/eval equals sort-take under Spark's total order, any NaN mix") {
+    // reference ranking: Spark total order (NaN greatest), nulls per
+    // nullsFirst; compare multisets of kept scores
+    val scoreGen: Gen[Option[Double]] = Gen.frequency(
+      6 -> Gen.choose(-100.0, 100.0).map(Some(_)),
+      1 -> Gen.const(Some(Double.NaN)),
+      1 -> Gen.const(None))
+    val caseGen = for {
+      n <- Gen.choose(0, 40)
+      scores <- Gen.listOfN(n, scoreGen)
+      k <- Gen.choose(1, 8)
+      asc <- Gen.oneOf(true, false)
+      nullsFirst <- Gen.oneOf(true, false)
+      splitAt <- Gen.choose(0, n)
+    } yield (scores, k, asc, nullsFirst, splitAt)
+
+    def expected(scores: Seq[Option[Double]], k: Int, asc: Boolean,
+        nullsFirst: Boolean): Seq[Option[Double]] = {
+      val (nulls, nonNull) = scores.partition(_.isEmpty)
+      val sorted = nonNull.sortWith((x, y) =>
+        if (asc) java.lang.Double.compare(x.get, y.get) < 0
+        else java.lang.Double.compare(x.get, y.get) > 0)
+      val all = if (nullsFirst) nulls ++ sorted else sorted ++ nulls
+      all.take(k)
+    }
+
+    def canon(s: Seq[Option[Double]]): Map[String, Int] =
+      s.groupBy {
+        case None => "null"
+        case Some(d) if d.isNaN => "nan"
+        case Some(d) => d.toString
+      }.view.mapValues(_.length).toMap
+
+    samples(caseGen, 60).foreach { case (scores, k, asc, nullsFirst, splitAt) =>
+      // drive two buffers (split input), merge, eval — the full agg path
+      val b1 = new RowTopKBuffer(k, asc)
+      val b2 = new RowTopKBuffer(k, asc)
+      def feed(b: RowTopKBuffer, xs: Seq[Option[Double]]): Unit = xs.foreach {
+        case Some(d) => if (b.wouldAdmit(d)) b.insert(d,
+          org.apache.spark.sql.catalyst.InternalRow.empty)
+        case None => b.insertNull(org.apache.spark.sql.catalyst.InternalRow.empty)
+      }
+      val (xs1, xs2) = scores.splitAt(splitAt)
+      feed(b1, xs1); feed(b2, xs2)
+      var i = 0
+      while (i < b2.size) { b1.insert(b2.scores(i), b2.rows(i)); i += 1 }
+      b2.nullRows.foreach(b1.insertNull)
+      val nonNull = b1.sortedRows.length // kept non-null count
+      val kept: Seq[Option[Double]] =
+        (if (nullsFirst) b1.nullRows.toSeq.map(_ => None) ++
+          b1.sortedRows.toSeq.indices.map(j => Some(sortedScore(b1, j)))
+        else b1.sortedRows.toSeq.indices.map(j => Some(sortedScore(b1, j))) ++
+          b1.nullRows.toSeq.map(_ => None)).take(k)
+      assert(canon(kept) == canon(expected(scores, k, asc, nullsFirst)),
+        s"k=$k asc=$asc nullsFirst=$nullsFirst scores=$scores nonNull=$nonNull")
+    }
+  }
+
+  /** j-th best non-null score of the buffer (sortedRows order). */
+  private def sortedScore(b: RowTopKBuffer, j: Int): Double = {
+    val idx = (0 until b.size).sortWith((x, y) =>
+      if (b.asc) java.lang.Double.compare(b.scores(x), b.scores(y)) < 0
+      else java.lang.Double.compare(b.scores(x), b.scores(y)) > 0)
+    b.scores(idx(j))
+  }
+
   test("minhash permutations stay in [0, p) and are distinct families") {
     val hGen = Gen.choose(0L, (1L << 32) - 1)
     samples(hGen, 20).foreach { h =>
