@@ -87,39 +87,36 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates by banding, then exact
-    * Jaccard >= `minJaccard` on candidates only.
-    *
-    * Signatures, per-doc counts and the intersection join all derive from
-    * ONE distinct (doc, shingle-hash) subtree — its shuffle appears
-    * identically in every branch, so Catalyst's ReuseExchange computes the
-    * explode+md5 scan once. (Minhash over the distinct set equals minhash
-    * over the multiset: min ignores duplicates.) */
+    * Jaccard >= `minJaccard` on candidates only. */
   def nearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
-    val ds = docs
+    // ONE shuffle builds the per-doc distinct shingle-hash set; signatures
+    // (min ignores duplicates, so minhash over the set == over the
+    // multiset), counts, AND the pair-intersection all derive from it
+    // narrowly. Per-doc set size is bounded by document length (same
+    // memory class as the exploded alternative's per-group state).
+    val sets = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
       .select(col("doc_id"), explode(shingles(col("tok"), 3)).as("sh0"))
       .select(col("doc_id"), hash32(col("sh0"), 0).as("h"))
-      .distinct()
-    // one aggregate pass yields both signatures and the distinct-shingle
-    // count (same grouping key — no separate counts branch)
-    val sigAggs = (0 until numHashes).map(i => min(minhashPerm(col("h"), i)).as(s"sig$i")) :+
-      count(lit(1)).as("ns")
-    val sigs = ds.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    val cand = minhashCandidates(sigs, numHashes, rowsPerBand)
-    val counts = sigs.select(col("doc_id"), col("ns"))
-    // shuffle_hash: never broadcast the (large) shingle-hash set — Spark's
-    // size estimate for it sits near the auto-broadcast threshold and a
-    // driver-side collect of it is the slow mode (recomputed per branch).
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    val sigCols = Seq(col("doc_id"), col("hs"),
+      size(col("hs")).cast("bigint").as("ns")) ++
+      (0 until numHashes).map(i =>
+        array_min(transform(col("hs"), h => minhashPerm(h, i))).as(s"sig$i"))
+    val sigs = sets.select(sigCols: _*)
+    val cand = minhashCandidates(sigs.drop("hs"), numHashes, rowsPerBand)
+    // exact rescore on candidates only: the two set arrays ride the join
+    // (candidate volume is banding-bounded), intersection is narrow.
     val inter = cand
-      .join(ds.select(col("doc_id").as("id_a"), col("h").as("ha")).hint("shuffle_hash"), Seq("id_a"))
-      .join(ds.select(col("doc_id").as("id_b"), col("h").as("hb")).hint("shuffle_hash"), Seq("id_b"))
-      .filter(col("ha") === col("hb"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+      .join(sigs.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+        col("ns").as("na")).hint("shuffle_hash"), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("hs").as("hb"),
+        col("ns").as("nb")).hint("shuffle_hash"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        size(array_intersect(col("ha"), col("hb"))).cast("bigint").as("ni"))
     inter
-      .join(counts.select(col("doc_id").as("id_a"), col("ns").as("na")), Seq("id_a"))
-      .join(counts.select(col("doc_id").as("id_b"), col("ns").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
