@@ -33,6 +33,22 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Streaming exact dedup: emit only the FIRST arrival of each canonical
+    * text, state bounded by the event-time watermark (duplicates later
+    * than `watermarkDelay` behind the max seen event time may re-emit —
+    * the standard replay-window trade for bounded state at 100 TB; pair
+    * with a periodic batch [[exactGroups]] sweep for full-history
+    * guarantees). Built on Spark's watermarked dropDuplicates, so the
+    * fingerprint state lives in the checkpointed state store. */
+  def streamingExactDedup(
+      docs: DataFrame, tsCol: String, textCol: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_fp", md5(normText(col(textCol))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("_fp")
+      .drop("_fp")
+
   /** Per-document minhash signature columns sig0..sig{n-1} over word
     * 3-shingles: one md5 base hash per shingle, then the universal-hash
     * permutation family ([[graft.functions.TextFunctions.minhashPerm]]). */

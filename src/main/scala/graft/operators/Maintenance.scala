@@ -86,6 +86,34 @@ object Maintenance {
     }
   }
 
+  /** Small-file compaction: rewrite one date partition of a partitioned
+    * table into `nFiles` sorted files. Streaming sinks and incremental
+    * appends accrete many tiny files; at 100 TB scan efficiency dies on
+    * file-open overhead and lost row-group statistics, so periodic
+    * per-partition compaction is a core maintenance op. Only the target
+    * partition is read and rewritten (partition-pruned scan, dynamic
+    * partition overwrite). */
+  def compactPartition(
+      spark: SparkSession, path: String, date: String, nFiles: Int,
+      sortCols: Seq[String] = Seq("device_id", "snapshot_time")): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val partDir = new org.apache.hadoop.fs.Path(s"$path/date=$date")
+    require(fs.exists(partDir), s"no partition directory $partDir")
+    // Spark refuses to overwrite a path it is reading, so compact into a
+    // dot-prefixed sibling (invisible to concurrent readers) and swap via
+    // rename — the closest to atomic plain-file storage offers.
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact_tmp_date=$date")
+    fs.delete(tmp, true)
+    val part = spark.read.parquet(partDir.toString)
+    val present = sortCols.filter(part.columns.contains)
+    part.repartition(nFiles)
+      .sortWithinPartitions(present.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(partDir, true)
+    fs.rename(tmp, partDir)
+  }
+
   /** Fixed-size shard writing (training-data layout: bounded files so
     * dataloader workers stream uniformly). `maxRecordsPerFile` bounds every
     * output file; range partitioning by `orderCol` keeps shards

@@ -43,6 +43,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(after.filter($"date" === "2024-01-01").count() > 0)
   }
 
+  test("compactPartition shrinks file count, preserves rows, leaves other partitions") {
+    val dir = freshDir()
+    // write deliberately fragmented (many shuffle partitions -> many files)
+    Maintenance.writePartitioned(table().repartition(16), dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def files(d: String) = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$d"))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    val before = spark.read.parquet(dir)
+    val rowsBefore = before.count()
+    val day1Before = before.filter($"date" === "2024-01-01").count()
+    val day2Before = files("date=2024-01-02")
+    assert(files("date=2024-01-01") > 2, "fixture should be fragmented")
+
+    Maintenance.compactPartition(spark, dir, "2024-01-01", nFiles = 1)
+    assert(files("date=2024-01-01") == 1, "compacted to one file")
+    assert(files("date=2024-01-02") == day2Before, "other partitions untouched")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == rowsBefore)
+    assert(after.filter($"date" === "2024-01-01").count() == day1Before)
+  }
+
   test("truncate removes the table") {
     val dir = freshDir()
     Maintenance.writePartitioned(table(), dir)

@@ -99,6 +99,24 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming exact dedup: only the first arrival of each canonical text emits") {
+    val mem = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = graft.operators.Dedup.streamingExactDedup(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "text")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sdedup").start()
+    mem.addData(
+      (ts(0), 1L, "the quick fox"),
+      (ts(1), 2L, "THE  QUICK   FOX"), // same canonical form
+      (ts(2), 3L, "something else"))
+    q.processAllAvailable()
+    mem.addData((ts(3), 4L, "the quick fox")) // later batch duplicate
+    q.processAllAvailable()
+    val got = spark.table("sdedup").select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"got $got")
+    q.stop()
+  }
+
   test("streaming session windows: gap-based sessions emit once closed by the watermark") {
     val mem = MemoryStream[(Timestamp, String)](spark)
     val sessions = mem.toDF().toDF("ts", "user")
