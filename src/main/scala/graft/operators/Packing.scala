@@ -34,7 +34,9 @@ object Packing {
     val span = bounds.getLong(1) - minId + 1
     val width = math.max(1L, (span + numPartitions - 1) / numPartitions)
     narrow
-      .repartition(numPartitions, ((col("id") - minId) / width).cast("long"))
+      // integer div, not `/`: Spark's Divide is double division, which
+      // loses exactness for ids beyond 2^53
+      .repartition(numPartitions, expr(s"(id - ${minId}L) div ${width}L"))
       .sortWithinPartitions(col("id"))
       .as[(Long, Long)]
       .mapPartitions { it =>
