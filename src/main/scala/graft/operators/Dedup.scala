@@ -38,15 +38,18 @@ object Dedup {
     * than `watermarkDelay` behind the max seen event time may re-emit —
     * the standard replay-window trade for bounded state at 100 TB; pair
     * with a periodic batch [[exactGroups]] sweep for full-history
-    * guarantees). Built on Spark's watermarked dropDuplicates, so the
-    * fingerprint state lives in the checkpointed state store. */
+    * guarantees). Built on dropDuplicatesWithinWatermark — plain
+    * dropDuplicates(key) would never evict state (eviction requires the
+    * event-time column in the key); the WithinWatermark variant evicts
+    * each fingerprint once the watermark passes it, which is exactly the
+    * bounded-state contract above. */
   def streamingExactDedup(
       docs: DataFrame, tsCol: String, textCol: String,
       watermarkDelay: String = "1 hour"): DataFrame =
     docs
       .withColumn("_fp", md5(normText(col(textCol))))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("_fp")
+      .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
   /** Per-document minhash signature columns sig0..sig{n-1} over word
