@@ -26,6 +26,18 @@ object Sampling {
     df.filter(hash32(col(idCol).cast("string"), seed) % 100 < pct)
   }
 
+  /** Weighted variant: keep each row with probability `weightPpm / 10^6`
+    * (e.g. sample proportional to a quality score — the standard
+    * importance-sampling downsample for training corpora). The decision is
+    * the integer comparison `hash·10^6 < weightPpm·2^32` — both products
+    * stay under 2^53, so every engine and every rerun draws the identical
+    * sample. */
+  def weightedHashSample(
+      df: DataFrame, idCol: String, weightPpmCol: String, seed: Int): DataFrame =
+    df.filter(
+      hash32(col(idCol).cast("string"), seed) * lit(1000000L) <
+        col(weightPpmCol).cast("long") * lit(4294967296L))
+
   /** Stratified variant: per-stratum percentages (e.g. boost low-resource
     * languages, downsample crawl dumps), `defaultPct` for unlisted strata.
     * The rate table is compiled into a CASE expression — no join, the

@@ -55,6 +55,16 @@ object TrainingOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-weighted corpus downsampling: keep each doc with probability
+    // proportional to its quality score (importance sampling). Pure
+    // integer hash comparison — identical sample in every engine/rerun.
+    "q57_weighted_sample" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScores(t(s, dir, "documents"), "doc_id", "text")
+      Sampling.weightedHashSample(scored, "doc_id", "quality_ppm", seed = 11)
+        .select(col("doc_id"), col("quality_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-language document-length distribution: exact linear-interpolated
     // percentiles (the corpus-profiling op behind length-based filtering
     // thresholds). Exact `percentile` needs a per-group sort — fine when
@@ -85,6 +95,21 @@ object TrainingOps {
   )
 
   private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  /** DuckDB spelling of TextAnalysis.qualityScores' ppm composite
+    * (kept in sync with the q41 oracle). */
+  private val qualityPpmCte =
+    s"""t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
+       |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+       |g AS (SELECT doc_id, count(*) AS nt,
+       |        count(*) FILTER (w IN ('a', 'the')) AS ns,
+       |        CAST(sum(length(w)) AS BIGINT) AS sl
+       |      FROM tk GROUP BY doc_id),
+       |q AS (SELECT doc_id,
+       |  (least(nt * 10000, 1000000) * 3
+       |   + (1000000 - (ns * 1000000) // nt) * 4
+       |   + least((sl * 1000000) // (8 * nt), 1000000) * 3) // 10 AS quality_ppm
+       |  FROM g)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q47_stratified_sample" ->
@@ -117,6 +142,13 @@ object TrainingOps {
          |        PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rk FROM sc)
          |SELECT doc_id, rk, w AS term, score FROM r WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin,
+
+    "q57_weighted_sample" ->
+      s"""WITH $qualityPpmCte
+         |SELECT doc_id, quality_ppm FROM q
+         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 8) AS BIGINT)
+         |        * 1000000 < quality_ppm * 4294967296
+         |ORDER BY doc_id""".stripMargin,
 
     "q54_length_percentiles" ->
       """SELECT lang,
