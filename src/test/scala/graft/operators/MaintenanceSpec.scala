@@ -65,6 +65,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(after.filter($"date" === "2024-01-01").count() == day1Before)
   }
 
+  test("recentDeviceStates returns the newest snapshots fleet-wide (MV analog)") {
+    val snaps = table()
+    val got = Maintenance.recentDeviceStates(snaps, 10).collect()
+    assert(got.length == 10)
+    val times = got.map(_.getAs[java.sql.Timestamp]("snapshot_time").getTime)
+    assert(times.sameElements(times.sorted(Ordering[Long].reverse)), "newest first")
+    val cutoff = times.min
+    val newerCount = snaps.filter($"snapshot_time" >
+      new java.sql.Timestamp(cutoff)).count()
+    assert(newerCount <= 10, "nothing newer was left out")
+  }
+
+  test("writeNdjson round-trips readings as line-delimited JSON") {
+    val dir = freshDir() + "/ndjson"
+    val readings = IoTSimulator.readings(spark, nTicks = 2)
+    Maintenance.writeNdjson(readings, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == readings.count())
+    assert(back.columns.toSet == readings.columns.toSet)
+  }
+
   test("truncate removes the table") {
     val dir = freshDir()
     Maintenance.writePartitioned(table(), dir)
