@@ -26,9 +26,11 @@ object TextFunctions {
 
   /** Portable 32-bit hash in [0, 2^32): first 8 hex digits of
     * md5(s + "#" + seed), as bigint. Seed gives independent hash families
-    * for minhash permutations. */
+    * for minhash permutations. Computed by the single codegen'd
+    * [[Md5Hash32]] expression (bit-identical to the 4-layer
+    * conv/substring/md5 chain the DuckDB oracle spells out). */
   def hash32(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(c, lit("#" + seed))), 1, 8), 16, 10).cast("bigint")
+    graft.internal.Bridge.column(Md5Hash32(graft.internal.Bridge.expression(c), seed))
 
   /** Mersenne prime 2^31−1: modulus of the minhash permutation family. */
   val MinhashP = 2147483647L

@@ -136,6 +136,21 @@ class PropertiesSpec extends SparkSpec {
     b.scores(idx(j))
   }
 
+  test("Md5Hash32 expression bit-matches the conv/substring/md5 chain (the oracle spelling)") {
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '#', 'é', '中', '\t')))
+      .map(_.mkString)
+    val cases = samples(Gen.zip(strGen, Gen.choose(0, 7)), 40) :+ ("", 0)
+    cases.foreach { case (s, seed) =>
+      val row = Seq(Tuple1(s)).toDF("s")
+      val viaChain = row.select(
+        conv(substring(md5(concat($"s", lit("#" + seed))), 1, 8), 16, 10)
+          .cast("bigint")).as[Long].head()
+      val viaExpr = row.select(TextFunctions.hash32($"s", seed)).as[Long].head()
+      assert(viaExpr == viaChain, s"mismatch for ${s.take(30)}#$seed")
+    }
+  }
+
   test("minhash permutations stay in [0, p) and are distinct families") {
     val hGen = Gen.choose(0L, (1L << 32) - 1)
     samples(hGen, 20).foreach { h =>
