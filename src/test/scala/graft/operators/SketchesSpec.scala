@@ -37,6 +37,21 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile tracks the exact percentile within its accuracy bound") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val exact = docs.select(expr("percentile(n_chars, 0.5)")).as[Double].head()
+    val approx = docs.select(
+      expr("approx_percentile(n_chars, 0.5, 1000)")).as[Long].head()
+    // accuracy 1000 => rank error <= n/1000; translate to a loose value
+    // tolerance via the exact quartiles
+    val (q25, q75) = (
+      docs.select(expr("percentile(n_chars, 0.25)")).as[Double].head(),
+      docs.select(expr("percentile(n_chars, 0.75)")).as[Double].head())
+    assert(approx >= q25 && approx <= q75,
+      s"approx median $approx wildly off exact $exact")
+    assert(math.abs(approx - exact) / exact < 0.1)
+  }
+
   test("bloom filter has no false negatives and bounded false positives") {
     val words = tok.distinct()
     val nw = words.count()
