@@ -57,6 +57,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q49: TF-IDF document-frequency table and corpus count are broadcast") {
+    val p = plan("q49_tfidf_top_terms")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q53: bloom decontamination has no cartesian; verify join is left-semi") {
+    val p = plan("q53_bloom_decontaminate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), "exact verify should be a semi join:\n" + p)
+  }
+
+  test("q57: weighted sampling is join-free and window-free (pure narrow filter)") {
+    val p = plan("q57_weighted_sample")
+    assert(!p.contains("Join"), "sampling must not join:\n" + p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("whole-stage codegen covers the cosine hot path (equi-join variant)") {
     // q20's BroadcastNestedLoopJoin disables whole-stage codegen around its
     // projection (cosine_sim still evaluates, interpreted); the equi-join
