@@ -44,7 +44,13 @@ object Decontaminate {
     // Bloom sketch of the test shingle universe, built distributed and
     // collected to the driver (bytes ~ 1.2·n·ln(1/fpp)/ln²2 — a 1M-shingle
     // test set at 1% fpp is ~1.2 MB, broadcastable at any train scale).
-    val nTest = math.max(1L, testH.count())
+    val nTest = testH.count()
+    if (nTest == 0) {
+      // no test shingles -> nothing can be contaminated (and
+      // stat.bloomFilter NPEs on an empty frame)
+      import spark.implicits._
+      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "n_shared")
+    }
     val bf = testH.stat.bloomFilter("h", nTest, fpp)
     val bcast = spark.sparkContext.broadcast(bf)
 

@@ -55,6 +55,23 @@ class EdgeCasesSpec extends SparkSpec {
     assert(d.select(min($"similarity_to_profile")).as[Double].head() == 1.0)
   }
 
+  test("round-2 text/sampling operators tolerate empty and degenerate inputs") {
+    assert(TextAnalysis.tfidfTopTerms(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.repetitionScores(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Sampling.hashSample(emptyDocs, "doc_id", 50, 1).count() == 0)
+    assert(Decontaminate.contaminated(emptyDocs, emptyDocs, "doc_id", "text").count() == 0)
+    // single empty-text doc: repetition 0, tfidf scores its one empty token
+    val one = Seq((1L, "")).toDF("doc_id", "text")
+    val rep = TextAnalysis.repetitionScores(one, "doc_id", "text").head()
+    assert(rep.getAs[Long]("n_ngrams") == 0L && rep.getAs[Double]("rep_ratio") == 0.0)
+    assert(TextAnalysis.tfidfTopTerms(one, "doc_id", "text").count() == 1)
+    // weight extremes: ppm=0 keeps nothing, ppm=10^6 keeps everything
+    val weighted = Seq((1L, 0L), (2L, 1000000L)).toDF("doc_id", "w_ppm")
+    val kept = Sampling.weightedHashSample(weighted, "doc_id", "w_ppm", 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"got $kept")
+  }
+
   test("rules on a device type with no rules defined yields zero violations") {
     val snaps = graft.operators.Snapshotter.snapshots(
       graft.sources.IoTSimulator.readings(spark, 5), dim = 8)
