@@ -62,4 +62,49 @@ object Profiles {
 
     head.join(stats, Seq("device_id"))
   }
+
+  /** Mergeable per-(device, metric) sufficient statistics — the
+    * incremental form of [[build]]'s stats pass. At 100 TB profiles are
+    * never re-aggregated from full history: each ingest batch contributes
+    * its partial state, states merge associatively ([[mergeStatsState]]),
+    * and mean/std finalize on read ([[finalizeStats]]). The sums stay
+    * DECIMAL in the state, so merging is exact in any order/grouping and
+    * the finalized doubles are bit-identical to a from-scratch [[build]]
+    * (asserted in ProfilesIncrementalSpec). */
+  def statsState(snapshots: DataFrame): DataFrame =
+    snapshots
+      .select(col("device_id"), explode(col("metrics")).as(Seq("metric", "v")))
+      .groupBy(col("device_id"), col("metric"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(30, 2))).as("s"),
+        sum((col("v") * col("v")).cast(org.apache.spark.sql.types.DecimalType(30, 4))).as("s2"),
+        min(col("v")).as("vmin"),
+        max(col("v")).as("vmax"))
+
+  /** Merge two (or, via repeated application, any number of) stats states. */
+  def mergeStatsState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("device_id"), col("metric"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("s")).as("s"),
+        sum(col("s2")).as("s2"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"))
+
+  /** Finalize a state to the [[build]] stats shape (mean / population std /
+    * min / max per metric). */
+  def finalizeStats(state: DataFrame): DataFrame =
+    state
+      .select(col("device_id"), col("metric"),
+        (col("s").cast("double") / col("n")).as("mean"),
+        sqrt((col("s2").cast("double") / col("n")) -
+          (col("s").cast("double") / col("n")) *
+            (col("s").cast("double") / col("n"))).as("std"),
+        col("vmin").as("min"), col("vmax").as("max"))
+      .groupBy(col("device_id"))
+      .agg(array_sort(collect_list(
+        struct(col("metric"), col("mean"), col("std"), col("min"), col("max"))))
+        .as("metric_stats"))
 }
