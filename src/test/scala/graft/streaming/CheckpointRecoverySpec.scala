@@ -70,4 +70,43 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streaming dedup state survives restart: replayed duplicates stay suppressed") {
+    val src = Files.createTempDirectory("dedup_src").toString
+    val sink = Files.createTempDirectory("dedup_sink").toString
+    val ckpt = Files.createTempDirectory("dedup_ckpt").toString
+
+    def ts(sec: Long) = new java.sql.Timestamp((1704067200L + sec) * 1000)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def append(rows: (java.sql.Timestamp, Long, String)*): Unit =
+      rows.toSeq.toDF("ts", "doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema).parquet(src)
+      graft.operators.Dedup.streamingExactDedup(stream, "ts", "text",
+          watermarkDelay = "1 hour")
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", sink)
+        .start()
+    }
+
+    // phase 1: two distinct texts
+    append((ts(0), 1L, "alpha beta"), (ts(1), 2L, "gamma delta"))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+
+    // phase 2 after "crash": a duplicate of doc 1's text (within the
+    // 1-hour state window) plus one genuinely new text
+    append((ts(10), 3L, "ALPHA   BETA"), (ts(11), 4L, "epsilon zeta"))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(sink).select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L),
+      s"duplicate must stay suppressed across restart, got $got")
+  }
 }
