@@ -199,14 +199,37 @@ object Dedup {
     * GraphX connected components — O(diameter) Pregel iterations, and
     * near-dup graphs have tiny diameters. */
   def nearDupGroups(pairs: DataFrame): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
+    // Min-label propagation on DataFrames: every vertex starts labeled
+    // with its own id; each round pushes labels across edges (both
+    // directions) and keeps the minimum; converged when no label changed.
+    // O(component diameter) rounds — near-dup graphs are shallow — with
+    // localCheckpoint truncating the growing lineage each round. Same
+    // algorithm GraphX's connectedComponents runs, minus the RDD
+    // round-trips, and the physical plan stays AQE-managed shuffles.
     val spark = pairs.sparkSession
-    import spark.implicits._
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
-    val graph = Graph.fromEdges(edges, ())
-    graph.connectedComponents().vertices
-      .toDF("doc_id", "keep_id")
+    val edges = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(eager = true)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var rounds = 0
+    val maxRounds = 50 // rounds needed = component diameter; dup graphs
+                       // are shallow (near-clique), 50 is a loose guard
+    while (!converged && rounds < maxRounds) {
+      val prop = sym.join(labels, sym("a") === labels("id"))
+        .select(col("b").as("id"), col("lbl"))
+      val next = labels.select(col("id"), col("lbl")).union(prop)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(eager = true)
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("keep_id"))
   }
 
   /** Full transitive near-dup dedup: survivors = docs that are their own
