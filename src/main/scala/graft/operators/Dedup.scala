@@ -196,8 +196,8 @@ object Dedup {
     * similarity graph, so chains (A≈B, B≈C, A̸≈C) still collapse to one
     * survivor. Returns (doc_id, keep_id) for every doc in some component;
     * keep_id is the component's lowest doc id (keep-first policy). Uses
-    * GraphX connected components — O(diameter) Pregel iterations, and
-    * near-dup graphs have tiny diameters. */
+    * DataFrame min-label propagation — O(diameter) rounds, and near-dup
+    * graphs have tiny diameters. */
   def nearDupGroups(pairs: DataFrame): DataFrame = {
     // Min-label propagation on DataFrames: every vertex starts labeled
     // with its own id; each round pushes labels across edges (both

@@ -96,7 +96,7 @@ object Documents {
         .orderBy(col("lang"))
     }),
 
-    // Transitive near-dup components: GraphX connected components over the
+    // Transitive near-dup components: label-propagation components over the
     // LSH-verified pair graph (oracle: recursive-CTE min-reachability).
     "q38_neardup_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
