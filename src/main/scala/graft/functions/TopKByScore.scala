@@ -20,11 +20,18 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size: Int = 0
 
-  // "a is worse than b" under (score desc, id asc) ranking
-  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  // "a is worse than b" under (score desc, id asc) ranking.
+  // Double.compare gives a total order (plain </== would never admit NaN
+  // once full and break the heap invariant if one slipped in while
+  // filling); -0.0 is canonicalized to 0.0 at insert so zero scores stay
+  // an id-tiebroken tie, matching SQL ordering semantics.
+  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
-  def insert(s: Double, id: Long): Unit = {
+  def insert(s0: Double, id: Long): Unit = {
+    val s = s0 + 0.0 // -0.0 -> 0.0; NaN/others unchanged
     if (size < k) {
       var i = size; scores(i) = s; ids(i) = id; size += 1
       while (i > 0) { // sift up (parent must be worse)
@@ -54,7 +61,10 @@ final class TopKBuffer(val k: Int) {
   /** (score, id) pairs sorted best-first. */
   def sorted: Array[(Double, Long)] = {
     val out = Array.tabulate(size)(i => (scores(i), ids(i)))
-    out.sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    out.sortWith { (a, b) =>
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
   }
 }
 

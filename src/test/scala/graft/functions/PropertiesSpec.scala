@@ -61,6 +61,18 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("top_k_by_score ranks NaN greatest and ties -0.0 with 0.0 (total order)") {
+    val items = Seq(
+      (Double.NaN, 7L), (5.0, 1L), (Double.NaN, 3L), (5.0, 0L),
+      (-0.0, 10L), (0.0, 9L), (-1.0, 2L))
+    val got = items.toDF("score", "id").repartition(3)
+      .groupBy(lit(1)).agg(top_k_by_score($"score", $"id", 6).as("t"))
+      .select(explode($"t").as("p")).select($"p.id")
+      .as[Long].collect().toSeq
+    // NaN > everything (id tiebreak), then 5.0s, then the zero tie by id
+    assert(got == Seq(3L, 7L, 0L, 1L, 9L, 10L), s"got $got")
+  }
+
   test("tumbling windows conserve row counts (bucketing law)") {
     samples(Gen.listOfN(30, Gen.choose(0L, 10000L)), 6).foreach { secs =>
       val df = secs.toDF("sec").select(timestamp_seconds($"sec").as("ts"))
