@@ -72,6 +72,27 @@ class EdgeCasesSpec extends SparkSpec {
     assert(kept == Set(2L), s"got $kept")
   }
 
+  test("IVF pruned search with an empty query set returns empty (no isin crash)") {
+    val emb = graft.sources.Tables(spark, sf("sf0.001"), "embeddings")
+    val idx = Ivf.build(emb, nCells = 4)
+    val none = emb.filter($"vec_id" < 0)
+    assert(Ivf.searchPruned(idx, none, k = 3, nprobe = 2).count() == 0)
+    assert(Ivf.search(idx, none, k = 3, nprobe = 2).count() == 0)
+  }
+
+  test("LSH kNN: a query whose radius admits no candidates is absent, not erroneous") {
+    val emb = graft.sources.Tables(spark, sf("sf0.001"), "embeddings")
+    val q = emb.filter($"vec_id" < 3)
+    // radius 0 with many bits: most queries match only vectors in their
+    // exact signature bucket; the call must still succeed and any emitted
+    // neighbors must respect the rk contract
+    val res = Knn.approxLsh(emb, q, k = 3, dim = 64, nBits = 24, hammingRadius = 0)
+    val rks = res.groupBy($"query_id").agg(max($"rk").as("m"), count(lit(1)).as("n"))
+      .select($"m".cast("long"), $"n").as[(Long, Long)].collect()
+    assert(rks.forall { case (m, n) => m == n && m <= 3 },
+      s"rk must stay dense 1..n<=k per query: ${rks.toSeq}")
+  }
+
   test("rules on a device type with no rules defined yields zero violations") {
     val snaps = graft.operators.Snapshotter.snapshots(
       graft.sources.IoTSimulator.readings(spark, 5), dim = 8)
