@@ -35,4 +35,45 @@ class ProfilesIncrementalSpec extends SparkSpec {
         .as[(String, String)].collect().sortBy(_._1).toSeq
     assert(canon(incr) == canon(batch), "incremental must equal batch bit-for-bit")
   }
+
+  test("streaming foreachBatch maintains the profile state table (stream ≡ batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.core.MetricReading
+
+    val snaps = Snapshotter.snapshots(
+      IoTSimulator.readings(spark, nTicks = 60), dim = 8).cache()
+    val readings = IoTSimulator.readings(spark, nTicks = 60)
+      .as[MetricReading].collect().toSeq
+
+    // state table accumulated across micro-batches (the reference's
+    // continuously-updated device_profiles, kafka_consumer.py:486-519)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val mem = MemoryStream[MetricReading](spark)
+    val q = mem.toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batchSnaps = Snapshotter.snapshots(batch.toDF(), dim = 8)
+        val delta = Profiles.statsState(batchSnaps)
+        // materialize the merged state so lineage doesn't accrete per batch
+        state = Some(state.fold(delta)(s =>
+          Profiles.mergeStatsState(s, delta)).localCheckpoint(eager = true))
+      }
+      .start()
+    // three arbitrary micro-batches; per-metric stats see each reading
+    // exactly once no matter where a tick's rows split
+    readings.grouped(math.max(1, readings.size / 3 + 1)).foreach { chunk =>
+      mem.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = Profiles.finalizeStats(state.get)
+    val batchRef = Profiles.build(snaps, minSnapshots = 1)
+      .select($"device_id", $"metric_stats")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"device_id", to_json($"metric_stats").as("j"))
+        .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(canon(streamed) == canon(batchRef),
+      "stream-maintained profiles must equal the batch build bit-for-bit")
+  }
 }
