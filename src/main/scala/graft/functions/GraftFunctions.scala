@@ -26,8 +26,9 @@ object GraftFunctions {
     Bridge.column(TopKByScore(Bridge.expression(score), Bridge.expression(id), k)
       .toAggregateExpression())
 
-  def rhp_signature(vec: Column, nBits: Int, dim: Int, seed: Long): Column =
-    Bridge.column(RandomHyperplaneSignature(Bridge.expression(vec), nBits, dim, seed))
+  def rhp_signature(vec: Column, nBits: Int, dim: Int, seed: Long,
+      portable: Boolean = false): Column =
+    Bridge.column(RandomHyperplaneSignature(Bridge.expression(vec), nBits, dim, seed, portable))
 
   def hash_featurize(metrics: Column, dim: Int): Column =
     Bridge.column(HashFeaturize(Bridge.expression(metrics), dim))

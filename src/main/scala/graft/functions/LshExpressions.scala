@@ -6,6 +6,27 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
+/** Deterministic ±1 (Rademacher) hyperplane entries derived from the same
+  * md5 hash family as [[TextFunctions.hash32]]: sign(b, i, seed) is bit 0 of
+  * `md5("b:i#seed")`'s first 8 hex digits. Rademacher projections are a
+  * standard sign-LSH family (same collision-probability guarantee as
+  * Gaussian planes, Achlioptas-style), with one operational advantage:
+  * every product `±1·x_i` is EXACT in IEEE double, so an external engine
+  * that sums the same terms in the same order reproduces signatures
+  * bit-for-bit — the DuckDB oracle for the banded near-dup queries does
+  * exactly that with a sequential `list_reduce` fold. */
+object PortableSigns {
+  def hash32(s: String, seed: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((s + "#" + seed).getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  def sign(bit: Int, i: Int, seed: Long): Double =
+    if ((hash32(s"$bit:$i", seed) & 1L) == 1L) 1.0 else -1.0
+}
+
 /** rhp_signature(vec): sign-random-projection LSH signature for cosine
   * similarity — bit i of the result is `sign(dot(vec, h_i))` for a
   * deterministic pseudo-random hyperplane `h_i` derived from `seed`.
@@ -16,8 +37,13 @@ import org.apache.spark.sql.types._
   * (`/root/reference/scylladb_setup/create_iot_schema.py:136-155`): on a
   * cluster, bucketing or band-joining on signature prefixes prunes the
   * candidate set before the exact cosine rescoring pass.
+  *
+  * `portable = true` switches the hyperplanes from Gaussian to md5-derived
+  * ±1 entries ([[PortableSigns]]) whose signatures any engine can reproduce
+  * exactly — the mode the oracle-checked banded queries use.
   */
-case class RandomHyperplaneSignature(child: Expression, nBits: Int, dim: Int, seed: Long)
+case class RandomHyperplaneSignature(
+    child: Expression, nBits: Int, dim: Int, seed: Long, portable: Boolean = false)
     extends UnaryExpression with VectorArrayExpression with CodegenFallback {
   require(nBits >= 1 && nBits <= 64, "nBits must be in [1, 64]")
 
@@ -26,11 +52,15 @@ case class RandomHyperplaneSignature(child: Expression, nBits: Int, dim: Int, se
   override def dataType: DataType = LongType
   override def prettyName: String = "rhp_signature"
 
-  // Deterministic hyperplane matrix: nBits x dim Gaussian entries.
-  @transient private lazy val planes: Array[Array[Double]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  // Deterministic hyperplane matrix: nBits x dim entries (Gaussian, or
+  // portable md5-derived ±1).
+  @transient private lazy val planes: Array[Array[Double]] =
+    if (portable)
+      Array.tabulate(nBits)(b => Array.tabulate(dim)(i => PortableSigns.sign(b, i, seed)))
+    else {
+      val rnd = new java.util.Random(seed)
+      Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    }
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -200,36 +200,67 @@ object Dedup {
     * graphs have tiny diameters. */
   def nearDupGroups(pairs: DataFrame): DataFrame = {
     // Min-label propagation on DataFrames: every vertex starts labeled
-    // with its own id; each round pushes labels across edges (both
-    // directions) and keeps the minimum; converged when no label changed.
-    // O(component diameter) rounds — near-dup graphs are shallow — with
-    // localCheckpoint truncating the growing lineage each round. Same
-    // algorithm GraphX's connectedComponents runs, minus the RDD
-    // round-trips, and the physical plan stays AQE-managed shuffles.
-    val spark = pairs.sparkSession
+    // with its own id; each round pushes labels across edges and keeps the
+    // minimum; converged when no label changed. O(component diameter)
+    // rounds — near-dup graphs are shallow — with localCheckpoint
+    // truncating the growing lineage each round.
+    //
+    // Two scale refinements over the naive loop (each round was 2 jobs +
+    // a join in round 2 of this engine, the then-slowest bench query):
+    //  - ONE job per round: the old label rides the aggregation (marker
+    //    column), so "did anything change" is a narrow filter-count over
+    //    the just-checkpointed partitions — no second join.
+    //  - FRONTIER propagation: only vertices whose label improved last
+    //    round push labels (new information can only flow out of a change
+    //    — the BFS invariant), so late-round joins touch a shrinking
+    //    fraction of the edge set.
+    val sc = pairs.sparkSession.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val pre = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(eager = true)
+      (out, (sc.getPersistentRDDs.keySet -- pre).toSet)
+    }
+    def free(ids: Set[Int]): Unit = {
+      val live = sc.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
     val edges = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
-    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(eager = true)
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(eager = true)
+    val (sym, symIds) = checkpointed(
+      edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
+    var (labels, labelIds) = checkpointed(
+      sym.select(col("a").as("id")).distinct().select(col("id"), col("id").as("lbl")))
+    var frontier = labels // round 1: every vertex is new information
     var converged = false
     var rounds = 0
     val maxRounds = 50 // rounds needed = component diameter; dup graphs
                        // are shallow (near-clique), 50 is a loose guard
     while (!converged && rounds < maxRounds) {
-      val prop = sym.join(labels, sym("a") === labels("id"))
-        .select(col("b").as("id"), col("lbl"))
-      val next = labels.select(col("id"), col("lbl")).union(prop)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(eager = true)
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
-      converged = changed == 0
-      labels = next
+      val prop = sym.join(frontier.select(col("id"), col("lbl")), sym("a") === col("id"))
+        .select(col("b").as("id"), col("lbl"), lit(false).as("own"))
+      // one aggregation pass carries the old label along (exactly one
+      // `own` row per id), so new label AND change flag come out together
+      val (next, nextIds) = checkpointed(
+        labels.select(col("id"), col("lbl"), lit(true).as("own")).union(prop)
+          .groupBy(col("id"))
+          .agg(min(col("lbl")).as("lbl"), min(when(col("own"), col("lbl"))).as("old")))
+      // narrow scan of the checkpointed partitions — no join, no shuffle
+      val changedFrontier = next.filter(col("lbl") < col("old")).select(col("id"), col("lbl"))
+      converged = changedFrontier.limit(1).isEmpty
+      free(labelIds)
+      labels = next.select(col("id"), col("lbl"))
+      labelIds = nextIds
+      frontier = changedFrontier
       rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("keep_id"))
+    // fail loudly rather than silently returning non-converged components
+    // (a component whose diameter exceeds maxRounds would otherwise get a
+    // wrong answer with no signal)
+    if (!converged) throw new IllegalStateException(
+      s"nearDupGroups: label propagation not converged after $maxRounds rounds " +
+        "(a component diameter exceeds the guard; raise maxRounds)")
+    val out = labels.select(col("id").as("doc_id"), col("lbl").as("keep_id"))
+    free(symIds)
+    out
   }
 
   /** Full transitive near-dup dedup: survivors = docs that are their own
@@ -245,17 +276,30 @@ object Dedup {
   /** Embedding near-duplicate pairs at scale: sign-random-projection
     * signatures banded into `nBands` buckets; only same-bucket pairs are
     * exactly rescored with cosine. The banding join replaces the O(n²)
-    * self-join of the exact variant (queries q24) — candidates per doc
-    * scale with bucket occupancy, not corpus size. Recall grows with
-    * nBands (each band is an independent chance to collide). */
+    * self-join of an exact variant — candidates per doc scale with bucket
+    * occupancy, not corpus size.
+    *
+    * Approximation contract (declared, LSH-inherent): output = the
+    * candidate pairs that collide in ≥1 band, verified `cosine ≥
+    * minCosine`. A qualifying pair at bit-collision probability
+    * p = 1 − θ/π is recalled with probability 1 − (1 − p^bitsPerBand)^nBands
+    * → ~1 for true near-duplicates (cosine ≥ 0.95 ⇒ p ≥ 0.90), lower near
+    * a loose threshold. DedupSpec asserts band-path ≡ exact-path on a
+    * near-dup corpus at test scale.
+    *
+    * `portable = true` (default) uses md5-derived ±1 hyperplanes
+    * ([[graft.functions.PortableSigns]]) so signatures — and therefore the
+    * whole result — are reproduced bit-for-bit by the DuckDB oracle (q24).
+    */
   def embeddingNearDup(
       corpus: DataFrame, minCosine: Double,
-      dim: Int, nBands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      dim: Int, nBands: Int = 16, bitsPerBand: Int = 8, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      portable: Boolean = true): DataFrame = {
     import graft.functions.GraftFunctions.{cosine_sim, rhp_signature}
     val sigCols = Seq(col(idCol).as("doc_id"), col(vecCol).as("v")) ++
       (0 until nBands).map(b =>
-        rhp_signature(col(vecCol), bitsPerBand, dim, seed + b).as(s"band$b"))
+        rhp_signature(col(vecCol), bitsPerBand, dim, seed + b, portable).as(s"band$b"))
     val sigs = corpus.select(sigCols: _*)
     val bands = sigs.select(col("doc_id"), col("v"),
       explode(array((0 until nBands).map(b =>
@@ -273,7 +317,8 @@ object Dedup {
   /** Pairs of documents whose 64-bit simhashes differ by at most
     * `maxHamming` bits. The pair stage self-joins on `blockBits` leading
     * bits of the low half as a cheap block (exact for maxHamming = 0;
-    * probabilistic prune otherwise unless blockBits = 0 → all pairs). */
+    * probabilistic prune otherwise unless blockBits = 0 → all pairs).
+    * Prefer [[simhashPairsBlocked]]: exact recall AND no all-pairs stage. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, blockBits: Int = 0): DataFrame = {
@@ -284,6 +329,43 @@ object Dedup {
       if (blockBits <= 0) lit(true)
       else expr(s"(lo_a >> ${32 - blockBits}) = (lo_b >> ${32 - blockBits})")
     a.join(b, col("id_a") < col("id_b") && block)
+      .withColumn("hd",
+        (hamming_dist(col("lo_a"), col("lo_b")) + hamming_dist(col("hi_a"), col("hi_b")))
+          .cast("bigint"))
+      .filter(col("hd") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hd"))
+  }
+
+  /** [[simhashPairs]] with EXACT recall and no all-pairs stage: pigeonhole
+    * multi-block banding. The 64-bit fingerprint is split into `nBlocks ≥
+    * maxHamming + 1` equal bit spans; two fingerprints within Hamming
+    * distance `maxHamming` differ in at most `maxHamming` spans, so they
+    * MUST agree exactly on at least one — an equi-join on
+    * (block index, block value) finds every qualifying pair, and only
+    * collided candidates are Hamming-verified. Identical results to the
+    * all-pairs variant at O(Σ per-bucket occupancy²) cost instead of
+    * O(n²) — the standard simhash sharding scheme at corpus scale. */
+  def simhashPairsBlocked(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBlocks = Seq(2, 4, 8, 16, 32).find(_ >= maxHamming + 1).getOrElse(
+      throw new IllegalArgumentException(s"maxHamming $maxHamming too large for 64-bit blocks"))
+    val w = 64 / nBlocks // 32 % w == 0, so blocks never straddle the halves
+    val mask = (1L << w) - 1
+    val sh = simhash64(docs, idCol, textCol)
+    val blocks = array((0 until nBlocks).map { j =>
+      val start = j * w
+      val half = if (start < 32) "sim_lo" else "sim_hi"
+      val off = start % 32
+      struct(lit(j).as("j"), expr(s"($half >> $off) & $mask").as("bv"))
+    }: _*)
+    val e = sh.select(col("doc_id"), col("sim_lo"), col("sim_hi"), explode(blocks).as("blk"))
+    e.as("x").join(e.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.sim_lo").as("lo_a"), col("x.sim_hi").as("hi_a"),
+        col("y.sim_lo").as("lo_b"), col("y.sim_hi").as("hi_b"))
+      .distinct()
       .withColumn("hd",
         (hamming_dist(col("lo_a"), col("lo_b")) + hamming_dist(col("hi_a"), col("hi_b")))
           .cast("bigint"))

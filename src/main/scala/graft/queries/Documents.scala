@@ -32,9 +32,11 @@ object Documents {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // 64-bit term-frequency SimHash; near-dup pairs at Hamming <= 3.
+    // 64-bit term-frequency SimHash; near-dup pairs at Hamming <= 3 via
+    // pigeonhole multi-block banding (exact recall, equi-join candidate
+    // generation — no all-pairs stage anywhere in the plan).
     "q32_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairsBlocked(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -200,13 +202,21 @@ object Documents {
          |sh64 AS (SELECT doc_id,
          |    sum(CASE WHEN v0 > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS lo,
          |    sum(CASE WHEN v1 > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS hi
-         |  FROM bits GROUP BY doc_id)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(CAST(xor(a.lo, b.lo) AS BIGINT))
-         |     + bit_count(CAST(xor(a.hi, b.hi) AS BIGINT)) AS BIGINT) AS hd
-         |FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
-         |WHERE bit_count(CAST(xor(a.lo, b.lo) AS BIGINT))
-         |    + bit_count(CAST(xor(a.hi, b.hi) AS BIGINT)) <= 3
+         |  FROM bits GROUP BY doc_id),
+         |blk AS (SELECT doc_id, lo, hi, j.j,
+         |    CASE WHEN j.j < 2 THEN (lo >> (j.j * 16)) & 65535
+         |         ELSE (hi >> ((j.j - 2) * 16)) & 65535 END AS bv
+         |  FROM sh64 CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |    x.lo AS lo_a, x.hi AS hi_a, y.lo AS lo_b, y.hi AS hi_b
+         |  FROM blk x JOIN blk y
+         |    ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(CAST(xor(lo_a, lo_b) AS BIGINT))
+         |     + bit_count(CAST(xor(hi_a, hi_b) AS BIGINT)) AS BIGINT) AS hd
+         |FROM cand
+         |WHERE bit_count(CAST(xor(lo_a, lo_b) AS BIGINT))
+         |    + bit_count(CAST(xor(hi_a, hi_b) AS BIGINT)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q33_same_source_jaccard" ->

@@ -75,17 +75,18 @@ object Vectors {
         .orderBy(col("query_id"), col("rk"))
     }),
 
-    // Embedding near-duplicate pairs above a cosine threshold (LLM-pipeline
-    // near-dup dedup; exact blocked self-join at this scale, LSH banding is
-    // the 100 TB path — see graft.operators.Knn.approxLsh).
+    // Embedding near-duplicate pairs above a cosine threshold — the 100 TB
+    // banded path IS the declared query: sign-LSH band equi-join candidate
+    // generation (portable md5-derived ±1 hyperplanes, reproduced bit-for-
+    // bit by the oracle), exact cosine verify on candidates only. No
+    // all-pairs stage anywhere (PlanSpec gate). The exact O(n²) variant
+    // survives only as DedupSpec's small-scale cross-check, where band ≡
+    // exact on a true near-dup corpus.
     "q24_neardup_pairs" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cs", cosine_sim(col("va"), col("vb")))
-        .filter(col("cs") >= 0.35)
-        .select(col("id_a"), col("id_b"), round(col("cs"), 6).as("sim"))
+      graft.operators.Dedup.embeddingNearDup(e, minCosine = 0.35,
+          dim = 64, nBands = 16, bitsPerBand = 8, seed = 42L)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -185,13 +186,34 @@ object Vectors {
         |SELECT qid AS query_id, rk, nid AS neighbor_id, round(cs, 6) AS sim
         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
 
+    // Reproduces the banded scale path exactly: the ±1 hyperplane entries
+    // are the same md5-derived signs the Spark expression bakes in
+    // (PortableSigns), and the dot products fold left-to-right via
+    // list_reduce — ±1 products are exact in IEEE double, so identical
+    // sequential additions give bit-identical signatures in both engines.
     "q24_neardup_pairs" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       round(list_cosine_similarity(a.v, b.v), 6) AS sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
-        |ORDER BY id_a, id_b""".stripMargin,
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |sg AS (SELECT b.b, j.j, i.i,
+        |    CASE WHEN (CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+        |           CAST(i.i AS VARCHAR) || '#' || CAST(42 + b.b AS VARCHAR)), 1, 8)
+        |         AS BIGINT) & 1) = 1 THEN 1.0 ELSE -1.0 END AS sg
+        |  FROM (SELECT unnest(range(0, 16)) AS b) b,
+        |       (SELECT unnest(range(0, 8)) AS j) j,
+        |       (SELECT unnest(range(0, 64)) AS i) i),
+        |sgl AS (SELECT b, j, list(sg ORDER BY i) AS sgl FROM sg GROUP BY b, j),
+        |dots AS (SELECT e.vec_id, s.b, s.j,
+        |    list_reduce(list_transform(range(1, 65), i -> e.v[i] * s.sgl[i]),
+        |                (acc, x) -> acc + x) AS dot
+        |  FROM e CROSS JOIN sgl s),
+        |sig AS (SELECT vec_id, b,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS sgn
+        |  FROM dots GROUP BY vec_id, b),
+        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM sig x JOIN sig y ON x.b = y.b AND x.sgn = y.sgn AND x.vec_id < y.vec_id),
+        |r AS (SELECT id_a, id_b, list_cosine_similarity(a.v, b.v) AS cs
+        |      FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)
+        |SELECT id_a, id_b, round(cs, 6) AS sim
+        |FROM r WHERE cs >= 0.35 ORDER BY id_a, id_b""".stripMargin,
 
     "q25_path2_centroid_anomaly" ->
       s"""$centroidCte

@@ -89,4 +89,58 @@ class DedupSpec extends SparkSpec {
     val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64, blockBits = 8).count()
     assert(blocked <= all)
   }
+
+  test("simhashPairsBlocked ≡ all-pairs simhash (pigeonhole recall is exact)") {
+    // richer corpus: 40 docs, some near-identical (small Hamming), most far
+    val base = (1 to 25).map(i => f"word$i%02d")
+    val many = (0 until 40).map { d =>
+      val toks = base.map(w => if (d % 7 == 0 && w == "word03") s"alt$d" else w)
+      (d.toLong, (toks :+ s"tail${d % 5}").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (mh <- Seq(0, 3, 7)) {
+      val exact = Dedup.simhashPairs(many, "doc_id", "text", maxHamming = mh, blockBits = 0)
+        .as[(Long, Long, Long)].collect().toSet
+      val blocked = Dedup.simhashPairsBlocked(many, "doc_id", "text", maxHamming = mh)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(blocked == exact, s"maxHamming=$mh: blocked ${blocked.size} vs exact ${exact.size}")
+    }
+  }
+
+  test("embeddingNearDup band path ≡ exact all-pairs path on a near-dup corpus") {
+    // The LSH contract: for TRUE near-duplicates (cosine ≥ ~0.95, bit
+    // collision prob ≥ 0.90) the 16x8 banding recalls every pair —
+    // band-path output equals the exact O(n²) rescore at test scale.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).flatMap { g =>
+      val b = Array.fill(64)(rnd.nextGaussian())
+      (0 until 3).map(c => ((g * 3 + c).toLong,
+        b.map(x => (x + rnd.nextGaussian() * 0.02).toFloat).toSeq))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    import graft.functions.GraftFunctions.cosine_sim
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val exact = a.join(b, $"id_a" < $"id_b")
+      .withColumn("sim", cosine_sim($"va", $"vb"))
+      .filter($"sim" >= 0.95)
+      .select($"id_a", $"id_b", $"sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val banded = Dedup.embeddingNearDup(emb, minCosine = 0.95, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    assert(banded == exact, s"banded ${banded.size} vs exact ${exact.size}")
+  }
+
+  test("portable rhp signatures are md5-reproducible and stable") {
+    import graft.functions.{PortableSigns, GraftFunctions}
+    // sign derivation matches the documented md5 spelling
+    assert(Set(1.0, -1.0).contains(PortableSigns.sign(0, 0, 42L)))
+    val v = Seq((1L, Seq(1.0f, -2.0f, 0.5f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val s1 = v.select(GraftFunctions.rhp_signature($"embedding", 8, 4, 42L, portable = true))
+      .as[Long].head()
+    val s2 = v.select(GraftFunctions.rhp_signature($"embedding", 8, 4, 42L, portable = true))
+      .as[Long].head()
+    assert(s1 == s2 && s1 >= 0L && s1 < 256L)
+  }
 }

@@ -52,6 +52,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "banding must be an equi-join:\n" + p)
   }
 
+  test("q24: banded embedding near-dup has no all-pairs stage") {
+    val p = plan("q24_neardup_pairs")
+    assert(!p.contains("CartesianProduct"), "band join must be equi:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no O(n²) pair stage:\n" + p)
+  }
+
+  test("q32: pigeonhole simhash blocking has no all-pairs stage") {
+    val p = plan("q32_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), "block join must be equi:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no O(n²) pair stage:\n" + p)
+  }
+
   test("q40: language-ID rate table is broadcast") {
     val p = plan("q40_lang_id")
     assert(p.contains("BroadcastHashJoin"), p)
