@@ -10,6 +10,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // grouped-top-k rewrite + SQL fns
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM/codegen/shuffle machinery on the tiny sf so the first

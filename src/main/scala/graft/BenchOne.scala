@@ -7,7 +7,8 @@ object BenchOne {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warmup
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()

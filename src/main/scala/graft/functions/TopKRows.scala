@@ -2,111 +2,108 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, Expression, InterpretedOrdering, NullsFirst, NullsLast, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** Bounded buffer of the k best (score, payload-row) pairs, worst-first
-  * binary heap, plus a side buffer of up to k null-score rows (their rank
-  * relative to non-null rows is decided at eval time by the null ordering;
-  * among themselves nulls are order-equal, so keeping an arbitrary k
-  * matches the `row_number` tie contract). Used by [[TopKRows]]. */
-final class RowTopKBuffer(val k: Int, val asc: Boolean) {
-  val scores = new Array[Double](k)
-  val rows = new Array[InternalRow](k)
+/** Bounded buffer of the k best rows under an arbitrary row ordering,
+  * worst-first binary heap. Rows are (sort-key values ++ payload values);
+  * `ord` compares the key prefix with full Spark SortOrder semantics
+  * (direction, null ordering, NaN total order per key), so ranking matches
+  * the `row_number` window the aggregate replaces exactly — including
+  * multi-key tie-breaks. Among fully-equal keys order is arbitrary, the
+  * same contract as `row_number`. Used by [[TopKRows]]. */
+final class RowTopKBuffer(val k: Int, ord: Ordering[InternalRow]) {
+  val rows = new Array[InternalRow](math.max(k, 0))
   var size: Int = 0
-  val nullRows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
 
-  /** Admit a null-score row (capped at k — more can never be ranked). */
-  def insertNull(row: InternalRow): Unit =
-    if (nullRows.length < k) nullRows += row
+  // "a is worse than b": a would be ranked after b by the window sort.
+  @inline private def worse(a: InternalRow, b: InternalRow): Boolean =
+    ord.compare(a, b) > 0
 
-  // "a is worse than b": for desc ranking lower score is worse; asc inverts.
-  // java.lang.Double.compare gives Spark's total order over doubles (NaN
-  // sorts greater than any value) — plain </> would never admit NaN and
-  // break the heap invariant once one is present.
-  @inline private def worse(a: Double, b: Double): Boolean =
-    if (asc) java.lang.Double.compare(a, b) > 0
-    else java.lang.Double.compare(a, b) < 0
+  /** Would a row comparing like `keyRow` be kept? Callers pass a keys-only
+    * row (the ordering reads only the key prefix) to skip materializing
+    * the payload for the (common) rejected case. */
+  @inline def wouldAdmit(keyRow: InternalRow): Boolean =
+    size < k || (k > 0 && worse(rows(0), keyRow))
 
-  /** Would a row with this score be kept? Callers use this to skip
-    * materializing the payload for the (common) rejected case. */
-  @inline def wouldAdmit(s: Double): Boolean =
-    size < k || (k > 0 && worse(scores(0), s))
-
-  def insert(s: Double, row: InternalRow): Unit = {
+  def insert(row: InternalRow): Unit = {
     if (size < k) {
-      var i = size; scores(i) = s; rows(i) = row; size += 1
+      var i = size; rows(i) = row; size += 1
       while (i > 0) {
         val p = (i - 1) >> 1
-        if (worse(scores(i), scores(p))) {
-          val ts = scores(i); scores(i) = scores(p); scores(p) = ts
-          val tr = rows(i); rows(i) = rows(p); rows(p) = tr
+        if (worse(rows(i), rows(p))) {
+          val t = rows(i); rows(i) = rows(p); rows(p) = t
           i = p
         } else return
       }
-    } else if (k > 0 && worse(scores(0), s)) {
-      scores(0) = s; rows(0) = row
+    } else if (k > 0 && worse(rows(0), row)) {
+      rows(0) = row
       var i = 0
       var continue = true
       while (continue) {
         val l = 2 * i + 1; val r = l + 1
         var w = i
-        if (l < size && worse(scores(l), scores(w))) w = l
-        if (r < size && worse(scores(r), scores(w))) w = r
+        if (l < size && worse(rows(l), rows(w))) w = l
+        if (r < size && worse(rows(r), rows(w))) w = r
         if (w == i) continue = false
         else {
-          val ts = scores(i); scores(i) = scores(w); scores(w) = ts
-          val tr = rows(i); rows(i) = rows(w); rows(w) = tr
+          val t = rows(i); rows(i) = rows(w); rows(w) = t
           i = w
         }
       }
     }
   }
 
-  /** rows sorted best-first (stable order not guaranteed for equal scores —
-    * same contract as row_number over ties). */
+  /** rows sorted best-first (stable order not guaranteed for fully-equal
+    * keys — same contract as row_number over ties). */
   def sortedRows: Array[InternalRow] = {
-    val idx = Array.tabulate(size)(identity)
-    val sorted = idx.sortWith((a, b) =>
-      if (asc) java.lang.Double.compare(scores(a), scores(b)) < 0
-      else java.lang.Double.compare(scores(a), scores(b)) > 0)
-    sorted.map(rows)
+    val out = new Array[InternalRow](size)
+    System.arraycopy(rows, 0, out, 0, size)
+    java.util.Arrays.sort(out, ord)
+    out
   }
 }
 
-/** top_k_rows(score, k, asc, payload...): keeps the k payload rows with the
-  * best score and returns them best-first as array<struct<payload...>>.
+/** top_k_rows(keys..., payload...): keeps the k payload rows ranked best by
+  * the sort-key tuple and returns them best-first as
+  * `array<struct<payload...>>`.
   *
-  * The generalized sibling of [[TopKByScore]]: arbitrary payload columns
-  * ride along, so a `row_number() OVER (PARTITION BY g ORDER BY s) <= k`
-  * pattern can be computed as a bounded aggregate — O(k) state per group
-  * with map-side partial aggregation — instead of a full shuffle + sort of
-  * every candidate row (see [[graft.plans.GroupedTopKRewrite]]).
-  *
-  * `nullsFirst` replicates the window SortOrder's null ordering: true means
-  * null scores rank before every non-null score (Spark's default for asc),
-  * false ranks them after (default for desc). NaN follows Spark's total
-  * order: greater than every other double.
+  * The generalized sibling of [[TopKByScore]]: any number of sort keys of
+  * any orderable type (each with its own direction and null ordering —
+  * exactly a window's `ORDER BY` list), arbitrary payload columns riding
+  * along. A `row_number() OVER (PARTITION BY g ORDER BY ...) <= k` pattern
+  * becomes a bounded aggregate — O(k) state per group with map-side partial
+  * aggregation — instead of a full shuffle + sort of every candidate row
+  * (see [[graft.plans.GroupedTopKRewrite]]). Ranking delegates to
+  * [[InterpretedOrdering]], so null / NaN / multi-key tie semantics are the
+  * window sort's own.
   */
 case class TopKRows(
-    score: Expression,
+    keys: Seq[Expression],
+    ascending: Seq[Boolean],
+    nullsFirstFlags: Seq[Boolean],
     payload: Seq[Expression],
     k: Int,
-    asc: Boolean,
-    nullsFirst: Boolean,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[RowTopKBuffer] {
 
-  override def children: Seq[Expression] = score +: payload
+  override def children: Seq[Expression] = keys ++ payload
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (score.dataType != DoubleType)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = keys.filterNot(kx => RowOrdering.isOrderable(kx.dataType))
+    if (keys.isEmpty)
+      TypeCheckResult.TypeCheckFailure("top_k_rows needs at least one sort key")
+    else if (bad.nonEmpty)
       TypeCheckResult.TypeCheckFailure(
-        s"top_k_rows score must be double, got ${score.dataType.catalogString}")
+        s"top_k_rows sort keys must be orderable, got " +
+          bad.map(_.dataType.catalogString).mkString(", "))
     else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private def nKeys: Int = keys.length
 
   private lazy val payloadSchema = StructType(payload.zipWithIndex.map {
     case (e, i) => StructField(s"c$i", e.dataType, e.nullable)
@@ -115,43 +112,48 @@ case class TopKRows(
   override def nullable: Boolean = false
   override def prettyName: String = "top_k_rows"
 
-  @transient private lazy val serProj = UnsafeProjection.create(
-    (DoubleType +: payload.map(_.dataType)).toArray)
+  @transient private lazy val ord: Ordering[InternalRow] = {
+    val sortOrders = keys.zipWithIndex.map { case (kx, i) =>
+      SortOrder(
+        BoundReference(i, kx.dataType, kx.nullable),
+        if (ascending(i)) Ascending else Descending,
+        if (nullsFirstFlags(i)) NullsFirst else NullsLast,
+        Seq.empty)
+    }
+    new InterpretedOrdering(sortOrders)
+  }
 
-  override def createAggregationBuffer(): RowTopKBuffer = new RowTopKBuffer(k, asc)
+  @transient private lazy val serProj = UnsafeProjection.create(
+    (keys.map(_.dataType) ++ payload.map(_.dataType)).toArray)
+
+  override def createAggregationBuffer(): RowTopKBuffer = new RowTopKBuffer(k, ord)
 
   override def update(buf: RowTopKBuffer, input: InternalRow): RowTopKBuffer = {
-    val s = score.eval(input)
-    if (s == null) {
-      if (buf.nullRows.length < k) {
-        val vals = payload.map(e => InternalRow.copyValue(e.eval(input)))
-        buf.insertNull(InternalRow.fromSeq(vals))
-      }
-    } else if (buf.wouldAdmit(s.asInstanceOf[Double])) {
-      // payload is materialized ONLY for admitted rows; deep-copy values
-      // since eval results may be views into reused buffers
+    // keys evaluated first into a keys-only probe row; the ordering reads
+    // only the key prefix, so admission is decided before the payload is
+    // ever materialized.
+    val keyVals = keys.map(e => InternalRow.copyValue(e.eval(input)))
+    val probe = InternalRow.fromSeq(keyVals)
+    if (buf.wouldAdmit(probe)) {
       val vals = payload.map(e => InternalRow.copyValue(e.eval(input)))
-      buf.insert(s.asInstanceOf[Double], InternalRow.fromSeq(vals))
+      buf.insert(InternalRow.fromSeq(keyVals ++ vals))
     }
     buf
   }
 
   override def merge(buf: RowTopKBuffer, other: RowTopKBuffer): RowTopKBuffer = {
     var i = 0
-    while (i < other.size) { buf.insert(other.scores(i), other.rows(i)); i += 1 }
-    other.nullRows.foreach(buf.insertNull)
+    while (i < other.size) { buf.insert(other.rows(i)); i += 1 }
     buf
   }
 
-  /** Best-first rows under the full SortOrder semantics: null-score rows
-    * take the leading ranks when `nullsFirst`, the trailing ranks
-    * otherwise; total output truncated to k. */
+  /** Best-first payload rows (keys stripped), truncated to k. */
   override def eval(buf: RowTopKBuffer): Any = {
-    val nonNull = buf.sortedRows
-    val all =
-      if (nullsFirst) buf.nullRows.iterator ++ nonNull.iterator
-      else nonNull.iterator ++ buf.nullRows.iterator
-    new GenericArrayData(all.take(k).map(_.asInstanceOf[Any]).toArray)
+    val out = buf.sortedRows.map { r =>
+      InternalRow.fromSeq(payload.indices.map(j =>
+        r.get(nKeys + j, payload(j).dataType))): Any
+    }
+    new GenericArrayData(out)
   }
 
   override def serialize(buf: RowTopKBuffer): Array[Byte] = {
@@ -160,22 +162,10 @@ case class TopKRows(
     out.writeInt(buf.size)
     var i = 0
     while (i < buf.size) {
-      val joined = InternalRow.fromSeq(
-        (buf.scores(i) +: (0 until payload.length).map(j =>
-          buf.rows(i).get(j, payload(j).dataType))).toIndexedSeq)
-      val u = serProj(joined)
+      val u = serProj(buf.rows(i))
       out.writeInt(u.getSizeInBytes)
       u.writeToStream(out, new Array[Byte](4096))
       i += 1
-    }
-    out.writeInt(buf.nullRows.length)
-    buf.nullRows.foreach { r =>
-      val joined = InternalRow.fromSeq(
-        (0.0d +: (0 until payload.length).map(j =>
-          r.get(j, payload(j).dataType))).toIndexedSeq)
-      val u = serProj(joined)
-      out.writeInt(u.getSizeInBytes)
-      u.writeToStream(out, new Array[Byte](4096))
     }
     out.flush(); bos.toByteArray
   }
@@ -183,29 +173,18 @@ case class TopKRows(
   override def deserialize(bytes: Array[Byte]): RowTopKBuffer = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = new RowTopKBuffer(k, asc)
+    val buf = new RowTopKBuffer(k, ord)
+    val width = nKeys + payload.length
+    val types = keys.map(_.dataType) ++ payload.map(_.dataType)
     var i = 0
     while (i < n) {
       val sz = in.readInt()
       val arr = new Array[Byte](sz)
       in.readFully(arr)
-      val u = new UnsafeRow(1 + payload.length)
+      val u = new UnsafeRow(width)
       u.pointTo(arr, sz)
-      val s = u.getDouble(0)
-      val vals = (0 until payload.length).map(j => u.get(j + 1, payload(j).dataType))
-      buf.insert(s, InternalRow.fromSeq(vals).copy())
-      i += 1
-    }
-    val nNull = in.readInt()
-    i = 0
-    while (i < nNull) {
-      val sz = in.readInt()
-      val arr = new Array[Byte](sz)
-      in.readFully(arr)
-      val u = new UnsafeRow(1 + payload.length)
-      u.pointTo(arr, sz)
-      val vals = (0 until payload.length).map(j => u.get(j + 1, payload(j).dataType))
-      buf.insertNull(InternalRow.fromSeq(vals).copy())
+      val vals = (0 until width).map(j => u.get(j, types(j)))
+      buf.insert(InternalRow.fromSeq(vals).copy())
       i += 1
     }
     buf
@@ -217,5 +196,5 @@ case class TopKRows(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(score = newChildren.head, payload = newChildren.tail)
+    copy(keys = newChildren.take(nKeys), payload = newChildren.drop(nKeys))
 }

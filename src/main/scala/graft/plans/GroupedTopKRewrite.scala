@@ -1,10 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.IntegerType
 import graft.functions.TopKRows
 
 /** Optimizer rule: grouped top-k without a window sort.
@@ -12,26 +11,25 @@ import graft.functions.TopKRows
   * The idiomatic-but-slow way to take the k best rows per group is
   *
   * {{{ df.withColumn("rk", row_number().over(
-  *       Window.partitionBy(g).orderBy(score.desc))).filter($"rk" <= k) }}}
+  *       Window.partitionBy(g).orderBy(keys...))).filter($"rk" <= k) }}}
   *
   * whose physical plan shuffles EVERY candidate row to its group's
   * partition and sorts there — at 100 TB the shuffle of the discarded
   * (n − k) rows dominates. This rule rewrites the pattern
   *
-  * {{{ Filter(rk <= K, [Project] Window(row_number over (partition by g order by s), ...)) }}}
+  * {{{ Filter(rk <= K, [Project] Window(row_number over (partition by g order by keys...), ...)) }}}
   *
-  * (double-typed sort key, literal K) into a bounded per-group aggregate
-  * ([[graft.functions.TopKRows]]) + posexplode: O(k) state per group,
-  * map-side partial aggregation, shuffle volume `groups × k` rows.
-  * Output attributes (ids, order) are preserved exactly, so the rewrite is
-  * transparent to the rest of the plan.
+  * (orderable sort keys of any type and count, literal K) into a bounded
+  * per-group aggregate ([[graft.functions.TopKRows]]) + posexplode: O(k)
+  * state per group, map-side partial aggregation, shuffle volume
+  * `groups × k` rows. Output attributes (ids, order) are preserved
+  * exactly, so the rewrite is transparent to the rest of the plan.
   *
-  * Semantics note: `row_number` breaks score ties arbitrarily (Spark gives
-  * no guarantee without a total order); the rewrite has the same contract.
-  * Null scores follow the window's SortOrder nullOrdering (leading ranks
-  * under NULLS FIRST, trailing under NULLS LAST) and NaN sorts greater than
-  * every other double, both matching the window's ordering exactly.
-  * Enabled via [[graft.GraftExtensions]].
+  * Semantics: the aggregate ranks with [[InterpretedOrdering]] over the
+  * window's own SortOrder list — direction, null ordering, NaN total
+  * order, and multi-key tie-breaks all match the window sort exactly.
+  * `row_number` breaks FULL ties (all keys equal) arbitrarily; the
+  * rewrite has the same contract. Enabled via [[graft.GraftExtensions]].
   */
 object GroupedTopKRewrite extends Rule[LogicalPlan] {
 
@@ -46,9 +44,8 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] {
   }
 
   private case class Pattern(
-      k: Int, groupExprs: Seq[Expression], sortExpr: Expression, asc: Boolean,
-      nullsFirst: Boolean, rkAttr: Attribute, windowChild: LogicalPlan,
-      passThrough: Option[Project])
+      k: Int, groupExprs: Seq[Expression], sortOrders: Seq[SortOrder],
+      rkAttr: Attribute, windowChild: LogicalPlan, passThrough: Option[Project])
 
   private def matchPattern(plan: LogicalPlan): Option[Pattern] = plan match {
     case Filter(cond, w: Window) => matchWindow(cond, w, None)
@@ -61,17 +58,15 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] {
 
   private def matchWindow(cond: Expression, w: Window, proj: Option[Project]): Option[Pattern] =
     w match {
-      // The SortOrder's nullOrdering is captured and replicated by the
-      // aggregate (null scores take the leading or trailing ranks), so
-      // nullable sort keys rewrite correctly too.
       case Window(Seq(Alias(WindowExpression(RowNumber(),
-          WindowSpecDefinition(partitionSpec, Seq(SortOrder(sortExpr, dir, nullOrd, _)), _)), _)),
-          _, _, child, _) if sortExpr.dataType == DoubleType =>
+          WindowSpecDefinition(partitionSpec, sortOrders, _)), _)),
+          _, _, child, _)
+          if sortOrders.nonEmpty &&
+            sortOrders.forall(so => RowOrdering.isOrderable(so.dataType) &&
+              so.child.deterministic) =>
         val rkAttr = w.windowOutputSet.head
         limitFromCondition(cond, rkAttr).map { k =>
-          Pattern(k, partitionSpec, sortExpr,
-            asc = dir == Ascending, nullsFirst = nullOrd == NullsFirst,
-            rkAttr, child, proj)
+          Pattern(k, partitionSpec, sortOrders, rkAttr, child, proj)
         }
       case _ => None
     }
@@ -119,7 +114,12 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] {
       case e => Alias(e, "_g")()
     }
 
-    val agg = TopKRows(p.sortExpr, payload, p.k, p.asc, p.nullsFirst)
+    val agg = TopKRows(
+        keys = p.sortOrders.map(_.child),
+        ascending = p.sortOrders.map(_.direction == Ascending),
+        nullsFirstFlags = p.sortOrders.map(_.nullOrdering == NullsFirst),
+        payload = payload,
+        k = p.k)
       .toAggregateExpression()
     val topAlias = Alias(agg, "_topk")()
     val aggregate = Aggregate(groupNamed, groupNamed :+ topAlias, child)

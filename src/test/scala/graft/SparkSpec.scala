@@ -11,6 +11,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions) // same surface as Verify/Bench sessions
     .getOrCreate()
 
   def sf(name: String): String = s"/root/testdata/$name"

@@ -115,37 +115,36 @@ class PropertiesSpec extends SparkSpec {
         case Some(d) => d.toString
       }.view.mapValues(_.length).toMap
 
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, InterpretedOrdering, NullsFirst, NullsLast, SortOrder}
+    import org.apache.spark.sql.types.DoubleType
+
+    def mkOrd(asc: Boolean, nullsFirst: Boolean): Ordering[InternalRow] =
+      new InterpretedOrdering(Seq(SortOrder(
+        BoundReference(0, DoubleType, nullable = true),
+        if (asc) Ascending else Descending,
+        if (nullsFirst) NullsFirst else NullsLast, Seq.empty)))
+    def row(x: Option[Double]): InternalRow =
+      InternalRow.fromSeq(Seq(x.map(Double.box).orNull))
+
     samples(caseGen, 60).foreach { case (scores, k, asc, nullsFirst, splitAt) =>
       // drive two buffers (split input), merge, eval — the full agg path
-      val b1 = new RowTopKBuffer(k, asc)
-      val b2 = new RowTopKBuffer(k, asc)
-      def feed(b: RowTopKBuffer, xs: Seq[Option[Double]]): Unit = xs.foreach {
-        case Some(d) => if (b.wouldAdmit(d)) b.insert(d,
-          org.apache.spark.sql.catalyst.InternalRow.empty)
-        case None => b.insertNull(org.apache.spark.sql.catalyst.InternalRow.empty)
+      val ord = mkOrd(asc, nullsFirst)
+      val b1 = new RowTopKBuffer(k, ord)
+      val b2 = new RowTopKBuffer(k, ord)
+      def feed(b: RowTopKBuffer, xs: Seq[Option[Double]]): Unit = xs.foreach { x =>
+        val r = row(x)
+        if (b.wouldAdmit(r)) b.insert(r)
       }
       val (xs1, xs2) = scores.splitAt(splitAt)
       feed(b1, xs1); feed(b2, xs2)
       var i = 0
-      while (i < b2.size) { b1.insert(b2.scores(i), b2.rows(i)); i += 1 }
-      b2.nullRows.foreach(b1.insertNull)
-      val nonNull = b1.sortedRows.length // kept non-null count
-      val kept: Seq[Option[Double]] =
-        (if (nullsFirst) b1.nullRows.toSeq.map(_ => None) ++
-          b1.sortedRows.toSeq.indices.map(j => Some(sortedScore(b1, j)))
-        else b1.sortedRows.toSeq.indices.map(j => Some(sortedScore(b1, j))) ++
-          b1.nullRows.toSeq.map(_ => None)).take(k)
+      while (i < b2.size) { b1.insert(b2.rows(i)); i += 1 }
+      val kept: Seq[Option[Double]] = b1.sortedRows.toSeq.take(k)
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
       assert(canon(kept) == canon(expected(scores, k, asc, nullsFirst)),
-        s"k=$k asc=$asc nullsFirst=$nullsFirst scores=$scores nonNull=$nonNull")
+        s"k=$k asc=$asc nullsFirst=$nullsFirst scores=$scores")
     }
-  }
-
-  /** j-th best non-null score of the buffer (sortedRows order). */
-  private def sortedScore(b: RowTopKBuffer, j: Int): Double = {
-    val idx = (0 until b.size).sortWith((x, y) =>
-      if (b.asc) java.lang.Double.compare(b.scores(x), b.scores(y)) < 0
-      else java.lang.Double.compare(b.scores(x), b.scores(y)) > 0)
-    b.scores(idx(j))
   }
 
   test("Md5Hash32 expression bit-matches the conv/substring/md5 chain (the oracle spelling)") {

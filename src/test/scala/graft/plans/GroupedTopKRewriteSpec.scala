@@ -118,15 +118,60 @@ class GroupedTopKRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("non-matching windows (rank, multiple order keys) are left alone") {
+  test("multi-key windows rewrite with exact tie-break preservation") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // score has heavy ties; id tie-break makes the ranking total, so the
+      // rewrite must reproduce the window's output EXACTLY, row for row
+      val df = spark.range(0, 5000)
+        .select(($"id" % 7).as("g"), $"id", ($"id" % 5).cast("double").as("score"))
+      val w = Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)
+      val q = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 4)
+      assert(q.queryExecution.optimizedPlan.toString.contains("top_k_rows"),
+        "multi-key row_number must rewrite:\n" + q.queryExecution.optimizedPlan)
+      val got = q.select($"g", $"rk", $"id", $"score")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      spark.conf.set("spark.graft.groupedTopK", "never")
+      val exp = try {
+        df.withColumn("rk", row_number().over(w)).filter($"rk" <= 4)
+          .select($"g", $"rk", $"id", $"score")
+          .as[(Long, Int, Long, Double)].collect().toSet
+      } finally spark.conf.set("spark.graft.groupedTopK", "always")
+      assert(got == exp)
+    }
+  }
+
+  test("integral sort keys (the TF-IDF shape) rewrite with exact results") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // bigint score desc + string term asc: the q49/q40 window shape
+      val df = spark.range(0, 3000)
+        .select(($"id" % 11).as("g"),
+          (($"id" * 2654435761L) % 50).as("score"),
+          concat(lit("t"), ($"id" % 17).cast("string")).as("term"))
+      val w = Window.partitionBy($"g").orderBy($"score".desc, $"term".asc)
+      val q = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      assert(q.queryExecution.optimizedPlan.toString.contains("top_k_rows"),
+        "long+string keys must rewrite:\n" + q.queryExecution.optimizedPlan)
+      val got = q.select($"g", $"rk", $"score", $"term")
+        .as[(Long, Int, Long, String)].collect().sorted
+      spark.conf.set("spark.graft.groupedTopK", "never")
+      val exp = try {
+        df.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+          .select($"g", $"rk", $"score", $"term")
+          .as[(Long, Int, Long, String)].collect().sorted
+      } finally spark.conf.set("spark.graft.groupedTopK", "always")
+      // multiset equality is NOT enough here: (score, term) is a total
+      // order only per (g, score, term) — compare sorted sequences
+      assert(got.toSeq == exp.toSeq)
+    }
+  }
+
+  test("non-matching windows (rank) are left alone") {
     withExtSession { spark =>
       import spark.implicits._
       val df = spark.range(0, 100)
         .select(($"id" % 5).as("g"), $"id", ($"id" % 13).cast("double").as("score"))
-      val w = Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)
-      val q = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
-      assert(q.queryExecution.optimizedPlan.toString.contains("Window"),
-        "two order keys must not be rewritten (tie-break is load-bearing)")
       val q2 = df.withColumn("rk", rank().over(Window.partitionBy($"g").orderBy($"score".desc)))
         .filter($"rk" <= 3)
       assert(q2.queryExecution.optimizedPlan.toString.contains("Window"),

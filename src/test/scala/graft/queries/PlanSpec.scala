@@ -75,6 +75,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q49: top-k window is rewritten to the bounded aggregate (no window sort)") {
+    val p = plan("q49_tfidf_top_terms")
+    assert(p.contains("top_k_rows"), "GroupedTopKRewrite must fire on the " +
+      "(score desc, term asc) long+string window:\n" + p)
+    assert(!p.contains("Window"), "no full shuffle+sort of the scored set:\n" + p)
+  }
+
+  test("q40: language-ID argmax window is rewritten to the bounded aggregate") {
+    val p = plan("q40_lang_id")
+    assert(p.contains("top_k_rows"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q53: bloom decontamination has no cartesian; verify join is left-semi") {
     val p = plan("q53_bloom_decontaminate")
     assert(!p.contains("CartesianProduct"), p)
