@@ -36,20 +36,29 @@ object Packing {
     narrow
       // integer div, not `/`: Spark's Divide is double division, which
       // loses exactness for ids beyond 2^53
-      .repartition(numPartitions, expr(s"(id - ${minId}L) div ${width}L"))
-      .sortWithinPartitions(col("id"))
-      .as[(Long, Long)]
+      .withColumn("bucket", expr(s"(id - ${minId}L) div ${width}L"))
+      .repartition(numPartitions, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .as[(Long, Long, Long)]
       .mapPartitions { it =>
+        // Greedy first-fit PER BUCKET: pack state resets at each bucket
+        // boundary, so the result is a pure function of (ids, token
+        // counts, bucket width) — independent of which hash partition a
+        // bucket lands in. That makes the operator rerun-stable across
+        // cluster layouts AND exactly reproducible by the driver's
+        // recursive-CTE oracle (q52).
         val packs = scala.collection.mutable.ArrayBuffer.empty[Pack]
         var ids = scala.collection.mutable.ArrayBuffer.empty[Long]
         var tot = 0L
         var first = -1L
+        var bucket = Long.MinValue
         def flush(): Unit = if (ids.nonEmpty) {
           packs += Pack(first, ids.toSeq, tot)
           ids = scala.collection.mutable.ArrayBuffer.empty[Long]; tot = 0L; first = -1L
         }
-        it.foreach { case (id, nt) =>
-          if (ids.nonEmpty && tot + nt > tokenBudget) flush()
+        it.foreach { case (id, nt, b) =>
+          if (b != bucket) { flush(); bucket = b }
+          else if (ids.nonEmpty && tot + nt > tokenBudget) flush()
           if (ids.isEmpty) first = id // pack_id = first member's id (deterministic)
           ids += id; tot += nt
         }

@@ -116,22 +116,6 @@ object Extras {
       Detection.methodComparison(p3).orderBy(col("device_id"))
     }),
 
-    // Token-budget sequence packing (what a dataloader does before
-    // concatenating samples into fixed-length training sequences): greedy
-    // first-fit in id order within deterministic id-range buckets.
-    // Rows-only: the greedy fold is sequential per bucket, not
-    // SQL-expressible; determinism + budget bounds live in PackingSpec.
-    "q52_sequence_packing" -> ((s, dir) => {
-      import graft.operators.Packing
-      val withTokens = t(s, dir, "documents")
-        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      Packing.packGreedy(withTokens, "doc_id", "n_tokens", tokenBudget = 512)
-        .toDF()
-        .select(col("pack_id"), size(col("doc_ids")).cast("bigint").as("n_docs"),
-          col("total_tokens"))
-        .orderBy(col("pack_id"))
-    }),
-
     // Multimodal + vector search composition: nearest media assets by
     // stub-feature cosine (shows media features flow into the ANN core).
     "q61_media_knn" -> ((s, dir) => {

@@ -65,6 +65,22 @@ object TrainingOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-budget sequence packing (what a dataloader does before
+    // concatenating samples into fixed-length training sequences): greedy
+    // first-fit in id order, state reset per deterministic id-range bucket
+    // — a pure function of (ids, token counts, bucket width), so the
+    // sequential fold is exactly reproducible by a recursive-CTE oracle.
+    "q52_sequence_packing" -> ((s, dir) => {
+      import graft.operators.Packing
+      val withTokens = t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      Packing.packGreedy(withTokens, "doc_id", "n_tokens", tokenBudget = 512)
+        .toDF()
+        .select(col("pack_id"), size(col("doc_ids")).cast("bigint").as("n_docs"),
+          col("total_tokens"))
+        .orderBy(col("pack_id"))
+    }),
+
     // Per-language document-length distribution: exact linear-interpolated
     // percentiles (the corpus-profiling op behind length-based filtering
     // thresholds). Exact `percentile` needs a per-group sort — fine when
@@ -149,6 +165,29 @@ object TrainingOps {
          |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 8) AS BIGINT)
          |        * 1000000 < quality_ppm * 4294967296
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Packing.packGreedy exactly: fixed-width id-range buckets from
+    // the exact min/max, greedy running sum per bucket in id order via a
+    // recursive CTE over the per-bucket row_number chain.
+    "q52_sequence_packing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id AS id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |b AS (SELECT min(id) AS mn, max(id) AS mx FROM d),
+        |w AS (SELECT mn, greatest(1, (mx - mn + 32) // 32) AS width FROM b),
+        |r AS (SELECT id, nt, (id - mn) // width AS bucket FROM d, w),
+        |s AS (SELECT id, nt, bucket,
+        |        row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn FROM r),
+        |rec(bucket, rn, id, nt, pack_first, running) AS (
+        |  SELECT bucket, rn, id, nt, id, nt FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.bucket, s.rn, s.id, s.nt,
+        |         CASE WHEN rec.running + s.nt > 512 THEN s.id ELSE rec.pack_first END,
+        |         CASE WHEN rec.running + s.nt > 512 THEN s.nt ELSE rec.running + s.nt END
+        |  FROM rec JOIN s ON s.bucket = rec.bucket AND s.rn = rec.rn + 1)
+        |SELECT pack_first AS pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nt) AS BIGINT) AS total_tokens
+        |FROM rec GROUP BY pack_first ORDER BY pack_id""".stripMargin,
 
     "q54_length_percentiles" ->
       """SELECT lang,
