@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   *
   * Media (image/audio/video) travels as opaque `binary` columns with typed
   * metadata — the lakehouse pattern for training-data pipelines. The
-  * Spark-side plumbing here is real and tested: schema, per-partition
-  * decoder initialization (`mapPartitions`, one decoder instance per
-  * partition — the shape you need when the real decoder is an expensive
-  * native library or model), batch-friendly row flow, and deterministic
-  * partitioning. The *decode step itself* is STUBBED: this container has no
-  * image/audio codecs, so [[StubDecoder]] derives deterministic
-  * pseudo-features from the bytes. Swapping in a real decoder is a
-  * one-class change (implement [[MediaDecoder]]).
+  * Spark-side plumbing is real and tested: schema, per-partition decoder
+  * initialization (`mapPartitions`, one decoder instance per partition —
+  * the shape you need when the real decoder is an expensive native library
+  * or model), batch-friendly row flow, and deterministic partitioning.
+  *
+  * IMAGE decode is REAL: [[ImageIoDecoder]] uses the JDK's built-in
+  * `javax.imageio` (PNG/JPEG/GIF/BMP) — true pixel dimensions and
+  * luminance-grid features from decoded pixels. Audio/video decode is
+  * STUBBED ([[StubDecoder]] byte histograms — no codecs in this
+  * container); swapping in a real one is a one-class change
+  * (implement [[MediaDecoder]]).
   */
 object Multimodal {
 
@@ -62,11 +65,63 @@ object Multimodal {
     }
   }
 
+  /** Real image decode + featurization via the JDK's `javax.imageio` —
+    * zero external dependencies. Image payloads that decode yield their
+    * TRUE pixel dimensions and a `grid × grid` mean-luminance feature
+    * vector (row-major, [0,1], integer-exact cell assignment so results
+    * are deterministic on any JVM). Image payloads that fail to decode
+    * report `decode_ok = false` over stub features; audio/video kinds
+    * (no JDK codec) keep the stub path. */
+  final class ImageIoDecoder(dim: Int = 16) extends MediaDecoder {
+    private val grid = math.sqrt(dim.toDouble).toInt
+    require(grid * grid == dim, s"dim must be a square, got $dim")
+    @transient private lazy val stub = {
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      new StubDecoder(dim)
+    }
+
+    override def features(row: MediaRow): MediaFeatures = {
+      if (row.kind != "image") stub.features(row)
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) stub.features(row).copy(decode_ok = false)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](dim)
+          val counts = new Array[Long](dim)
+          var y = 0
+          while (y < h) {
+            val cy = math.min(grid - 1, y * grid / h)
+            var x = 0
+            while (x < w) {
+              val cx = math.min(grid - 1, x * grid / w)
+              val rgb = img.getRGB(x, y)
+              // integer ITU-R 601 luma — deterministic across JVMs
+              val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              val c = cy * grid + cx
+              sums(c) += luma; counts(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val feats = Array.tabulate(dim)(i =>
+            if (counts(i) == 0) 0.0f
+            else (sums(i).toDouble / counts(i) / 255.0).toFloat)
+          MediaFeatures(row.media_id, row.kind, row.payload.length.toLong,
+            feats.toSeq, w, h, decode_ok = true)
+        }
+      }
+    }
+  }
+
   /** Feature extraction over a media Dataset. `mapPartitions` so the
     * decoder is constructed once per partition, not per row. */
   def extractFeatures(
       media: Dataset[MediaRow],
-      makeDecoder: () => MediaDecoder = () => new StubDecoder()): Dataset[MediaFeatures] = {
+      makeDecoder: () => MediaDecoder = () => new ImageIoDecoder()): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val decoder = makeDecoder() // per-partition init (real: load codec/model)
@@ -106,16 +161,44 @@ object Multimodal {
     }
   }
 
-  /** Demo/test media table derived from documents (text bytes as payload —
-    * the plumbing doesn't care that it isn't a real JPEG). */
+  /** Deterministic 8×8 grayscale PNG rendered from text bytes — a REAL
+    * image payload (the JDK PNG writer emits only IHDR/IDAT/IEND, so the
+    * bytes are a pure function of the pixels), letting the demo media
+    * table exercise the true `javax.imageio` decode path end-to-end. */
+  def pngFromText(text: String): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val g = if (bytes.isEmpty) 0 else bytes((y * 8 + x) % bytes.length) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Demo/test media table derived from documents: image rows carry a real
+    * PNG rendered from the text ([[pngFromText]]); audio/video rows carry
+    * raw text bytes (their decode is the declared stub). */
   def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
-      col("source"))
-      .as[MediaRow]
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val payload =
+          if (kind == "image") pngFromText(text)
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, kind, payload, source)
+      }
   }
 }

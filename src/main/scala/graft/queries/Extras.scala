@@ -45,14 +45,22 @@ object Extras {
         .orderBy(col("query_id"), col("rk"))
     }),
 
-    // Trained IVF ANN (k-means cells + nprobe search): the production form
-    // of q27's skeleton. Rows-only: k-means cells are seed-stable but not
+    // Trained IVF ANN, full production shape: k-means cells, index
+    // PERSISTED partitioned by cell_id, search via static partition
+    // pruning (searchPruned) — what the driver times is the actual 100 TB
+    // ANN path: fit + write + pruned probe, with the probed cell set
+    // pushed into the scan as a partition filter (plan-asserted in
+    // IvfSpec). Rows-only: k-means cells are seed-stable but not
     // SQL-reproducible; recall bounds live in IvfSpec.
     "q29_ivf_trained" -> ((s, dir) => {
       import graft.operators.Ivf
       val e = t(s, dir, "embeddings")
       val idx = Ivf.build(e, nCells = 8)
-      Ivf.search(idx, e.filter(col("vec_id") < 10), k = 5, nprobe = 3)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Ivf.writeIndex(idx, path)
+      val stored = Ivf.readIndex(s, path)
+      Ivf.searchPruned(stored, e.filter(col("vec_id") < 10), k = 5, nprobe = 3)
         .select(col("query_id"), col("rk").cast("bigint").as("rk"),
           col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rk"))

@@ -20,13 +20,52 @@ class MultimodalSpec extends SparkSpec {
   test("feature extraction: per-partition decoder, fixed-dim deterministic features") {
     val f1 = Multimodal.extractFeatures(media).cache()
     assert(f1.count() == 500)
-    val r = f1.head()
-    assert(r.features.length == 16)
-    assert(math.abs(r.features.sum - 1.0f) < 1e-3, "histogram must sum to ~1")
-    assert(r.decode_ok && r.n_bytes > 0)
+    val rows = f1.collect()
+    rows.foreach(r => assert(r.features.length == 16))
+    // image rows went through the REAL javax.imageio decode: true 8x8
+    // dimensions from the PNG header, luminance features in [0,1]
+    val images = rows.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    images.foreach { r =>
+      assert(r.decode_ok, s"media ${r.media_id}: PNG must decode")
+      assert(r.meta_width == 8 && r.meta_height == 8)
+      assert(r.features.forall(f => f >= 0.0f && f <= 1.0f))
+    }
+    // audio/video keep the declared stub: byte histogram summing to ~1
+    val others = rows.filter(_.kind != "image")
+    others.foreach(r => assert(math.abs(r.features.sum - 1.0f) < 1e-3,
+      s"stub histogram must sum to ~1 for ${r.media_id}"))
+    rows.foreach(r => assert(r.n_bytes > 0))
     // deterministic across runs
     val f2 = Multimodal.extractFeatures(media)
     assert(f1.collect().sortBy(_.media_id).toSeq == f2.collect().sortBy(_.media_id).toSeq)
+  }
+
+  test("ImageIoDecoder: known-pixel PNG fixture decodes to exact luminance cells") {
+    // 2x2 grayscale PNG with known gray levels; grid-4 cell assignment
+    // puts pixel (x,y) into cell (min(3, y*4/2), min(3, x*4/2)) =
+    // (y*2, x*2) -> cells 0, 2, 8, 10; all other cells stay 0.
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val grays = Seq(Seq(0, 51), Seq(102, 255)) // [y][x]
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val g = grays(y)(x); img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val row = Multimodal.MediaRow(1L, "image", bos.toByteArray, "fixture")
+    val f = new Multimodal.ImageIoDecoder().features(row)
+    assert(f.decode_ok && f.meta_width == 2 && f.meta_height == 2)
+    // integer luma of gray g is (g*299 + g*587 + g*114)/1000 = g
+    def lum(g: Int): Float = (g.toDouble / 255.0).toFloat
+    assert(f.features(0) == lum(0) && f.features(2) == lum(51))
+    assert(f.features(8) == lum(102) && f.features(10) == lum(255))
+    assert(Seq(1, 3, 4, 5, 6, 7, 9, 11, 12, 13, 14, 15).forall(f.features(_) == 0.0f))
+
+    // corrupt payload: decode_ok = false, stub features keep the row alive
+    val bad = Multimodal.MediaRow(2L, "image", Array[Byte](1, 2, 3), "fixture")
+    val fb = new Multimodal.ImageIoDecoder().features(bad)
+    assert(!fb.decode_ok && fb.features.length == 16)
   }
 
   test("chunk sampling keeps every stride-th chunk") {

@@ -64,6 +64,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "no O(n²) pair stage:\n" + p)
   }
 
+  test("q29: the declared IVF query probes the STORED index with partition pruning") {
+    val p = plan("q29_ivf_trained")
+    assert("PartitionFilters: \\[cell_id".r.findFirstIn(p).isDefined,
+      "probed cells must prune the stored-index scan:\n" + p)
+  }
+
   test("q40: language-ID rate table is broadcast") {
     val p = plan("q40_lang_id")
     assert(p.contains("BroadcastHashJoin"), p)
