@@ -47,17 +47,17 @@ object Decontaminate {
     val nTest = testH.count()
     if (nTest == 0) {
       // no test shingles -> nothing can be contaminated (and
-      // stat.bloomFilter NPEs on an empty frame)
-      import spark.implicits._
-      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "n_shared")
+      // stat.bloomFilter NPEs on an empty frame); empty frame keeps the
+      // input's id type
+      return trainH.select(col("doc_id")).limit(0).withColumn("n_shared", lit(0L))
     }
     val bf = testH.stat.bloomFilter("h", nTest, fpp)
     val bcast = spark.sparkContext.broadcast(bf)
 
-    import spark.implicits._
-    val candidates = trainH.as[(Long, Long)]
-      .filter(r => bcast.value.mightContainLong(r._2))
-      .toDF("doc_id", "h")
+    // the bloom probe keys ONLY on the (always-bigint) hash column, so doc
+    // ids of any type (string, uuid, ...) pass through untouched
+    val candidates = trainH.filter((r: org.apache.spark.sql.Row) =>
+      bcast.value.mightContainLong(r.getAs[Long]("h")))
 
     // exact verify: drop bloom false positives
     candidates

@@ -95,17 +95,24 @@ object Detection {
     *
     * Pre-filters (device, time, normal-only) run *before* the kNN — see
     * SURVEY §3.3 on why this beats the reference's global-ANN-then-filter.
-    * The pair stage is a self-join co-partitioned on device_id. */
+    * The pair stage is a self-join co-partitioned on device_id; a device
+    * producing more than `saltDevicesAbove` snapshots in the window runs
+    * salted ([[Skew.saltedSelfJoin]] — per-task work /salts, identical
+    * results) so one chatty device cannot pin a task at fleet scale. */
   def pathThree(
       snapshots: DataFrame,
-      cfg: DetectionConfig = DetectionConfig.VectorSearch): DataFrame = {
+      cfg: DetectionConfig = DetectionConfig.VectorSearch,
+      saltDevicesAbove: Int = Int.MaxValue, salts: Int = 8): DataFrame = {
     val lookbackSec = cfg.lookbackHours * 3600L
     val q = snapshots.select(
       col("device_id"), col("snapshot_time").as("q_time"), col("embedding").as("q_vec"))
     val c = snapshots.select(
       col("device_id"), col("snapshot_time").as("c_time"), col("c_anom"), col("embedding").as("c_vec"))
 
-    val pairs = q.join(c, Seq("device_id"))
+    val joined =
+      if (saltDevicesAbove == Int.MaxValue) q.join(c, Seq("device_id"))
+      else Skew.saltedSelfJoin(q, c, "device_id", col("q_time"), saltDevicesAbove, salts)
+    val pairs = joined
       .filter(col("c_time") =!= col("q_time") &&
         col("c_time") >= col("q_time") - expr(s"INTERVAL $lookbackSec SECONDS") &&
         col("c_time") <= col("q_time"))

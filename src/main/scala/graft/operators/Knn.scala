@@ -46,15 +46,26 @@ object Knn {
   /** Per-group self-kNN: neighbors restricted to rows sharing `groupCol`.
     * Pre-filtering before the similarity search (rather than the
     * reference's global-ANN-then-filter, whose k can starve after
-    * filtering) — see SURVEY.md §3.3. */
+    * filtering) — see SURVEY.md §3.3.
+    *
+    * Skew guard: the co-partitioned self-join gives one hot group an
+    * O(n_g²) task. Set `saltGroupsAbove` to a group-size threshold and
+    * groups above it run salted ([[Skew.saltedSelfJoin]]): the query side
+    * splits into `salts` deterministic sub-chunks, each joined against the
+    * full group — per-task work n_g²/salts, results exactly unchanged
+    * (KnnSpec). The default (MaxValue) keeps the plain single-join plan. */
   def exactWithin(
       corpus: DataFrame, groupCol: String, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      saltGroupsAbove: Int = Int.MaxValue, salts: Int = 8): DataFrame = {
     val a = corpus.select(col(groupCol).as("_g"), col(idCol).as("query_id"),
       col(vecCol).as("_qvec"))
-    val b = corpus.select(col(groupCol).as("_g2"), col(idCol).as("neighbor_id"),
+    val b = corpus.select(col(groupCol).as("_g"), col(idCol).as("neighbor_id"),
       col(vecCol).as("_nvec"))
-    val pairs = a.join(b, col("_g") === col("_g2") && col("query_id") =!= col("neighbor_id"))
+    val joined =
+      if (saltGroupsAbove == Int.MaxValue) a.join(b, Seq("_g"))
+      else Skew.saltedSelfJoin(a, b, "_g", col("query_id"), saltGroupsAbove, salts)
+    val pairs = joined.filter(col("query_id") =!= col("neighbor_id"))
     reduceTopK(pairs.withColumn("_sim", cosine_sim(col("_qvec"), col("_nvec"))), k)
   }
 

@@ -99,19 +99,33 @@ object Maintenance {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val partDir = new org.apache.hadoop.fs.Path(s"$path/date=$date")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact_tmp_date=$date")
+    val oldDir = new org.apache.hadoop.fs.Path(s"$path/.compact_old_date=$date")
+    // crash recovery from a previously interrupted swap: the live data is
+    // always in exactly one of partDir / oldDir (never only in tmp), so a
+    // retry first restores the aside copy, then recompacts from scratch
+    if (!fs.exists(partDir) && fs.exists(oldDir)) fs.rename(oldDir, partDir)
     require(fs.exists(partDir), s"no partition directory $partDir")
     // Spark refuses to overwrite a path it is reading, so compact into a
-    // dot-prefixed sibling (invisible to concurrent readers) and swap via
-    // rename — the closest to atomic plain-file storage offers.
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact_tmp_date=$date")
+    // dot-prefixed sibling (invisible to concurrent readers), then swap
+    // with rename-ASIDE-first: the uncompacted copy survives at oldDir
+    // until the compacted one is live, so a crash at any point leaves a
+    // recoverable copy. Readers see the partition missing only between the
+    // two renames (plain-file storage has no atomic directory swap; run
+    // compaction in the maintenance window).
     fs.delete(tmp, true)
+    fs.delete(oldDir, true)
     val part = spark.read.parquet(partDir.toString)
     val present = sortCols.filter(part.columns.contains)
     part.repartition(nFiles)
       .sortWithinPartitions(present.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(partDir, true)
-    fs.rename(tmp, partDir)
+    require(fs.rename(partDir, oldDir), s"could not move $partDir aside")
+    if (!fs.rename(tmp, partDir)) {
+      fs.rename(oldDir, partDir) // roll back: uncompacted copy goes live again
+      throw new IllegalStateException(s"compaction swap failed for $partDir; original restored")
+    }
+    fs.delete(oldDir, true)
   }
 
   /** Fixed-size shard writing (training-data layout: bounded files so

@@ -41,6 +41,34 @@ object Skew {
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Skew guard for within-group SELF-joins (per-device kNN, per-label
+    * similarity): an equi-join on `key` where one hot group would otherwise
+    * own an O(n_g²) task. Groups with more than `saltAbove` rows on the
+    * `right` side are split: each hot LEFT row gets ONE deterministic salt
+    * from `leftSaltOn`, the hot RIGHT side is replicated across all
+    * `salts`, and the join key becomes (key, salt) — per-task work drops to
+    * n_g²/salts while every (left, right) pair still appears exactly once.
+    * Cold groups take the plain equi-join. Result rows are identical to
+    * `left.join(right, Seq(key))`; only the shuffle distribution changes.
+    * The hot-group set is tiny by construction (groups above a row
+    * threshold), so it broadcasts. */
+  def saltedSelfJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftSaltOn: org.apache.spark.sql.Column,
+      saltAbove: Int, salts: Int = 8): DataFrame = {
+    require(salts >= 1)
+    val hot = right.groupBy(col(key)).agg(count(lit(1)).as("_gn"))
+      .filter(col("_gn") > saltAbove).select(col(key))
+    val lh = left.join(broadcast(hot), Seq(key), "left_semi")
+      .withColumn("_salt", pmod(hash(leftSaltOn), lit(salts)))
+    val lc = left.join(broadcast(hot), Seq(key), "left_anti")
+    val rh = right.join(broadcast(hot), Seq(key), "left_semi")
+      .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    val rc = right.join(broadcast(hot), Seq(key), "left_anti")
+    lc.join(rc, Seq(key))
+      .unionByName(lh.join(rh, Seq(key, "_salt")).drop("_salt"))
+  }
+
   /** Shuffle-spread report for a join/aggregation key: rows per hash
     * partition at `numPartitions`, with and without `saltFactor` salting —
     * the observability half of the tool (decide whether to salt). */

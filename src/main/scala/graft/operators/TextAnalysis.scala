@@ -132,7 +132,10 @@ object TextAnalysis {
 
   /** Repetition scoring (a Gopher-style quality rule): fraction of
     * duplicate word `n`-grams per document. Zero-shuffle narrow
-    * computation — the whole signal is array expressions per row. */
+    * computation — the whole signal is array expressions per row. The
+    * ratio is integer half-up to 6 decimals ((2a+b) div 2b), not
+    * round(double, 6) — the half-boundary portability rule
+    * ([[qualityScores]]). */
   def repetitionScores(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame =
     docs
@@ -144,6 +147,7 @@ object TextAnalysis {
         size(array_distinct(col("sh"))).cast("bigint").as("n_distinct"))
       .withColumn("rep_ratio",
         when(col("n_ngrams") > 0,
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 6))
+          expr("((n_ngrams - n_distinct) * 2000000 + n_ngrams) div (2 * n_ngrams)")
+            .cast("double") / 1000000.0)
           .otherwise(lit(0.0)))
 }

@@ -29,7 +29,10 @@ object TrainingOps {
 
     // Per-user rolling 1-hour mean over event time (RANGE frame keyed on
     // epoch micros): the scalable form of "recent activity" features —
-    // one shuffle on user_id, frame scan within partition.
+    // one shuffle on user_id, frame scan within partition. The mean is
+    // exact-decimal cents through the window sum, then integer half-up to
+    // 6 decimals ((2a+b) div 2b) — round(double, 6) is not portable at the
+    // half boundary (see TextAnalysis.qualityScores).
     "q48_rolling_hourly_avg" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
       val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
@@ -37,8 +40,11 @@ object TrainingOps {
       ev.select(
           col("user_id"), col("event_id"), col("us"),
           count(lit(1)).over(w).as("n_window"),
-          round(sum(col("value").cast(DecimalType(30, 2))).over(w).cast("double")
-            / count(lit(1)).over(w), 6).as("rolling_avg"))
+          (sum(col("value").cast(DecimalType(30, 2))).over(w) * 100).cast("long").as("_cents"))
+        .select(
+          col("user_id"), col("event_id"), col("us"), col("n_window"),
+          (expr("(_cents * 20000 + n_window) div (2 * n_window)").cast("double")
+            / 1000000.0).as("rolling_avg"))
         .orderBy(col("user_id"), col("us"), col("event_id"))
     }),
 
@@ -86,6 +92,12 @@ object TrainingOps {
     // thresholds). Exact `percentile` needs a per-group sort — fine when
     // groups are few and wide; approx_percentile is the sketch fallback at
     // extreme cardinality.
+    //
+    // round(…, 6) is safe HERE (unlike general double ratios): quantiles
+    // of integer n_chars at p ∈ {.25, .5, .9} are a + frac·(b−a) with frac
+    // having ≤ 2 decimal digits, so the exact value has ≤ 2 decimals —
+    // never within ~1e-9 of a 6th-decimal half boundary, and a 1-ulp
+    // cross-engine interpolation drift cannot flip the rounding.
     "q54_length_percentiles" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("lang"))
@@ -136,14 +148,17 @@ object TrainingOps {
         |ORDER BY doc_id""".stripMargin,
 
     "q48_rolling_hourly_avg" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
-        |SELECT user_id, event_id, us,
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |win AS (SELECT user_id, event_id, us,
         |  COUNT(*) OVER w AS n_window,
-        |  round(CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE)
-        |        / COUNT(*) OVER w, 6) AS rolling_avg
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w * 100 AS BIGINT) AS cents
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
-        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, us, n_window,
+        |  CAST((cents * 20000 + n_window) // (2 * n_window) AS DOUBLE)
+        |    / 1000000.0 AS rolling_avg
+        |FROM win
         |ORDER BY user_id, us, event_id""".stripMargin,
 
     "q49_tfidf_top_terms" ->
@@ -219,7 +234,8 @@ object TrainingOps {
          |        CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct FROM s)
          |SELECT doc_id, n_ngrams, n_distinct,
          |  CASE WHEN n_ngrams > 0
-         |       THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6)
+         |       THEN CAST(((n_ngrams - n_distinct) * 2000000 + n_ngrams)
+         |                 // (2 * n_ngrams) AS DOUBLE) / 1000000.0
          |       ELSE 0.0 END AS rep_ratio
          |FROM c ORDER BY doc_id""".stripMargin,
   )

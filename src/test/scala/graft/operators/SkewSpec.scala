@@ -45,4 +45,37 @@ class SkewSpec extends SparkSpec {
       }
     }
   }
+
+  test("saltedSelfJoin: pathological hot group — kNN results identical, join key salted") {
+    // 60% of the corpus relabeled into one hot group: the within-group
+    // self-join would give that group an O(n_g²) task without the guard
+    val emb = graft.sources.Tables(spark, sf("sf0.001"), "embeddings")
+      .withColumn("label", when($"vec_id" % 5 =!= 0, lit(99)).otherwise($"label"))
+      .cache()
+    val plain = Knn.exactWithin(emb, "label", k = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val guarded = Knn.exactWithin(emb, "label", k = 3,
+      saltGroupsAbove = 100, salts = 4)
+    val got = guarded.as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == plain, "salting must not change a single (query, rk, neighbor, sim) row")
+    // the hot group's pair stage must actually join on (key, salt)
+    val p = guarded.queryExecution.executedPlan.toString
+    assert(p.contains("_salt"), "hot-group join must be salted:\n" + p)
+  }
+
+  test("saltedSelfJoin: pathThree verdicts unchanged under a chatty-device salt guard") {
+    import graft.core.DetectionConfig
+    val readings = graft.sources.IoTSimulator.readings(spark, nTicks = 60,
+      injections = graft.sources.IoTSimulator.compressorFailure("RTU-001", 30, 50))
+    val snaps = Snapshotter.snapshots(readings, dim = 16)
+      .withColumn("c_anom", lit(false)).cache()
+    val cfg = DetectionConfig.VectorSearch
+    val plain = Detection.pathThree(snaps, cfg)
+      .select($"device_id", $"snapshot_time", $"corpus_n", $"match_n", $"path3_triggered")
+      .collect().toSet
+    val guarded = Detection.pathThree(snaps, cfg, saltDevicesAbove = 10, salts = 4)
+      .select($"device_id", $"snapshot_time", $"corpus_n", $"match_n", $"path3_triggered")
+      .collect().toSet
+    assert(guarded == plain)
+  }
 }
