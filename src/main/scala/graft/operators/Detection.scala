@@ -216,11 +216,34 @@ object Detection {
         round(col("consensus_n").cast("double") / col("n_snapshots"), 4))
   }
 
+  /** Fold a Path-3 verdict into the combined anomaly flag — the reference's
+    * `mark_path3_anomaly` UPDATE (path3_vector_search.py:177-199) as an
+    * appended-column merge: a snapshot is anomalous if paths 1/2 said so OR
+    * path 3 flagged novelty (warmup NULLs count as not-triggered). */
+  def withPathThreeVerdict(detected: DataFrame): DataFrame =
+    detected.withColumn("is_anomalous",
+      coalesce(col("is_anomalous"), lit(false)) ||
+        coalesce(col("path3_triggered"), lit(false)))
+
   /** Anomaly event rows (FIXTURES.md A4 / create_iot_schema.py:185-203 +
     * extended columns kafka_consumer.py:229-283). anomaly_id is a
-    * deterministic surrogate for the reference's timeuuid (SURVEY F14). */
-  def anomalyEvents(detected: DataFrame, anomalyType: String = "consumer_paths_1_2"): DataFrame =
-    detected.filter(col("is_anomalous"))
+    * deterministic surrogate for the reference's timeuuid (SURVEY F14).
+    *
+    * When the input carries a `path3_triggered` column (a [[pathThree]] /
+    * [[pathThreeAfterOneTwo]] output), a path-3 novelty verdict emits an
+    * event too — the INSERT half of the reference's `mark_path3_anomaly`
+    * (path3_vector_search.py:200-224) — with `path3_vector_triggered` set
+    * and a PATH 3 clause appended to the details. Frames without the
+    * column (paths-1/2-only flows like q50) are unchanged. */
+  def anomalyEvents(detected: DataFrame, anomalyType: String = "consumer_paths_1_2"): DataFrame = {
+    val hasP3 = detected.columns.contains("path3_triggered")
+    val p3 =
+      if (hasP3) coalesce(col("path3_triggered"), lit(false)) else lit(false)
+    val p3Detail =
+      if (hasP3 && detected.columns.contains("match_n"))
+        concat(lit("PATH 3 (Vector): "), col("match_n"), lit(" similar matches"))
+      else lit("PATH 3 (Vector): novelty")
+    detected.filter(coalesce(col("is_anomalous"), lit(false)) || p3)
       .select(
         col("device_id"),
         col("date"),
@@ -232,9 +255,10 @@ object Detection {
         lit(anomalyType).as("anomaly_type"),
         col("metrics").as("metrics_snapshot"),
         lit("open").as("resolution_status"),
-        col("path1_triggered"),
+        col("path1_triggered").as("path1_rules_triggered"),
         col("path2_triggered").as("path2_fingerprint_triggered"),
-        lit(false).as("path3_vector_triggered"),
-        col("detection_details"))
-      .withColumnRenamed("path1_triggered", "path1_rules_triggered")
+        p3.as("path3_vector_triggered"),
+        when(p3, concat_ws(" | ", col("detection_details"), p3Detail))
+          .otherwise(col("detection_details")).as("detection_details"))
+  }
 }
