@@ -72,16 +72,19 @@ object Knn {
   /** Approximate top-k: candidates must be within `hammingRadius` bits of
     * the query's `nBits`-bit sign-random-projection signature; candidates
     * are then exactly rescored. Recall improves with radius; cost drops
-    * with it. */
+    * with it. `portable = true` uses the md5-derived ±1 hyperplanes
+    * ([[graft.functions.PortableSigns]]) so the whole approximate result —
+    * prefilter included — is reproduced bit-for-bit by the DuckDB oracle
+    * (q28). */
   def approxLsh(
       corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int, nBits: Int = 16, hammingRadius: Int = 6, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, portable: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"),
-      rhp_signature(col(vecCol), nBits, dim, seed).as("_qsig"))
+      rhp_signature(col(vecCol), nBits, dim, seed, portable).as("_qsig"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nvec"),
-      rhp_signature(col(vecCol), nBits, dim, seed).as("_nsig"))
+      rhp_signature(col(vecCol), nBits, dim, seed, portable).as("_nsig"))
     val pairs = c.join(broadcast(q),
       (if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)) &&
         hamming_dist(col("_qsig"), col("_nsig")) <= hammingRadius)

@@ -33,18 +33,6 @@ object Extras {
         .orderBy(col("device_id"), col("snapshot_time"))
     }),
 
-    // LSH-approximate kNN (the 100 TB ANN path): sign-random-projection
-    // Hamming prefilter + exact rescoring. Oracle omitted: approximate
-    // results are validated by recall tests, not row equality.
-    "q28_lsh_knn" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Knn.approxLsh(e, e.filter(col("vec_id") < 10), k = 5,
-          dim = 64, nBits = 16, hammingRadius = 6)
-        .select(col("query_id"), col("rk").cast("bigint").as("rk"),
-          col("neighbor_id"), round(col("sim"), 6).as("sim"))
-        .orderBy(col("query_id"), col("rk"))
-    }),
-
     // Trained IVF ANN, full production shape: k-means cells, index
     // PERSISTED partitioned by cell_id, search via static partition
     // pruning (searchPruned) — what the driver times is the actual 100 TB

@@ -117,6 +117,20 @@ object Vectors {
         .orderBy(col("vec_id"))
     }),
 
+    // LSH-approximate kNN (the 100 TB ANN path): sign-random-projection
+    // Hamming prefilter + exact rescoring. Portable ±1 hyperplanes make
+    // the approximate result — prefilter included — exactly reproducible,
+    // so even the LSH path is hash-checked against the oracle; recall
+    // bounds live in KnnSpec.
+    "q28_lsh_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Knn.approxLsh(e, e.filter(col("vec_id") < 10), k = 5,
+          dim = 64, nBits = 16, hammingRadius = 6, portable = true)
+        .select(col("query_id"), col("rk").cast("bigint").as("rk"),
+          col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // IVF-style approximate k-NN: labels as coarse cells, probe the 2
     // nearest cell centroids, exact top-k within probed cells only — the
     // deterministic skeleton of the 100 TB ANN path (cells would come from
@@ -233,6 +247,36 @@ object Vectors {
         |       coalesce(m.nm, 0) < 5 AS is_anomalous
         |FROM e LEFT JOIN m USING (vec_id)
         |ORDER BY e.vec_id""".stripMargin,
+
+    // Reproduces the portable sign-LSH prefilter exactly (same md5-derived
+    // ±1 planes and sequential list_reduce dots as the q24 oracle), then
+    // the Hamming-radius candidate filter and exact top-k rescore.
+    "q28_lsh_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |sg AS (SELECT j.j, i.i,
+        |    CASE WHEN (CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+        |           CAST(i.i AS VARCHAR) || '#42'), 1, 8) AS BIGINT) & 1) = 1
+        |         THEN 1.0 ELSE -1.0 END AS sg
+        |  FROM (SELECT unnest(range(0, 16)) AS j) j,
+        |       (SELECT unnest(range(0, 64)) AS i) i),
+        |sgl AS (SELECT j, list(sg ORDER BY i) AS sgl FROM sg GROUP BY j),
+        |dots AS (SELECT e.vec_id, s.j,
+        |    list_reduce(list_transform(range(1, 65), i -> e.v[i] * s.sgl[i]),
+        |                (acc, x) -> acc + x) AS dot
+        |  FROM e CROSS JOIN sgl s),
+        |sig AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS sgn
+        |  FROM dots GROUP BY vec_id),
+        |es AS (SELECT e.vec_id, e.v, s.sgn FROM e JOIN sig s ON e.vec_id = s.vec_id),
+        |cand AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    list_cosine_similarity(q.v, c.v) AS cs
+        |  FROM es q JOIN es c
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |   AND bit_count(CAST(xor(q.sgn, c.sgn) AS BIGINT)) <= 6),
+        |r AS (SELECT qid, nid, cs, row_number() OVER (
+        |        PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk FROM cand)
+        |SELECT qid AS query_id, rk, nid AS neighbor_id, round(cs, 6) AS sim
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "q27_ivf_knn" ->
       s"""$centroidCte,
