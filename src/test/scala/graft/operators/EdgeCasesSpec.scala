@@ -20,6 +20,36 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.exactGroups(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.nearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairsBlocked(emptyDocs, "doc_id", "text").count() == 0)
+    // empty pair graph -> empty components, converges in one round
+    assert(Dedup.nearDupGroups(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+  }
+
+  test("banded embedding near-dup tolerates empty and single-row corpora") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(Dedup.embeddingNearDup(empty, minCosine = 0.5, dim = 4).count() == 0)
+    val one = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDup(one, minCosine = 0.5, dim = 4).count() == 0)
+  }
+
+  test("sequence packing on an empty table returns no packs") {
+    val withTokens = emptyDocs.withColumn("n_tokens", lit(1L))
+    assert(Packing.packGreedy(withTokens, "doc_id", "n_tokens", 512).count() == 0)
+  }
+
+  test("salted self-join with no hot groups degrades to the plain join") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    val l = df.select($"g", $"id".as("lid"))
+    val r = df.select($"g", $"id".as("rid"))
+    val plain = l.join(r, Seq("g")).as[(String, Long, Long)].collect().toSet
+    val salted = Skew.saltedSelfJoin(l, r, "g", col("lid"), saltAbove = 100, salts = 4)
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted == plain)
   }
 
   test("documents shorter than the shingle width survive (empty text, one word)") {
