@@ -49,11 +49,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HashFeaturize(es(0), intLit(es(1), "hash_featurize dim"))
     }
     inject("rhp_signature",
-      "rhp_signature(vec, nbits, dim, seed) - sign-random-projection LSH signature") { es =>
+      "rhp_signature(vec, nbits, dim, seed[, portable]) - sign-random-projection " +
+        "LSH signature; portable=true uses md5-derived ±1 planes any engine can reproduce") { es =>
       RandomHyperplaneSignature(es(0), intLit(es(1), "rhp nbits"),
-        intLit(es(2), "rhp dim"), longLit(es(3), "rhp seed"))
+        intLit(es(2), "rhp dim"), longLit(es(3), "rhp seed"),
+        portable = es.length > 4 && boolLit(es(4), "rhp portable"))
     }
   }
+
+  private def boolLit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Boolean =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+      case _ => throw new IllegalArgumentException(s"$what must be a boolean literal")
+    }
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int =
     e match {
