@@ -38,6 +38,43 @@ object Sampling {
       hash32(col(idCol).cast("string"), seed) * lit(1000000L) <
         col(weightPpmCol).cast("long") * lit(4294967296L))
 
+  /** Deterministic global shuffle — the pre-training corpus shuffle as a
+    * pure function of the data: position by (id-hash, id) instead of
+    * rand(). Reruns, retried tasks, and any other engine produce the
+    * identical permutation, so shard N of the shuffled corpus is stable
+    * across incremental rebuilds (what makes resumable multi-epoch
+    * training reproducible). Different `seed` → independent permutation
+    * (epoch reshuffles).
+    *
+    * Scale shape: a single global-order window would drag every row into
+    * one partition. Instead the uniform hash is cut into `numBuckets`
+    * fixed-width ranges; ranks are per-bucket windows (parallel), offsets
+    * come from one tiny count aggregation (numBuckets rows — driver-sized
+    * by construction), and `offset + rank` equals the global
+    * (hash, id)-order position exactly because bucket boundaries follow
+    * the hash order. One shuffle on the bucket key, never a global sort. */
+  def deterministicShuffle(
+      df: DataFrame, idCol: String, seed: Int, numBuckets: Int = 256): DataFrame = {
+    require(numBuckets >= 1)
+    val width = ((1L << 32) + numBuckets - 1) / numBuckets
+    val withB = df
+      .withColumn("_h", hash32(col(idCol).cast("string"), seed))
+      .withColumn("_b", expr(s"_h div ${width}L"))
+    val counts = withB.groupBy(col("_b")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, n) => val row = (b, acc); acc += n; row }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("_b", "_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(col("_h"), col(idCol))
+    withB
+      .join(broadcast(offsetsDf), Seq("_b"))
+      .withColumn("shuffle_pos", (col("_off") + row_number().over(w)).cast("bigint"))
+      .drop("_h", "_b", "_off")
+  }
+
   /** Stratified variant: per-stratum percentages (e.g. boost low-resource
     * languages, downsample crawl dumps), `defaultPct` for unlisted strata.
     * The rate table is compiled into a CASE expression — no join, the

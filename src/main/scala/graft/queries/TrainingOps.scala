@@ -61,6 +61,15 @@ object TrainingOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic global corpus shuffle (the pre-training shuffle):
+    // position = rank under (id-hash, id) — identical permutation on any
+    // rerun/engine. Bucketed ranking, never a single global sort window.
+    "q58_corpus_shuffle" -> ((s, dir) => {
+      Sampling.deterministicShuffle(t(s, dir, "documents"), "doc_id", seed = 13)
+        .select(col("shuffle_pos"), col("doc_id"), col("lang"))
+        .orderBy(col("shuffle_pos"))
+    }),
+
     // Quality-weighted corpus downsampling: keep each doc with probability
     // proportional to its quality score (importance sampling). Pure
     // integer hash comparison — identical sample in every engine/rerun.
@@ -173,6 +182,13 @@ object TrainingOps {
          |        PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rk FROM sc)
          |SELECT doc_id, rk, w AS term, score FROM r WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin,
+
+    "q58_corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#13'), 1, 8) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT row_number() OVER (ORDER BY hv, doc_id) AS shuffle_pos, doc_id, lang
+        |FROM h ORDER BY shuffle_pos""".stripMargin,
 
     "q57_weighted_sample" ->
       s"""WITH $qualityPpmCte

@@ -39,4 +39,25 @@ class SamplingSpec extends SparkSpec {
     val nonEn = docs.filter($"lang" =!= "en").count()
     assert(s.count() == nonEn, "non-en strata kept at 100%")
   }
+
+  test("deterministicShuffle: a contiguous permutation equal to the global hash order") {
+    import graft.functions.TextFunctions.hash32
+    val out = Sampling.deterministicShuffle(docs, "doc_id", seed = 13, numBuckets = 16)
+      .select($"shuffle_pos", $"doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    val n = docs.count()
+    assert(out.map(_._1).toSeq == (1L to n).toSeq, "positions are 1..n with no gaps")
+    // bucketed offset+rank must equal the single global-order rank
+    val expected = docs.select($"doc_id",
+        hash32($"doc_id".cast("string"), 13).as("h"))
+      .as[(Long, Long)].collect().sortBy { case (id, h) => (h, id) }
+      .zipWithIndex.map { case ((id, _), i) => (i + 1L, id) }.toSeq
+    assert(out.toSeq == expected)
+    // reruns identical; different seed -> different permutation
+    val again = Sampling.deterministicShuffle(docs, "doc_id", seed = 13, numBuckets = 16)
+      .select($"shuffle_pos", $"doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+    val other = Sampling.deterministicShuffle(docs, "doc_id", seed = 14, numBuckets = 16)
+      .select($"shuffle_pos", $"doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(other.toSeq != out.toSeq)
+  }
 }
