@@ -301,14 +301,22 @@ object Dedup {
       (0 until nBands).map(b =>
         rhp_signature(col(vecCol), bitsPerBand, dim, seed + b, portable).as(s"band$b"))
     val sigs = corpus.select(sigCols: _*)
-    val bands = sigs.select(col("doc_id"), col("v"),
+    // band join on IDS ONLY (same discipline as minhashCandidates): the
+    // exploded band stream carries 16 bytes/row, not nBands copies of the
+    // embedding; vectors are joined back just for the candidate rescore.
+    val bands = sigs.select(col("doc_id"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("b"), col(s"band$b").as("s"))): _*)).as("bv"))
-    bands.as("x").join(bands.as("y"),
+    val cand = bands.as("x").join(bands.as("y"),
         col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+    val vecs = sigs.select(col("doc_id"), col("v"))
+    cand
+      .join(vecs.select(col("doc_id").as("id_a"), col("v").as("va"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(vecs.select(col("doc_id").as("id_b"), col("v").as("vb"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .withColumn("sim", cosine_sim(col("va"), col("vb")))
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("sim"))
