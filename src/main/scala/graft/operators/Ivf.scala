@@ -27,15 +27,32 @@ object Ivf {
     * assigned: corpus + cell_id (partitionable/bucketable by cell_id). */
   case class IvfIndex(cells: DataFrame, assigned: DataFrame)
 
+  /** `maxFitRows` bounds the k-means TRAINING set (cell assignment still
+    * covers the full corpus): at 100 TB you fit coarse centroids on a
+    * sample — a few hundred vectors per cell saturates centroid quality
+    * (standard IVF practice) — and only the embarrassingly-parallel
+    * assignment pass touches every row. The sample is a deterministic
+    * hash of the id ([[Sampling]] discipline), so rebuilds are stable;
+    * corpora at or below the cap train on everything, exactly as before. */
   def build(
       corpus: DataFrame, nCells: Int, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxFitRows: Int = 100000): IvfIndex = {
     val normed = corpus.withColumn("_nvec",
       graft.functions.GraftFunctions.l2_normalize(col(vecCol)))
     val feats = normed.withColumn("_features", array_to_vector(col("_nvec")))
+    val n = feats.count()
+    val fitSet =
+      if (n <= maxFitRows) feats
+      else {
+        // deterministic hash thinning to ~maxFitRows (pure function of the
+        // id — rerun-stable, no sample() re-draw on task retry)
+        val pct = math.max(1, math.min(100, (maxFitRows * 100L / n).toInt))
+        Sampling.hashSample(feats, idCol, pct, seed = seed.toInt)
+      }
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("_features").setPredictionCol("_cell")
-      .fit(feats)
+      .fit(fitSet)
     val assigned = model.transform(feats)
       .withColumnRenamed("_cell", "cell_id")
       .drop("_features", "_nvec")

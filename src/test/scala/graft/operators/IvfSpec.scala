@@ -61,6 +61,25 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("sample-fit build (the 100 TB path): full assignment, exhaustive probe stays exact") {
+    // train centroids on ~1/5 of the corpus, assign everything
+    val idx = Ivf.build(emb, nCells = 8, maxFitRows = 100)
+    assert(idx.assigned.count() == emb.count(), "every vector assigned")
+    assert(idx.cells.count() == 8)
+    // nprobe = nCells is exhaustive, so results equal exact kNN no matter
+    // where the sampled centroids landed
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Knn.exact(emb, q, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val viaIvf = Ivf.search(idx, q, k = 5, nprobe = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(viaIvf == exact)
+    // deterministic: same sample, same cells on rebuild
+    val again = Ivf.build(emb, nCells = 8, maxFitRows = 100)
+    assert(again.assigned.select($"vec_id", $"cell_id").collect().toSet ==
+      idx.assigned.select($"vec_id", $"cell_id").collect().toSet)
+  }
+
   test("search output follows the standard kNN contract") {
     val idx = Ivf.build(emb, nCells = 4)
     val out = Ivf.search(idx, emb.filter($"vec_id" < 3), k = 5, nprobe = 2)
