@@ -109,4 +109,59 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(got == Set(1L, 2L, 4L),
       s"duplicate must stay suppressed across restart, got $got")
   }
+
+  test("streaming path-3 lookback state survives restart: verdicts equal batch") {
+    import graft.core.DetectionConfig
+    import graft.operators.{Detection, Profiles}
+    import StreamingPathThree._
+
+    val src = Files.createTempDirectory("graft_p3src").toString
+    val sink = Files.createTempDirectory("graft_p3sink").toString
+    val ckpt = Files.createTempDirectory("graft_p3ckpt").toString
+
+    val readings = IoTSimulator.readings(spark, nTicks = 80,
+      injections = IoTSimulator.compressorFailure("RTU-001", 50, 70))
+    val snaps = Snapshotter.snapshots(readings, dim = 16)
+    val profiles = Profiles.build(snaps.filter(
+      $"snapshot_time" < timestamp_seconds(lit(1704067200L + 40 * 10))))
+    val detected = Detection.pathsOneTwo(snaps, profiles, DetectionConfig.Standalone).cache()
+    val cfg = DetectionConfig.VectorSearch
+    val inRows = detected.select(
+        $"device_id", unix_micros($"snapshot_time").as("epoch_us"),
+        $"embedding", coalesce($"is_anomalous", lit(false)).as("is_anomalous"))
+      .as[SnapIn].cache()
+    val schema = inRows.schema
+
+    val splitUs = (1704067200L + 40 * 10) * 1000000L
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema).parquet(src).as[SnapIn]
+      verdicts(stream, cfg)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", sink)
+        .start()
+    }
+
+    // phase 1: first half, crash
+    inRows.filter($"epoch_us" < splitUs).coalesce(1).write.mode("append").parquet(src)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // phase 2: rest arrives while down; restart from checkpoint — the
+    // second half's corpus/match counts depend on state built in phase 1
+    inRows.filter($"epoch_us" >= splitUs).coalesce(1).write.mode("append").parquet(src)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(sink)
+      .select($"device_id", $"epoch_us", $"corpus_n", $"match_n", $"path3_triggered")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4))))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val expected = Detection.pathThreeAfterOneTwo(detected, cfg)
+      .select($"device_id", unix_micros($"snapshot_time").as("epoch_us"),
+        $"corpus_n", $"match_n", $"path3_triggered")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4))))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == expected,
+      "restarted stream must judge phase-2 snapshots against phase-1 state")
+  }
 }
