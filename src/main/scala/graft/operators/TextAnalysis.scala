@@ -29,7 +29,10 @@ object TextAnalysis {
       idCol: String, textCol: String, langCol: String): DataFrame = {
     val trainTok = train.select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("w"))
     val freq = trainTok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
-    val tot = trainTok.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+    // per-language totals derive exactly from the (much smaller) freq
+    // table — Σ freq per lang ≡ token count — saving a second full
+    // explode+shuffle over the training corpus
+    val tot = freq.groupBy(col("lang")).agg(sum(col("freq")).as("total"))
     val rate = freq.join(tot, "lang")
       .select(col("lang"), col("w"), expr("(freq * 1000000) div total").as("rate"))
     val testTok = test.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
