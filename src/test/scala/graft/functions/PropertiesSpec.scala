@@ -162,6 +162,44 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("portable rhp signature: expression equals a JVM-side sign recomputation") {
+    // the oracle contract in miniature: signature bit b = sign of the
+    // sequential fold of ±v(i), signs from PortableSigns — any engine
+    // reproducing those two rules gets the identical bigint
+    val vGen = Gen.choose(2, 16).flatMap(n => Gen.listOfN(n, Gen.choose(-5.0, 5.0)))
+    samples(Gen.zip(vGen, Gen.choose(0L, 99L)), 25).foreach { case (v, seed) =>
+      val dim = v.length
+      val viaExpr = Seq(Tuple1(v.map(_.toFloat))).toDF("v")
+        .select(GraftFunctions.rhp_signature($"v", 8, dim, seed, portable = true))
+        .as[Long].head()
+      val expected = (0 until 8).foldLeft(0L) { (sig, b) =>
+        var dot = 0.0
+        var i = 0
+        while (i < dim) {
+          dot += v(i).toFloat.toDouble * PortableSigns.sign(b, i, seed); i += 1
+        }
+        if (dot >= 0.0) sig | (1L << b) else sig
+      }
+      assert(viaExpr == expected, s"v=$v seed=$seed")
+    }
+  }
+
+  test("pigeonhole simhash blocking law: blocked ≡ all-pairs for random corpora") {
+    import graft.operators.Dedup
+    val wordGen = Gen.choose(1, 30).map(i => f"w$i%02d")
+    val docGen = Gen.choose(5, 20).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    samples(Gen.listOfN(12, docGen), 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      for (mh <- Seq(1, 4)) {
+        val exact = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = mh, blockBits = 0)
+          .as[(Long, Long, Long)].collect().toSet
+        val blocked = Dedup.simhashPairsBlocked(docs, "doc_id", "text", maxHamming = mh)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(blocked == exact, s"maxHamming=$mh texts=${texts.take(3)}…")
+      }
+    }
+  }
+
   test("minhash permutations stay in [0, p) and are distinct families") {
     val hGen = Gen.choose(0L, (1L << 32) - 1)
     samples(hGen, 20).foreach { h =>
