@@ -133,6 +133,34 @@ object TextAnalysis {
         col("w").as("term"), col("score"))
   }
 
+  /** Context-window chunking — split documents into token chunks of
+    * `chunkSize` with `overlap` tokens carried between consecutive chunks
+    * (what a pretraining pipeline does before packing samples into fixed
+    * windows). Chunk i covers tokens [i·stride, i·stride + chunkSize),
+    * stride = chunkSize − overlap; the tail chunk may be short. Entirely
+    * narrow (per-row array expressions, zero shuffles), and the chunk
+    * hash is md5-portable, so chunk identity is stable across engines —
+    * chunk-level dedup composes directly with [[Dedup.exactGroups]].
+    * Output: (doc_id, chunk_idx, n_chunk_tokens, chunk_hash). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      .select(col("doc_id"), col("tok"),
+        expr(s"1 + (size(tok) - 1) div $stride").as("n_chunks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          s => slice(col("tok"), s * stride + 1, lit(chunkSize)))).as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("bigint").as("chunk_idx"),
+        size(col("chunk")).cast("bigint").as("n_chunk_tokens"),
+        hash32(array_join(col("chunk"), " "), 0).as("chunk_hash"))
+  }
+
   /** Repetition scoring (a Gopher-style quality rule): fraction of
     * duplicate word `n`-grams per document. Zero-shuffle narrow
     * computation — the whole signal is array expressions per row. The

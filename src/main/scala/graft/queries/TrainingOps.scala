@@ -61,6 +61,14 @@ object TrainingOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Context-window chunking: 64-token chunks, 8-token overlap, with
+    // portable chunk hashes (chunk-level dedup identity across engines).
+    "q59_doc_chunking" -> ((s, dir) => {
+      TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 64, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Deterministic global corpus shuffle (the pre-training shuffle):
     // position = rank under (id-hash, id) — identical permutation on any
     // rerun/engine. Bucketed ranking, never a single global sort window.
@@ -182,6 +190,17 @@ object TrainingOps {
          |        PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rk FROM sc)
          |SELECT doc_id, rk, w AS term, score FROM r WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin,
+
+    "q59_doc_chunking" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
+         |s AS (SELECT doc_id, tok, len(tok) AS n,
+         |        unnest(range(0, 1 + (len(tok) - 1) // 56)) AS st FROM t),
+         |c AS (SELECT doc_id, st AS chunk_idx,
+         |        tok[st * 56 + 1 : least(st * 56 + 64, n)] AS chunk FROM s)
+         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+         |  CAST('0x' || substr(md5(array_to_string(chunk, ' ') || '#0'), 1, 8) AS BIGINT)
+         |    AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q58_corpus_shuffle" ->
       """WITH h AS (SELECT doc_id, lang,

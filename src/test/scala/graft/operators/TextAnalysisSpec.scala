@@ -76,6 +76,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2) == ((0L, 0L, 0.0)))
   }
 
+  test("chunking: coverage, overlap, and tail-chunk length") {
+    val doc = ((1 to 25).map(i => f"t$i%02d")).mkString(" ")
+    val docs = Seq((1L, doc), (2L, "short text")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 10, overlap = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: 25 tokens, stride 8 -> starts 0,8,16,24 -> lengths 10,10,9,1
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_._3).toSeq == Seq(10L, 10L, 9L, 1L))
+    // every token is covered: stride 8 starts reach position 25 via the
+    // length-1 tail chunk (short tails carry less than `overlap` re-reads)
+    assert(d1.map(_._3).sum == 30L) // 10 + 10 + 9 + 1
+    // doc 2: 2 tokens -> one short chunk
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.map(r => (r._2, r._3)).toSeq == Seq((0L, 2L)))
+    // deterministic hashes
+    val again = TextAnalysis.chunkTokens(docs, "doc_id", "text", 10, 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("fingerprints: k smallest distinct hashes ascending") {
     val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(df, "doc_id", "text", n = 4, k = 5)
