@@ -161,6 +161,23 @@ object TextAnalysis {
         hash32(array_join(col("chunk"), " "), 0).as("chunk_hash"))
   }
 
+  /** Boilerplate mining — repeated-passage detection across the corpus
+    * (the C4/RefinedWeb step that strips shared headers, footers, and
+    * template text): chunk every document ([[chunkTokens]]), then find
+    * chunk hashes appearing in at least `minDocs` DISTINCT documents.
+    * One shuffle on the 8-byte chunk hash; the distinct-doc count is a
+    * partial-aggregating groupBy. Returns (chunk_hash, n_docs,
+    * first_doc_id) — join back on the hash to strip or down-weight the
+    * passages. */
+  def boilerplateChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, overlap: Int = 0, minDocs: Int = 2): DataFrame =
+    chunkTokens(docs, idCol, textCol, chunkSize, overlap)
+      .groupBy(col("chunk_hash"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Repetition scoring (a Gopher-style quality rule): fraction of
     * duplicate word `n`-grams per document. Zero-shuffle narrow
     * computation — the whole signal is array expressions per row. The

@@ -69,6 +69,14 @@ object TrainingOps {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Boilerplate mining: 32-token non-overlapping chunks shared by >= 2
+    // distinct documents (template/header text to strip before training).
+    "q62_boilerplate_mining" -> ((s, dir) => {
+      TextAnalysis.boilerplateChunks(t(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, overlap = 0, minDocs = 2)
+        .orderBy(col("chunk_hash"))
+    }),
+
     // Deterministic global corpus shuffle (the pre-training shuffle):
     // position = rank under (id-hash, id) — identical permutation on any
     // rerun/engine. Bucketed ranking, never a single global sort window.
@@ -190,6 +198,20 @@ object TrainingOps {
          |        PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rk FROM sc)
          |SELECT doc_id, rk, w AS term, score FROM r WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin,
+
+    "q62_boilerplate_mining" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
+         |s AS (SELECT doc_id, tok, len(tok) AS n,
+         |        unnest(range(0, 1 + (len(tok) - 1) // 32)) AS st FROM t),
+         |c AS (SELECT doc_id,
+         |        tok[st * 32 + 1 : least(st * 32 + 32, n)] AS chunk FROM s),
+         |h AS (SELECT doc_id,
+         |  CAST('0x' || substr(md5(array_to_string(chunk, ' ') || '#0'), 1, 8) AS BIGINT)
+         |    AS chunk_hash FROM c)
+         |SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       min(doc_id) AS first_doc_id
+         |FROM h GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_hash""".stripMargin,
 
     "q59_doc_chunking" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),

@@ -97,6 +97,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("boilerplate mining: cross-document chunks surface, unique ones don't") {
+    val header = (1 to 8).map(i => f"hdr$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, header + " unique body one content here now"),
+      (2L, header + " different body text entirely other"),
+      (3L, "no shared template in this one at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateChunks(docs, "doc_id", "text",
+        chunkSize = 8, overlap = 0, minDocs = 2)
+      .as[(Long, Long, Long)].collect()
+    // exactly the shared 8-token header chunk; owned first by doc 1
+    assert(out.length == 1, s"got ${out.toSeq}")
+    assert(out.head._2 == 2L && out.head._3 == 1L)
+  }
+
   test("fingerprints: k smallest distinct hashes ascending") {
     val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(df, "doc_id", "text", n = 4, k = 5)
