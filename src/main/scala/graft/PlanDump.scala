@@ -64,7 +64,20 @@ object PlanDump {
       ("Stored IVF: k-means cells persisted with the corpus PARTITIONED BY " +
         "cell_id; the probed cell set resolves first and reaches the scan as " +
         "a static PartitionFilter — a 3-of-1024-cells probe reads ~0.3% of " +
-        "corpus bytes, enforced by layout rather than a runtime filter."))
+        "corpus bytes, enforced by layout rather than a runtime filter."),
+    "q58_corpus_shuffle" ->
+      ("Deterministic global shuffle without a global sort: the uniform id " +
+        "hash is cut into fixed-width bucket ranges, ranks are per-bucket " +
+        "windows (parallel), and bucket offsets come from one driver-sized " +
+        "count aggregation — offset + rank equals the global permutation " +
+        "position exactly. One shuffle on the bucket key; no single-" +
+        "partition window anywhere."),
+    "q62_boilerplate_mining" ->
+      ("Repeated-passage mining: per-row chunking is narrow (zero shuffles " +
+        "until the hash), then ONE shuffle on the 8-byte chunk hash with " +
+        "partial-aggregating distinct-doc counts. Join the result back on " +
+        "chunk_hash to strip template text — corpus bytes are touched " +
+        "exactly once."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
