@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -44,7 +43,7 @@ object PortableSigns {
   */
 case class RandomHyperplaneSignature(
     child: Expression, nBits: Int, dim: Int, seed: Long, portable: Boolean = false)
-    extends UnaryExpression with VectorArrayExpression with CodegenFallback {
+    extends UnaryExpression with VectorArrayExpression {
   require(nBits >= 1 && nBits <= 64, "nBits must be in [1, 64]")
 
   override protected def arrayInputs: Seq[Expression] = Seq(child)
@@ -53,14 +52,17 @@ case class RandomHyperplaneSignature(
   override def prettyName: String = "rhp_signature"
 
   // Deterministic hyperplane matrix: nBits x dim entries (Gaussian, or
-  // portable md5-derived ±1).
-  @transient private lazy val planes: Array[Array[Double]] =
-    if (portable)
-      Array.tabulate(nBits)(b => Array.tabulate(dim)(i => PortableSigns.sign(b, i, seed)))
-    else {
-      val rnd = new java.util.Random(seed)
-      Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-    }
+  // portable md5-derived ±1). Flattened row-major for the codegen loop.
+  @transient lazy val planesFlat: Array[Double] = {
+    val m =
+      if (portable)
+        Array.tabulate(nBits)(b => Array.tabulate(dim)(i => PortableSigns.sign(b, i, seed)))
+      else {
+        val rnd = new java.util.Random(seed)
+        Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+      }
+    m.flatten
+  }
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -68,15 +70,39 @@ case class RandomHyperplaneSignature(
     var sig = 0L
     var b = 0
     while (b < nBits) {
-      val h = planes(b)
       var dot = 0.0
       var i = 0
-      while (i < n) { dot += get(child, x, i) * h(i); i += 1 }
+      while (i < n) { dot += get(child, x, i) * planesFlat(b * dim + i); i += 1 }
       if (dot >= 0.0) sig |= (1L << b)
       b += 1
     }
     sig
   }
+
+  // whole-stage-codegen body: the plane matrix rides along as a reference
+  // object; the loop is identical to nullSafeEval (same accumulation
+  // order — signatures stay bit-identical between modes).
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val planes = ctx.addReferenceObj("rhpPlanes", planesFlat, "double[]")
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val b = ctx.freshName("b"); val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $nBits; $b++) {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.${accessor(child)}($i) * $planes[$b * $dim + $i];
+         |  }
+         |  if ($dot >= 0.0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
