@@ -145,6 +145,38 @@ object TrainingOps {
           "doc_id", "text", n = 4)
         .orderBy(col("doc_id"))
     }),
+
+    // Gopher-style rule gate: per-rule booleans + combined verdict, every
+    // threshold an integer cross-multiplication (no division, no floats) —
+    // the filter decisions are bit-identical in any engine.
+    "q63_quality_filter" -> ((s, dir) => {
+      TextAnalysis.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repeated-passage removal — the transform half of q62's mining: strip
+    // chunks shared by >= 2 distinct docs, report kept/removed counts and
+    // the cleaned text's portable hash (chunk order restored by sort).
+    "q64_passage_strip" -> ((s, dir) => {
+      TextAnalysis.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-frequency fluency proxy (the n-gram-LM perplexity-filter shape
+    // with engine-exact integer rates; docs with < 2 tokens emit no row).
+    "q65_bigram_fluency" -> ((s, dir) => {
+      TextAnalysis.bigramFluency(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary build (freq-ranked ids, UNK=0 below min frequency) +
+    // token->id mapping: per-doc UNK counts and the id-stream hash.
+    "q66_vocab_map" -> ((s, dir) => {
+      TextAnalysis.vocabTokenIds(t(s, dir, "documents"), "doc_id", "text",
+          minFreq = 2)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -295,5 +327,88 @@ object TrainingOps {
          |                 // (2 * n_ngrams) AS DOUBLE) / 1000000.0
          |       ELSE 0.0 END AS rep_ratio
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q63_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
+         |g AS (SELECT doc_id,
+         |        CAST(len(tok) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(tok)) AS BIGINT) AS n_distinct_tok,
+         |        CAST(len(list_filter(tok, w -> w IN ('a', 'the'))) AS BIGINT) AS n_stop,
+         |        CAST(list_sum(list_transform(tok, w -> length(w))) AS BIGINT) AS sum_len,
+         |        CASE WHEN len(tok) >= 2 THEN
+         |          list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])
+         |        ELSE [] END AS sh
+         |      FROM t),
+         |c AS (SELECT doc_id, n_tokens, n_distinct_tok, n_stop, sum_len,
+         |        CAST(len(sh) AS BIGINT) AS n_bg,
+         |        CAST(len(list_distinct(sh)) AS BIGINT) AS n_dbg FROM g),
+         |r AS (SELECT doc_id, n_tokens,
+         |        (n_tokens >= 20 AND n_tokens <= 100000) AS pass_len,
+         |        (sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10) AS pass_word_len,
+         |        (n_stop >= 1) AS pass_stop,
+         |        (n_bg = 0 OR (n_bg - n_dbg) * 10 <= n_bg) AS pass_rep,
+         |        (n_distinct_tok * 2 >= n_tokens) AS pass_distinct
+         |      FROM c)
+         |SELECT doc_id, n_tokens, pass_len, pass_word_len, pass_stop, pass_rep,
+         |       pass_distinct,
+         |       (pass_len AND pass_word_len AND pass_stop AND pass_rep
+         |        AND pass_distinct) AS verdict
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q64_passage_strip" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
+         |s AS (SELECT doc_id, tok, len(tok) AS n,
+         |        unnest(range(0, 1 + (len(tok) - 1) // 32)) AS st FROM t),
+         |c AS (SELECT doc_id, st AS chunk_idx,
+         |        array_to_string(tok[st * 32 + 1 : least(st * 32 + 32, n)], ' ') AS chunk_str
+         |      FROM s),
+         |h AS (SELECT doc_id, chunk_idx, chunk_str,
+         |        CAST(len(string_split(chunk_str, ' ')) AS BIGINT) AS nct,
+         |        CAST('0x' || substr(md5(chunk_str || '#0'), 1, 8) AS BIGINT) AS chunk_hash
+         |      FROM c),
+         |hot AS (SELECT chunk_hash FROM h GROUP BY chunk_hash
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |k AS (SELECT h.*, chunk_hash IN (SELECT chunk_hash FROM hot) AS boiler FROM h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) FILTER (boiler) AS BIGINT) AS n_removed,
+         |  CAST(coalesce(sum(nct) FILTER (NOT boiler), 0) AS BIGINT) AS n_tokens_kept,
+         |  CAST('0x' || substr(md5(coalesce(
+         |    array_to_string(list(chunk_str ORDER BY chunk_idx) FILTER (NOT boiler), ' '),
+         |    '') || '#0'), 1, 8) AS BIGINT) AS clean_hash
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q65_bigram_fluency" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
+         |s AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= 2 THEN
+         |        list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])
+         |      ELSE [] END) AS bg FROM t),
+         |f AS (SELECT bg, count(*) AS cnt FROM s GROUP BY bg),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM f),
+         |r AS (SELECT bg, CAST((cnt * 1000000) // total AS BIGINT) AS rate_ppm
+         |      FROM f CROSS JOIN tt),
+         |j AS (SELECT doc_id, rate_ppm FROM s JOIN r USING (bg)),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        CAST(sum(rate_ppm) AS BIGINT) AS sum_rate FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  CAST((2 * sum_rate + n_bigrams) // (2 * n_bigrams) AS BIGINT) AS fluency_ppm,
+         |  CAST(CAST((2 * sum_rate + n_bigrams) // (2 * n_bigrams) AS BIGINT) AS DOUBLE)
+         |    / 1000000.0 AS fluency
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q66_vocab_map" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
+         |tk AS (SELECT doc_id, st AS pos, tok[st + 1] AS w FROM
+         |        (SELECT doc_id, tok, unnest(range(0, len(tok))) AS st FROM t)),
+         |f AS (SELECT w, count(*) AS cnt FROM tk GROUP BY w HAVING count(*) >= 2),
+         |v AS (SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS id
+         |      FROM f),
+         |m AS (SELECT tk.doc_id, tk.pos, coalesce(v.id, 0) AS tid, (v.id IS NULL) AS unk
+         |      FROM tk LEFT JOIN v USING (w))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (unk) AS BIGINT) AS n_unk,
+         |  CAST('0x' || substr(md5(
+         |    array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ',') || '#0'),
+         |    1, 8) AS BIGINT) AS ids_hash
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }
