@@ -238,6 +238,24 @@ object Events {
           max(unix_micros($"ts")).as("last_seen_us"))
         .orderBy($"user_id")
     }),
+
+    // Banded interval join (time-window correlation, an operator Spark has
+    // no native form of): clicks within ±120 s of each error, per user —
+    // pure equi-join on (user_id, time band), never a nested loop; zero-
+    // match errors kept via the banded left join (RangeJoin scaladoc).
+    "q67_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val err = ev.filter($"event_type" === "error")
+        .select($"user_id", $"event_id".as("err_id"), unix_micros($"ts").as("err_us"))
+      val clk = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("clk_id"), unix_micros($"ts").as("clk_us"))
+      graft.operators.RangeJoin.countWithin(err, clk, Seq("user_id"),
+          "err_us", "clk_us", window = 120L * 1000000L,
+          rightKey = "clk_id", as = "n_near_clicks")
+        .select($"err_id", $"err_us", $"n_near_clicks")
+        .orderBy($"err_id")
+    }),
   )
 
   private val statsCte =
@@ -376,5 +394,15 @@ object Events {
         |    FROM events GROUP BY 1, 2))
         |WHERE crit + warn > 0
         |ORDER BY user_id, window_start""".stripMargin,
+
+    "q67_interval_join" ->
+      """WITH err AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS err_us
+        |             FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, event_id AS clk_id, epoch_us(ts) AS clk_us
+        |        FROM events WHERE event_type = 'click')
+        |SELECT err_id, err_us, CAST(count(clk_id) AS BIGINT) AS n_near_clicks
+        |FROM err LEFT JOIN clk
+        |  ON clk.user_id = err.user_id AND abs(clk_us - err_us) <= 120000000
+        |GROUP BY err_id, err_us ORDER BY err_id""".stripMargin,
   )
 }

@@ -106,6 +106,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q67: interval join is a banded equi-join, never a nested loop") {
+    val p = plan("q67_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the |Δt| predicate must ride an equi-join on (key, band):\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the cosine hot path (equi-join variant)") {
     // q20's BroadcastNestedLoopJoin disables whole-stage codegen around its
     // projection (cosine_sim still evaluates, interpreted); the equi-join
