@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: [[ImageIoDecoder]] uses the JDK's built-in
   * `javax.imageio` (PNG/JPEG/GIF/BMP) — true pixel dimensions and
-  * luminance-grid features from decoded pixels. Audio/video decode is
-  * STUBBED ([[StubDecoder]] byte histograms — no codecs in this
-  * container); swapping in a real one is a one-class change
-  * (implement [[MediaDecoder]]).
+  * luminance-grid features from decoded pixels. AUDIO decode is REAL for
+  * PCM WAV: [[WavCodec]] is a dependency-free RIFF parser (the container
+  * has no codec libraries, but WAV needs none) — true sample rate, frame
+  * count, and per-time-bin RMS energy features. Video decode is STUBBED
+  * ([[StubDecoder]] byte histograms); swapping in a real one is a
+  * one-class change (implement [[MediaDecoder]]).
   */
 object Multimodal {
 
@@ -117,11 +119,111 @@ object Multimodal {
     }
   }
 
+  /** Minimal PCM WAV (RIFF) codec — pure JDK, no codec libraries needed.
+    * Little-endian chunk walk: "RIFF"+"WAVE" header, then `fmt ` (PCM only,
+    * 16-bit) and `data` sub-chunks in any order. */
+  object WavCodec {
+    /** (sampleRate, channels, interleaved 16-bit samples), or None if the
+      * payload is not a 16-bit PCM WAV. */
+    def parse(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def tag(o: Int): String = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+      var data: Option[(Int, Int)] = None // offset, len
+      while (off + 8 <= bytes.length) {
+        val id = tag(off); val size = le32(off + 4)
+        if (size < 0 || off + 8 + size > bytes.length) return None
+        if (id == "fmt " && size >= 16)
+          fmt = Some((le16(off + 8), le16(off + 10), le32(off + 12), le16(off + 22)))
+        if (id == "data") data = Some((off + 8, size))
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      for {
+        (format, channels, rate, bits) <- fmt
+        (dOff, dLen) <- data
+        if format == 1 && bits == 16 && channels >= 1 && rate > 0
+      } yield {
+        val n = dLen / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) { samples(i) = le16(dOff + 2 * i).toShort; i += 1 }
+        (rate, channels, samples)
+      }
+    }
+
+    /** 16-bit PCM mono WAV with one sample per text byte (centered, full
+      * scale) — a REAL audio payload that is a pure function of the text,
+      * so the demo media table exercises the true parse path end-to-end. */
+    def wavFromText(text: String, sampleRate: Int = 8000): Array[Byte] = {
+      val src = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.max(1, src.length)
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(sampleRate)
+        .putInt(sampleRate * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < n) {
+        val b = if (src.isEmpty) 0 else src(i) & 0xff
+        bb.putShort((((b - 128)) << 8).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+  }
+
+  /** Full JDK decoder: REAL image decode (imageio), REAL PCM-WAV audio
+    * decode ([[WavCodec]] → per-time-bin RMS energy in [0,1], true sample
+    * rate as `meta_width`, frame count as `meta_height`), stub for video.
+    * Payloads that fail their decoder report `decode_ok = false` over stub
+    * features so the row stays alive for triage. */
+  final class JdkAvDecoder(dim: Int = 16) extends MediaDecoder {
+    private val image = new ImageIoDecoder(dim)
+    @transient private lazy val stub = new StubDecoder(dim)
+
+    override def features(row: MediaRow): MediaFeatures = row.kind match {
+      case "image" => image.features(row)
+      case "audio" =>
+        WavCodec.parse(row.payload) match {
+          case None => stub.features(row).copy(decode_ok = false)
+          case Some((rate, channels, samples)) =>
+            val frames = samples.length / math.max(1, channels)
+            val sumsq = new Array[Double](dim)
+            val counts = new Array[Long](dim)
+            var f = 0
+            while (f < frames) {
+              // integer mean over channels (mono mix), integer bin index —
+              // deterministic on any JVM
+              var acc = 0L; var c = 0
+              while (c < channels) { acc += samples(f * channels + c); c += 1 }
+              val mono = (acc / channels).toDouble
+              val bin = math.min(dim - 1, (f.toLong * dim / math.max(1, frames)).toInt)
+              sumsq(bin) += mono * mono; counts(bin) += 1
+              f += 1
+            }
+            val feats = Array.tabulate(dim)(i =>
+              if (counts(i) == 0) 0.0f
+              else (math.sqrt(sumsq(i) / counts(i)) / 32768.0).toFloat)
+            MediaFeatures(row.media_id, row.kind, row.payload.length.toLong,
+              feats.toSeq, rate, frames, decode_ok = true)
+        }
+      case _ => stub.features(row)
+    }
+  }
+
   /** Feature extraction over a media Dataset. `mapPartitions` so the
     * decoder is constructed once per partition, not per row. */
   def extractFeatures(
       media: Dataset[MediaRow],
-      makeDecoder: () => MediaDecoder = () => new ImageIoDecoder()): Dataset[MediaFeatures] = {
+      makeDecoder: () => MediaDecoder = () => new JdkAvDecoder()): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val decoder = makeDecoder() // per-partition init (real: load codec/model)
@@ -185,8 +287,9 @@ object Multimodal {
   }
 
   /** Demo/test media table derived from documents: image rows carry a real
-    * PNG rendered from the text ([[pngFromText]]); audio/video rows carry
-    * raw text bytes (their decode is the declared stub). */
+    * PNG rendered from the text ([[pngFromText]]), audio rows a real PCM
+    * WAV ([[WavCodec.wavFromText]]); video rows carry raw text bytes
+    * (their decode is the declared stub). */
   def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text"), col("source"))
@@ -195,9 +298,11 @@ object Multimodal {
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        val payload =
-          if (kind == "image") pngFromText(text)
-          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val payload = kind match {
+          case "image" => pngFromText(text)
+          case "audio" => WavCodec.wavFromText(text)
+          case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
         MediaRow(id, kind, payload, source)
       }
   }

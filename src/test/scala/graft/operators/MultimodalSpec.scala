@@ -31,8 +31,18 @@ class MultimodalSpec extends SparkSpec {
       assert(r.meta_width == 8 && r.meta_height == 8)
       assert(r.features.forall(f => f >= 0.0f && f <= 1.0f))
     }
-    // audio/video keep the declared stub: byte histogram summing to ~1
-    val others = rows.filter(_.kind != "image")
+    // audio rows went through the REAL WAV parse: true sample rate and
+    // frame count (one frame per text byte), RMS features in [0,1]
+    val audio = rows.filter(_.kind == "audio")
+    assert(audio.nonEmpty)
+    audio.foreach { r =>
+      assert(r.decode_ok, s"media ${r.media_id}: WAV must parse")
+      assert(r.meta_width == 8000 && r.meta_height > 0)
+      assert(r.n_bytes == 44 + 2 * r.meta_height, "header + 16-bit frames")
+      assert(r.features.forall(f => f >= 0.0f && f <= 1.0f))
+    }
+    // video keeps the declared stub: byte histogram summing to ~1
+    val others = rows.filter(_.kind == "video")
     others.foreach(r => assert(math.abs(r.features.sum - 1.0f) < 1e-3,
       s"stub histogram must sum to ~1 for ${r.media_id}"))
     rows.foreach(r => assert(r.n_bytes > 0))
@@ -66,6 +76,34 @@ class MultimodalSpec extends SparkSpec {
     val bad = Multimodal.MediaRow(2L, "image", Array[Byte](1, 2, 3), "fixture")
     val fb = new Multimodal.ImageIoDecoder().features(bad)
     assert(!fb.decode_ok && fb.features.length == 16)
+  }
+
+  test("WavCodec: round trip and known-amplitude RMS bins") {
+    // wavFromText: byte b -> sample (b-128)<<8; parse must return them exactly
+    val wav = Multimodal.WavCodec.wavFromText("ab", sampleRate = 4000)
+    val Some((rate, ch, samples)) = Multimodal.WavCodec.parse(wav)
+    assert(rate == 4000 && ch == 1)
+    assert(samples.toSeq == Seq((('a' - 128) << 8).toShort, (('b' - 128) << 8).toShort))
+
+    // hand-built WAV: 32 frames, first 16 at amplitude 8192, rest silent ->
+    // with dim=16, bins 0-7 have RMS 8192/32768 = 0.25, bins 8-15 have 0
+    val bb = java.nio.ByteBuffer.allocate(44 + 64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 64).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(64)
+    (0 until 32).foreach(i => bb.putShort(if (i < 16) 8192.toShort else 0.toShort))
+    val row = Multimodal.MediaRow(1L, "audio", bb.array(), "fixture")
+    val f = new Multimodal.JdkAvDecoder(16).features(row)
+    assert(f.decode_ok && f.meta_width == 8000 && f.meta_height == 32)
+    assert((0 until 8).forall(f.features(_) == 0.25f), f.features)
+    assert((8 until 16).forall(f.features(_) == 0.0f), f.features)
+
+    // non-WAV payload: decode_ok = false, stub features keep the row alive
+    val bad = new Multimodal.JdkAvDecoder(16)
+      .features(Multimodal.MediaRow(2L, "audio", Array[Byte](1, 2, 3), "fixture"))
+    assert(!bad.decode_ok && bad.features.length == 16)
   }
 
   test("chunk sampling keeps every stride-th chunk") {
