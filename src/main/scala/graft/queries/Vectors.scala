@@ -156,6 +156,22 @@ object Vectors {
           col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rk"))
     }),
+
+    // Product-quantization ADC search (the memory-bound 100 TB ANN path:
+    // candidates are scored from m-byte codes + a broadcast distance table,
+    // never touching the original vectors). Engine-exact: fixed-point
+    // micro-unit quantization, integer-exact centroid sums, fixed-order
+    // distance folds, argmin ties on code id — ADC distances are
+    // bit-identical doubles, emitted unrounded. Recall/compression live in
+    // PqSpec; the k-means codebook is the production variant.
+    "q68_pq_adc" -> ((s, dir) => {
+      import graft.operators.Pq
+      val e = t(s, dir, "embeddings")
+      val cb = Pq.labelCodebook(e, "label", "embedding", m = 8, dim = 64)
+      val codes = Pq.encode(e, cb, "vec_id", "embedding", m = 8, dim = 64)
+      Pq.adcSearch(cb, codes, e.filter(col("vec_id") < 10), k = 3, m = 8, dim = 64)
+        .orderBy(col("query_id"), col("rk"))
+    }),
   )
 
   private val centroidCte =
@@ -292,5 +308,43 @@ object Vectors {
          |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk FROM s)
          |SELECT qid AS query_id, rk, nid AS neighbor_id, round(cs, 6) AS sim
          |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // Mirrors Pq.labelCodebook/encode/adcSearch: fixed-point micro-unit
+    // quantization (exact integer sums; a decimal-sum mean is NOT portable
+    // — the float→decimal cast rounds differently per engine), fixed-order
+    // list_reduce distance folds (the portable-signature trick),
+    // row_number argmin with code tie-break.
+    "q68_pq_adc" ->
+      """WITH e AS (SELECT vec_id, label,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(floor(x * 1000000.0) AS DOUBLE)) v
+        |       FROM embeddings),
+        |u AS (SELECT label, vec_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM e),
+        |cb AS (SELECT label AS code, pos // 8 AS s, pos % 8 AS j,
+        |         CAST(sum(CAST(x AS BIGINT)) AS DOUBLE) / count(*) AS c
+        |       FROM u GROUP BY label, pos // 8, pos % 8),
+        |cbl AS (SELECT s, code, list(c ORDER BY j) AS cent FROM cb GROUP BY s, code),
+        |sv AS (SELECT vec_id, pos // 8 AS s, list(x ORDER BY pos % 8) AS sub
+        |       FROM u GROUP BY vec_id, pos // 8),
+        |d AS (SELECT vec_id, sv.s, code,
+        |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+        |          i -> (sub[i] - cent[i]) * (sub[i] - cent[i]))), (a, b) -> a + b) AS d2
+        |      FROM sv JOIN cbl ON cbl.s = sv.s),
+        |en AS (SELECT vec_id, s, code FROM (
+        |         SELECT vec_id, s, code,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+        |         FROM d) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS qid, s, code, d2 FROM d WHERE vec_id < 10),
+        |j2 AS (SELECT qd.qid, en.vec_id AS nid, qd.s, qd.d2
+        |       FROM en JOIN qd ON qd.s = en.s AND qd.code = en.code
+        |       WHERE qd.qid <> en.vec_id),
+        |a AS (SELECT qid, nid,
+        |        list_reduce(list_prepend(0.0, list(d2 ORDER BY s)), (x, y) -> x + y) AS adc
+        |      FROM j2 GROUP BY qid, nid),
+        |r AS (SELECT qid, nid, adc,
+        |        row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS rk
+        |      FROM a)
+        |SELECT qid AS query_id, rk, nid AS neighbor_id, adc AS adc_dist
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
   )
 }
