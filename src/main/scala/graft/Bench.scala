@@ -31,15 +31,25 @@ object Bench {
       }
       name -> times.min
     }
-    // The driver captures only the last ~2000 chars of stdout; format
-    // seconds with 3 decimals so the whole JSON line fits in that window.
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    // The driver captures only the last ~2000 chars of stdout, trailing sbt
+    // epilogue included — a line that doesn't fit gets truncated mid-JSON
+    // and fails to parse. Strip trailing zeros and, if the query set has
+    // grown enough that 3 decimals still don't fit a 1900-char budget,
+    // degrade precision until it does (10 ms resolution is ample for a
+    // cross-round comparison).
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    def fmt(dec: Int)(v: Double): String =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+        .replaceAll("0+$", "").replaceAll("\\.$", "")
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(dec)(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(dec)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val out = Iterator(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(1))
     spark.stop()
     // Print last, after stop(), so the JSON is the app's final stdout line.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(out)
     System.out.flush()
   }
 }

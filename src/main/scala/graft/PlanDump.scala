@@ -77,7 +77,21 @@ object PlanDump {
         "until the hash), then ONE shuffle on the 8-byte chunk hash with " +
         "partial-aggregating distinct-doc counts. Join the result back on " +
         "chunk_hash to strip template text — corpus bytes are touched " +
-        "exactly once."))
+        "exactly once."),
+    "q67_interval_join" ->
+      ("Banded interval join: a |Δt| <= w condition alone would plan a " +
+        "BroadcastNestedLoopJoin (O(|L|x|R|) per key). Bucketing time into " +
+        "width-w bands and exploding ONE side to its 3 candidate bands turns " +
+        "it into a hash equi-join on (user, band) with the exact predicate as " +
+        "a residual conjunct — shuffle-partitionable, AQE-skew-splittable, " +
+        "each qualifying pair produced exactly once."),
+    "q68_pq_adc" ->
+      ("Product quantization + ADC: candidates are scored from m=8 int codes " +
+        "and a broadcast query-side distance table — the corpus vectors are " +
+        "never touched after encoding. At 100 TB the ADC scan reads ~m bytes " +
+        "per vector instead of 4·d, and per-candidate work is m table lookups. " +
+        "Fixed-point micro-units make every distance bit-identical across " +
+        "engines, so even this approximate path is oracle-hash-checked."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
