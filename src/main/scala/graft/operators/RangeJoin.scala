@@ -47,6 +47,28 @@ object RangeJoin {
       leftTime: String, rightTime: String, window: Long): DataFrame =
     banded(left, right, keys, leftTime, rightTime, window, "inner")
 
+  /** Streaming counterpart of [[intervalJoinPairs]]: Spark's native
+    * stream-stream join already manages time-range state, so no banding is
+    * needed — the watermark bounds both buffers (rows older than
+    * `watermarkDelay` beyond the peer's event time are evicted), which is
+    * exactly the state bound the batch operator gets from band locality.
+    * `leftTime`/`rightTime` are TIMESTAMP columns here (streaming
+    * watermarks attach to event-time columns, not epoch longs);
+    * `windowSeconds` is the same |Δt| bound as the batch operator. */
+  def streamingIntervalJoinPairs(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      windowSeconds: Long, watermarkDelay: String): DataFrame = {
+    require(windowSeconds > 0, s"window must be positive, got $windowSeconds")
+    val l = left.withWatermark(leftTime, watermarkDelay).alias("_sj_l")
+    val r = right.withWatermark(rightTime, watermarkDelay).alias("_sj_r")
+    val keyCond = keys.map(k => col(s"_sj_l.$k") === col(s"_sj_r.$k")).reduce(_ && _)
+    val range =
+      col(rightTime) >= col(leftTime) - expr(s"INTERVAL $windowSeconds SECONDS") &&
+      col(rightTime) <= col(leftTime) + expr(s"INTERVAL $windowSeconds SECONDS")
+    keys.foldLeft(l.join(r, keyCond && range, "inner"))(
+      (df, k) => df.drop(col(s"_sj_r.$k")))
+  }
+
   /** Per left row: the count of right rows sharing `keys` within `window`
     * of it — zero-match rows included (the neighborhood-density feature:
     * "how many X happened around this Y"). Implemented as the banded LEFT

@@ -302,6 +302,20 @@ object TextAnalysis {
       .withColumn("fluency", col("fluency_ppm").cast("double") / 1000000.0)
   }
 
+  /** Frequency-ranked vocabulary: tokens with corpus frequency >= `minFreq`,
+    * id = rank under (freq desc, token asc), 1-based (0 is reserved for
+    * UNK). Broadcast-sized by contract — it is the mapping table of
+    * [[vocabTokenIds]] and the static side of streaming tokenization. */
+  def vocabulary(docs: DataFrame, textCol: String, minFreq: Long): DataFrame = {
+    val freq = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minFreq)
+    val rankW = Window.orderBy(col("cnt").desc, col("w").asc)
+    freq.withColumn("id", row_number().over(rankW).cast("bigint"))
+      .select(col("w"), col("id"))
+  }
+
   /** Frequency-ranked vocabulary + token→id mapping (the tokenize-to-ids
     * step before packing): vocabulary = tokens with corpus frequency >=
     * `minFreq`, id = rank under (freq desc, token asc), id 0 reserved for
@@ -318,12 +332,7 @@ object TextAnalysis {
       minFreq: Long = 2): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minFreq)
-    val rankW = Window.orderBy(col("cnt").desc, col("w").asc)
-    val vocab = freq.withColumn("id", row_number().over(rankW).cast("bigint"))
-      .select(col("w"), col("id"))
-    tok.join(broadcast(vocab), Seq("w"), "left")
+    tok.join(broadcast(vocabulary(docs, textCol, minFreq)), Seq("w"), "left")
       .withColumn("tid", coalesce(col("id"), lit(0L)))
       .groupBy(col("doc_id"))
       .agg(

@@ -106,6 +106,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q63: the quality gate is a pure narrow pass — no join, no window") {
+    val p = plan("q63_quality_filter")
+    assert(!p.contains("Join"), "rule thresholds must not join:\n" + p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q64: passage strip broadcasts the hot-chunk table, no cartesian") {
+    val p = plan("q64_passage_strip")
+    assert(p.contains("BroadcastHashJoin"),
+      "the shared-chunk mark join must broadcast (hot set is tiny by construction):\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q66: vocab mapping joins broadcast; ranking window is vocab-sized only") {
+    val p = plan("q66_vocab_map")
+    assert(p.contains("BroadcastHashJoin"),
+      "token->id mapping must broadcast the vocabulary:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q68: ADC scan joins codes to a broadcast distance table, no pair matrix") {
+    val p = plan("q68_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "ADC must never form the |Q|x|C| vector-pair matrix:\n" + p)
+  }
+
   test("q67: interval join is a banded equi-join, never a nested loop") {
     val p = plan("q67_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin"),
