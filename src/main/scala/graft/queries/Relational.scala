@@ -142,6 +142,47 @@ object Relational {
         .distinct()
         .orderBy($"tag")
     }),
+
+    // Brand × supplier-nation revenue: fact ⋈ part ⋈ supplier ⋈ nation.
+    // nation is broadcast explicitly; part/supplier stay shuffle joins —
+    // at 100 TB those dimensions are GBs (TPC-H part = SF×200k rows), so
+    // the honest scale plan is a shuffled hash join that AQE may flip to
+    // broadcast when the runtime stats allow it. SURVEY §2.3 J6.
+    "q69_brand_supplier_revenue" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+        .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"p_brand", $"n_name")
+        .agg(
+          sum(($"l_extendedprice".cast(DecimalType(12, 2)) *
+            (lit(1).cast(DecimalType(12, 2)) - $"l_discount".cast(DecimalType(12, 2)))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"p_brand", $"n_name")
+    }),
+
+    // Cheapest supplier per part (TPC-H Q2's argmin shape without partsupp):
+    // per-(part,supplier) mean line price from the fact, then per-part argmin
+    // via a rank-1 window the GroupedTopKRewrite rule turns into a bounded
+    // map-side aggregate — no full sort of the scored set. The mean is an
+    // exact decimal sum divided by the count in ONE double op, so DuckDB
+    // reproduces it bit-for-bit. SURVEY §2.4 A11, §2.5 W2.
+    "q70_min_cost_supplier" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ps = t(s, dir, "lineitem")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg((dsum($"l_extendedprice", 2) / count(lit(1))).as("avg_price"))
+      val w = Window.partitionBy($"l_partkey")
+        .orderBy($"avg_price".asc, $"l_suppkey".asc)
+      ps.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+        .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .select($"p_partkey", $"p_brand", $"s_name", $"avg_price")
+        .orderBy($"p_partkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -224,5 +265,32 @@ object Relational {
         |UNION
         |SELECT DISTINCT o_orderpriority AS tag FROM orders
         |ORDER BY tag""".stripMargin,
+
+    "q69_brand_supplier_revenue" ->
+      """SELECT p_brand, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin,
+
+    "q70_min_cost_supplier" ->
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    ${dsumSql("l_extendedprice", 2)} / COUNT(*) AS avg_price
+         |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY l_partkey ORDER BY avg_price ASC, l_suppkey ASC) AS rn
+         |  FROM ps)
+         |SELECT p_partkey, p_brand, s_name, avg_price
+         |FROM ranked
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rn = 1
+         |ORDER BY p_partkey""".stripMargin,
   )
 }

@@ -140,6 +140,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q69: nation is broadcast and the fact side never hits a nested loop") {
+    val p = plan("q69_brand_supplier_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q70: per-part argmin shuffles at most one row per group per task") {
+    // All-primitive payload → GroupedTopKRewrite's cost guard defers to
+    // Spark's native InferWindowGroupLimit, whose Partial stage bounds the
+    // pre-shuffle volume to one row per (task, part) — same scale property.
+    val p = plan("q70_min_cost_supplier")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "map-side partial group-limit must bound the shuffle:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the cosine hot path (equi-join variant)") {
     // q20's BroadcastNestedLoopJoin disables whole-stage codegen around its
     // projection (cosine_sim still evaluates, interpreted); the equi-join
