@@ -75,6 +75,46 @@ object Sampling {
       .drop("_h", "_b", "_off")
   }
 
+  /** Per-group cap: keep at most `maxPerGroup` rows per group, chosen by
+    * deterministic (id-hash, id) rank — the source-balancing op that stops
+    * one crawl dump from dominating a mixed corpus. Rank-k selection, so
+    * the map side emits at most `maxPerGroup` rows per task per group
+    * (partial WindowGroupLimit / GroupedTopKRewrite) — the shuffle never
+    * carries a hot source's full row set. */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      maxPerGroup: Int, seed: Int): DataFrame = {
+    require(maxPerGroup >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hash32(col(idCol).cast("string"), seed), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxPerGroup)
+      .drop("_rn")
+  }
+
+  /** Temperature rebalancing at α = 0.5 (the standard multilingual
+    * smoothing): group g is kept with rate √(min_count / count_g), so the
+    * most under-represented group passes whole and every other group is
+    * downsampled toward the α-tempered distribution. α = 0.5 is exact
+    * cross-engine: `/` and `sqrt` are IEEE correctly-rounded in every
+    * engine (unlike `pow`), so the ppm rate — and therefore the selected
+    * row set — is bit-identical in the DuckDB oracle. The rate table is
+    * one count aggregation (|groups| rows, broadcast); the filter itself
+    * is a narrow codegen'd predicate. */
+  def sqrtRebalance(df: DataFrame, idCol: String, groupCol: String,
+      seed: Int): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_cnt"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("_cnt")).as("_mn"))))
+      .select(col(groupCol),
+        floor(lit(1000000.0) * sqrt(col("_mn").cast("double") / col("_cnt")))
+          .cast("long").as("_rate_ppm"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hash32(col(idCol).cast("string"), seed) * lit(1000000L) <
+        col("_rate_ppm") * lit(4294967296L))
+      .drop("_rate_ppm")
+  }
+
   /** Stratified variant: per-stratum percentages (e.g. boost low-resource
     * languages, downsample crawl dumps), `defaultPct` for unlisted strata.
     * The rate table is compiled into a CASE expression — no join, the

@@ -19,6 +19,26 @@ object TrainingOps {
     // Deterministic stratified sampling: per-language rates (boost de/fr,
     // downsample en), md5-hash row selection — reruns and engines agree
     // bit-for-bit (no rand(), no sample()).
+    // Source balancing: at most 10 docs per source, selected by
+    // deterministic (id-hash, id) rank — rank-k selection whose map side
+    // emits ≤ 10 rows per task per source (plan-gated in PlanSpec).
+    "q71_source_cap" -> ((s, dir) => {
+      Sampling.capPerGroup(t(s, dir, "documents"),
+          "doc_id", "source", maxPerGroup = 10, seed = 7)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // α=0.5 temperature rebalancing across languages: keep-rate
+    // √(min_count/count) per language, integer-ppm hash selection.
+    // sqrt (unlike pow) is IEEE correctly-rounded everywhere, so the
+    // DuckDB oracle draws the identical sample.
+    "q72_temperature_rebalance" -> ((s, dir) => {
+      Sampling.sqrtRebalance(t(s, dir, "documents"), "doc_id", "lang", seed = 17)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q47_stratified_sample" -> ((s, dir) => {
       Sampling.stratifiedHashSample(t(s, dir, "documents"),
           "doc_id", "lang", Map("en" -> 15, "de" -> 60, "fr" -> 60),
@@ -197,6 +217,26 @@ object TrainingOps {
        |  FROM g)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q71_source_cap" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8) AS BIGINT),
+        |             doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "q72_temperature_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT min(cnt) AS mn FROM c),
+        |r AS (SELECT lang,
+        |        CAST(floor(1000000.0 * sqrt(CAST(mn AS DOUBLE) / cnt)) AS BIGINT) AS rate_ppm
+        |      FROM c, m)
+        |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#17'), 1, 8) AS BIGINT)
+        |        * 1000000 < rate_ppm * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+
     "q47_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#5'), 1, 8) AS BIGINT) % 100

@@ -60,4 +60,40 @@ class SamplingSpec extends SparkSpec {
       .select($"shuffle_pos", $"doc_id").as[(Long, Long)].collect().sortBy(_._1)
     assert(other.toSeq != out.toSeq)
   }
+
+  test("capPerGroup: enforces the cap, keeps groups under it whole, reruns agree") {
+    val capped = Sampling.capPerGroup(docs, "doc_id", "source", 10, seed = 7)
+    val perSrc = capped.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perSrc.values.forall(_ <= 10), perSrc.toString)
+    // every source in this table has 25 docs — all must hit the cap exactly
+    assert(perSrc.values.forall(_ == 10), perSrc.toString)
+    val again = Sampling.capPerGroup(docs, "doc_id", "source", 10, seed = 7)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(again == capped.select($"doc_id").as[Long].collect().sorted.toSeq)
+    // a cap above the group size keeps everything
+    assert(Sampling.capPerGroup(docs, "doc_id", "source", 100, seed = 7).count()
+      == docs.count())
+  }
+
+  test("sqrtRebalance: min group survives whole, others thin toward √-tempered shares") {
+    val langCounts = docs.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val mn = langCounts.values.min
+    val out = Sampling.sqrtRebalance(docs, "doc_id", "lang", seed = 17)
+    val outCounts = out.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    // rate for the min-count group is exactly 10^6 ppm -> nothing dropped
+    val minLang = langCounts.minBy(_._2)._1
+    assert(outCounts(minLang) == mn, s"min group must pass whole: $outCounts")
+    // every other group is downsampled and lands near sqrt(mn*cnt)
+    langCounts.foreach { case (l, cnt) =>
+      if (l != minLang) {
+        val expected = math.sqrt(mn.toDouble * cnt)
+        assert(outCounts(l) <= cnt)
+        assert(math.abs(outCounts(l) - expected) < expected * 0.35 + 5,
+          s"$l: got ${outCounts(l)}, expected ~$expected")
+      }
+    }
+  }
 }

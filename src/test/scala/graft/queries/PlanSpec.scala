@@ -156,6 +156,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q71: source cap bounds the map-side emit to k rows per group per task") {
+    val p = plan("q71_source_cap")
+    assert(p.contains("WindowGroupLimit") || p.contains("top_k_rows"),
+      "rank-k selection must be bounded before the shuffle:\n" + p)
+  }
+
+  test("q72: the rebalance rate table joins broadcast, no extra corpus shuffle") {
+    val p = plan("q72_temperature_rebalance")
+    // (the 1-row min-count attach inside the groups-sized rate build is a
+    // broadcast nested loop by construction — bounded; the corpus-side
+    // join must be a BroadcastHashJoin and nothing may be a cartesian)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the cosine hot path (equi-join variant)") {
     // q20's BroadcastNestedLoopJoin disables whole-stage codegen around its
     // projection (cosine_sim still evaluates, interpreted); the equi-join
