@@ -91,7 +91,26 @@ object PlanDump {
         "never touched after encoding. At 100 TB the ADC scan reads ~m bytes " +
         "per vector instead of 4·d, and per-candidate work is m table lookups. " +
         "Fixed-point micro-units make every distance bit-identical across " +
-        "engines, so even this approximate path is oracle-hash-checked."))
+        "engines, so even this approximate path is oracle-hash-checked."),
+    "q70_min_cost_supplier" ->
+      ("Per-part argmin over a fact-derived score: the rank-1 window's " +
+        "Partial WindowGroupLimit runs BEFORE the exchange, so each task " +
+        "ships at most one row per part key — shuffle volume is |parts|, " +
+        "not |lineitem|. (All-primitive payload, so GroupedTopKRewrite's " +
+        "cost guard defers to Spark's native group-limit; with string/array " +
+        "payloads the custom bounded aggregate takes over instead.)"),
+    "q71_source_cap" ->
+      ("Source balancing: keep ≤ k docs per source by deterministic " +
+        "(id-hash, id) rank. Same bounded rank-k shape as q70 — a hot crawl " +
+        "dump with billions of rows still contributes at most k rows per " +
+        "map task to the shuffle, and the selection is a pure function of " +
+        "ids, so incremental rebuilds keep the same docs."),
+    "q72_temperature_rebalance" ->
+      ("α=0.5 temperature rebalancing: the rate table is one |groups|-row " +
+        "aggregate joined back by broadcast; the corpus-side decision is a " +
+        "codegen'd integer predicate on a portable md5-derived hash — no " +
+        "second corpus shuffle, no rand(), bit-identical keep set on rerun, " +
+        "retry, or in another engine (the DuckDB oracle hash-matches it)."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
