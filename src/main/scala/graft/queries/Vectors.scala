@@ -172,6 +172,19 @@ object Vectors {
       Pq.adcSearch(cb, codes, e.filter(col("vec_id") < 10), k = 3, m = 8, dim = 64)
         .orderBy(col("query_id"), col("rk"))
     }),
+
+    // int8 scalar quantization audit (the storage-compression step before
+    // the serving tier): per-vector scale, exact code checksums, and the
+    // reconstruction MSE of the dequantized vector. Half-up rounding is
+    // written as floor(y + 0.5) — pure IEEE ops, so codes and the MSE fold
+    // are bit-identical in any engine (no round(double) dialect drift).
+    "q73_int8_quantize" -> ((s, dir) => {
+      import graft.operators.Quantize
+      Quantize.int8Stats(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("n_dims"), col("scale"),
+          col("code_sum"), col("code_min"), col("code_max"), col("mse"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   private val centroidCte =
@@ -346,5 +359,31 @@ object Vectors {
         |      FROM a)
         |SELECT qid AS query_id, rk, nid AS neighbor_id, adc AS adc_dist
         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+
+    // Mirrors Quantize.int8Stats: list_max scale, floor(y+0.5) codes,
+    // list_reduce left-fold MSE seeded with 0.0 (same association order as
+    // Spark's aggregate()).
+    "q73_int8_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS sc FROM e),
+        |c AS (SELECT vec_id, sc, v,
+        |        CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+        |             ELSE list_transform(v,
+        |               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc + 0.5) AS INTEGER))
+        |        END AS codes
+        |      FROM s),
+        |t AS (SELECT vec_id, sc, codes,
+        |        list_transform(range(1, len(v) + 1),
+        |          i -> (CAST(v[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * sc / 127.0)
+        |             * (CAST(v[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * sc / 127.0)) AS terms,
+        |        CAST(len(v) AS BIGINT) AS n_dims
+        |      FROM c)
+        |SELECT vec_id, n_dims, sc AS scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  CAST(list_min(codes) AS BIGINT) AS code_min,
+        |  CAST(list_max(codes) AS BIGINT) AS code_max,
+        |  list_reduce(list_prepend(0.0, terms), (a, x) -> a + x) / n_dims AS mse
+        |FROM t ORDER BY vec_id""".stripMargin,
   )
 }
