@@ -65,19 +65,27 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: docs sharing any band of `rowsPerBand` consecutive
-    * signature components become candidate pairs (id_a < id_b, distinct).
-    * Equi-join on (band index, band hash) — no cross join anywhere. */
-  def minhashCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  /** (doc_id, bk): one row per LSH band, bk = "bandIndex:md5(band
+    * signature components)" — the single-column band key banding joins
+    * (and the persisted index) key on. */
+  private def bandKeyRows(sigs: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
     val nBands = numHashes / rowsPerBand
     val bands = array((0 until nBands).map { b =>
       val key = md5(concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}").cast("string")): _*))
-      struct(lit(b).as("b"), key.as("v"))
+      concat(lit(s"$b:"), key)
     }: _*)
-    val e = sigs.select(col("doc_id"), explode(bands).as("bv"))
+    sigs.select(col("doc_id"), explode(bands).as("bk"))
+  }
+
+  /** LSH banding: docs sharing any band of `rowsPerBand` consecutive
+    * signature components become candidate pairs (id_a < id_b, distinct).
+    * Equi-join on the band key — no cross join anywhere. */
+  def minhashCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val e = bandKeyRows(sigs, numHashes, rowsPerBand)
     e.as("x").join(e.as("y"),
-        col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
   }
@@ -105,16 +113,13 @@ object Dedup {
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: candidates by banding, then exact
-    * Jaccard >= `minJaccard` on candidates only. */
-  def nearDupPairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
-    // ONE shuffle builds the per-doc distinct shingle-hash set; signatures
-    // (min ignores duplicates, so minhash over the set == over the
-    // multiset), counts, AND the pair-intersection all derive from it
-    // narrowly. Per-doc set size is bounded by document length (same
-    // memory class as the exploded alternative's per-group state).
+  /** (doc_id, hs, ns, sig0..sig{n-1}): per-doc distinct shingle-hash set,
+    * its size, and the minhash signature derived from it. ONE corpus
+    * shuffle builds the set; signatures (min ignores duplicates, so
+    * minhash over the set == over the multiset) and counts derive
+    * narrowly. Per-doc set size is bounded by document length. */
+  private def shingleSetSigs(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int): DataFrame = {
     val sets = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
       .select(col("doc_id"), explode(shingles(col("tok"), 3)).as("sh0"))
@@ -124,21 +129,95 @@ object Dedup {
       size(col("hs")).cast("bigint").as("ns")) ++
       (0 until numHashes).map(i =>
         array_min(transform(col("hs"), h => minhashPerm(h, i))).as(s"sig$i"))
-    val sigs = sets.select(sigCols: _*)
-    val cand = minhashCandidates(sigs.drop("hs"), numHashes, rowsPerBand)
-    // exact rescore on candidates only: the two set arrays ride the join
-    // (candidate volume is banding-bounded), intersection is narrow.
-    val inter = cand
-      .join(sigs.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+    sets.select(sigCols: _*)
+  }
+
+  /** Exact Jaccard rescore of candidate (id_a, id_b) pairs against the
+    * per-doc shingle sets: the two set arrays ride the join (candidate
+    * volume is banding-bounded), the intersection is narrow. */
+  private def jaccardOnCandidates(cand: DataFrame, sets: DataFrame,
+      minJaccard: Double): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha"),
         col("ns").as("na")).hint("shuffle_hash"), Seq("id_a"))
-      .join(sigs.select(col("doc_id").as("id_b"), col("hs").as("hb"),
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hb"),
         col("ns").as("nb")).hint("shuffle_hash"), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("na"), col("nb"),
         size(array_intersect(col("ha"), col("hb"))).cast("bigint").as("ni"))
-    inter
       .select(col("id_a"), col("id_b"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+
+  /** Full MinHash-LSH near-dup pipeline: candidates by banding, then exact
+    * Jaccard >= `minJaccard` on candidates only. */
+  def nearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    val sigs = shingleSetSigs(docs, idCol, textCol, numHashes)
+    val cand = minhashCandidates(sigs.drop("hs"), numHashes, rowsPerBand)
+    jaccardOnCandidates(cand, sigs, minJaccard)
+  }
+
+  /** Persist the near-dup index for [[incrementalNearDupPairs]]: the
+    * band table (doc_id, bk) bucketed+sorted by band key and the set
+    * table (doc_id, hs, ns) bucketed by doc_id, both in the session
+    * catalog. Pay the corpus shuffle ONCE here; every later increment
+    * joins against these tables with zero stored-side exchange (the
+    * bucketed-join discipline of `Maintenance.writeBucketed`). */
+  def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, numHashes: Int = 8, rowsPerBand: Int = 2,
+      nBuckets: Int = 16): Unit = {
+    val sigs = shingleSetSigs(docs, idCol, textCol, numHashes)
+    Maintenance.writeBucketed(
+      bandKeyRows(sigs, numHashes, rowsPerBand), s"${table}_bands", "bk", nBuckets)
+    Maintenance.writeBucketed(
+      sigs.select(col("doc_id"), col("hs"), col("ns")), s"${table}_sets", "doc_id", nBuckets)
+  }
+
+  /** Append a processed delta to the index so the next increment sees it. */
+  def appendToNearDupIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      table: String, numHashes: Int = 8, rowsPerBand: Int = 2): Unit = {
+    val sigs = shingleSetSigs(newDocs, idCol, textCol, numHashes)
+    bandKeyRows(sigs, numHashes, rowsPerBand)
+      .write.mode("append").insertInto(s"${table}_bands")
+    sigs.select(col("doc_id"), col("hs"), col("ns"))
+      .write.mode("append").insertInto(s"${table}_sets")
+  }
+
+  /** Incremental near-dup: all pairs (id_a < id_b, exact Jaccard >=
+    * `minJaccard`) that involve at least one NEW document — new×indexed
+    * via a band-key join against the stored band table, new×new via
+    * ordinary banding — WITHOUT recomputing anything over the indexed
+    * corpus. This is the daily-increment shape at 100 TB: per-run cost is
+    * O(delta) + the banding-bounded candidate joins, while the indexed
+    * corpus is only ever read through its bucketed band/set tables.
+    * Equivalence to the full recompute restricted to new-touching pairs
+    * is proven in IncrementalDedupSpec. */
+  def incrementalNearDupPairs(newDocs: DataFrame, idCol: String, textCol: String,
+      table: String, numHashes: Int = 8, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val sigs = shingleSetSigs(newDocs, idCol, textCol, numHashes)
+    val newBands = bandKeyRows(sigs, numHashes, rowsPerBand)
+    val oldBands = spark.table(s"${table}_bands")
+    val oldSets = spark.table(s"${table}_sets")
+    // new × indexed candidates: band-key equi-join, normalized id_a < id_b.
+    // Docs present in BOTH the index and the delta pair with themselves on
+    // every band — the < filter drops those self-pairs.
+    val crossCand = newBands.select(col("doc_id").as("_nid"), col("bk"))
+      .join(oldBands.select(col("doc_id").as("_oid"), col("bk")), Seq("bk"))
+      .select(
+        when(col("_oid") < col("_nid"), col("_oid")).otherwise(col("_nid")).as("id_a"),
+        when(col("_oid") < col("_nid"), col("_nid")).otherwise(col("_oid")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    val newCand = minhashCandidates(sigs.drop("hs"), numHashes, rowsPerBand)
+    val cand = crossCand.unionByName(newCand).distinct()
+    val sets = oldSets.unionByName(sigs.select(col("doc_id"), col("hs"), col("ns")))
+      // a doc in both index and delta has identical rows in both (the
+      // pipeline is deterministic) — keep one
+      .dropDuplicates("doc_id")
+    jaccardOnCandidates(cand, sets, minJaccard)
   }
 
   /** Exact shingle-Jaccard for *all* pairs within a blocking key (e.g.

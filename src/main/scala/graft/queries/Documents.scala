@@ -32,6 +32,22 @@ object Documents {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Incremental near-dup: 80% of the corpus is indexed once (bucketed
+    // band/set tables), then the 20% delta is deduped against the index +
+    // itself WITHOUT recomputing the base — the daily-crawl-increment
+    // shape. Result == full recompute restricted to delta-touching pairs
+    // (proven in IncrementalDedupSpec; the oracle is exactly that).
+    "q74_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tbl = "incdedup_" + java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") % 10 < 8),
+        "doc_id", "text", tbl, nBuckets = 8)
+      Dedup.incrementalNearDupPairs(docs.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "text", tbl, minJaccard = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // 64-bit term-frequency SimHash; near-dup pairs at Hamming <= 3 via
     // pigeonhole multi-block banding (exact recall, equi-join candidate
     // generation — no all-pairs stage anywhere in the plan).
@@ -187,6 +203,35 @@ object Documents {
          |  round(CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni), 4) AS jaccard
          |FROM inter JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
          |WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Full banding recompute restricted to delta-touching pairs — the
+    // equivalence IncrementalDedupSpec proves operationally.
+    "q74_incremental_neardup" -> {
+      import graft.functions.TextFunctions.minhashPermSql
+      val sigCols = (0 until 8)
+        .map(i => s"min(${minhashPermSql(h32("s", 0), i)}) AS sig$i").mkString(",\n  ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
+         |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS ni
+         |          FROM cand JOIN dsh a ON a.doc_id = id_a
+         |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
+         |          GROUP BY id_a, id_b)
+         |SELECT id_a, id_b,
+         |  round(CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni), 4) AS jaccard
+         |FROM inter JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+         |WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.2
+         |  AND (id_a % 10 >= 8 OR id_b % 10 >= 8)
          |ORDER BY id_a, id_b""".stripMargin
     },
 
