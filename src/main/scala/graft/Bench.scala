@@ -33,20 +33,23 @@ object Bench {
     }
     // The driver captures only the last ~2000 chars of stdout, trailing sbt
     // epilogue included — a line that doesn't fit gets truncated mid-JSON
-    // and fails to parse. Strip trailing zeros and, if the query set has
-    // grown enough that 3 decimals still don't fit a 1900-char budget,
-    // degrade precision until it does (10 ms resolution is ample for a
-    // cross-round comparison).
+    // and fails to parse. Strip trailing zeros; if full query names no
+    // longer fit a 1800-char budget (sbt's epilogue eats ~100), fall back
+    // to the unique qNN prefixes before degrading decimal precision.
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(dec: Int)(v: Double): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
         .replaceAll("0+$", "").replaceAll("\\.$", "")
-    def line(dec: Int): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(dec)(v) }
-        .mkString("{", ",", "}")
+    def line(dec: Int, shortKeys: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        val key = if (shortKeys) k.takeWhile(_ != '_') else k
+        s"\"" + key + "\":" + fmt(dec)(v)
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(dec)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val out = Iterator(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(1))
+    val out = Iterator((3, false), (2, false), (3, true), (2, true), (1, true))
+      .map { case (d, s) => line(d, s) }
+      .find(_.length <= 1800).getOrElse(line(1, true))
     spark.stop()
     // Print last, after stop(), so the JSON is the app's final stdout line.
     println(out)
