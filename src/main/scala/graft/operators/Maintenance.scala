@@ -41,12 +41,26 @@ object Maintenance {
     * never again per query. See BucketJoinSpec for the plan-level proof. */
   def writeBucketed(
       df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
-      mode: SaveMode = SaveMode.Overwrite): Unit =
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    if (mode == SaveMode.Overwrite) {
+      // a fresh session's catalog doesn't know tables a previous JVM wrote,
+      // but their warehouse directories survive — saveAsTable refuses to
+      // reuse the location (LOCATION_ALREADY_EXISTS). Overwrite must mean
+      // overwrite: drop the catalog entry AND clear a stale location.
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(mode)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Retention (TTL analog): keep only partitions with date >= cutoff.
     * Implemented as partition-directory removal, not a rewrite. */

@@ -26,17 +26,20 @@ object Sampling {
     df.filter(hash32(col(idCol).cast("string"), seed) % 100 < pct)
   }
 
+  /** The shared keep predicate: the portable id-hash lands under
+    * `ratePpm`/10^6. The decision is the integer comparison
+    * `hash·10^6 < ratePpm·2^32` — both products stay under 2^53, so every
+    * engine and every rerun draws the identical sample. */
+  def keepByPpm(id: Column, ratePpm: Column, seed: Int): Column =
+    hash32(id.cast("string"), seed) * lit(1000000L) <
+      ratePpm.cast("long") * lit(4294967296L)
+
   /** Weighted variant: keep each row with probability `weightPpm / 10^6`
     * (e.g. sample proportional to a quality score — the standard
-    * importance-sampling downsample for training corpora). The decision is
-    * the integer comparison `hash·10^6 < weightPpm·2^32` — both products
-    * stay under 2^53, so every engine and every rerun draws the identical
-    * sample. */
+    * importance-sampling downsample for training corpora). */
   def weightedHashSample(
       df: DataFrame, idCol: String, weightPpmCol: String, seed: Int): DataFrame =
-    df.filter(
-      hash32(col(idCol).cast("string"), seed) * lit(1000000L) <
-        col(weightPpmCol).cast("long") * lit(4294967296L))
+    df.filter(keepByPpm(col(idCol), col(weightPpmCol), seed))
 
   /** Deterministic global shuffle — the pre-training corpus shuffle as a
     * pure function of the data: position by (id-hash, id) instead of
@@ -102,18 +105,29 @@ object Sampling {
     * one count aggregation (|groups| rows, broadcast); the filter itself
     * is a narrow codegen'd predicate. */
   def sqrtRebalance(df: DataFrame, idCol: String, groupCol: String,
-      seed: Int): DataFrame = {
+      seed: Int): DataFrame =
+    applyRates(df, sqrtRates(df, groupCol), idCol, groupCol, seed)
+
+  /** The α=0.5 rate table alone: (groupCol, _rate_ppm). Computed on a
+    * static profile batch and handed to [[applyRates]] — including over a
+    * stream, where the rates are the frozen side of a stream-static
+    * broadcast join (StreamingRefineSpec). */
+  def sqrtRates(df: DataFrame, groupCol: String): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_cnt"))
-    val rates = counts
+    counts
       .crossJoin(broadcast(counts.agg(min(col("_cnt")).as("_mn"))))
       .select(col(groupCol),
         floor(lit(1000000.0) * sqrt(col("_mn").cast("double") / col("_cnt")))
           .cast("long").as("_rate_ppm"))
-    df.join(broadcast(rates), Seq(groupCol))
-      .filter(hash32(col(idCol).cast("string"), seed) * lit(1000000L) <
-        col("_rate_ppm") * lit(4294967296L))
-      .drop("_rate_ppm")
   }
+
+  /** Apply a (groupCol, _rate_ppm) rate table to rows (batch or stream):
+    * broadcast join + the portable integer keep predicate. */
+  def applyRates(df: DataFrame, rates: DataFrame, idCol: String,
+      groupCol: String, seed: Int): DataFrame =
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(keepByPpm(col(idCol), col("_rate_ppm"), seed))
+      .drop("_rate_ppm")
 
   /** Stratified variant: per-stratum percentages (e.g. boost low-resource
     * languages, downsample crawl dumps), `defaultPct` for unlisted strata.

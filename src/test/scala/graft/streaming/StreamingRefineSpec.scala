@@ -89,4 +89,49 @@ class StreamingRefineSpec extends SparkSpec {
       .select($"err_id", $"clk_id").as[(Long, Long)].collect().toSeq.sorted
     assert(streamed == batch && streamed == Seq((100L, 200L), (101L, 202L)))
   }
+
+  test("rebalance rates from a batch profile apply to a stream, matching batch") {
+    // production shape: the α=0.5 rate table is computed by a batch profile
+    // job, frozen, and broadcast against the document stream
+    val corpus = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSeq
+    val rates = graft.operators.Sampling.sqrtRates(
+      corpus.toDF("doc_id", "lang"), "lang")
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = graft.operators.Sampling.applyRates(
+      mem.toDF().toDF("doc_id", "lang"), rates, "doc_id", "lang", seed = 17)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("srb").start()
+    mem.addData(corpus: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("srb").select($"doc_id").as[Long].collect().sorted.toSeq
+    val batch = graft.operators.Sampling.sqrtRebalance(
+        corpus.toDF("doc_id", "lang"), "doc_id", "lang", seed = 17)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("int8 quantization is narrow: streaming codes equal batch codes") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, 1.0f, -2.0f)))
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val out = graft.operators.Quantize.int8(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sq8").start()
+    mem.addData(vecs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sq8")
+      .select($"vec_id", $"scale", $"codes")
+      .as[(Long, Double, Seq[Int])].collect().sortBy(_._1).toSeq
+    val batch = graft.operators.Quantize.int8(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .select($"vec_id", $"scale", $"codes")
+      .as[(Long, Double, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+  }
 }
