@@ -110,7 +110,16 @@ object PlanDump {
         "aggregate joined back by broadcast; the corpus-side decision is a " +
         "codegen'd integer predicate on a portable md5-derived hash — no " +
         "second corpus shuffle, no rand(), bit-identical keep set on rerun, " +
-        "retry, or in another engine (the DuckDB oracle hash-matches it)."))
+        "retry, or in another engine (the DuckDB oracle hash-matches it)."),
+    "q74_incremental_neardup" ->
+      ("Incremental near-dup: the indexed corpus appears ONLY as its " +
+        "bucketed band/set tables — the delta's band keys equi-join the " +
+        "stored bands, the delta self-bands normally, and the exact-Jaccard " +
+        "rescore touches just banding-bounded candidates. Per-increment " +
+        "cost is O(delta); the base corpus was shuffled exactly once, at " +
+        "index-build time. This is the daily-crawl-increment shape at " +
+        "100 TB — re-running full dedup per increment is the thing this " +
+        "operator exists to avoid."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

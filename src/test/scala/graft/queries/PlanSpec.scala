@@ -171,6 +171,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q74: incremental dedup never cross-joins and reads the stored band table") {
+    val p = plan("q74_incremental_neardup")
+    assert(!p.contains("CartesianProduct"), "band-key joins must be equi:\n" + p)
+    assert(p.contains("_bands"), "stored band table must feed the candidate join:\n" + p)
+  }
+
   test("whole-stage codegen covers the cosine hot path (equi-join variant)") {
     // q20's BroadcastNestedLoopJoin disables whole-stage codegen around its
     // projection (cosine_sim still evaluates, interpreted); the equi-join
