@@ -131,4 +131,45 @@ class EdgeCasesSpec extends SparkSpec {
     assert(r.filter($"rules_triggered").count() == 0)
     assert(r.filter(size($"rule_violations") =!= 0).count() == 0)
   }
+
+  test("corpus balancers: empty input, single group, all-equal counts") {
+    val srcSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], srcSchema)
+    assert(Sampling.capPerGroup(empty, "doc_id", "source", 5, 1).count() == 0)
+    assert(Sampling.sqrtRebalance(empty, "doc_id", "source", 1).count() == 0)
+    // one group: rate is exactly 10^6 -> rebalance is the identity
+    val one = (1L to 20L).map(i => (i, "only")).toDF("doc_id", "source")
+    assert(Sampling.sqrtRebalance(one, "doc_id", "source", 1).count() == 20)
+    // all groups equal-sized: every rate is 10^6 -> identity again
+    val eq = (1L to 30L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    assert(Sampling.sqrtRebalance(eq, "doc_id", "source", 1).count() == 30)
+  }
+
+  test("incremental dedup with an empty delta finds nothing and doesn't throw") {
+    val base = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    Dedup.writeNearDupIndex(base, "doc_id", "text", "edge_idx", nBuckets = 2)
+    try {
+      assert(Dedup.incrementalNearDupPairs(
+        emptyDocs, "doc_id", "text", "edge_idx", minJaccard = 0.1).count() == 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS edge_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS edge_idx_sets")
+    }
+  }
+
+  test("int8 quantization survives empty input and 1-dim vectors") {
+    val vSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vSchema)
+    assert(Quantize.int8Stats(empty, "vec_id", "embedding").count() == 0)
+    val tiny = Seq((1L, Seq(-0.75f))).toDF("vec_id", "embedding")
+    val r = Quantize.int8Stats(tiny, "vec_id", "embedding")
+      .select($"scale", $"code_min", $"code_max", $"mse")
+      .as[(Double, Long, Long, Double)].head()
+    assert(r == ((0.75, -127L, -127L, 0.0)))
+  }
 }
