@@ -143,6 +143,22 @@ object Relational {
         .orderBy($"tag")
     }),
 
+    // Order-priority audit (TPC-H Q4 shape): orders with at least one
+    // returned item, counted per priority — the EXISTS/semi-join surface.
+    // A semi join ships only the fact keys (no payload duplication, no
+    // row multiplication from multi-match), which is why it beats an
+    // inner-join+distinct at scale. SURVEY §2.3 note, §2.2 P5.
+    "q75_priority_returns" -> ((s, dir) => {
+      import s.implicits._
+      val returned = t(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R").select($"l_orderkey")
+      t(s, dir, "orders")
+        .join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice", 2).as("revenue"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Brand × supplier-nation revenue: fact ⋈ part ⋈ supplier ⋈ nation.
     // nation is broadcast explicitly; part/supplier stay shuffle joins —
     // at 100 TB those dimensions are GBs (TPC-H part = SF×200k rows), so
@@ -265,6 +281,14 @@ object Relational {
         |UNION
         |SELECT DISTINCT o_orderpriority AS tag FROM orders
         |ORDER BY tag""".stripMargin,
+
+    "q75_priority_returns" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice", 2)} AS revenue
+         |FROM orders
+         |WHERE EXISTS (SELECT 1 FROM lineitem
+         |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q69_brand_supplier_revenue" ->
       """SELECT p_brand, n_name,
