@@ -159,6 +159,26 @@ object Relational {
         .orderBy($"o_orderpriority")
     }),
 
+    // Hierarchical revenue rollup region → nation → grand total in ONE
+    // pass (rollup reuses the partial aggregates across levels instead of
+    // three scans + union). Grouping-null labels become 'ALL' via
+    // grouping(), which sidesteps cross-engine NULL-ordering differences.
+    "q76_rollup_revenue" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(dsum($"o_totalprice", 2).as("revenue"), count(lit(1)).as("n_orders"),
+          grouping($"r_name").as("_gr"), grouping($"n_name").as("_gn"))
+        .select(
+          when($"_gr" === 1, "ALL").otherwise($"r_name").as("region"),
+          when($"_gn" === 1, "ALL").otherwise($"n_name").as("nation"),
+          $"revenue", $"n_orders")
+        .orderBy($"region", $"nation")
+    }),
+
     // Brand × supplier-nation revenue: fact ⋈ part ⋈ supplier ⋈ nation.
     // nation is broadcast explicitly; part/supplier stay shuffle joins —
     // at 100 TB those dimensions are GBs (TPC-H part = SF×200k rows), so
@@ -281,6 +301,18 @@ object Relational {
         |UNION
         |SELECT DISTINCT o_orderpriority AS tag FROM orders
         |ORDER BY tag""".stripMargin,
+
+    "q76_rollup_revenue" ->
+      s"""SELECT
+         |  CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region,
+         |  CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+         |  ${dsumSql("o_totalprice", 2)} AS revenue, COUNT(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY region, nation""".stripMargin,
 
     "q75_priority_returns" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
