@@ -177,6 +177,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_bands"), "stored band table must feed the candidate join:\n" + p)
   }
 
+  test("q75: the returns audit is a semi join — no payload rides the probe side") {
+    val p = plan("q75_priority_returns")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q76: rollup is ONE aggregation pass over Expand, not a union of scans") {
+    val p = plan("q76_rollup_revenue")
+    assert(p.contains("Expand"), "rollup must share one pass via Expand:\n" + p)
+    assert(!p.contains("Union"), "no per-level rescan union:\n" + p)
+    assert(p.contains("partial"), "map-side partial aggregation expected:\n" + p)
+  }
+
   test("whole-stage codegen covers the cosine hot path (equi-join variant)") {
     // q20's BroadcastNestedLoopJoin disables whole-stage codegen around its
     // projection (cosine_sim still evaluates, interpreted); the equi-join
