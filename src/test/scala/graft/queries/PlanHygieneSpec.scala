@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Whole-registry plan hygiene: NO declared query may plan a
+  * CartesianProduct, and BroadcastNestedLoopJoin is allowed only where it
+  * is the design (a driver-sized side crossed on purpose: query vectors
+  * against a corpus, a 1-row aggregate attached to a groups-sized frame).
+  * Any new query that accidentally regresses into an all-pairs stage
+  * fails here by name — the gate that keeps 76 queries honest at 100 TB.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  // BNLJ-by-design: the crossed side is provably tiny (queries, centroids,
+  // 1-row aggregates), so the "nested loop" is a broadcast map over the
+  // corpus — the intended shape, not an accident.
+  private val bnljByDesign = Set(
+    "q20_cosine_vs_query",    // 1 query vector × corpus
+    "q22_knn_topk",           // broadcast query set × corpus scan
+    "q23_knn_same_label",     // per-label variant of the same
+    "q26_path3_novelty",      // ANN pre-filter crosses the query snapshot set
+    "q27_ivf_knn",            // centroid table × query set probe
+    "q28_lsh_knn",            // hamming prefilter against broadcast signatures
+    "q29_ivf_trained",        // stored-index probe (centroids broadcast)
+    "q61_media_knn",          // media-feature kNN (broadcast queries)
+    "q68_pq_adc",             // broadcast distance table
+    "q72_temperature_rebalance", // 1-row min-count attached to groups frame
+    "q54_length_percentiles", // single-row percentile frame
+    "q36_token_distribution", // 1-row total attached to distribution
+    "q55_iot_all_methods",    // method-comparison summary over 5 devices
+    "q56_similar_states",     // per-anomaly history probe (anomaly set tiny)
+    "q65_bigram_fluency",     // 1-row corpus total attached to rate table
+    "q49_tfidf_top_terms",    // 1-row doc-count attached to df table
+    "q62_boilerplate_mining", // 1-row corpus threshold attach
+    "q64_passage_strip",      // same threshold attach as q62
+    "q73_int8_quantize",      // none expected, tolerated if AQE 1-rows it
+    "q50_iot_detect_pipeline", // simulator: tick sequence × broadcast metric
+                               // spec table (generator fan-out, not a corpus)
+  )
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no declared query plans a CartesianProduct; BNLJ only where designed") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = executedPlan(name)
+      val cart = if (p.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
+      val bnlj = if (p.contains("BroadcastNestedLoopJoin") && !bnljByDesign(name))
+        Some(s"$name: unexpected BroadcastNestedLoopJoin") else None
+      cart.toSeq ++ bnlj.toSeq
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
