@@ -209,4 +209,43 @@ class PropertiesSpec extends SparkSpec {
       assert(perms.distinct.size == 8, s"h=$h perms=$perms")
     }
   }
+
+  test("balancers and quantization are partition-invariant (pure functions of rows)") {
+    import graft.operators.{Quantize, Sampling}
+    val docs = (1L to 200L).map(i => (i, s"s${i % 7}")).toDF("doc_id", "source")
+    def capIds(parts: Int) = Sampling.capPerGroup(
+        docs.repartition(parts), "doc_id", "source", 5, seed = 3)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(capIds(1) == capIds(7) && capIds(7) == capIds(32))
+
+    def rebIds(parts: Int) = Sampling.sqrtRebalance(
+        docs.withColumn("source", concat(lit("g"), ($"doc_id" % 3).cast("string")))
+          .repartition(parts), "doc_id", "source", seed = 5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(rebIds(1) == rebIds(13))
+
+    val vecs = samples(vecGen, 12).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    def codes(parts: Int) = Quantize.int8(vecs.repartition(parts), "vec_id", "embedding")
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(codes(1) == codes(9))
+  }
+
+  test("half-up int8 codes: |x - c·s/127| <= s/254 + eps for generated vectors") {
+    import graft.operators.Quantize
+    val vecs = samples(vecGen, 20).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val rows = Quantize.int8(vecs, "vec_id", "embedding")
+      .join(vecs, "vec_id")
+      .select($"embedding", $"scale", $"codes")
+      .as[(Seq[Float], Double, Seq[Int])].collect()
+    rows.foreach { case (x, s, c) =>
+      if (s > 0) x.zip(c).foreach { case (xi, ci) =>
+        val err = math.abs(xi.toDouble - ci * s / 127.0)
+        assert(err <= s / 254.0 + 1e-12, s"err=$err s=$s xi=$xi ci=$ci")
+      }
+    }
+  }
 }
