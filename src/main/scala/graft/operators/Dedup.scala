@@ -352,6 +352,38 @@ object Dedup {
         .select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
   }
 
+  /** Canonical-document selection: per near-dup component, keep the member
+    * with the highest `scoreCol` (tie-break: lowest id) instead of the
+    * arbitrary min-id survivor — what a production dedup stage does when a
+    * quality signal exists (drop the mirror copies, keep the cleanest).
+    * Documents untouched by any pair are their own component.
+    *
+    * Output: (comp, rep_id, rep_score, n_members). Scale shape: labels,
+    * corpus ids, and scores all join on doc_id, so the three-way plan
+    * hash-partitions once on doc_id and reuses that exchange (dup-heavy
+    * crawls make the label set a large fraction of the corpus — NOT
+    * broadcastable; AQE may still flip it when it is small); the
+    * per-component argmax is a rank-1 window the GroupedTopKRewrite turns
+    * into a bounded aggregate.
+    */
+  def componentRepresentatives(docs: DataFrame, idCol: String, textCol: String,
+      scores: DataFrame, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = nearDupGroups(nearDupPairs(docs, idCol, textCol))
+    val labeled = docs.select(col(idCol).as("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("comp"))
+    val scored = labeled.join(
+      scores.select(col(idCol).as("doc_id"), col(scoreCol).as("_score")), Seq("doc_id"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("_score").desc, col("doc_id").asc)
+    val reps = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("comp"), col("doc_id").as("rep_id"), col("_score").as("rep_score"))
+    val counts = scored.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+    reps.join(counts, Seq("comp"))
+  }
+
   /** Embedding near-duplicate pairs at scale: sign-random-projection
     * signatures banded into `nBands` buckets; only same-bucket pairs are
     * exactly rescored with cosine. The banding join replaces the O(n²)

@@ -122,6 +122,20 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Canonical-document selection: per near-dup component keep the
+    // HIGHEST-QUALITY member (not the arbitrary min-id) — the production
+    // dedup stage when a quality signal exists. Composes the q38 component
+    // labeling with the q41 quality score; singletons represent themselves.
+    "q79_component_representatives" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = TextAnalysis.qualityScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_ppm"))
+      Dedup.componentRepresentatives(docs, "doc_id", "text", q, "quality_ppm")
+        .select(col("comp"), col("rep_id"),
+          col("rep_score").as("rep_quality_ppm"), col("n_members"))
+        .orderBy(col("comp"))
+    }),
+
     // Capstone corpus-preparation pipeline: exact dedup -> near-dup
     // removal -> quality floor -> deterministic split, one pass.
     "q37_corpus_prepare" -> ((s, dir) => {
@@ -341,6 +355,56 @@ object Documents {
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n)
          |SELECT n AS doc_id, min(r) AS keep_id FROM reach
          |GROUP BY n ORDER BY doc_id""".stripMargin
+    },
+
+    "q79_component_representatives" -> {
+      val sigCols = (0 until 8)
+        .map(i => s"min(${graft.functions.TextFunctions.minhashPermSql(h32("s", 0), i)}) AS sig$i")
+        .mkString(",\n  ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""WITH RECURSIVE $tokCte,
+         |${shingleCte(3)},
+         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
+         |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS ni
+         |          FROM cand JOIN dsh a ON a.doc_id = id_a
+         |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
+         |          GROUP BY id_a, id_b),
+         |p AS (SELECT id_a, id_b FROM inter
+         |  JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+         |  WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(n, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n),
+         |complbl AS (SELECT n AS doc_id, min(r) AS comp FROM reach GROUP BY n),
+         |labeled AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+         |            FROM documents d LEFT JOIN complbl c ON d.doc_id = c.doc_id),
+         |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |g AS (SELECT doc_id, count(*) AS nt,
+         |        count(*) FILTER (w IN ('a', 'the')) AS ns,
+         |        CAST(sum(length(w)) AS BIGINT) AS sl
+         |      FROM tk GROUP BY doc_id),
+         |qual AS (SELECT doc_id,
+         |  (least(nt * 10000, 1000000) * 3
+         |   + (1000000 - (ns * 1000000) // nt) * 4
+         |   + least((sl * 1000000) // (8 * nt), 1000000) * 3) // 10 AS quality_ppm
+         |  FROM g),
+         |scored AS (SELECT l.comp, l.doc_id, qual.quality_ppm
+         |           FROM labeled l JOIN qual ON l.doc_id = qual.doc_id),
+         |ranked AS (SELECT comp, doc_id, quality_ppm, row_number() OVER (
+         |  PARTITION BY comp ORDER BY quality_ppm DESC, doc_id ASC) AS rn FROM scored),
+         |m AS (SELECT comp, count(*) AS n_members FROM scored GROUP BY comp)
+         |SELECT r.comp, r.doc_id AS rep_id, r.quality_ppm AS rep_quality_ppm, m.n_members
+         |FROM ranked r JOIN m ON r.comp = m.comp
+         |WHERE rn = 1 ORDER BY r.comp""".stripMargin
     },
 
     "q37_corpus_prepare" -> {

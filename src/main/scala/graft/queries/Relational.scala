@@ -199,6 +199,49 @@ object Relational {
         .orderBy($"p_brand", $"n_name")
     }),
 
+    // Small-quantity-order revenue (TPC-H Q17 shape): the classic
+    // correlated scalar subquery "lines below half this part's average
+    // quantity", decorrelated into a per-part aggregate joined back to the
+    // fact. At scale both sides shuffle on l_partkey and land co-partitioned,
+    // so the join adds no extra exchange beyond the agg's own; the part
+    // dimension join is AQE-broadcastable. SURVEY §2.3 J2 (stats-join), §2.4.
+    "q77_small_qty_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val perPart = li.groupBy($"l_partkey".as("pk"))
+        .agg((dsum($"l_quantity", 2) / count(lit(1))).as("avg_qty"))
+      li.join(perPart, $"l_partkey" === $"pk")
+        .filter($"l_quantity" < $"avg_qty" * 0.5)
+        .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(dsum($"l_extendedprice", 2).as("small_qty_revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"p_brand")
+    }),
+
+    // Sole-returning suppliers (TPC-H Q21 shape, adapted to the available
+    // columns): suppliers whose returned line sits on a multi-supplier
+    // order where NO other supplier also returned — the EXISTS + NOT
+    // EXISTS double correlated subquery, expressed as a semi join followed
+    // by an anti join. Both are hash joins keyed on l_orderkey with the
+    // supplier inequality as a residual condition — never a nested loop
+    // (gated in PlanSpec). SURVEY §2.2 P5, §2.3 note.
+    "q78_sole_return_suppliers" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+      val returned = li.filter($"l_returnflag" === "R")
+      val others = li.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
+      val otherReturns = returned.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
+      returned
+        .join(others, $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
+        .join(otherReturns, $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3", "left_anti")
+        .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_suppkey", $"s_name")
+        .agg(count(lit(1)).as("n_lines"))
+        .orderBy($"n_lines".desc, $"s_suppkey".asc)
+    }),
+
     // Cheapest supplier per part (TPC-H Q2's argmin shape without partsupp):
     // per-(part,supplier) mean line price from the fact, then per-part argmin
     // via a rank-1 window the GroupedTopKRewrite rule turns into a bounded
@@ -332,6 +375,33 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin,
+
+    "q77_small_qty_revenue" ->
+      s"""WITH per_part AS (
+         |  SELECT l_partkey AS pk,
+         |    ${dsumSql("l_quantity", 2)} / COUNT(*) AS avg_qty
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT p_brand,
+         |  ${dsumSql("l_extendedprice", 2)} AS small_qty_revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN per_part ON l_partkey = pk
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE l_quantity < avg_qty * 0.5
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q78_sole_return_suppliers" ->
+      """SELECT s_suppkey, s_name, COUNT(*) AS n_lines
+        |FROM lineitem l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY n_lines DESC, s_suppkey ASC""".stripMargin,
 
     "q70_min_cost_supplier" ->
       s"""WITH ps AS (
