@@ -110,6 +110,52 @@ object Ivf {
     rescore(probed, pruned, k, idCol, vecCol, excludeSelf)
   }
 
+  /** IVF-PQ with exact refine — the full production ANN stack in one
+    * dataflow. Three bounds compose:
+    *
+    *  1. the coarse cells bound BYTES READ: static partition pruning as in
+    *     [[searchPruned]] (a probe reads nprobe/k of the corpus);
+    *  2. the PQ codes bound BYTES PER CANDIDATE: ADC ranks probed-cell
+    *     members from their `m`-byte codes ([[Pq.adcCandidates]]) without
+    *     touching the original vectors;
+    *  3. the exact pass bounds FLOAT WORK: only the top `rerank` ADC
+    *     candidates per query (a broadcast-sized shortlist) are re-scored
+    *     with true cosine against the stored vectors.
+    *
+    * Output is the standard (query_id, rk, neighbor_id, sim) kNN shape.
+    * Recall and plan pruning are asserted in IvfPqSpec. */
+  def searchPqPruned(
+      index: IvfIndex, codebook: DataFrame, codes: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, m: Int, dim: Int,
+      rerank: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val probed = probeCells(index, queries, nprobe, idCol, vecCol)
+    val cellIds = probed.select(col("cell_id")).distinct()
+      .collect().map(_.get(0))
+    val pruned = index.assigned.filter(col("cell_id").isin(cellIds: _*))
+    val cand = probed.select(col("query_id"), col("cell_id"))
+      .join(pruned.select(col("cell_id"), col(idCol).as("neighbor_id")), Seq("cell_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"))
+    val adc = Pq.adcCandidates(codebook, codes, queries, cand, m, dim, idCol, vecCol)
+    // bounded top-`rerank` shortlist by ascending ADC distance (map-side
+    // bounded aggregate, not a global sort)
+    val shortlist = Knn.reduceTopK(
+        adc.select(col("query_id"), col("neighbor_id"),
+          negate(col("adc_dist")).as("_sim")), rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact refine: |Q|·rerank pairs — the shortlist broadcasts, so the
+    // probed-cell vectors are scanned once with no shuffle
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"))
+    val exact = broadcast(shortlist)
+      .join(pruned.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nvec")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("_sim", cosine_sim(col("_qvec"), col("_nvec")))
+    Knn.reduceTopK(exact, k)
+  }
+
   /** nprobe nearest cell centroids per query (tiny: centroids broadcast). */
   private def probeCells(
       index: IvfIndex, queries: DataFrame, nprobe: Int,

@@ -121,6 +121,30 @@ object Pq {
         e => e.getField("code")).as("codes"))
       .select(col("_id").as(idCol), col("codes"))
 
+  /** ADC distances for an explicit (query_id, neighbor_id) candidate set
+    * (the IVF-PQ composition hands in probed-cell members): the same
+    * fixed-order table-lookup sum as [[adcSearch]], but only candidate
+    * pairs are scored. The distance table carries query_id in its join
+    * key and stays broadcast-sized (|Q| × m × k entries). Output
+    * (query_id, neighbor_id, adc_dist), unranked. */
+  def adcCandidates(codebook: DataFrame, codes: DataFrame, queries: DataFrame,
+      candidates: DataFrame, m: Int, dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dtable = subvectors(queries, idCol, vecCol, m, dim, "query_id")
+      .join(broadcast(codebook), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        l2sq(col("sub"), col("centroid")).as("_d2"))
+    candidates
+      .join(codes.select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("s", "code"))), Seq("neighbor_id"))
+      .join(broadcast(dtable), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("s"), col("_d2")))),
+          e => e.getField("_d2")),
+        lit(0.0), (acc, t) => acc + t).as("adc_dist"))
+  }
+
   /** ADC top-k: per query build the m×|codes| distance table against the
     * codebook (broadcast-sized by construction), then score candidates by
     * the fixed-order sum of their m table entries — never touching the

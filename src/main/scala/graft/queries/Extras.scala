@@ -112,6 +112,29 @@ object Extras {
       Detection.methodComparison(p3).orderBy(col("device_id"))
     }),
 
+    // IVF-PQ with exact refine — the full production ANN stack: stored
+    // cells bound bytes read (partition pruning), PQ codes bound bytes per
+    // candidate (ADC over m-byte codes), exact cosine re-ranks only the
+    // top-`rerank` shortlist. Rows-only: k-means cells/codebooks are
+    // seed-stable but not SQL-reproducible; recall bounds, refine
+    // exactness, and the pruned-scan plan gate live in IvfPqSpec.
+    "q80_ivfpq" -> ((s, dir) => {
+      import graft.operators.{Ivf, Pq}
+      val e = t(s, dir, "embeddings")
+      val idx = Ivf.build(e, nCells = 8)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Ivf.writeIndex(idx, path)
+      val stored = Ivf.readIndex(s, path)
+      val cb = Pq.trainCodebook(e, "vec_id", "embedding", m = 8, dim = 64, k = 16)
+      val codes = Pq.encode(e, cb, "vec_id", "embedding", m = 8, dim = 64)
+      Ivf.searchPqPruned(stored, cb, codes, e.filter(col("vec_id") < 10),
+          k = 5, nprobe = 3, m = 8, dim = 64, rerank = 20)
+        .select(col("query_id"), col("rk").cast("bigint").as("rk"),
+          col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // Multimodal + vector search composition: nearest media assets by
     // stub-feature cosine (shows media features flow into the ANN core).
     "q61_media_knn" -> ((s, dir) => {

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** IVF-PQ composed search ([[Ivf.searchPqPruned]]): coarse-cell partition
+  * pruning × PQ ADC ranking × exact refine. */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, sf("sf0.001"), "embeddings").cache()
+
+  private def fixture() = {
+    val idx = Ivf.build(emb, nCells = 8)
+    val cb = Pq.trainCodebook(emb, "vec_id", "embedding", m = 8, dim = 64, k = 16)
+    val codes = Pq.encode(emb, cb, "vec_id", "embedding", m = 8, dim = 64)
+    (idx, cb, codes)
+  }
+
+  test("recall: exhaustive probe + full-width rerank recovers exact kNN") {
+    val (idx, cb, codes) = fixture()
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Knn.exact(emb, q, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // nprobe = nCells probes everything and a corpus-wide rerank refines
+    // everything, so the composed search degenerates to exact kNN — any
+    // miss would be a bug in the dataflow, not PQ loss
+    val n = emb.count().toInt
+    val full = Ivf.searchPqPruned(idx, cb, codes, q,
+        k = 5, nprobe = 8, m = 8, dim = 64, rerank = n)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & full).size.toDouble / exact.size
+    assert(recall >= 0.999, s"exhaustive IVF-PQ recall must be exact: $recall")
+    // a bounded rerank keeps most of it: the ADC shortlist is doing the
+    // work (quantization loss shows up only in the tail)
+    val bounded = Ivf.searchPqPruned(idx, cb, codes, q,
+        k = 5, nprobe = 8, m = 8, dim = 64, rerank = 100)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val boundedRecall = (exact & bounded).size.toDouble / exact.size
+    assert(boundedRecall >= 0.7, s"rerank=100 IVF-PQ recall too low: $boundedRecall")
+  }
+
+  test("pruned probe keeps useful recall at a fraction of the candidates") {
+    val (idx, cb, codes) = fixture()
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Knn.exact(emb, q, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ivf.searchPqPruned(idx, cb, codes, q,
+        k = 10, nprobe = 3, m = 8, dim = 64, rerank = 40)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"nprobe=3 IVF-PQ recall too low: $recall")
+  }
+
+  test("refine is exact: reported sims equal brute-force cosine for those pairs") {
+    val (idx, cb, codes) = fixture()
+    val q = emb.filter($"vec_id" < 5)
+    val out = Ivf.searchPqPruned(idx, cb, codes, q,
+      k = 5, nprobe = 3, m = 8, dim = 64, rerank = 20)
+    val reported = out.select($"query_id", $"neighbor_id", $"sim")
+      .as[(Long, Long, Double)].collect()
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (dot, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, x, y), (u, v)) =>
+          val (ud, vd) = (u.toDouble, v.toDouble)
+          (d + ud * vd, x + ud * ud, y + vd * vd)
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    reported.foreach { case (qid, nid, sim) =>
+      assert(math.abs(sim - cos(vecs(qid), vecs(nid))) < 1e-9,
+        s"refined sim for ($qid,$nid) is not exact cosine")
+    }
+  }
+
+  test("stored index: the composed search still prunes cell partitions at the scan") {
+    val (idx, cb, codes) = fixture()
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    try {
+      Ivf.writeIndex(idx, path)
+      val stored = Ivf.readIndex(spark, path)
+      val q = emb.filter($"vec_id" < 5)
+      val out = Ivf.searchPqPruned(stored, cb, codes, q,
+        k = 5, nprobe = 2, m = 8, dim = 64, rerank = 20)
+      out.collect()
+      val planStr = out.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[cell_id".r.findFirstIn(planStr).isDefined,
+        s"probed cells must prune the stored scan:\n$planStr")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
+  test("kNN contract and determinism across reruns") {
+    val (idx, cb, codes) = fixture()
+    val q = emb.filter($"vec_id" < 3)
+    def run() = Ivf.searchPqPruned(idx, cb, codes, q,
+        k = 5, nprobe = 3, m = 8, dim = 64, rerank = 20)
+      .select($"query_id", $"rk", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val a = run()
+    assert(a.size == 15, "3 queries x k=5")
+    assert(!a.exists { case (qid, _, nid) => qid == nid }, "self excluded")
+    assert(a == run(), "rerun-stable")
+  }
+}
