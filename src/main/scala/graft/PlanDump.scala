@@ -111,6 +111,36 @@ object PlanDump {
         "codegen'd integer predicate on a portable md5-derived hash — no " +
         "second corpus shuffle, no rand(), bit-identical keep set on rerun, " +
         "retry, or in another engine (the DuckDB oracle hash-matches it)."),
+    "q77_small_qty_revenue" ->
+      ("Correlated scalar subquery, decorrelated: the per-part average is a " +
+        "two-level aggregate whose exchange hash-partitions on l_partkey — " +
+        "the same key the fact join needs, so the join adds no exchange of " +
+        "its own on that side (SMJ/SHJ co-partitioned; AQE broadcasts the " +
+        "part dimension). The naive form — a subquery re-evaluated per row — " +
+        "never appears: Catalyst sees only the join."),
+    "q78_sole_return_suppliers" ->
+      ("EXISTS + NOT EXISTS double correlation: both subqueries become hash " +
+        "joins (LeftSemi then LeftAnti) keyed on l_orderkey with the " +
+        "supplier inequality as a residual condition — the classic " +
+        "decorrelation that keeps Q21-style queries off nested loops. All " +
+        "three lineitem branches shuffle on the same key, so AQE can reuse " +
+        "the exchange; per-order groups are bounded (7 lines), so no skew."),
+    "q79_component_representatives" ->
+      ("Quality-canonical dedup: component labels (pair-members only), the " +
+        "corpus id spine, and the quality scores all join on doc_id — one " +
+        "hash partitioning serves the chain. The per-component argmax is a " +
+        "rank-1 window bounded before the exchange (WindowGroupLimit / " +
+        "GroupedTopKRewrite), and the member counts reuse the same " +
+        "comp-keyed shuffle. Label propagation cost is the q38 frontier " +
+        "loop; everything after it is linear."),
+    "q80_ivfpq" ->
+      ("IVF-PQ with exact refine — three compounding bounds: the stored " +
+        "cells turn the probe into a static PartitionFilter (bytes READ ~ " +
+        "nprobe/k of the corpus); ADC ranks the survivors from m-byte codes " +
+        "against a broadcast distance table (bytes per CANDIDATE ~ m, not " +
+        "4·d); exact cosine touches only the top-rerank shortlist, which " +
+        "broadcasts back over the probed cells (float work ~ |Q|·rerank). " +
+        "Exhaustive settings provably reproduce exact kNN (IvfPqSpec)."),
     "q74_incremental_neardup" ->
       ("Incremental near-dup: the indexed corpus appears ONLY as its " +
         "bucketed band/set tables — the delta's band keys equi-join the " +

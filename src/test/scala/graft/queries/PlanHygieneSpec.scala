@@ -23,6 +23,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q27_ivf_knn",            // centroid table × query set probe
     "q28_lsh_knn",            // hamming prefilter against broadcast signatures
     "q29_ivf_trained",        // stored-index probe (centroids broadcast)
+    "q80_ivfpq",              // cell probe (centroids broadcast) + refine
+                              // shortlist broadcast over probed cells
     "q61_media_knn",          // media-feature kNN (broadcast queries)
     "q68_pq_adc",             // broadcast distance table
     "q72_temperature_rebalance", // 1-row min-count attached to groups frame
