@@ -242,6 +242,44 @@ object Relational {
         .orderBy($"n_lines".desc, $"s_suppkey".asc)
     }),
 
+    // High-value parts (TPC-H Q11 shape): groups whose share of a GLOBAL
+    // aggregate exceeds a threshold. The global total is a 1-row aggregate
+    // attached by broadcast (BNLJ-by-design); the comparison is a
+    // cross-multiplication (v·n_parts > total·1.5) so no division enters
+    // the predicate. Both aggregates reuse the same scan. SURVEY §2.4.
+    "q81_value_parts" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val pp = li.groupBy($"l_partkey")
+        .agg(dsum($"l_extendedprice", 2).as("part_value"))
+      // global total re-derived from the base column (exact decimal sum),
+      // NOT from the double part sums — a double→decimal recast rounds
+      // differently across engines in the last digit
+      val tot = li.agg(dsum($"l_extendedprice", 2).as("tv"),
+        countDistinct($"l_partkey").as("np"))
+      pp.crossJoin(tot)
+        .filter($"part_value" * $"np" > $"tv" * 1.5)
+        .select($"l_partkey", $"part_value")
+        .orderBy($"part_value".desc, $"l_partkey".asc)
+    }),
+
+    // Large-volume orders (TPC-H Q18 shape): IN-subquery over a grouped
+    // HAVING, decorrelated into an aggregate joined back to orders ⋈
+    // customer. The per-order quantity aggregate shuffles on l_orderkey —
+    // the same key the orders join needs. SURVEY §2.3/§2.4.
+    "q82_big_ticket_orders" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(dsum($"l_quantity", 2).as("total_qty"))
+        .filter($"total_qty" > 250)
+      t(s, dir, "orders")
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice", $"total_qty")
+        .orderBy($"total_qty".desc, $"o_orderkey".asc)
+    }),
+
     // Cheapest supplier per part (TPC-H Q2's argmin shape without partsupp):
     // per-(part,supplier) mean line price from the fact, then per-part argmin
     // via a rank-1 window the GroupedTopKRewrite rule turns into a bounded
@@ -402,6 +440,27 @@ object Relational {
         |      AND l3.l_returnflag = 'R')
         |GROUP BY s_suppkey, s_name
         |ORDER BY n_lines DESC, s_suppkey ASC""".stripMargin,
+
+    "q81_value_parts" ->
+      s"""WITH pp AS (
+         |  SELECT l_partkey, ${dsumSql("l_extendedprice", 2)} AS part_value
+         |  FROM lineitem GROUP BY l_partkey),
+         |tot AS (SELECT ${dsumSql("l_extendedprice", 2)} AS tv,
+         |               COUNT(DISTINCT l_partkey) AS np FROM lineitem)
+         |SELECT l_partkey, part_value FROM pp, tot
+         |WHERE part_value * np > tv * 1.5
+         |ORDER BY part_value DESC, l_partkey ASC""".stripMargin,
+
+    "q82_big_ticket_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${dsumSql("l_quantity", 2)} AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${dsumSql("l_quantity", 2)} > 250)
+         |SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY total_qty DESC, o_orderkey ASC""".stripMargin,
 
     "q70_min_cost_supplier" ->
       s"""WITH ps AS (

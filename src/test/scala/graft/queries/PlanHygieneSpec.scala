@@ -37,6 +37,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q62_boilerplate_mining", // 1-row corpus threshold attach
     "q64_passage_strip",      // same threshold attach as q62
     "q73_int8_quantize",      // none expected, tolerated if AQE 1-rows it
+    "q81_value_parts",        // 1-row global total attached to part values
     "q50_iot_detect_pipeline", // simulator: tick sequence × broadcast metric
                                // spec table (generator fan-out, not a corpus)
   )
