@@ -131,6 +131,17 @@ object Ivf {
       excludeSelf: Boolean = true): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val probed = probeCells(index, queries, nprobe, idCol, vecCol)
+    pqRefine(probed, index, codebook, codes, queries, k, m, dim, rerank,
+      idCol, vecCol, excludeSelf)
+  }
+
+  /** Shared IVF-PQ post-probe stage: prune cells → ADC-score members →
+    * top-`rerank` shortlist → exact cosine refine → top-k. */
+  private def pqRefine(
+      probed: DataFrame, index: IvfIndex, codebook: DataFrame,
+      codes: DataFrame, queries: DataFrame, k: Int, m: Int, dim: Int,
+      rerank: Int, idCol: String, vecCol: String,
+      excludeSelf: Boolean): DataFrame = {
     val cellIds = probed.select(col("cell_id")).distinct()
       .collect().map(_.get(0))
     val pruned = index.assigned.filter(col("cell_id").isin(cellIds: _*))
@@ -155,6 +166,121 @@ object Ivf {
       .withColumn("_sim", cosine_sim(col("_qvec"), col("_nvec")))
     Knn.reduceTopK(exact, k)
   }
+
+  /** Micro-unit projection: floor(x·1e6) per component — integer-valued
+    * doubles, so sums and fixed-order folds over them are bit-identical in
+    * any IEEE engine (the portability discipline of [[Pq.labelCodebook]]). */
+  private def microVec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(c, x => floor(x.cast("double") * lit(1000000.0)).cast("double"))
+
+  /** Deterministic PORTABLE k-means IVF — same [[IvfIndex]] contract as
+    * [[build]] (the Spark-ML production variant), but every arithmetic
+    * step is reproducible bit-for-bit by an independent engine, so a
+    * trained index can be value-checked by the DuckDB oracle:
+    *
+    *  - vectors are micro-projected (floor(x·1e6): exact integer doubles);
+    *  - init centroids = the `nCells` lowest-id vectors;
+    *  - each Lloyd round assigns by squared-L2 with a fixed left-to-right
+    *    fold (ties to the lowest cell_id) and re-centers with an exact
+    *    BIGINT sum / count — one correctly-rounded division per component;
+    *  - empty cells drop out (both engines recompute them identically).
+    *
+    * Centroid quality matches [[build]] for IVF purposes (coarse cells
+    * only bound candidate sets; recall is governed by nprobe), so this is
+    * the variant the declared queries use — the ML k-means path stays the
+    * scale option for corpora where sampling + more iterations pay. */
+  def buildPortable(
+      corpus: DataFrame, nCells: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val mv = corpus.select(col(idCol), col(vecCol), microVec(col(vecCol)).as("_mv"))
+    var cells = mv.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol), col("_mv"))
+      .withColumn("cell_id",
+        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+      .select(col("cell_id"), col("_mv").as("centroid"))
+    for (_ <- 1 to iters) {
+      val a = assignPortable(mv, cells, idCol)
+      cells = a.select(col("cell_id"), posexplode(col("_mv")).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg((sum(col("x").cast("long")).cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("centroid"))
+    }
+    IvfIndex(cells, assignPortable(mv, cells, idCol).drop("_mv"))
+  }
+
+  /** argmin cell by micro-unit squared L2; ties to the lowest cell_id.
+    * The centroid table is driver-sized by construction (nCells × dim),
+    * so assignment is a ZERO-SHUFFLE map: the cell list rides along as a
+    * literal and a fixed-order fold keeps the first strict improvement —
+    * identical to the oracle's (d2 ASC, cell_id ASC) row_number pick. At
+    * 100 TB this is the embarrassingly-parallel pass that touches every
+    * row; no join, no window sort. */
+  private def assignPortable(
+      mv: DataFrame, cells: DataFrame, idCol: String): DataFrame = {
+    val cs = cells.select(col("cell_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val arr = array(cs.map { case (id, c) =>
+      struct(lit(id).as("cid"), array(c.map(lit): _*).as("centroid")) }: _*)
+    mv.withColumn("_cells", arr)
+      .withColumn("cell_id", expr(
+        """aggregate(
+          |  transform(_cells, e -> struct(e.cid AS cid,
+          |    aggregate(zip_with(_mv, e.centroid, (a, b) -> (a - b) * (a - b)),
+          |      cast(0.0 AS double), (s, x) -> s + x) AS d)),
+          |  struct(cast(-1 AS int) AS cid, cast('Infinity' AS double) AS d),
+          |  (acc, e) -> IF(e.d < acc.d, e, acc)).cid""".stripMargin))
+      .drop("_cells")
+  }
+
+  /** [[searchPruned]] with the PORTABLE probe: cell ranking uses cosine
+    * over the micro-projected query against the (micro-unit) centroids,
+    * three separate left-to-right accumulator folds exactly as
+    * [[graft.functions.VectorExpressions.CosineSimilarity]] computes them
+    * — so the probed cell set, and therefore the result, is reproducible
+    * by the oracle. The final rescore is exact cosine on the raw vectors.
+    * Partition pruning on the stored index works unchanged. */
+  def searchPrunedPortable(
+      index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val probed = probePortable(index, queries, nprobe, idCol, vecCol)
+    val cellIds = probed.select(col("cell_id")).distinct()
+      .collect().map(_.get(0))
+    val pruned = index.assigned.filter(col("cell_id").isin(cellIds: _*))
+    rescore(probed, pruned, k, idCol, vecCol, excludeSelf)
+  }
+
+  /** [[searchPqPruned]] with the PORTABLE probe (same three bounds:
+    * pruned cells, ADC m-byte candidate scoring, exact top-`rerank`
+    * refine) — composes with [[buildPortable]] + [[Pq.labelCodebook]] into
+    * a fully oracle-checkable IVF-PQ stack. */
+  def searchPqPrunedPortable(
+      index: IvfIndex, codebook: DataFrame, codes: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, m: Int, dim: Int,
+      rerank: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val probed = probePortable(index, queries, nprobe, idCol, vecCol)
+    pqRefine(probed, index, codebook, codes, queries, k, m, dim, rerank,
+      idCol, vecCol, excludeSelf)
+  }
+
+  /** nprobe nearest cells by portable cosine (micro query vs centroid). */
+  private def probePortable(
+      index: IvfIndex, queries: DataFrame, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"),
+        microVec(col(vecCol)).as("_qmv"))
+      .crossJoin(broadcast(index.cells))
+      .withColumn("_csim", cosine_sim(col("_qmv"), col("centroid")))
+      .withColumn("_crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("_csim").desc, col("cell_id").asc)))
+      .filter(col("_crk") <= nprobe)
+      .select(col("query_id"), col("_qvec"), col("cell_id"))
 
   /** nprobe nearest cell centroids per query (tiny: centroids broadcast). */
   private def probeCells(

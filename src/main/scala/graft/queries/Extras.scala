@@ -4,10 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Knn, Multimodal}
 import Q._
 
-/** Declared queries without a SQL-expressible oracle (the driver records a
-  * rows-only check): approximate-ANN and multimodal operators whose
-  * semantics are validated structurally in ScalaTest instead
-  * (KnnSpec recall bounds, MultimodalSpec determinism).
+/** Simulator-driven, multimodal, and trained-index queries. Most carry a
+  * rows-only driver check with value assertions in ScalaTest instead
+  * (SimulatorValueSpec exact recomputation, MultimodalSpec determinism,
+  * KnnSpec/IvfSpec recall bounds); q29/q80 are fully oracle-checked — the
+  * portable fixed-point k-means makes even the TRAINED index reproducible
+  * in DuckDB (oracle SQL at the bottom of this file).
   */
 object Extras {
 
@@ -35,20 +37,22 @@ object Extras {
 
     // Trained IVF ANN, full production shape: k-means cells, index
     // PERSISTED partitioned by cell_id, search via static partition
-    // pruning (searchPruned) — what the driver times is the actual 100 TB
-    // ANN path: fit + write + pruned probe, with the probed cell set
-    // pushed into the scan as a partition filter (plan-asserted in
-    // IvfSpec). Rows-only: k-means cells are seed-stable but not
-    // SQL-reproducible; recall bounds live in IvfSpec.
+    // pruning — what the driver times is the actual 100 TB ANN path:
+    // fit + write + pruned probe, with the probed cell set pushed into
+    // the scan as a partition filter (plan-asserted in IvfSpec). The
+    // PORTABLE k-means (fixed-point Lloyd rounds, exact integer-sum
+    // re-centering) makes the trained cells — and therefore the whole
+    // search result — reproducible bit-for-bit by the DuckDB oracle;
+    // recall bounds for the ML-KMeans production variant live in IvfSpec.
     "q29_ivf_trained" -> ((s, dir) => {
       import graft.operators.Ivf
       val e = t(s, dir, "embeddings")
-      val idx = Ivf.build(e, nCells = 8)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
+      val idx = Ivf.buildPortable(e, nCells = 8, iters = 2)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfp_idx_" +
         java.lang.Integer.toHexString(dir.hashCode)
       Ivf.writeIndex(idx, path)
       val stored = Ivf.readIndex(s, path)
-      Ivf.searchPruned(stored, e.filter(col("vec_id") < 10), k = 5, nprobe = 3)
+      Ivf.searchPrunedPortable(stored, e.filter(col("vec_id") < 10), k = 5, nprobe = 3)
         .select(col("query_id"), col("rk").cast("bigint").as("rk"),
           col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rk"))
@@ -121,16 +125,20 @@ object Extras {
     "q80_ivfpq" -> ((s, dir) => {
       import graft.operators.{Ivf, Pq}
       val e = t(s, dir, "embeddings")
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqp_" +
         java.lang.Integer.toHexString(dir.hashCode)
       // Build-once-probe-many: the index lifecycle a production deployment
-      // has (k-means fits are seed-deterministic, so a stored index is
-      // bit-identical to a rebuild). What the bench then measures is the
-      // stored-index probe — the recurring cost at 100 TB, where the build
-      // is a one-time amortized job.
+      // has (the portable builds are pure functions of the data, so a
+      // stored index is bit-identical to a rebuild). What the bench then
+      // measures is the stored-index probe — the recurring cost at 100 TB,
+      // where the build is a one-time amortized job. The portable cell /
+      // codebook variants make the entire stack — trained cells, PQ codes,
+      // ADC shortlist, exact refine — reproducible by the DuckDB oracle;
+      // the ML-KMeans cells + trained codebook remain the production
+      // variant (recall bounds in IvfPqSpec/PqSpec).
       if (!new java.io.File(s"$base/codes/_SUCCESS").exists()) {
-        Ivf.writeIndex(Ivf.build(e, nCells = 8), base)
-        val cb = Pq.trainCodebook(e, "vec_id", "embedding", m = 8, dim = 64, k = 16)
+        Ivf.writeIndex(Ivf.buildPortable(e, nCells = 8, iters = 2), base)
+        val cb = Pq.labelCodebook(e, "label", "embedding", m = 8, dim = 64)
         cb.write.mode("overwrite").parquet(s"$base/codebook")
         Pq.encode(e, cb, "vec_id", "embedding", m = 8, dim = 64)
           .write.mode("overwrite").parquet(s"$base/codes")
@@ -138,7 +146,7 @@ object Extras {
       val stored = Ivf.readIndex(s, base)
       val cb = s.read.parquet(s"$base/codebook")
       val codes = s.read.parquet(s"$base/codes")
-      Ivf.searchPqPruned(stored, cb, codes, e.filter(col("vec_id") < 10),
+      Ivf.searchPqPrunedPortable(stored, cb, codes, e.filter(col("vec_id") < 10),
           k = 5, nprobe = 3, m = 8, dim = 64, rerank = 20)
         .select(col("query_id"), col("rk").cast("bigint").as("rk"),
           col("neighbor_id"), round(col("sim"), 6).as("sim"))
@@ -158,5 +166,118 @@ object Extras {
     }),
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  // ---------------------------------------------------------------------
+  // Portable-IVF oracle SQL. Mirrors Ivf.buildPortable / probePortable /
+  // rescore step for step: micro-unit vectors (floor(x·1e6) — integer
+  // doubles), init cells = the 8 lowest-id vectors, two Lloyd rounds
+  // (fixed left-to-right distance folds, exact BIGINT-sum re-centering),
+  // portable cosine probe (three separate left-to-right folds, the same
+  // accumulator order as the codegen'd cosine_sim loop), exact cosine
+  // rescore on the raw vectors. Every arithmetic step is a fixed-order
+  // IEEE double op, so DuckDB reproduces the trained index bit-for-bit.
+
+  private def fold(listExpr: String): String =
+    s"list_reduce(list_prepend(0.0, $listExpr), (a, b) -> a + b)"
+
+  /** Σ (x[i]-y[i])² over dim 64, left-to-right. */
+  private def d2Fold(x: String, y: String): String =
+    fold(s"list_transform(range(1, 65), i -> ($x[i] - $y[i]) * ($x[i] - $y[i]))")
+
+  /** cosine with zero-norm→0.0; dot/norms as three separate ltr folds. */
+  private def cosSelect(qv: String, nv: String): String =
+    s"""${fold(s"list_transform(range(1, 65), i -> $qv[i] * $nv[i])")} AS dot,
+       |${fold(s"list_transform(range(1, 65), i -> $qv[i] * $qv[i])")} AS na,
+       |${fold(s"list_transform(range(1, 65), i -> $nv[i] * $nv[i])")} AS nb""".stripMargin
+
+  private def assignCte(a: String, c: String): String =
+    s"""$a AS (SELECT vec_id, cell_id FROM (
+       |  SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${d2Fold("e.mv", "c.centroid")} ASC, c.cell_id ASC) AS rn
+       |  FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+
+  private def updateCte(cNew: String, a: String): String =
+    s"""$cNew AS (SELECT cell_id, list(m ORDER BY pos) AS centroid FROM (
+       |  SELECT asg.cell_id, uv.pos, CAST(sum(CAST(uv.x AS BIGINT)) AS DOUBLE) / count(*) AS m
+       |  FROM $a asg JOIN (SELECT vec_id, generate_subscripts(mv, 1) AS pos,
+       |                    unnest(mv) AS x FROM e) uv USING (vec_id)
+       |  GROUP BY asg.cell_id, uv.pos) GROUP BY cell_id)""".stripMargin
+
+  /** e → c0 → (a1,c1) → (a2,c2) → af (final cells) → q → pr (probed). */
+  private val ivfCtes: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev,
+       |  list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000000.0)) AS mv
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell_id,
+       |         mv AS centroid
+       |       FROM (SELECT vec_id, mv FROM e ORDER BY vec_id LIMIT 8)),
+       |${assignCte("a1", "c0")},
+       |${updateCte("c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "a2")},
+       |${assignCte("af", "c2")},
+       |q AS (SELECT vec_id AS qid, ev AS qv, mv AS qmv FROM e WHERE vec_id < 10),
+       |ps AS (SELECT qid, cell_id,
+       |         CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |              ELSE dot / (sqrt(na) * sqrt(nb)) END AS csim
+       |       FROM (SELECT q.qid, c.cell_id, ${cosSelect("q.qmv", "c.centroid")}
+       |             FROM q CROSS JOIN c2 c)),
+       |pr AS (SELECT qid, cell_id FROM (SELECT qid, cell_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cell_id ASC) AS crk
+       |       FROM ps) WHERE crk <= 3)""".stripMargin
+
+  /** exact-cosine rescore of a (qid, nid) candidate CTE → top-k rows. */
+  private def rescoreSql(cand: String, k: Int): String =
+    s"""sc AS (SELECT qid, nid,
+       |         CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |              ELSE dot / (sqrt(na) * sqrt(nb)) END AS cs
+       |       FROM (SELECT c.qid, c.nid, ${cosSelect("q.qv", "n.ev")}
+       |             FROM $cand c JOIN q ON q.qid = c.qid
+       |             JOIN e n ON n.vec_id = c.nid)),
+       |r AS (SELECT qid, nid, cs,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk
+       |      FROM sc)
+       |SELECT qid AS query_id, rk, nid AS neighbor_id, round(cs, 6) AS sim
+       |FROM r WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q29_ivf_trained" ->
+      s"""$ivfCtes,
+         |cand AS (SELECT pr.qid, af.vec_id AS nid
+         |         FROM pr JOIN af USING (cell_id) WHERE af.vec_id <> pr.qid),
+         |${rescoreSql("cand", 5)}""".stripMargin,
+
+    // IVF-PQ with exact refine: the portable IVF above + the q68-style
+    // label codebook / encode / ADC (all over the same micro-unit vectors)
+    // + top-20 ADC shortlist + exact cosine top-5.
+    "q80_ivfpq" ->
+      s"""$ivfCtes,
+         |pu AS (SELECT label, vec_id, generate_subscripts(mv, 1) - 1 AS pos,
+         |         unnest(mv) AS x FROM e),
+         |cb AS (SELECT label AS code, pos // 8 AS s, pos % 8 AS j,
+         |         CAST(sum(CAST(x AS BIGINT)) AS DOUBLE) / count(*) AS c
+         |       FROM pu GROUP BY label, pos // 8, pos % 8),
+         |cbl AS (SELECT s, code, list(c ORDER BY j) AS cent FROM cb GROUP BY s, code),
+         |sv AS (SELECT vec_id, pos // 8 AS s, list(x ORDER BY pos % 8) AS sub
+         |       FROM pu GROUP BY vec_id, pos // 8),
+         |d AS (SELECT vec_id, sv.s, code,
+         |        ${fold("list_transform(range(1, 9), i -> (sub[i] - cent[i]) * (sub[i] - cent[i]))")} AS d2
+         |      FROM sv JOIN cbl ON cbl.s = sv.s),
+         |en AS (SELECT vec_id, s, code FROM (
+         |         SELECT vec_id, s, code,
+         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+         |         FROM d) WHERE rn = 1),
+         |qd AS (SELECT vec_id AS qid, s, code, d2 FROM d WHERE vec_id < 10),
+         |cand0 AS (SELECT pr.qid, af.vec_id AS nid
+         |          FROM pr JOIN af USING (cell_id) WHERE af.vec_id <> pr.qid),
+         |j2 AS (SELECT c0.qid, c0.nid, qd.s, qd.d2
+         |       FROM cand0 c0 JOIN en ON en.vec_id = c0.nid
+         |       JOIN qd ON qd.qid = c0.qid AND qd.s = en.s AND qd.code = en.code),
+         |adc AS (SELECT qid, nid,
+         |          list_reduce(list_prepend(0.0, list(d2 ORDER BY s)), (x, y) -> x + y) AS ad
+         |        FROM j2 GROUP BY qid, nid),
+         |sl AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY ad ASC, nid ASC) AS ark
+         |       FROM adc) WHERE ark <= 20),
+         |${rescoreSql("sl", 5)}""".stripMargin,
+  )
 }

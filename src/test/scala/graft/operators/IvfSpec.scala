@@ -80,6 +80,52 @@ class IvfSpec extends SparkSpec {
       idx.assigned.select($"vec_id", $"cell_id").collect().toSet)
   }
 
+  test("portable build: zero-shuffle fold assignment equals the join+window argmin") {
+    val idx = Ivf.buildPortable(emb, nCells = 8, iters = 2)
+    assert(idx.assigned.count() == emb.count())
+    // independent recomputation of the final assignment: micro-project,
+    // cross-join the trained cells, windowed argmin (d2 asc, cell_id asc)
+    val mv = emb.select($"vec_id",
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))").as("_mv"))
+    val naive = mv.crossJoin(broadcast(idx.cells))
+      .withColumn("_d2", expr(
+        "aggregate(zip_with(_mv, centroid, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0.0 as double), (s, x) -> s + x)"))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+          .orderBy($"_d2".asc, $"cell_id".asc)))
+      .filter($"_rn" === 1)
+      .select($"vec_id", $"cell_id")
+    assert(idx.assigned.select($"vec_id", $"cell_id").collect().toSet ==
+      naive.collect().toSet)
+    // and the assignment plan itself has no join and no window exchange
+    val planStr = idx.assigned.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Join") && !planStr.contains("Window"),
+      s"portable assignment must be a pure map:\n$planStr")
+  }
+
+  test("portable stored index: pruned portable search matches exhaustive, prunes the scan") {
+    val idx = Ivf.buildPortable(emb, nCells = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfp_idx").toString
+    try {
+      Ivf.writeIndex(idx, path)
+      val stored = Ivf.readIndex(spark, path)
+      val q = emb.filter($"vec_id" < 5)
+      val pruned = Ivf.searchPrunedPortable(stored, q, k = 5, nprobe = 8)
+      pruned.collect()
+      val planStr = pruned.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[cell_id".r.findFirstIn(planStr).isDefined,
+        s"probed cells must prune the scan:\n$planStr")
+      // nprobe = nCells is exhaustive ⇒ equals exact kNN
+      val exact = Knn.exact(emb, q, k = 5)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      assert(pruned.select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().toSet == exact)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("search output follows the standard kNN contract") {
     val idx = Ivf.build(emb, nCells = 4)
     val out = Ivf.search(idx, emb.filter($"vec_id" < 3), k = 5, nprobe = 2)

@@ -56,7 +56,12 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     failed = []
+    checked = 0
     for name, q in sorted(sql.items()):
+        import os
+        if not os.path.isdir(f"{vdir}/{name}"):
+            continue  # targeted Verify run — query not dumped this time
+        checked += 1
         try:
             got = canon(pd.read_parquet(f"{vdir}/{name}"))
         except Exception as e:
@@ -95,7 +100,7 @@ def main():
             failed.append(name)
         else:
             print(f"OK   {name}: {len(got)} rows")
-    print(f"\n{len(sql) - len(failed)}/{len(sql)} queries match")
+    print(f"\n{checked - len(failed)}/{checked} queries match")
     sys.exit(1 if failed else 0)
 
 
