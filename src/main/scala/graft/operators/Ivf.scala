@@ -218,11 +218,19 @@ object Ivf {
     * 100 TB this is the embarrassingly-parallel pass that touches every
     * row; no join, no window sort. */
   private def assignPortable(
-      mv: DataFrame, cells: DataFrame, idCol: String): DataFrame = {
-    val cs = cells.select(col("cell_id"), col("centroid"))
+      mv: DataFrame, cells: DataFrame, idCol: String): DataFrame =
+    withCellId(mv, collectCells(cells))
+
+  /** (cell_id, centroid) rows pulled to the driver, cell_id-ordered —
+    * nCells × dim doubles, driver-sized for any sane cell count. */
+  private def collectCells(cells: DataFrame): Array[(Int, Seq[Double])] =
+    cells.select(col("cell_id"), col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+
+  /** Adds `cell_id` to a frame that already carries `_mv` (micro vector). */
+  private def withCellId(mv: DataFrame, cs: Array[(Int, Seq[Double])]): DataFrame = {
     val arr = array(cs.map { case (id, c) =>
       struct(lit(id).as("cid"), array(c.map(lit): _*).as("centroid")) }: _*)
     mv.withColumn("_cells", arr)
@@ -235,6 +243,20 @@ object Ivf {
           |  (acc, e) -> IF(e.d < acc.d, e, acc)).cid""".stripMargin))
       .drop("_cells")
   }
+
+  /** Assign arbitrary new vectors to a trained index's cells — a pure,
+    * shuffle-free map column, so it works identically on BATCH and
+    * STREAMING DataFrames (the cell collect touches only the stored
+    * `cells` table, which is always a batch read). This is the index
+    * MAINTENANCE primitive: a streaming job can route arriving vectors
+    * into the stored layout's `cell_id` partitions and [[searchPruned]]
+    * keeps pruning over the grown corpus
+    * ([[graft.streaming.StreamingIvfIngest]]). */
+  def assignVectors(
+      index: IvfIndex, vectors: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    withCellId(vectors.withColumn("_mv", microVec(col(vecCol))), collectCells(index.cells))
+      .drop("_mv")
 
   /** [[searchPruned]] with the PORTABLE probe: cell ranking uses cosine
     * over the micro-projected query against the (micro-unit) centroids,
