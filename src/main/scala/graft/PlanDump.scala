@@ -64,7 +64,12 @@ object PlanDump {
       ("Stored IVF: k-means cells persisted with the corpus PARTITIONED BY " +
         "cell_id; the probed cell set resolves first and reaches the scan as " +
         "a static PartitionFilter — a 3-of-1024-cells probe reads ~0.3% of " +
-        "corpus bytes, enforced by layout rather than a runtime filter."),
+        "corpus bytes, enforced by layout rather than a runtime filter. The " +
+        "declared query trains with Ivf.buildPortable (micro-unit Lloyd " +
+        "rounds, exact BIGINT-sum re-centering, zero-shuffle fold " +
+        "assignment), which the DuckDB oracle reproduces bit-for-bit via " +
+        "unrolled CTEs — the one k-means whose trained output is " +
+        "hash-checked, not rows-only."),
     "q58_corpus_shuffle" ->
       ("Deterministic global shuffle without a global sort: the uniform id " +
         "hash is cut into fixed-width bucket ranges, ranks are per-bucket " +
@@ -140,7 +145,11 @@ object PlanDump {
         "against a broadcast distance table (bytes per CANDIDATE ~ m, not " +
         "4·d); exact cosine touches only the top-rerank shortlist, which " +
         "broadcasts back over the probed cells (float work ~ |Q|·rerank). " +
-        "Exhaustive settings provably reproduce exact kNN (IvfPqSpec)."),
+        "Exhaustive settings provably reproduce exact kNN (IvfPqSpec). The " +
+        "declared query runs the PORTABLE stack (fixed-point Lloyd cells + " +
+        "label codebook, every fold in fixed order), so the driver's DuckDB " +
+        "oracle value-checks the trained index end to end; plan shape is " +
+        "identical to the ML-KMeans production variant."),
     "q74_incremental_neardup" ->
       ("Incremental near-dup: the indexed corpus appears ONLY as its " +
         "bucketed band/set tables — the delta's band keys equi-join the " +
