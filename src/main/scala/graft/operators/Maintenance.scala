@@ -62,6 +62,59 @@ object Maintenance {
       .saveAsTable(table)
   }
 
+  /** Z-order (Morton) clustering on write — multi-dimensional data
+    * skipping without a table format (SURVEY §2.2 P8's "Z-order if using
+    * Delta", rebuilt on plain parquet). A single-column sort makes
+    * row-group min/max stats an index for THAT column and destroys
+    * locality for every other; interleaving the bits of each column's
+    * grid coordinate gives a sort key whose contiguous ranges are compact
+    * hyper-rectangles, so per-file min/max stats stay narrow on ALL the
+    * clustered columns at once and point/range predicates on any of them
+    * skip most files (ZOrderSpec measures both effects on real parquet
+    * footers).
+    *
+    * Grid mapping is linear between the column's min and max (one tiny
+    * driver agg). Heavily skewed columns would crowd the grid; the
+    * standard fix — rank-based boundaries from `approxQuantile` feeding
+    * `width_bucket` — slots into `gridOf` without touching the key
+    * construction. 16 bits/column keeps up to 4 columns inside a long. */
+  def zOrderKey(df: DataFrame, cols: Seq[String], bits: Int = 16): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"${cols.size} cols x $bits bits must fit a signed long")
+    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"_mn_$c"),
+      max(col(c).cast("double")).as(s"_mx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val top = (1L << bits) - 1
+    def gridOf(c: String, j: Int): org.apache.spark.sql.Column = {
+      val mn = stats.getDouble(2 * j); val mx = stats.getDouble(2 * j + 1)
+      if (mx <= mn) lit(0L)
+      else least(lit(top), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(top.toDouble))
+          .cast("long")))
+    }
+    val n = cols.size
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      g = gridOf(c, j)
+      i <- 0 until bits
+    } yield shiftleft(shiftright(g, i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Cluster + write: range-partition on the z-key (so each output file
+    * owns a contiguous z-range = a compact rectangle in value space),
+    * sort within, drop the key. `nFiles` sizes output files — at 100 TB
+    * pick it from bytes/file, not row counts. */
+  def writeZOrdered(
+      df: DataFrame, path: String, cols: Seq[String],
+      nFiles: Int, bits: Int = 16,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("_zkey", zOrderKey(df, cols, bits))
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+      .write.mode(mode).parquet(path)
+
   /** Retention (TTL analog): keep only partitions with date >= cutoff.
     * Implemented as partition-directory removal, not a rewrite. */
   def retainSince(spark: SparkSession, path: String, cutoffDate: String): Seq[String] = {
