@@ -8,7 +8,11 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter (local iteration)
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) {
+        val names = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+        require(names.nonEmpty, "query filter must name at least one query")
+        Some(names)
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,6 +47,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // record what this run attempted, so the checker can tell "query not
+    // part of a targeted run" (skip) from "query crashed, no dump" (fail)
+    val attempted = SparkEntry.queries.keys
+      .filter(n => only.forall(_.contains(n))).toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

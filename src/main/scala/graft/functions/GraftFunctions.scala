@@ -11,6 +11,20 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Fixed-point micro-unit projection: floor(x·1e6) per component,
+    * carried as exactly-representable integer-valued doubles. THE
+    * portability primitive behind every oracle-checkable trained
+    * operator (PQ codebooks/codes, portable IVF cells): sums over
+    * micro-units are exact integers (order-independent), and all
+    * downstream folds are fixed-order IEEE ops any engine reproduces
+    * bit-for-bit. One definition on purpose — Ivf and Pq must never
+    * drift apart on the scale or rounding convention, and the DuckDB
+    * oracles bake in the same `floor(x * 1000000.0)`. */
+  def micro_units(vec: Column): Column = {
+    import org.apache.spark.sql.functions.{transform, floor}
+    transform(vec.cast("array<double>"), x => floor(x * 1000000.0).cast("double"))
+  }
+
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 

@@ -102,8 +102,15 @@ object Ivf {
   def searchPruned(
       index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
-    val probed = probeCells(index, queries, nprobe, idCol, vecCol)
+      excludeSelf: Boolean = true): DataFrame =
+    pruneAndRescore(probeCells(index, queries, nprobe, idCol, vecCol),
+      index, k, idCol, vecCol, excludeSelf)
+
+  /** Shared post-probe stage: resolve the (driver-sized) probed cell set,
+    * push it into the scan as a partition filter, exact-rescore members. */
+  private def pruneAndRescore(
+      probed: DataFrame, index: IvfIndex, k: Int,
+      idCol: String, vecCol: String, excludeSelf: Boolean): DataFrame = {
     val cellIds = probed.select(col("cell_id")).distinct()
       .collect().map(_.get(0))
     val pruned = index.assigned.filter(col("cell_id").isin(cellIds: _*))
@@ -167,11 +174,10 @@ object Ivf {
     Knn.reduceTopK(exact, k)
   }
 
-  /** Micro-unit projection: floor(x·1e6) per component — integer-valued
-    * doubles, so sums and fixed-order folds over them are bit-identical in
-    * any IEEE engine (the portability discipline of [[Pq.labelCodebook]]). */
+  /** Shared fixed-point projection — the same definition [[Pq]] encodes
+    * with, so cells and codes can never drift apart on the convention. */
   private def microVec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(c, x => floor(x.cast("double") * lit(1000000.0)).cast("double"))
+    graft.functions.GraftFunctions.micro_units(c)
 
   /** Deterministic PORTABLE k-means IVF — same [[IvfIndex]] contract as
     * [[build]] (the Spark-ML production variant), but every arithmetic
@@ -268,13 +274,9 @@ object Ivf {
   def searchPrunedPortable(
       index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
-    val probed = probePortable(index, queries, nprobe, idCol, vecCol)
-    val cellIds = probed.select(col("cell_id")).distinct()
-      .collect().map(_.get(0))
-    val pruned = index.assigned.filter(col("cell_id").isin(cellIds: _*))
-    rescore(probed, pruned, k, idCol, vecCol, excludeSelf)
-  }
+      excludeSelf: Boolean = true): DataFrame =
+    pruneAndRescore(probePortable(index, queries, nprobe, idCol, vecCol),
+      index, k, idCol, vecCol, excludeSelf)
 
   /** [[searchPqPruned]] with the PORTABLE probe (same three bounds:
     * pruned cells, ADC m-byte candidate scoring, exact top-`rerank`

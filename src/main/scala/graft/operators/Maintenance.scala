@@ -77,7 +77,10 @@ object Maintenance {
     * driver agg). Heavily skewed columns would crowd the grid; the
     * standard fix — rank-based boundaries from `approxQuantile` feeding
     * `width_bucket` — slots into `gridOf` without touching the key
-    * construction. 16 bits/column keeps up to 4 columns inside a long. */
+    * construction. The key must stay below the sign bit (negative keys
+    * would range-partition before positive ones and break z-range
+    * contiguity), so cols × bits ≤ 63: 16 bits/column covers 3 columns;
+    * use bits = 15 for 4. */
   def zOrderKey(df: DataFrame, cols: Seq[String], bits: Int = 16): org.apache.spark.sql.Column = {
     require(cols.nonEmpty && cols.size * bits <= 63,
       s"${cols.size} cols x $bits bits must fit a signed long")
@@ -85,13 +88,18 @@ object Maintenance {
       max(col(c).cast("double")).as(s"_mx_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     val top = (1L << bits) - 1
-    def gridOf(c: String, j: Int): org.apache.spark.sql.Column = {
-      val mn = stats.getDouble(2 * j); val mx = stats.getDouble(2 * j + 1)
-      if (mx <= mn) lit(0L)
-      else least(lit(top), greatest(lit(0L),
-        floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(top.toDouble))
-          .cast("long")))
-    }
+    def gridOf(c: String, j: Int): org.apache.spark.sql.Column =
+      // empty input or an all-null / non-castable column: no stats → no
+      // discrimination possible on this column; constant 0 degrades it to
+      // "unclustered" instead of NPEing a maintenance job
+      if (stats.isNullAt(2 * j) || stats.isNullAt(2 * j + 1)) lit(0L)
+      else {
+        val mn = stats.getDouble(2 * j); val mx = stats.getDouble(2 * j + 1)
+        if (mx <= mn) lit(0L)
+        else least(lit(top), greatest(lit(0L),
+          floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(top.toDouble))
+            .cast("long")))
+      }
     val n = cols.size
     val terms = for {
       (c, j) <- cols.zipWithIndex

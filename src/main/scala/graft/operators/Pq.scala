@@ -45,8 +45,7 @@ object Pq {
   /** Fixed-point view of a vector: floor(x·10⁶) per component, carried as
     * exact integer-valued doubles (|x| ≲ 1 ⇒ |scaled| < 2²¹ ≪ 2⁵³). */
   private def scaled(vecCol: String): Column =
-    transform(col(vecCol).cast("array<double>"),
-      x => floor(x * 1000000.0).cast("double"))
+    graft.functions.GraftFunctions.micro_units(col(vecCol))
 
   /** (id, s, sub): the m width-`dim/m` fixed-point subvectors. */
   private def subvectors(corpus: DataFrame, idCol: String, vecCol: String,

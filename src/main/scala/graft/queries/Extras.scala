@@ -125,8 +125,13 @@ object Extras {
     "q80_ivfpq" -> ((s, dir) => {
       import graft.operators.{Ivf, Pq}
       val e = t(s, dir, "embeddings")
+      // cache key includes the source file's length + mtime: regenerated
+      // data at the same path invalidates the cached index instead of
+      // silently probing a stale one
+      val srcMeta = new java.io.File(s"$dir/embeddings.parquet")
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqp_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Integer.toHexString(
+          s"$dir|${srcMeta.length}|${srcMeta.lastModified}".hashCode)
       // Build-once-probe-many: the index lifecycle a production deployment
       // has (the portable builds are pure functions of the data, so a
       // stored index is bit-identical to a rebuild). What the bench then

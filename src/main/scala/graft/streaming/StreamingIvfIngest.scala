@@ -37,12 +37,15 @@ object StreamingIvfIngest {
     * `foreachBatch` + a plain partitioned append, NOT the streaming
     * parquet sink: the file sink's `_spark_metadata` log would make later
     * reads of `assigned/` ignore every file it didn't write — including
-    * the original batch-built corpus. The checkpoint makes each
-    * micro-batch processed once in normal operation; a crash between the
-    * append and the commit replays one batch (at-least-once), which the
-    * engine's first-arrival dedup semantics absorb downstream — a
-    * transactional table format is the production upgrade, not a
-    * different dataflow. */
+    * the original batch-built corpus.
+    *
+    * Delivery: a per-batch marker under `_ingest_commits/` makes replays
+    * of an already-appended batch no-ops, narrowing the duplicate window
+    * to a crash BETWEEN the append and the marker write. A replay landing
+    * in that window duplicates its rows, and search over plain parquet
+    * WILL see them (kNN can rank a duplicated neighbor at two of its k
+    * slots) — run [[compactDedup]] to restore uniqueness, or use a
+    * transactional table format to close the window entirely. */
   def ingest(index: IvfIndex, stream: DataFrame, indexPath: String,
       checkpointDir: String, vecCol: String = "embedding"): StreamingQuery =
     assigned(index, stream, vecCol)
@@ -50,9 +53,40 @@ object StreamingIvfIngest {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("cell_id")
-          .parquet(s"$indexPath/assigned")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        // batch ids restart at 0 under a NEW checkpoint — scope markers to
+        // the checkpoint lineage or a restarted pipeline would skip its
+        // first batches as "already committed"
+        val lineage = java.lang.Integer.toHexString(checkpointDir.hashCode)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$indexPath/_ingest_commits/${lineage}_$batchId")
+        val fs = marker.getFileSystem(conf)
+        if (!fs.exists(marker)) {
+          batch.write.mode("append").partitionBy("cell_id")
+            .parquet(s"$indexPath/assigned")
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+        }
       }
       .start()
+
+  /** Rewrite `assigned/` keeping one row per id — the maintenance pass
+    * that bounds the lifetime of crash-window duplicates (replayed rows
+    * are bit-identical, so any survivor is correct; id-reusing UPSERTS
+    * would additionally need a version column and `max_by` — not this
+    * op). Write-to-sibling + rename, because a parquet path can't be read
+    * and overwritten in the same job. */
+  def compactDedup(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      idCol: String = "vec_id"): Unit = {
+    val src = s"$indexPath/assigned"
+    val tmp = s"$indexPath/assigned__compacting"
+    spark.read.parquet(src)
+      .dropDuplicates(idCol)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
 }

@@ -61,6 +61,20 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("empty input / all-null column: constant key, no NPE") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder3").toString
+    try {
+      val empty = events.filter(lit(false)).select($"user_id", $"value")
+      Maintenance.writeZOrdered(empty, s"$dir/e", Seq("user_id", "value"), nFiles = 4)
+      assert(spark.read.parquet(s"$dir/e").count() == 0)
+      val nullCol = events.select($"user_id", lit(null).cast("double").as("v"))
+      Maintenance.writeZOrdered(nullCol, s"$dir/n", Seq("user_id", "v"), nFiles = 4)
+      assert(spark.read.parquet(s"$dir/n").count() == events.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("clustering is a pure layout change: same rows, same values") {
     val dir = java.nio.file.Files.createTempDirectory("zorder2").toString
     val df = events.select($"user_id", $"value")

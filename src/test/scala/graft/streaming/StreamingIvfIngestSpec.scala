@@ -73,4 +73,35 @@ class StreamingIvfIngestSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("compactDedup removes crash-window duplicate appends; search is restored") {
+    val base = emb.filter($"vec_id" < 400)
+    val late = emb.filter($"vec_id" >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    try {
+      val idx = Ivf.buildPortable(base, nCells = 8, iters = 2)
+      Ivf.writeIndex(idx, s"$dir/idx")
+      // simulate a replay landing in the append→marker crash window:
+      // the same assigned batch appended twice
+      val dup = Ivf.assignVectors(idx, late)
+        .select($"vec_id", $"embedding", $"cell_id")
+      dup.write.mode("append").partitionBy("cell_id").parquet(s"$dir/idx/assigned")
+      dup.write.mode("append").partitionBy("cell_id").parquet(s"$dir/idx/assigned")
+      val before = spark.read.parquet(s"$dir/idx/assigned")
+      assert(before.count() == emb.count() + late.count(), "duplicates present")
+
+      StreamingIvfIngest.compactDedup(spark, s"$dir/idx")
+      val stored = Ivf.readIndex(spark, s"$dir/idx")
+      assert(stored.assigned.count() == emb.count(), "one row per vector again")
+      // and exhaustive pruned search equals exact kNN over the full corpus
+      val queries = emb.filter($"vec_id" < 5)
+      val exact = Knn.exact(emb, queries, k = 5)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      assert(Ivf.searchPrunedPortable(stored, queries, k = 5, nprobe = 8)
+        .select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().toSet == exact)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

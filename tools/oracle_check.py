@@ -55,12 +55,19 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # attempted.json (written by Verify) distinguishes a targeted run's
+    # deliberately-undumped queries (skip) from a crashed query whose dump
+    # is missing (hard FAIL). Absent file = strict mode: everything counts.
+    attempted = None
+    try:
+        attempted = set(json.load(open(f"{vdir}/attempted.json")))
+    except FileNotFoundError:
+        pass
     failed = []
     checked = 0
     for name, q in sorted(sql.items()):
-        import os
-        if not os.path.isdir(f"{vdir}/{name}"):
-            continue  # targeted Verify run — query not dumped this time
+        if attempted is not None and name not in attempted:
+            continue
         checked += 1
         try:
             got = canon(pd.read_parquet(f"{vdir}/{name}"))
