@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.hash32
 
@@ -45,4 +46,58 @@ object Corpus {
           .otherwise("test"))
       .select(col(idCol), col("split"), col("quality"))
   }
+
+  /** Token-budget corpus mixing — "give me the best `budget_s` tokens of
+    * each source" (the dataset-curation step that hits per-source token
+    * targets: 30% code / 50% web / ... of a fixed training budget).
+    *
+    * Selection is by QUALITY-BIN THRESHOLD, not per-document cumulative
+    * sort: the naive shape — a running token sum over each source's docs
+    * ordered by quality — puts a source's ENTIRE corpus through one
+    * window task (a dominant source = one straggler owning 80% of 100 TB).
+    * Instead, docs aggregate into (source, quality_ppm) bins — integer
+    * ppm scores make bins exact — and only the bin table (≤ 1e6 rows per
+    * source, independent of corpus size) sees a window. Docs themselves
+    * cross the shuffle once, on the same (source, quality_ppm) key the
+    * final membership join uses.
+    *
+    * Whole-bin semantics: bins are taken best-first while the cumulative
+    * token count fits the budget; the first bin that doesn't fit stops
+    * the take (no partial bins, no doc-level tie-breaking) — deterministic
+    * and engine-portable by construction.
+    *
+    * `budgets`: (source, token_budget). Output: one row per selected doc
+    * (doc_id, source, quality_ppm, n_tokens). */
+  def tokenBudgetMix(
+      docs: DataFrame, budgets: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(TextAnalysis.qualityScores(docs, idCol, textCol)
+        .select(col("doc_id"), col("n_tokens"), col("quality_ppm")), Seq("doc_id"))
+    val bins = scored.groupBy(col("source"), col("quality_ppm"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+    val kept = bins
+      .withColumn("cum_tokens", sum(col("bin_tokens")).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("quality_ppm").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_tokens") <= col("token_budget"))
+      .select(col("source"), col("quality_ppm"))
+    scored.join(kept, Seq("source", "quality_ppm"), "left_semi")
+      .select(col("doc_id"), col("source"), col("quality_ppm"), col("n_tokens"))
+  }
+
+  /** Budgets proportional to each source's own token volume (`pct`% of
+    * it) — the self-scaling parameterization the declared query uses. */
+  def proportionalBudgets(
+      docs: DataFrame, pct: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(TextAnalysis.qualityScores(docs, idCol, textCol)
+        .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(expr(s"sum(n_tokens) * $pct div 100").as("token_budget"))
 }

@@ -173,6 +173,17 @@ object Documents {
       TextAnalysis.fingerprintRows(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"), col("rk"))
     }),
+
+    // Token-budget corpus mix: per source, the best 40% of its tokens by
+    // quality, selected via quality-BIN thresholds (only the tiny bin
+    // table sees a window — a per-doc cumulative sort would hand a
+    // dominant source's whole corpus to one window task at 100 TB).
+    "q83_token_budget_mix" -> ((s, dir) => {
+      import graft.operators.Corpus
+      val docs = t(s, dir, "documents")
+      Corpus.tokenBudgetMix(docs, Corpus.proportionalBudgets(docs, pct = 40))
+        .orderBy(col("source"), col("quality_ppm").desc, col("doc_id"))
+    }),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -503,5 +514,39 @@ object Documents {
          |        PARTITION BY doc_id ORDER BY h) AS rk FROM hs)
          |SELECT doc_id, rk, h FROM r WHERE rk <= 5
          |ORDER BY doc_id, rk""".stripMargin,
+
+    // Mirrors Corpus.tokenBudgetMix + proportionalBudgets: the q41 quality
+    // CTEs feed (source, quality_ppm) bins; cumulative bin tokens against
+    // a 40%-of-source budget pick whole bins best-first.
+    "q83_token_budget_mix" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |g AS (SELECT doc_id, count(*) AS n_tokens,
+         |        count(*) FILTER (w IN ('a', 'the')) AS n_stop,
+         |        CAST(sum(length(w)) AS BIGINT) AS sum_len
+         |      FROM tk GROUP BY doc_id),
+         |p AS (SELECT doc_id, n_tokens,
+         |        (n_stop * 1000000) // n_tokens AS stop_ppm,
+         |        least((sum_len * 1000000) // (8 * n_tokens), 1000000) AS len_ppm,
+         |        least(n_tokens * 10000, 1000000) AS tok_ppm
+         |      FROM g),
+         |s AS (SELECT p.doc_id, d.source, p.n_tokens,
+         |        CAST((tok_ppm * 3 + (1000000 - stop_ppm) * 4 + len_ppm * 3) // 10
+         |          AS BIGINT) AS quality_ppm
+         |      FROM p JOIN documents d USING (doc_id)),
+         |b AS (SELECT source, quality_ppm, sum(n_tokens) AS bin_tokens
+         |      FROM s GROUP BY source, quality_ppm),
+         |bud AS (SELECT source, CAST(sum(n_tokens) * 40 // 100 AS BIGINT) AS token_budget
+         |        FROM s GROUP BY source),
+         |k AS (SELECT source, quality_ppm FROM (
+         |        SELECT b.source, b.quality_ppm, token_budget,
+         |          sum(bin_tokens) OVER (PARTITION BY b.source
+         |            ORDER BY b.quality_ppm DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM b JOIN bud USING (source))
+         |      WHERE cum <= token_budget)
+         |SELECT s.doc_id, s.source, s.quality_ppm, s.n_tokens
+         |FROM s JOIN k USING (source, quality_ppm)
+         |ORDER BY source, quality_ppm DESC, doc_id""".stripMargin,
   )
 }
