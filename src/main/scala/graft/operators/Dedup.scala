@@ -491,4 +491,38 @@ object Dedup {
       .filter(col("hd") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hd"))
   }
+
+  /** Longest shared contiguous token run per candidate pair — the
+    * diagnostic behind substring-level dedup (how MUCH of a near-dup pair
+    * is literally the same passage, not just the same shingle set).
+    *
+    * Shape: token positions of each side meet in an EQUI-join keyed on
+    * (doc id, token), so only genuinely shared tokens materialize; each
+    * match lands on a diagonal `d = pos_a - pos_b`, where a contiguous
+    * shared run is a gaps-and-islands group (consecutive `pos_a` on one
+    * diagonal). The window partitions by (pair, diagonal) — thousands of
+    * small sorts, never one global one — and all cost is bounded by the
+    * CANDIDATE pairs (banding-bounded), never the corpus cross product.
+    * Pairs sharing no token at all are absent from the output.
+    *
+    * LLM-pipeline extension (passage-level dup length, cf. the
+    * suffix-array dedup line of work); pairs come from any candidate
+    * generator ([[nearDupPairs]], [[simhashPairsBlocked]], ...). */
+  def longestSharedSpan(
+      docs: DataFrame, pairs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))).as(Seq("i", "w")))
+    val m = pairs.select(col("id_a"), col("id_b"))
+      .join(pos.select(col("doc_id").as("id_a"), col("i").as("ia"), col("w")), Seq("id_a"))
+      .join(pos.select(col("doc_id").as("id_b"), col("i").as("ib"), col("w")), Seq("id_b", "w"))
+    val diag = Window.partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("ia"))
+    m.withColumn("d", col("ia") - col("ib"))
+      .withColumn("g", col("ia") - row_number().over(diag))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("g"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("run")).as("max_span"))
+  }
 }

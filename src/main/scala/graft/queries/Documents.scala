@@ -184,6 +184,18 @@ object Documents {
       Corpus.tokenBudgetMix(docs, Corpus.proportionalBudgets(docs, pct = 40))
         .orderBy(col("source"), col("quality_ppm").desc, col("doc_id"))
     }),
+
+    // Longest literally-shared token run per near-dup pair: candidate
+    // pairs from MinHash banding (q31's pipeline), then a positions
+    // equi-join + per-diagonal gaps-and-islands — all cost bounded by
+    // candidates, windows partitioned per (pair, diagonal).
+    "q84_shared_span" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.longestSharedSpan(docs,
+          Dedup.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.5),
+          "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -548,5 +560,43 @@ object Documents {
          |SELECT s.doc_id, s.source, s.quality_ppm, s.n_tokens
          |FROM s JOIN k USING (source, quality_ppm)
          |ORDER BY source, quality_ppm DESC, doc_id""".stripMargin,
+
+    // Mirrors Dedup.longestSharedSpan over Dedup.nearDupPairs: q31's
+    // minhash CTEs produce the pairs; zipped-unnest token positions meet
+    // on the word, and islands of consecutive pos_a per diagonal
+    // (pos_a - pos_b) give the longest shared run.
+    "q84_shared_span" -> {
+      import graft.functions.TextFunctions.minhashPermSql
+      val sigCols = (0 until 8)
+        .map(i => s"min(${minhashPermSql(h32("s", 0), i)}) AS sig$i").mkString(",\n  ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
+         |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS ni
+         |          FROM cand JOIN dsh a ON a.doc_id = id_a
+         |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
+         |          GROUP BY id_a, id_b),
+         |pr AS (SELECT id_a, id_b
+         |       FROM inter JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+         |       WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.5),
+         |pos AS (SELECT doc_id, unnest(range(1, len(tok) + 1)) AS i, unnest(tok) AS w FROM t),
+         |m AS (SELECT p.id_a, p.id_b, a.i AS ia, b.i AS ib
+         |      FROM pr p JOIN pos a ON a.doc_id = p.id_a
+         |                JOIN pos b ON b.doc_id = p.id_b AND a.w = b.w),
+         |isl AS (SELECT id_a, id_b, ia - ib AS d,
+         |          ia - row_number() OVER (PARTITION BY id_a, id_b, ia - ib ORDER BY ia) AS g
+         |        FROM m),
+         |runs AS (SELECT id_a, id_b, count(*) AS run FROM isl GROUP BY id_a, id_b, d, g)
+         |SELECT id_a, id_b, max(run) AS max_span
+         |FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
+    },
   )
 }

@@ -143,4 +143,29 @@ class DedupSpec extends SparkSpec {
       .as[Long].head()
     assert(s1 == s2 && s1 >= 0L && s1 < 256L)
   }
+
+  test("longestSharedSpan: exact run lengths on known fixtures") {
+    // pair (10,11): "one two three four" shared -> span 4 (plus "zz" alone)
+    // pair (10,12): tokens shared only out of order -> span 1
+    // pair (13,14): no shared tokens -> absent from output
+    val d = Seq(
+      (10L, "one two three four zz"),
+      (11L, "aa one two three four"),
+      (12L, "four three one"),
+      (13L, "left side words"),
+      (14L, "right bank terms"),
+    ).toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L), (10L, 12L), (13L, 14L)).toDF("id_a", "id_b")
+    val out = Dedup.longestSharedSpan(d, pairs, "doc_id", "text")
+      .orderBy($"id_a", $"id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 11L, 4L), (10L, 12L, 1L)))
+  }
+
+  test("longestSharedSpan: span of a doc paired with itself is its length") {
+    val d = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 1L)).toDF("id_a", "id_b")
+    val out = Dedup.longestSharedSpan(d, pairs, "doc_id", "text")
+      .as[(Long, Long, Long)].head()
+    assert(out == ((1L, 1L, 7L)))
+  }
 }
