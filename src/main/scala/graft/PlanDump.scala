@@ -158,7 +158,34 @@ object PlanDump {
         "cost is O(delta); the base corpus was shuffled exactly once, at " +
         "index-build time. This is the daily-crawl-increment shape at " +
         "100 TB — re-running full dedup per increment is the thing this " +
-        "operator exists to avoid."))
+        "operator exists to avoid."),
+    "q81_value_parts" ->
+      ("Global-share HAVING (TPC-H Q11 shape): the per-part aggregate and " +
+        "the 1-row corpus total derive from the SAME lineitem scan; the " +
+        "total attaches by broadcast (the only by-design nested loop is a " +
+        "1-row build side), and the share predicate is an integer-decimal " +
+        "comparison — no double division, so the cut is bit-stable across " +
+        "engines. Fact bytes are read once."),
+    "q82_big_ticket_orders" ->
+      ("Grouped-HAVING semi filter (TPC-H Q18 shape): the qty-sum filter " +
+        "reduces lineitem to qualifying order keys BEFORE any wide join — " +
+        "AQE sees a tiny filtered aggregate and broadcasts it over orders; " +
+        "customers broadcast over the survivors. The fact table crosses " +
+        "the network once, as an aggregate keyed on its natural join key."),
+    "q83_token_budget_mix" ->
+      ("Token-budget corpus mixing by quality-BIN threshold: docs " +
+        "aggregate once into (source, quality_ppm) bins, only the bounded " +
+        "bin table (≤1e6 rows/source, corpus-size-independent) sees the " +
+        "running-sum window, and membership returns as a LEFT SEMI join on " +
+        "the bin key. The naive per-doc cumulative window — a dominant " +
+        "source's entire corpus in ONE window task — never appears."),
+    "q84_shared_span" ->
+      ("Longest literally-shared token run per near-dup pair: token " +
+        "positions meet in an equi-join keyed on (doc id, token) — only " +
+        "genuinely shared tokens materialize — and islands of consecutive " +
+        "positions per diagonal reduce to a per-(pair, diagonal) window " +
+        "over banding-bounded candidates. The suffix-array question " +
+        "answered with joins: no per-pair alignment loop, no cross join."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
