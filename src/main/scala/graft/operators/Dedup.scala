@@ -508,6 +508,36 @@ object Dedup {
     * LLM-pipeline extension (passage-level dup length, cf. the
     * suffix-array dedup line of work); pairs come from any candidate
     * generator ([[nearDupPairs]], [[simhashPairsBlocked]], ...). */
+  /** SemDeDup-style semantic dedup: cluster embeddings into coarse cells
+    * (the portable trained k-means from [[Ivf.buildPortable]]), then flag
+    * as a duplicate every vector whose cosine to an EARLIER-id vector in
+    * the SAME cell reaches `minCosine`. Returns the removed set:
+    * (id, kept_by = smallest such earlier id, sim = cosine to it).
+    *
+    * The cells are the scale bound: the pair space is O(Σ cell²), never
+    * corpus², and the self-join is co-partitioned on cell_id — exactly
+    * the cluster-then-compare discipline of semantic-dedup pipelines
+    * (embedding near-dup via LSH banding, [[embeddingNearDup]], is the
+    * alternative when no trained index exists). The earliest-id keep
+    * rule (rather than distance-to-centroid) makes the removed set a
+    * pure function of the inputs — rerun-stable and oracle-checkable. */
+  def semanticDupes(
+      vecs: DataFrame, nCells: Int, minCosine: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_sim
+    val asg = Ivf.buildPortable(vecs, nCells, iters = 2, idCol = idCol,
+      vecCol = vecCol).assigned
+    val a = asg.select(col("cell_id"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = asg.select(col("cell_id"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b.hint("shuffle_hash"), Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cs", cosine_sim(col("va"), col("vb")))
+      .filter(col("cs") >= minCosine)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("kept_by"), min_by(col("cs"), col("id_a")).as("sim"))
+      .select(col("id_b").as(idCol), col("kept_by"), col("sim"))
+  }
+
   def longestSharedSpan(
       docs: DataFrame, pairs: DataFrame,
       idCol: String, textCol: String): DataFrame = {

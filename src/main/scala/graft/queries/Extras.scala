@@ -158,6 +158,17 @@ object Extras {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // SemDeDup-style semantic dedup: portable trained cells bound the
+    // pair space (O(Σ cell²), co-partitioned self-join), earliest-id
+    // keep rule makes the removed set deterministic — the whole
+    // cluster-then-compare pipeline is reproduced by the oracle.
+    "q85_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Dedup.semanticDupes(e, nCells = 8, minCosine = 0.3)
+        .select(col("vec_id"), col("kept_by"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Multimodal + vector search composition: nearest media assets by
     // stub-feature cosine (shows media features flow into the ANN core).
     "q61_media_knn" -> ((s, dir) => {
@@ -284,5 +295,22 @@ object Extras {
          |         row_number() OVER (PARTITION BY qid ORDER BY ad ASC, nid ASC) AS ark
          |       FROM adc) WHERE ark <= 20),
          |${rescoreSql("sl", 5)}""".stripMargin,
+
+    // Mirrors Dedup.semanticDupes: the same portable trained cells (af),
+    // within-cell id-ordered pairs, fixed-fold cosine over the raw
+    // vectors, earliest-similar-keeper aggregation.
+    "q85_semantic_dedup" ->
+      s"""$ivfCtes,
+         |m AS (SELECT af.vec_id, af.cell_id, e.ev FROM af JOIN e USING (vec_id)),
+         |p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${cosSelect("a.ev", "b.ev")}
+         |       FROM m a JOIN m b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+         |p AS (SELECT id_a, id_b,
+         |        CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |             ELSE dot / (sqrt(na) * sqrt(nb)) END AS cs
+         |      FROM p0)
+         |SELECT id_b AS vec_id, min(id_a) AS kept_by,
+         |  round(min_by(cs, id_a), 6) AS sim
+         |FROM p WHERE cs >= 0.3 GROUP BY id_b ORDER BY vec_id""".stripMargin,
   )
 }

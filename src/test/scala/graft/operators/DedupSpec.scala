@@ -144,6 +144,24 @@ class DedupSpec extends SparkSpec {
     assert(s1 == s2 && s1 >= 0L && s1 < 256L)
   }
 
+  test("semanticDupes ≡ naive within-cell earlier-similar rule") {
+    // two clean clusters; ids 0 and 1 are the two cluster archetypes so
+    // the portable init (lowest-id vectors) starts at the true centers
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 0.0, 0.0, 0.0) else Array(0.0, 1.0, 0.0, 0.0)
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDupes(emb, nCells = 2, minCosine = 0.9)
+      .select($"vec_id", $"kept_by").as[(Long, Long)].collect().toMap
+    // naive recomputation: same cells (parity of the archetype), all
+    // within-cluster cosines are > 0.9 here, so everything except each
+    // cluster's lowest id is removed, kept by that lowest id
+    val expected = (2 until 40).map(i => (i.toLong, (i % 2).toLong)).toMap
+    assert(out == expected)
+  }
+
   test("longestSharedSpan: exact run lengths on known fixtures") {
     // pair (10,11): "one two three four" shared -> span 4 (plus "zz" alone)
     // pair (10,12): tokens shared only out of order -> span 1
