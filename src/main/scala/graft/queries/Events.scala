@@ -256,6 +256,22 @@ object Events {
         .select($"err_id", $"err_us", $"n_near_clicks")
         .orderBy($"err_id")
     }),
+
+    // Retention cohorts: users grouped by first-activity day, distinct
+    // actives per (cohort, day offset). Two aggregations that share the
+    // user_id shuffle key; the cohort table is |users| rows, so the join
+    // back is broadcast-sized. The product-analytics staple over the
+    // events stream. SURVEY §2.4 A6 + §2.6 F1 (date bucketing).
+    "q87_retention_cohorts" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events").select($"user_id", to_date($"ts").as("d"))
+      val first = e.groupBy($"user_id").agg(min($"d").as("chd"))
+      e.join(broadcast(first), Seq("user_id"))
+        .groupBy($"chd", datediff($"d", $"chd").cast("bigint").as("day_n"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .select(date_format($"chd", "yyyy-MM-dd").as("cohort"), $"day_n", $"n_users")
+        .orderBy($"cohort", $"day_n")
+    }),
   )
 
   private val statsCte =
@@ -404,5 +420,15 @@ object Events {
         |FROM err LEFT JOIN clk
         |  ON clk.user_id = err.user_id AND abs(clk_us - err_us) <= 120000000
         |GROUP BY err_id, err_us ORDER BY err_id""".stripMargin,
+
+    "q87_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS chd FROM e GROUP BY user_id)
+        |SELECT strftime(chd, '%Y-%m-%d') AS cohort,
+        |  CAST(datediff('day', chd, d) AS BIGINT) AS day_n,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY chd, datediff('day', chd, d)
+        |ORDER BY cohort, day_n""".stripMargin,
   )
 }

@@ -300,6 +300,24 @@ object Relational {
         .select($"p_partkey", $"p_brand", $"s_name", $"avg_price")
         .orderBy($"p_partkey")
     }),
+
+    // Order-count distribution (TPC-H Q13 shape): LEFT OUTER join keeps
+    // zero-order customers in the histogram — the filter lives on the
+    // orders side BEFORE the join, so the outer semantics survive (a
+    // post-join filter would silently drop the NULL rows). Two grouped
+    // aggregates; the second input is |customers| rows, trivially small.
+    // SURVEY §2.3 J6 (outer variant) + §2.4 A6.
+    "q86_order_count_distribution" -> ((s, dir) => {
+      import s.implicits._
+      val f = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+      t(s, dir, "customer")
+        .join(f, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -477,5 +495,14 @@ object Relational {
          |JOIN supplier ON l_suppkey = s_suppkey
          |WHERE rn = 1
          |ORDER BY p_partkey""".stripMargin,
+
+    "q86_order_count_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus = 'F'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
   )
 }
