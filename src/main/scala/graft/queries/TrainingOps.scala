@@ -153,6 +153,20 @@ object TrainingOps {
         .orderBy(col("lang"))
     }),
 
+    // q54's 100 TB shape: percentiles from fixed-width bins — ONE
+    // partial-aggregating pass, per-group state bounded by the value
+    // range (never corpus size), integer-exact rank thresholds. Error ≤
+    // binWidth by construction (cross-checked against exact percentiles
+    // in HistogramSpec).
+    "q88_histogram_percentiles" -> ((s, dir) => {
+      import graft.operators.Histogram
+      Histogram.binPercentiles(t(s, dir, "documents"), "lang", "n_chars",
+          binWidth = 50.0, ppms = Seq(250000, 500000, 900000))
+        .select(col("lang"), col("p_250000").as("q25_lo"),
+          col("p_500000").as("q50_lo"), col("p_900000").as("q90_lo"))
+        .orderBy(col("lang"))
+    }),
+
     // Bloom-accelerated decontamination: broadcast Bloom prefilter over the
     // test-set shingle universe + exact verify — identical results to the
     // plain join (no false negatives; false positives verified away), but
@@ -339,6 +353,22 @@ object TrainingOps {
         |  round(quantile_cont(n_chars, 0.5), 6) AS q50,
         |  round(quantile_cont(n_chars, 0.9), 6) AS q90
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Mirrors Histogram.binPercentiles: fixed-width bins, cumulative bin
+    // counts, integer cross-multiplied rank thresholds, lower-edge pick.
+    "q88_histogram_percentiles" ->
+      """WITH b AS (SELECT lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS bin,
+        |             count(*) AS c
+        |           FROM documents GROUP BY lang, bin),
+        |cc AS (SELECT lang, bin, c,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |       FROM b)
+        |SELECT lang,
+        |  min(CASE WHEN cum * 1000000 >= n * 250000 THEN bin END) * 50.0 AS q25_lo,
+        |  min(CASE WHEN cum * 1000000 >= n * 500000 THEN bin END) * 50.0 AS q50_lo,
+        |  min(CASE WHEN cum * 1000000 >= n * 900000 THEN bin END) * 50.0 AS q90_lo
+        |FROM cc GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q53_bloom_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),

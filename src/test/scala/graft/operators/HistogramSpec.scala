@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, sources}
+import graft.sources.Tables
+
+class HistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binPercentiles within binWidth of exact percentiles, never above") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val approx = Histogram.binPercentiles(docs, "lang", "n_chars",
+        binWidth = 50.0, ppms = Seq(250000, 500000, 900000))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // exact rank-based percentile (type-1: value at 1-based rank
+    // ceil(n*p)) — the definition binPercentiles bins; Spark's
+    // `percentile` interpolates (type-7), a different statistic whose
+    // distance from the binned one is an order-stat gap, not binWidth
+    val vals = docs.select($"lang", $"n_chars")
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (l, vs) => l -> vs.map(_._2).sorted }
+    def typeOne(vs: Array[Long], ppm: Long): Long =
+      vs(((vs.length * ppm + 999999L) / 1000000L).toInt - 1)
+    assert(approx.keySet == vals.keySet && approx.nonEmpty)
+    approx.foreach { case (lang, (a25, a50, a90)) =>
+      Seq((a25, 250000L), (a50, 500000L), (a90, 900000L)).foreach { case (a, p) =>
+        val e = typeOne(vals(lang), p).toDouble
+        // a is the lower edge of e's bin: within (e - binWidth, e]
+        assert(a > e - 50.0 && a <= e, s"$lang ppm=$p: bin-edge $a vs exact $e")
+      }
+    }
+  }
+
+  test("binPercentiles p=1e6 picks the max bin; tiny groups stay exact") {
+    val df = Seq(("g", 3.0), ("g", 7.0), ("g", 11.0)).toDF("k", "v")
+    val out = Histogram.binPercentiles(df, "k", "v", binWidth = 1.0,
+        ppms = Seq(1, 500000, 1000000))
+      .as[(String, Double, Double, Double)].head()
+    // bins are the values themselves at width 1: min=3, median=7, max=11
+    assert(out == (("g", 3.0, 7.0, 11.0)))
+  }
+}
