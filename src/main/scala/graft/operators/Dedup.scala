@@ -508,6 +508,36 @@ object Dedup {
     * LLM-pipeline extension (passage-level dup length, cf. the
     * suffix-array dedup line of work); pairs come from any candidate
     * generator ([[nearDupPairs]], [[simhashPairsBlocked]], ...). */
+  /** Cross-source overlap matrix — "which crawl dumps share content":
+    * for every source pair, the number of distinct word-`n`-gram hashes
+    * both contain, plus the containment ratio against the smaller side
+    * (integer ppm — engine-portable). The corpus reduces to its distinct
+    * (source, shingle-hash) set first — one shuffle keyed on the 8-byte
+    * hash — and the pair fan-out per hash is bounded by the number of
+    * SOURCES (dozens), never documents, so the self-join is O(|hashes| ×
+    * sources²) worst case and far less in practice. The source-level
+    * rollup of [[Decontaminate]]'s document-level question. */
+  def sourceOverlap(
+      docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, n: Int = 3): DataFrame = {
+    val ss = docs
+      .select(col(sourceCol).as("source"), tokens(col(textCol)).as("tok"))
+      .select(col("source"), explode(shingles(col("tok"), n)).as("sh"))
+      .select(col("source"), hash32(col("sh"), 0).as("h"))
+      .distinct()
+    val counts = ss.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    ss.as("x").join(ss.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(counts.select(col("source").as("source_a"), col("ns").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(counts.select(col("source").as("source_b"), col("ns").as("nb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        expr("n_shared * 1000000 div least(na, nb)").as("containment_ppm"))
+  }
+
   /** SemDeDup-style semantic dedup: cluster embeddings into coarse cells
     * (the portable trained k-means from [[Ivf.buildPortable]]), then flag
     * as a duplicate every vector whose cosine to an EARLIER-id vector in

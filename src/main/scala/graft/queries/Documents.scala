@@ -196,6 +196,15 @@ object Documents {
           "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // Cross-source overlap matrix: distinct (source, 3-gram hash) set —
+    // one shuffle on the 8-byte hash — self-joined per hash with fan-out
+    // bounded by the SOURCE count, never documents. The "which dumps
+    // share content" rollup of per-document decontamination.
+    "q89_source_overlap" -> ((s, dir) => {
+      Dedup.sourceOverlap(t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -598,5 +607,26 @@ object Documents {
          |SELECT id_a, id_b, max(run) AS max_span
          |FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
     },
+
+    // Mirrors Dedup.sourceOverlap: distinct (source, shingle-hash) set,
+    // per-hash pair expansion, integer-ppm containment.
+    "q89_source_overlap" ->
+      s"""WITH td AS (SELECT d.source, string_split($normSql, ' ') AS tok
+         |            FROM documents d),
+         |shs AS (SELECT source, unnest(CASE WHEN len(tok) >= 3 THEN
+         |    list_transform(range(1, len(tok) - 1),
+         |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) ELSE [] END) AS s
+         |  FROM td),
+         |ss AS (SELECT DISTINCT source, ${h32("s", 0)} AS h FROM shs),
+         |cnt AS (SELECT source, count(*) AS ns FROM ss GROUP BY source),
+         |ov AS (SELECT x.source AS source_a, y.source AS source_b,
+         |         count(*) AS n_shared
+         |       FROM ss x JOIN ss y ON x.h = y.h AND x.source < y.source
+         |       GROUP BY x.source, y.source)
+         |SELECT source_a, source_b, n_shared,
+         |  n_shared * 1000000 // least(na.ns, nb.ns) AS containment_ppm
+         |FROM ov JOIN cnt na ON source_a = na.source
+         |        JOIN cnt nb ON source_b = nb.source
+         |ORDER BY source_a, source_b""".stripMargin,
   )
 }

@@ -144,6 +144,19 @@ class DedupSpec extends SparkSpec {
     assert(s1 == s2 && s1 >= 0L && s1 < 256L)
   }
 
+  test("sourceOverlap: shared shingle counts and containment on a known fixture") {
+    val d = Seq(
+      (1L, "a b c d", "srcA"), // shingles {a b c, b c d}
+      (2L, "a b c x", "srcB"), // shingles {a b c, b c x}
+      (3L, "p q r s", "srcC"), // disjoint
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(d, "doc_id", "text", "source")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // only (srcA, srcB) overlap: 1 shared of min(2, 2) -> 500000 ppm
+    assert(out == Seq(("srcB", "srcA", 1L, 500000L)) ||
+      out == Seq(("srcA", "srcB", 1L, 500000L)))
+  }
+
   test("semanticDupes ≡ naive within-cell earlier-similar rule") {
     // two clean clusters; ids 0 and 1 are the two cluster archetypes so
     // the portable init (lowest-id vectors) starts at the true centers
