@@ -185,7 +185,27 @@ object PlanDump {
         "genuinely shared tokens materialize — and islands of consecutive " +
         "positions per diagonal reduce to a per-(pair, diagonal) window " +
         "over banding-bounded candidates. The suffix-array question " +
-        "answered with joins: no per-pair alignment loop, no cross join."))
+        "answered with joins: no per-pair alignment loop, no cross join."),
+    "q85_semantic_dedup" ->
+      ("SemDeDup shape: the portable trained k-means cells bound the " +
+        "pair space — a co-partitioned self-join on cell_id, O(Σ cell²) " +
+        "never corpus², cosine verify inside whole-stage codegen. The " +
+        "earliest-id keep rule makes the removed set a pure function of " +
+        "the inputs, so the whole cluster-then-compare pipeline is " +
+        "oracle-hash-checked (trained cells included)."),
+    "q88_histogram_percentiles" ->
+      ("Percentiles without a global sort: fixed-width bins aggregate " +
+        "with map-side partials (mergeable, streaming-compatible), the " +
+        "per-group bin table is bounded by the VALUE RANGE rather than " +
+        "corpus size, and integer ppm rank thresholds read the answer " +
+        "off cumulative counts. q54's exact percentile collects every " +
+        "group into one task; this shape never does."),
+    "q89_source_overlap" ->
+      ("Cross-source overlap matrix: the corpus reduces to its distinct " +
+        "(source, shingle-hash) set — ONE shuffle on the 8-byte hash — " +
+        "and the per-hash self-join fans out by the number of sources " +
+        "(dozens), never documents. Containment is integer-ppm against " +
+        "the smaller side, so the matrix is bit-stable across engines."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

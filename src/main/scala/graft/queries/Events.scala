@@ -272,6 +272,19 @@ object Events {
         .select(date_format($"chd", "yyyy-MM-dd").as("cohort"), $"day_n", $"n_users")
         .orderBy($"cohort", $"day_n")
     }),
+
+    // Distribution drift per event type: total-variation distance (ppm)
+    // between the first period's and the rest's binned value histograms.
+    // ONE conditional-count pass builds both histograms; integer ppm
+    // arithmetic keeps the score engine-exact. The train-vs-serve /
+    // week-over-week skew monitor at corpus scale.
+    "q92_value_drift" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Histogram.tvDrift(t(s, dir, "events"),
+          "event_type", "value",
+          isA = $"ts" < lit("2024-01-10").cast("timestamp"), binWidth = 5.0)
+        .orderBy($"event_type")
+    }),
   )
 
   private val statsCte =
@@ -430,5 +443,20 @@ object Events {
         |FROM e JOIN f USING (user_id)
         |GROUP BY chd, datediff('day', chd, d)
         |ORDER BY cohort, day_n""".stripMargin,
+
+    "q92_value_drift" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+        |    count(*) FILTER (ts <  TIMESTAMP '2024-01-10') AS ca,
+        |    count(*) FILTER (ts >= TIMESTAMP '2024-01-10') AS cb
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, bin, ca, cb,
+        |    CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        |  FROM b)
+        |SELECT event_type,
+        |  CAST(sum(abs(ca * 1000000 // na - cb * 1000000 // nb)) // 2 AS BIGINT) AS tvd_ppm,
+        |  max(na) AS n_a, max(nb) AS n_b
+        |FROM w WHERE na > 0 AND nb > 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -301,6 +301,34 @@ object Relational {
         .orderBy($"p_partkey")
     }),
 
+    // Set algebra over derived key sets (engine completeness beyond the
+    // reference, which never needs INTERSECT/EXCEPT): Catalyst plans
+    // these as distinct semi/anti hash joins on the key — never a sort.
+    "q90_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      def keysOf(status: String) =
+        o.filter($"o_orderstatus" === status).select($"o_custkey")
+      keysOf("F").intersect(keysOf("O")).except(keysOf("P"))
+        .orderBy($"o_custkey")
+    }),
+
+    // CUBE over (returnflag, linestatus): all four grouping levels from
+    // ONE pass over the fact, partial aggregates shared; grouping-null
+    // labels become 'ALL' (same portable-label trick as q76's rollup).
+    "q91_cube_pricing" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity", 2).as("sum_qty"), count(lit(1)).as("n_lines"),
+          grouping($"l_returnflag").as("_gf"), grouping($"l_linestatus").as("_gs"))
+        .select(
+          when($"_gf" === 1, "ALL").otherwise($"l_returnflag").as("returnflag"),
+          when($"_gs" === 1, "ALL").otherwise($"l_linestatus").as("linestatus"),
+          $"sum_qty", $"n_lines")
+        .orderBy($"returnflag", $"linestatus")
+    }),
+
     // Order-count distribution (TPC-H Q13 shape): LEFT OUTER join keeps
     // zero-order customers in the histogram — the filter lives on the
     // orders side BEFORE the join, so the outer semantics survive (a
@@ -504,5 +532,24 @@ object Relational {
         |  GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q90_set_ops" ->
+      """SELECT o_custkey FROM (
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |   INTERSECT
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q91_cube_pricing" ->
+      s"""SELECT
+         |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
   )
 }

@@ -32,6 +32,24 @@ class HistogramSpec extends SparkSpec {
     }
   }
 
+  test("tvDrift: identical distributions score 0, disjoint score ~1e6") {
+    val same = (1 to 100).flatMap(i =>
+      Seq(("g", (i % 10).toDouble, true), ("g", (i % 10).toDouble, false)))
+      .toDF("k", "v", "p")
+    val s0 = Histogram.tvDrift(same, "k", "v", $"p", binWidth = 1.0)
+      .select($"tvd_ppm").as[Long].head()
+    assert(s0 == 0L)
+    val disjoint = ((1 to 50).map(i => ("g", (i % 5).toDouble, true)) ++
+      (1 to 50).map(i => ("g", 100.0 + (i % 5), false)))
+      .toDF("k", "v", "p")
+    val s1 = Histogram.tvDrift(disjoint, "k", "v", $"p", binWidth = 1.0)
+      .select($"tvd_ppm").as[Long].head()
+    assert(s1 >= 999000L && s1 <= 1000000L, s"tvd $s1")
+    // a group with an empty side is dropped, not scored
+    val oneSided = (1 to 10).map(i => ("h", i.toDouble, true)).toDF("k", "v", "p")
+    assert(Histogram.tvDrift(oneSided, "k", "v", $"p", 1.0).count() == 0L)
+  }
+
   test("binPercentiles p=1e6 picks the max bin; tiny groups stay exact") {
     val df = Seq(("g", 3.0), ("g", 7.0), ("g", 11.0)).toDF("k", "v")
     val out = Histogram.binPercentiles(df, "k", "v", binWidth = 1.0,
