@@ -205,6 +205,25 @@ object Documents {
       Dedup.sourceOverlap(t(s, dir, "documents"), "doc_id", "text", "source")
         .orderBy(col("source_a"), col("source_b"))
     }),
+
+    // Count-min estimates vs exact for the top-20 shingles: the portable
+    // md5-hashed sketch grid is rebuilt by the oracle bit-for-bit, so
+    // the APPROXIMATE path itself is hash-checked (estimates overcount,
+    // never undercount — asserted in SketchSpec).
+    "q93_countmin_shingles" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{tokens, shingles}
+      import graft.operators.Sketch
+      val sh = t(s, dir, "documents")
+        .select(tokens(col("text")).as("tok"))
+        .select(explode(shingles(col("tok"), 3)).as("sh"))
+      val grid = Sketch.countMin(sh, "sh", depth = 4, width = 256)
+      val top = sh.groupBy(col("sh")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("sh").asc).limit(20)
+      Sketch.estimate(grid, top, "sh", depth = 4, width = 256)
+        .join(top, Seq("sh"))
+        .select(col("sh"), col("exact"), col("cm_est"))
+        .orderBy(col("exact").desc, col("sh").asc)
+    }),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -628,5 +647,26 @@ object Documents {
          |FROM ov JOIN cnt na ON source_a = na.source
          |        JOIN cnt nb ON source_b = nb.source
          |ORDER BY source_a, source_b""".stripMargin,
+
+    // Mirrors Sketch.countMin / Sketch.estimate: the 4×256 grid rebuilt
+    // from the same md5-derived bucket hashes, estimates = least over
+    // the four probed cells.
+    "q93_countmin_shingles" -> {
+      val cmRows = (0 until 4).map { d =>
+        s"SELECT $d AS d, ${h32("s", d)} % 256 AS b, count(*) AS c FROM sh GROUP BY 2"
+      }.mkString("\n UNION ALL ")
+      val probeJoins = (0 until 4).map { d =>
+        s"JOIN cm c$d ON c$d.d = $d AND c$d.b = ${h32("ex.sh", d)} % 256"
+      }.mkString("\n        ")
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |cm AS ($cmRows),
+         |ex AS (SELECT s AS sh, count(*) AS exact FROM sh
+         |       GROUP BY s ORDER BY exact DESC, sh ASC LIMIT 20)
+         |SELECT ex.sh, ex.exact, least(c0.c, c1.c, c2.c, c3.c) AS cm_est
+         |FROM ex
+         |        $probeJoins
+         |ORDER BY exact DESC, sh ASC""".stripMargin
+    },
   )
 }
