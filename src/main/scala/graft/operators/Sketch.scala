@@ -50,4 +50,33 @@ object Sketch {
       .groupBy(col(keyCol))
       .agg(min(col("c")).as("cm_est"))
   }
+
+  /** KMV (k-minimum-values) distinct-count estimate per group — the
+    * portable alternative to `approx_count_distinct`'s opaque HLL. State
+    * per group is the k smallest md5-derived 32-bit key hashes; the
+    * estimate is the order-statistic identity (k−1)·2³²/h₍ₖ₎, all
+    * integer ops — bit-identical across engines (q94's oracle rebuilds
+    * it). Groups with fewer than k distinct hashes report exactly.
+    *
+    * Sketches merge by unioning min-sets and re-taking the k smallest —
+    * same mergeability class as the count-min grid. The k-smallest pass
+    * is a rank-k window the GroupedTopKRewrite rule turns into a bounded
+    * map-side aggregate: per-task state is k hashes per group, the full
+    * distinct-hash set never sorts. */
+  def kmvDistinct(items: DataFrame, keyCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 1, "k must exceed 1")
+    import org.apache.spark.sql.expressions.Window
+    val h = items.select(col(groupCol).as("g"), hash32(col(keyCol), 0).as("h"))
+      .distinct()
+    val rn = Window.partitionBy(col("g")).orderBy(col("h"))
+    h.withColumn("rn", row_number().over(rn)).filter(col("rn") <= k)
+      .groupBy(col("g"))
+      .agg(max(when(col("rn") === k, col("h"))).as("hk"),
+        count(lit(1)).as("nk"))
+      .select(col("g").as(groupCol),
+        when(col("nk") < k, col("nk"))
+          .otherwise(expr(s"(${k - 1}L * 4294967296L) div hk"))
+          .as("est_distinct"))
+  }
 }

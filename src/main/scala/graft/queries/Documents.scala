@@ -206,6 +206,22 @@ object Documents {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // KMV distinct-count estimate vs exact per source: the k smallest
+    // portable hashes give (k-1)·2³²/h₍ₖ₎ — an approx_count_distinct the
+    // oracle rebuilds bit-for-bit. The rank-k pass rewrites to a bounded
+    // map-side aggregate (GroupedTopKRewrite), so the distinct-hash set
+    // never sorts.
+    "q94_kmv_distinct" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{tokens, shingles, hash32}
+      import graft.operators.Sketch
+      val shs = t(s, dir, "documents")
+        .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      val est = Sketch.kmvDistinct(shs, "sh", "source", k = 64)
+      val ex = shs.select(col("source"), hash32(col("sh"), 0).as("h")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+      est.join(ex, Seq("source")).orderBy(col("source"))
+    }),
+
     // Count-min estimates vs exact for the top-20 shingles: the portable
     // md5-hashed sketch grid is rebuilt by the oracle bit-for-bit, so
     // the APPROXIMATE path itself is hash-checked (estimates overcount,
@@ -668,5 +684,27 @@ object Documents {
          |        $probeJoins
          |ORDER BY exact DESC, sh ASC""".stripMargin
     },
+
+    // Mirrors Sketch.kmvDistinct: distinct (source, hash), rank-k window,
+    // order-statistic estimate in integer arithmetic.
+    "q94_kmv_distinct" ->
+      s"""WITH td AS (SELECT d.source, string_split($normSql, ' ') AS tok
+         |            FROM documents d),
+         |shs AS (SELECT source, unnest(CASE WHEN len(tok) >= 3 THEN
+         |    list_transform(range(1, len(tok) - 1),
+         |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) ELSE [] END) AS s
+         |  FROM td),
+         |hs AS (SELECT DISTINCT source, ${h32("s", 0)} AS h FROM shs),
+         |rk AS (SELECT source, h,
+         |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs),
+         |km AS (SELECT source, max(CASE WHEN rn = 64 THEN h END) AS hk,
+         |         count(*) AS nk
+         |       FROM rk WHERE rn <= 64 GROUP BY source),
+         |ex AS (SELECT source, count(*) AS exact_distinct FROM hs GROUP BY source)
+         |SELECT source,
+         |  CASE WHEN nk < 64 THEN nk
+         |       ELSE (63 * 4294967296) // hk END AS est_distinct,
+         |  exact_distinct
+         |FROM km JOIN ex USING (source) ORDER BY source""".stripMargin,
   )
 }

@@ -27,6 +27,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("kmvDistinct: estimate within KMV error bounds of exact; tiny groups exact") {
+    val est = Sketch.kmvDistinct(words, "w", "w", k = 64) // degenerate: group == key
+    // every group has exactly 1 distinct key -> below k -> exact count 1
+    assert(est.filter($"est_distinct" =!= 1L).count() == 0)
+    // real estimate over a high-cardinality set: distinct 3-gram shingles
+    import graft.functions.TextFunctions.shingles
+    val shs = Tables(spark, sf("sf0.01"), "documents")
+      .select(explode(shingles(tokens($"text"), 3)).as("sh"))
+      .withColumn("g", lit("all")).cache()
+    val exact = shs.select($"sh").distinct().count()
+    assert(exact > 64, s"fixture must exceed k (got $exact)") // estimator path
+    val kmv = Sketch.kmvDistinct(shs, "sh", "g", k = 64)
+      .select($"est_distinct").as[Long].head()
+    // k=64 -> relative error ~1/sqrt(k) = 12.5%; allow 4 sigma
+    assert(math.abs(kmv - exact).toDouble / exact < 0.5,
+      s"kmv $kmv vs exact $exact")
+  }
+
   test("countMin grids merge by cell-wise addition") {
     val gridAll = Sketch.countMin(words, "w", 4, 256)
     val half1 = words.filter(crc32($"w") % 2 === 0)
