@@ -205,7 +205,26 @@ object PlanDump {
         "(source, shingle-hash) set — ONE shuffle on the 8-byte hash — " +
         "and the per-hash self-join fans out by the number of sources " +
         "(dozens), never documents. Containment is integer-ppm against " +
-        "the smaller side, so the matrix is bit-stable across engines."))
+        "the smaller side, so the matrix is bit-stable across engines."),
+    "q92_value_drift" ->
+      ("Distribution-drift monitor: ONE conditional-count pass builds " +
+        "BOTH periods' histograms (map-side partials), everything after " +
+        "runs on the bounded bin table, and the total-variation score is " +
+        "integer-ppm — the train-vs-serve skew check as a single scan, " +
+        "no log/exp, bit-identical on rerun or another engine."),
+    "q93_countmin_shingles" ->
+      ("Count-min sketch, oracle-checkable: the (4 × 256) grid builds in " +
+        "one partial-aggregating pass and is fixed bytes at ANY key " +
+        "cardinality; estimates broadcast-join the driver-tiny grid. " +
+        "Portable md5 bucket hashes mean the approximate path itself " +
+        "hash-matches DuckDB — plus cell-wise mergeability (SketchSpec), " +
+        "the property that lets per-day grids combine at 100 TB."),
+    "q94_kmv_distinct" ->
+      ("KMV distinct-count: per-group state is the k smallest portable " +
+        "key hashes — GroupedTopKRewrite turns the rank-k window into a " +
+        "bounded map-side aggregate, so the distinct-hash set never " +
+        "sorts — and the order-statistic estimate is pure integer " +
+        "arithmetic, reproduced bit-for-bit by the oracle."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
