@@ -63,12 +63,25 @@ object Histogram {
     * TVD = ½ Σ_bins |P_A(bin) − P_B(bin)| ∈ [0, 1], reported ×1e6. */
   def tvDrift(
       df: DataFrame, groupCol: String, valCol: String,
+      isA: Column, binWidth: Double): DataFrame =
+    tvFromBins(driftBins(df, groupCol, valCol, isA, binWidth), groupCol)
+
+  /** The dual-histogram bin table: (group, bin, ca, cb). A pure
+    * conditional-count aggregation — STREAMING-LEGAL in update/complete
+    * mode, so a drift monitor maintains exactly this state incrementally
+    * and reads [[tvFromBins]] off it per trigger (foreachBatch); batch ≡
+    * stream proven in StreamingMonitorSpec. */
+  def driftBins(
+      df: DataFrame, groupCol: String, valCol: String,
       isA: Column, binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val bins = df
-      .groupBy(col(groupCol), floor(col(valCol) / binWidth).cast("bigint").as("bin"))
+    df.groupBy(col(groupCol), floor(col(valCol) / binWidth).cast("bigint").as("bin"))
       .agg(sum(when(isA, 1L).otherwise(0L)).as("ca"),
         sum(when(isA, 0L).otherwise(1L)).as("cb"))
+  }
+
+  /** TVD readout over a bin table (bounded: runs on bins, not rows). */
+  def tvFromBins(bins: DataFrame, groupCol: String): DataFrame = {
     val whole = Window.partitionBy(col(groupCol))
     bins
       .withColumn("na", sum(col("ca")).over(whole))
