@@ -301,6 +301,42 @@ object Relational {
         .orderBy($"p_partkey")
     }),
 
+    // Supplier-count per part attribute (TPC-H Q16 shape): grouped
+    // COUNT(DISTINCT) stacked on an ANTI join against a blacklist
+    // subquery. The anti join runs BEFORE the distinct-agg (blacklist is
+    // broadcast-tiny), and Spark's two-phase distinct aggregation keeps
+    // the (group, suppkey) expansion partial-aggregated map-side.
+    "q95_supplier_cnt" -> ((s, dir) => {
+      import s.implicits._
+      val bad = t(s, dir, "supplier").filter($"s_acctbal" < 0).select($"s_suppkey")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+        .join(broadcast(bad), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .filter($"p_size" <= 25)
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    }),
+
+    // Idle rich customers (TPC-H Q22 shape): a scalar average subquery
+    // (decimal-exact sum / count — one double op) broadcast over the
+    // customer scan, then NOT EXISTS as a LEFT ANTI hash join against
+    // orders, grouped rollup by segment. Never a nested loop except the
+    // 1-row scalar attach.
+    "q96_idle_rich_customers" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter($"c_acctbal" > 0)
+        .agg((dsum($"c_acctbal", 2) / count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter($"c_acctbal" > $"avg_bal")
+        .join(t(s, dir, "orders").filter($"o_orderstatus" === "P")
+          .select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_custs"), dsum($"c_acctbal", 2).as("total_bal"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // Set algebra over derived key sets (engine completeness beyond the
     // reference, which never needs INTERSECT/EXCEPT): Catalyst plans
     // these as distinct semi/anti hash joins on the key — never a sort.
@@ -541,6 +577,27 @@ object Relational {
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
         |ORDER BY o_custkey""".stripMargin,
+
+    "q95_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q96_idle_rich_customers" ->
+      s"""WITH ab AS (SELECT ${dsumSql("c_acctbal", 2)} / COUNT(*) AS avg_bal
+         |            FROM customer WHERE c_acctbal > 0)
+         |SELECT c_mktsegment, COUNT(*) AS n_custs,
+         |  ${dsumSql("c_acctbal", 2)} AS total_bal
+         |FROM customer, ab
+         |WHERE c_acctbal > avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
 
     "q91_cube_pricing" ->
       s"""SELECT

@@ -38,6 +38,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q64_passage_strip",      // same threshold attach as q62
     "q73_int8_quantize",      // none expected, tolerated if AQE 1-rows it
     "q81_value_parts",        // 1-row global total attached to part values
+    "q96_idle_rich_customers", // 1-row scalar average attached to customers
     "q50_iot_detect_pipeline", // simulator: tick sequence × broadcast metric
                                // spec table (generator fan-out, not a corpus)
   )
