@@ -16,6 +16,37 @@ class EdgeCasesSpec extends SparkSpec {
   private def emptyDocs = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
 
+  test("round-4 additions on empty input return empty output, not throw") {
+    assert(Dedup.longestSharedSpan(emptyDocs,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "doc_id", "text").count() == 0)
+    assert(Dedup.sourceOverlap(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(docSchema.fields :+ StructField("source", StringType))),
+      "doc_id", "text", "source").count() == 0)
+    val emptyKV = Seq.empty[(String, Double)].toDF("k", "v")
+    assert(Histogram.binPercentiles(emptyKV, "k", "v", 1.0, Seq(500000)).count() == 0)
+    assert(Histogram.tvDrift(emptyKV.withColumn("p", lit(true)), "k", "v",
+      col("p"), 1.0).count() == 0)
+    val emptyW = Seq.empty[String].toDF("w")
+    assert(Sketch.countMin(emptyW, "w", 4, 64).count() == 0)
+    assert(Sketch.kmvDistinct(emptyW.withColumn("g", lit("x")), "w", "g", 8)
+      .count() == 0)
+    assert(Corpus.tokenBudgetMix(emptyDocs,
+      Seq.empty[(String, Long)].toDF("source", "token_budget"),
+      sourceCol = "doc_id").count() == 0)
+  }
+
+  test("semanticDupes tolerates nCells exceeding the corpus size") {
+    val v = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDupes(v, nCells = 8, minCosine = 0.99)
+      .as[(Long, Long, Double)].collect().toSeq
+    // with 2 vectors and up to 8 cells, init centroids are the vectors
+    // themselves: each sits in its own cell, so nothing is removed — the
+    // operator must not throw, and the result must be deterministic
+    assert(out.isEmpty || out == Seq((2L, 1L, out.head._3)))
+  }
+
   test("dedup operators on empty input return empty output") {
     assert(Dedup.exactGroups(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.nearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
