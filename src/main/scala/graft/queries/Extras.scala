@@ -171,11 +171,16 @@ object Extras {
 
     // Multimodal + vector search composition: nearest media assets by
     // stub-feature cosine (shows media features flow into the ANN core).
+    // The query-side media filter runs BEFORE the decode: filters can't
+    // push through the opaque mapPartitions decoder, so decoding-then-
+    // filtering would decode the whole corpus twice. Decode cost here is
+    // |corpus| + |queries|, the honest shape when decode dominates.
     "q61_media_knn" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(t(s, dir, "documents"))
-      val f = Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id").as("vec_id"), col("features").as("embedding"))
-      Knn.exact(f, f.filter(col("vec_id") < 5), k = 3)
+      def feats(m: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+        Multimodal.extractFeatures(m).toDF()
+          .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      Knn.exact(feats(media), feats(media.filter(col("media_id") < 5)), k = 3)
         .select(col("query_id"), col("rk").cast("bigint").as("rk"),
           col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rk"))
