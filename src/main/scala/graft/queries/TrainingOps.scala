@@ -167,6 +167,24 @@ object TrainingOps {
         .orderBy(col("lang"))
     }),
 
+    // Distributional length filter: keep docs at or above their
+    // language's median length, with the median read from the mergeable
+    // bin histogram (q88's machinery) — selection by distributional
+    // position with NO per-group sort anywhere; the median table is
+    // |groups| rows and broadcasts.
+    "q97_median_length_filter" -> ((s, dir) => {
+      import graft.operators.Histogram
+      val docs = t(s, dir, "documents")
+      val med = Histogram.binPercentiles(docs, "lang", "n_chars",
+          binWidth = 50.0, ppms = Seq(500000))
+        .select(col("lang"), col("p_500000").as("med_lo"))
+      docs.join(broadcast(med), Seq("lang"))
+        .filter(col("n_chars") >= col("med_lo"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("n_chars")).as("min_len"))
+        .orderBy(col("lang"))
+    }),
+
     // Bloom-accelerated decontamination: broadcast Bloom prefilter over the
     // test-set shingle universe + exact verify — identical results to the
     // plain join (no false negatives; false positives verified away), but
@@ -353,6 +371,23 @@ object TrainingOps {
         |  round(quantile_cont(n_chars, 0.5), 6) AS q50,
         |  round(quantile_cont(n_chars, 0.9), 6) AS q90
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q88's median CTE joined back as a keep threshold.
+    "q97_median_length_filter" ->
+      """WITH b AS (SELECT lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS bin,
+        |             count(*) AS c
+        |           FROM documents GROUP BY lang, bin),
+        |cc AS (SELECT lang, bin, c,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |       FROM b),
+        |med AS (SELECT lang,
+        |          min(CASE WHEN cum * 1000000 >= n * 500000 THEN bin END) * 50.0 AS med_lo
+        |        FROM cc GROUP BY lang)
+        |SELECT lang, count(*) AS n_kept, min(n_chars) AS min_len
+        |FROM documents JOIN med USING (lang)
+        |WHERE n_chars >= med_lo
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Mirrors Histogram.binPercentiles: fixed-width bins, cumulative bin
     // counts, integer cross-multiplied rank thresholds, lower-edge pick.
