@@ -285,6 +285,57 @@ object Events {
           isA = $"ts" < lit("2024-01-10").cast("timestamp"), binWidth = 5.0)
         .orderBy($"event_type")
     }),
+
+    // Per-type value trend (least-squares slope over time): the moment
+    // sums Σx, Σy, Σxy, Σx² accumulate EXACTLY in decimal (x centered to
+    // a small epoch offset so products stay inside decimal(38)), and the
+    // slope/intercept are a fixed scalar double expression over those
+    // exact sums — order-independent at any parallelism, unlike a naive
+    // double regr_slope whose partial-sum order drifts. One scan, one
+    // shuffle of 5 numbers per group.
+    "q98_trend_slope" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val e = t(s, dir, "events").select($"event_type",
+        (unix_timestamp($"ts") - 1704067200L).cast(DecimalType(10, 0)).as("x"),
+        $"value".cast(DecimalType(12, 2)).as("y"))
+      e.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        .select($"event_type", $"n",
+          round(
+            (($"n".cast("double") * $"sxy".cast("double") -
+              $"sx".cast("double") * $"sy".cast("double")) /
+             ($"n".cast("double") * $"sxx".cast("double") -
+              $"sx".cast("double") * $"sx".cast("double"))) * 86400d, 6)
+            .as("slope_per_day"))
+        .orderBy($"event_type")
+    }),
+
+    // Conversion funnel view -> click -> purchase: earliest qualifying
+    // event per stage per user (each stage at or after the previous
+    // one). Three filtered aggregates chained on the user key — the
+    // sequential-pattern staple without any per-user sort; gap averages
+    // in whole seconds via integer division.
+    "q99_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("v_us"))
+      val c = e.filter($"event_type" === "click").join(v, Seq("user_id"))
+        .filter($"us" >= $"v_us")
+        .groupBy($"user_id").agg(min($"us").as("c_us"), min($"v_us").as("v_us"))
+      val p = e.filter($"event_type" === "purchase").join(c, Seq("user_id"))
+        .filter($"us" >= $"c_us")
+        .groupBy($"user_id").agg(min($"us").as("p_us"), min($"c_us").as("c_us"))
+      v.agg(count(lit(1)).as("n_view")).crossJoin(
+          c.agg(count(lit(1)).as("n_click"),
+            expr("sum(c_us - v_us) div (count(1) * 1000000)").as("avg_v2c_s")))
+        .crossJoin(
+          p.agg(count(lit(1)).as("n_purchase"),
+            expr("sum(p_us - c_us) div (count(1) * 1000000)").as("avg_c2p_s")))
+    }),
   )
 
   private val statsCte =
@@ -458,5 +509,39 @@ object Events {
         |  max(na) AS n_a, max(nb) AS n_b
         |FROM w WHERE na > 0 AND nb > 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q98_trend_slope" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS DECIMAL(10,0)) AS x,
+        |    CAST(value AS DECIMAL(12,2)) AS y
+        |  FROM events),
+        |g AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx
+        |      FROM e GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 86400, 6)
+        |    AS slope_per_day
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q99_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS c_us, min(v_us) AS v_us
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us >= v_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS p_us, min(c_us) AS c_us
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us >= c_us GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT CAST(sum(c_us - v_us) // (count(*) * 1000000) AS BIGINT) FROM c)
+        |    AS avg_v2c_s,
+        |  (SELECT count(*) FROM p) AS n_purchase,
+        |  (SELECT CAST(sum(p_us - c_us) // (count(*) * 1000000) AS BIGINT) FROM p)
+        |    AS avg_c2p_s""".stripMargin,
   )
 }

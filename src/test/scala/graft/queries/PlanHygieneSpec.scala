@@ -39,6 +39,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q73_int8_quantize",      // none expected, tolerated if AQE 1-rows it
     "q81_value_parts",        // 1-row global total attached to part values
     "q96_idle_rich_customers", // 1-row scalar average attached to customers
+    "q99_funnel",             // three 1-row stage aggregates crossed into one row
     "q50_iot_detect_pipeline", // simulator: tick sequence × broadcast metric
                                // spec table (generator fan-out, not a corpus)
   )
