@@ -32,6 +32,20 @@ object TextFunctions {
   def hash32(c: Column, seed: Int): Column =
     graft.internal.Bridge.column(Md5Hash32(graft.internal.Bridge.expression(c), seed))
 
+  /** `slot`-th independent 32-bit hash from the SAME md5 digest (the
+    * 128-bit digest carries four): a depth-4 sketch family costs one md5
+    * per item. SQL mirror: substr(md5(s || '#seed'), 1 + 8·slot, 8). */
+  def hash32slot(c: Column, seed: Int, slot: Int): Column =
+    graft.internal.Bridge.column(
+      Md5Hash32(graft.internal.Bridge.expression(c), seed, slot))
+
+  /** All four slots at once as array<bigint> — materialize this in a
+    * column and index it so a depth-4 family evaluates ONE digest per
+    * row (four separate [[hash32slot]] expressions would each digest). */
+  def hash128(c: Column, seed: Int): Column =
+    graft.internal.Bridge.column(
+      Md5Hash128(graft.internal.Bridge.expression(c), seed))
+
   /** Mersenne prime 2^31−1: modulus of the minhash permutation family. */
   val MinhashP = 2147483647L
 

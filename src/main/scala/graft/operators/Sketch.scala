@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.hash32
+import graft.functions.TextFunctions.{hash128, hash32}
 
 /** Mergeable frequency sketching (LLM-pipeline / OLAP extension).
   *
@@ -24,15 +24,29 @@ import graft.functions.TextFunctions.hash32
 object Sketch {
 
   /** The sketch grid: (d, b, c) — row d ∈ [0, depth), bucket b ∈
-    * [0, width), count c. One shuffle of (depth × items) 8-byte keys. */
+    * [0, width), count c. The depth hash rows come from independent
+    * 32-bit SLOTS of shared md5 digests (a 128-bit digest carries four),
+    * so a depth-4 sketch pays ONE md5 per item — 4× less hash work than
+    * independent families, with fully independent bits. Map-side partial
+    * state is the grid itself, so the shuffle carries depth×width cells
+    * per task regardless of item count. */
   def countMin(items: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0, "depth and width must be positive")
-    val rows = array((0 until depth).map { d =>
-      struct(lit(d).as("d"), pmod(hash32(col(keyCol), d), lit(width)).as("b"))
-    }: _*)
-    items.select(explode(rows).as("db"))
+    items.select(hashRows(col(keyCol), depth, width).as("db"))
+      .select(explode(col("db")).as("db"))
       .groupBy(col("db.d").as("d"), col("db.b").as("b"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** array of (d, bucket) structs for one key — ⌈depth/4⌉ md5 digests,
+    * each serving four independent 32-bit slots. */
+  private def hashRows(key: org.apache.spark.sql.Column, depth: Int,
+      width: Int): org.apache.spark.sql.Column = {
+    val digests = (0 to (depth - 1) / 4).map(seed => hash128(key, seed))
+    array((0 until depth).map { d =>
+      struct(lit(d).as("d"),
+        pmod(element_at(digests(d / 4), d % 4 + 1), lit(width)).as("b"))
+    }: _*)
   }
 
   /** Point estimates for `keys` (a frame with `keyCol`) against a sketch
@@ -41,10 +55,7 @@ object Sketch {
     * depth×width rows (driver-tiny), so the join broadcasts. */
   def estimate(grid: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame = {
-    val probes = array((0 until depth).map { d =>
-      struct(lit(d).as("d"), pmod(hash32(col(keyCol), d), lit(width)).as("b"))
-    }: _*)
-    keys.select(col(keyCol), explode(probes).as("db"))
+    keys.select(col(keyCol), explode(hashRows(col(keyCol), depth, width)).as("db"))
       .select(col(keyCol), col("db.d").as("d"), col("db.b").as("b"))
       .join(broadcast(grid), Seq("d", "b"))
       .groupBy(col(keyCol))

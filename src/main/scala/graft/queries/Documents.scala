@@ -664,15 +664,17 @@ object Documents {
          |        JOIN cnt nb ON source_b = nb.source
          |ORDER BY source_a, source_b""".stripMargin,
 
-    // Mirrors Sketch.countMin / Sketch.estimate: the 4×256 grid rebuilt
-    // from the same md5-derived bucket hashes, estimates = least over
-    // the four probed cells.
+    // Mirrors Sketch.countMin / Sketch.estimate: ONE md5 digest per
+    // shingle, the four hash rows taken from its four independent
+    // 32-bit slots, grid and estimates rebuilt cell-for-cell.
     "q93_countmin_shingles" -> {
+      def slot32(e: String, d: Int): String =
+        s"CAST('0x' || substr(md5($e || '#0'), ${1 + 8 * d}, 8) AS BIGINT)"
       val cmRows = (0 until 4).map { d =>
-        s"SELECT $d AS d, ${h32("s", d)} % 256 AS b, count(*) AS c FROM sh GROUP BY 2"
+        s"SELECT $d AS d, ${slot32("s", d)} % 256 AS b, count(*) AS c FROM sh GROUP BY 2"
       }.mkString("\n UNION ALL ")
       val probeJoins = (0 until 4).map { d =>
-        s"JOIN cm c$d ON c$d.d = $d AND c$d.b = ${h32("ex.sh", d)} % 256"
+        s"JOIN cm c$d ON c$d.d = $d AND c$d.b = ${slot32("ex.sh", d)} % 256"
       }.mkString("\n        ")
       s"""WITH $tokCte,
          |${shingleCte(3)},
