@@ -312,6 +312,27 @@ object Events {
         .orderBy($"event_type")
     }),
 
+    // Robust outliers via median absolute deviation: MAD tolerates the
+    // heavy tails that inflate stddev-based z-scores (q14's method).
+    // Two grouped exact percentiles; both the median table and the MAD
+    // table are |groups| rows and broadcast back over the scan.
+    "q101_mad_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events").select($"event_type", $"value")
+      val med = e.groupBy($"event_type")
+        .agg(expr("percentile(value, 0.5)").as("m"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("ad", abs($"value" - $"m"))
+      val mad = dev.groupBy($"event_type")
+        .agg(expr("percentile(ad, 0.5)").as("madv"), min($"m").as("m"))
+      dev.drop("m").join(broadcast(mad), Seq("event_type"))
+        .filter($"ad" > lit(4.4478) * $"madv") // 3 x 1.4826 (normal-consistent)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_outliers"),
+          round(min($"m"), 6).as("median"), round(min($"madv"), 6).as("mad"))
+        .orderBy($"event_type")
+    }),
+
     // Conversion funnel view -> click -> purchase: earliest qualifying
     // event per stage per user (each stage at or after the previous
     // one). Three filtered aggregates chained on the user key — the
@@ -509,6 +530,19 @@ object Events {
         |  max(na) AS n_a, max(nb) AS n_b
         |FROM w WHERE na > 0 AND nb > 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q101_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+        |             FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, abs(value - m) AS ad, m
+        |        FROM events e JOIN med USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS madv, min(m) AS m
+        |       FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n_outliers,
+        |  round(min(md.m), 6) AS median, round(min(md.madv), 6) AS mad
+        |FROM dev d JOIN md USING (event_type)
+        |WHERE d.ad > 4.4478 * md.madv
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q98_trend_slope" ->
       """WITH e AS (SELECT event_type,

@@ -337,6 +337,28 @@ object Relational {
         .orderBy($"c_mktsegment")
     }),
 
+    // Ratio-to-report: each nation's share of its region's revenue, in
+    // integer ppm (share = nation·1e6 div region — portable, no float
+    // division drift). The window runs over the |nations|-row aggregate,
+    // never the fact table; the fact is scanned and shuffled once.
+    "q100_revenue_share" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byNation = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum($"o_totalprice".cast(DecimalType(12, 2))).as("rev"))
+      byNation
+        .withColumn("rrev", sum($"rev").over(Window.partitionBy($"r_name")))
+        .select($"r_name", $"n_name", $"rev".cast("double").as("revenue"),
+          // integer cents keep the ppm division exact in both engines
+          expr("(cast(rev * 100 as bigint) * 1000000) div cast(rrev * 100 as bigint)")
+            .as("share_ppm"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
     // Set algebra over derived key sets (engine completeness beyond the
     // reference, which never needs INTERSECT/EXCEPT): Catalyst plans
     // these as distinct semi/anti hash joins on the key — never a sort.
@@ -568,6 +590,21 @@ object Relational {
         |  GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q100_revenue_share" ->
+      """WITH bn AS (SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |w AS (SELECT r_name, n_name, rev,
+        |        SUM(rev) OVER (PARTITION BY r_name) AS rrev FROM bn)
+        |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+        |  (CAST(rev * 100 AS BIGINT) * 1000000) // CAST(rrev * 100 AS BIGINT)
+        |    AS share_ppm
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
 
     "q90_set_ops" ->
       """SELECT o_custkey FROM (
