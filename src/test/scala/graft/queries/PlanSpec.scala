@@ -190,6 +190,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), "map-side partial aggregation expected:\n" + p)
   }
 
+  test("q95: blacklist anti-join is broadcast; distinct-agg expands partial") {
+    val p = plan("q95_supplier_cnt")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // two-phase distinct: a partial_count(distinct ...) before the final
+    assert(p.contains("partial_count(distinct"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q100: the share window runs over the nations aggregate, not the fact") {
+    val p = plan("q100_revenue_share")
+    // the window's input must already be aggregated: HashAggregate appears
+    // below the Window in the plan string (plans print top-down)
+    val w = p.indexOf("Window [")
+    val agg = p.indexOf("HashAggregate", w)
+    assert(w >= 0 && agg > w, "window must sit above the grouped aggregate:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q86: the status filter survives under the outer join (orders side)") {
+    val p = plan("q86_order_count_distribution")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
+    assert(p.contains("o_orderstatus"), "filter must reach the orders branch:\n" + p)
+  }
+
   test("whole-stage codegen covers the cosine hot path (equi-join variant)") {
     // q20's BroadcastNestedLoopJoin disables whole-stage codegen around its
     // projection (cosine_sim still evaluates, interpreted); the equi-join
