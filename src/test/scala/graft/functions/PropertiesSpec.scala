@@ -248,4 +248,78 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("Md5Hash128 slots bit-match the per-slot expression and the oracle substr spelling") {
+    import graft.functions.TextFunctions.{hash128, hash32slot}
+    val strs = samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 10) :+ "x"
+    strs.foreach { s =>
+      val df = Seq(s).toDF("s")
+      val arr = df.select(hash128($"s", 7)).as[Seq[Long]].head()
+      (0 until 4).foreach { i =>
+        val slot = df.select(hash32slot($"s", 7, i)).as[Long].head()
+        val oracle = df.select(
+          conv(substring(md5(concat($"s", lit("#7"))), 1 + 8 * i, 8), 16, 10)
+            .cast("long")).as[Long].head()
+        assert(arr(i) == slot && slot == oracle, s"slot $i of '$s'")
+      }
+    }
+  }
+
+  test("count-min law: estimates dominate exact counts; every grid row sums to N") {
+    import graft.operators.Sketch
+    val wordsGen = Gen.listOfN(60, Gen.oneOf("a", "b", "c", "dd", "ee", "f", "g"))
+    samples(wordsGen, 4).foreach { ws =>
+      val df = ws.toDF("w")
+      val grid = Sketch.countMin(df, "w", depth = 4, width = 8)
+      val rowSums = grid.groupBy($"d").agg(sum($"c")).as[(Int, Long)].collect()
+      assert(rowSums.length == 4 && rowSums.forall(_._2 == ws.length.toLong))
+      val exact = df.groupBy($"w").count()
+      val est = Sketch.estimate(grid, exact, "w", 4, 8)
+        .join(exact, Seq("w")).select($"w", $"cm_est", $"count")
+        .as[(String, Long, Long)].collect()
+      est.foreach { case (w, e, ex) => assert(e >= ex, s"$w: $e < $ex") }
+    }
+  }
+
+  test("KMV law: below-k groups report exactly; estimates are positive") {
+    import graft.operators.Sketch
+    val keysGen = Gen.listOfN(30, Gen.choose(0, 11)).map(_.map(i => s"k$i"))
+    samples(keysGen, 4).foreach { ks =>
+      val df = ks.toDF("key").withColumn("g", lit("all"))
+      val exact = ks.distinct.size.toLong
+      // k larger than any possible cardinality -> exact path
+      val below = Sketch.kmvDistinct(df, "key", "g", k = 64).as[(String, Long)].head()
+      assert(below._2 == exact, s"below-k: ${below._2} != $exact")
+      val est = Sketch.kmvDistinct(df, "key", "g", k = 4).as[(String, Long)].head()
+      assert(est._2 > 0)
+    }
+  }
+
+  test("binPercentiles picks the bin of the type-1 order statistic, any data") {
+    import graft.operators.Histogram
+    val valsGen = Gen.listOfN(25, Gen.choose(0.0, 100.0))
+    samples(valsGen, 4).foreach { vs =>
+      val df = vs.map(("g", _)).toDF("k", "v")
+      Seq(250000, 500000, 900000).foreach { p =>
+        val lo = Histogram.binPercentiles(df, "k", "v", 10.0, Seq(p))
+          .select(col(s"p_$p")).as[Double].head()
+        val sorted = vs.sorted
+        val exact = sorted(((sorted.size.toLong * p + 999999L) / 1000000L).toInt - 1)
+        assert(lo <= exact && exact < lo + 10.0, s"p=$p lo=$lo exact=$exact")
+      }
+    }
+  }
+
+  test("tvDrift is bounded in [0, 1e6] and symmetric under side swap") {
+    import graft.operators.Histogram
+    val rowsGen = Gen.listOfN(40, Gen.zip(Gen.choose(0.0, 30.0), Gen.oneOf(true, false)))
+    samples(rowsGen, 4).foreach { rs =>
+      val df = rs.map { case (v, p) => ("g", v, p) }.toDF("k", "v", "p")
+      def tv(c: org.apache.spark.sql.Column) =
+        Histogram.tvDrift(df, "k", "v", c, 5.0).select($"tvd_ppm").as[Long].collect()
+      val ab = tv($"p"); val ba = tv(!$"p")
+      assert(ab.forall(t => t >= 0 && t <= 1000000))
+      assert(ab.toSeq == ba.toSeq, "TVD must be symmetric in the two sides")
+    }
+  }
 }
