@@ -158,6 +158,40 @@ object Dedup {
     jaccardOnCandidates(cand, sigs, minJaccard)
   }
 
+  /** Cross-corpus near-dup pairs (left × right, e.g. eval-benchmark ×
+    * training dump): band signatures for BOTH sides meet in an equi-join
+    * on the band key — never left × right — and only collided candidates
+    * are exactly Jaccard-rescored against their shingle sets. This is
+    * FUZZY decontamination: [[Decontaminate.contaminated]] finds any
+    * shared n-gram (exact overlap); this finds near-duplicate documents
+    * across the boundary even when no single band of text is shared
+    * verbatim with the probe set. Output (id_a from left, id_b from
+    * right, jaccard) — ids may overlap between sides; no ordering
+    * constraint is applied. */
+  def crossNearDupPairs(
+      left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sa = shingleSetSigs(left, idCol, textCol, numHashes)
+    val sb = shingleSetSigs(right, idCol, textCol, numHashes)
+    val cand = bandKeyRows(sa.drop("hs"), numHashes, rowsPerBand).as("x")
+      .join(bandKeyRows(sb.drop("hs"), numHashes, rowsPerBand).as("y"),
+        col("x.bk") === col("y.bk"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sa.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+        col("ns").as("na")).hint("shuffle_hash"), Seq("id_a"))
+      .join(sb.select(col("doc_id").as("id_b"), col("hs").as("hb"),
+        col("ns").as("nb")).hint("shuffle_hash"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("bigint").as("ni"),
+        col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Persist the near-dup index for [[incrementalNearDupPairs]]: the
     * band table (doc_id, bk) bucketed+sorted by band key and the set
     * table (doc_id, hs, ns) bucketed by doc_id, both in the session

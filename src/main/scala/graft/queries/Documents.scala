@@ -206,6 +206,22 @@ object Documents {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // Fuzzy decontamination: near-duplicate documents ACROSS the
+    // train/test boundary by cross-corpus minhash banding — catches
+    // paraphrased leakage q35's exact fingerprint overlap can miss.
+    // Bands of each side meet in an equi-join; never test × train.
+    "q102_fuzzy_decontaminate" -> ((s, dir) => {
+      import graft.functions.TextFunctions.hash32
+      val docs = t(s, dir, "documents")
+      val isTrain = hash32(col("doc_id").cast("string"), 9) % 100 < 80
+      Dedup.crossNearDupPairs(
+          docs.filter(!isTrain), docs.filter(isTrain),
+          "doc_id", "text", minJaccard = 0.3)
+        .select(col("id_a").as("test_id"), col("id_b").as("train_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("test_id"), col("train_id"))
+    }),
+
     // KMV distinct-count estimate vs exact per source: the k smallest
     // portable hashes give (k-1)·2³²/h₍ₖ₎ — an approx_count_distinct the
     // oracle rebuilds bit-for-bit. The rank-k pass rewrites to a bounded
@@ -685,6 +701,40 @@ object Documents {
          |FROM ex
          |        $probeJoins
          |ORDER BY exact DESC, sh ASC""".stripMargin
+    },
+
+    // Mirrors Dedup.crossNearDupPairs over the q35 split: each side's
+    // band rows from the shared sig CTE, candidates from the banded
+    // cross-boundary join, exact Jaccard on candidates only.
+    "q102_fuzzy_decontaminate" -> {
+      import graft.functions.TextFunctions.minhashPermSql
+      val sigCols = (0 until 8)
+        .map(i => s"min(${minhashPermSql(h32("s", 0), i)}) AS sig$i").mkString(",\n  ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |sp AS (SELECT doc_id,
+         |         ${h32("CAST(doc_id AS VARCHAR)", 9)} % 100 < 80 AS is_train
+         |       FROM documents),
+         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM band x JOIN sp px ON x.doc_id = px.doc_id AND NOT px.is_train
+         |              JOIN band y ON x.b = y.b AND x.v = y.v
+         |              JOIN sp py ON y.doc_id = py.doc_id AND py.is_train),
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
+         |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS ni
+         |          FROM cand JOIN dsh a ON a.doc_id = id_a
+         |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
+         |          GROUP BY id_a, id_b)
+         |SELECT id_a AS test_id, id_b AS train_id,
+         |  round(CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni), 4) AS jaccard
+         |FROM inter JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+         |WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.3
+         |ORDER BY test_id, train_id""".stripMargin
     },
 
     // Mirrors Sketch.kmvDistinct: distinct (source, hash), rank-k window,

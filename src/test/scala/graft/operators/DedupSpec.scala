@@ -144,6 +144,25 @@ class DedupSpec extends SparkSpec {
     assert(s1 == s2 && s1 >= 0L && s1 < 256L)
   }
 
+  test("crossNearDupPairs: finds planted cross-corpus near-dups, never pairs within a side") {
+    val left = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely unrelated benchmark question here today"),
+    ).toDF("doc_id", "text")
+    val right = Seq(
+      (200L, "the quick brown fox jumps over the lazy cat"), // near-dup of 100
+      (201L, "the quick brown fox jumps over the lazy dog"), // exact dup of 100
+      (202L, "different training text with other words entirely"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossNearDupPairs(left, right, "doc_id", "text",
+        minJaccard = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 201L)), "exact cross-dup missed")
+    assert(pairs.contains((100L, 200L)), "near cross-dup missed")
+    assert(pairs.forall { case (a, b) => a < 200 && b >= 200 },
+      "a pair stayed within one side")
+  }
+
   test("sourceOverlap: shared shingle counts and containment on a known fixture") {
     val d = Seq(
       (1L, "a b c d", "srcA"), // shingles {a b c, b c d}
