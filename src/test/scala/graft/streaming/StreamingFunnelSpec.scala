@@ -47,6 +47,44 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(streamed == batch, s"streamed $streamed vs batch $batch")
   }
 
+  test("funnel state survives a checkpointed restart (simulated crash)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, lit}
+    val src = Files.createTempDirectory("graft_fun_src").toString
+    val sink = Files.createTempDirectory("graft_fun_sink").toString
+    val ckpt = Files.createTempDirectory("graft_fun_ckpt").toString
+    val schema = Seq.empty[FunnelEvent].toDS().schema
+
+    def append(evs: Seq[FunnelEvent]): Unit =
+      evs.toDS().coalesce(1).write.mode("append").parquet(src)
+
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema).parquet(src).as[FunnelEvent]
+      // parquet sinks are append-only; update-mode state output lands via
+      // foreachBatch appends — the standard deployment shape
+      track(stream, nStages = 3)
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[FunnelRow], _: Long) =>
+          df.select(col("user_id"), col("stageUs"))
+            .write.mode("append").parquet(sink)
+        }
+        .start()
+    }
+    // phase 1: user 7 reaches stage 1, then the query "crashes"
+    append(Seq(FunnelEvent(7L, 0, 100L), FunnelEvent(7L, 1, 200L)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // phase 2: the purchase arrives while down; restart from checkpoint —
+    // the recovered state must still know stages 0/1, so stage 2 admits
+    append(Seq(FunnelEvent(7L, 2, 300L)))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(sink)
+      .filter(col("user_id") === lit(7L))
+      .select(col("stageUs")).as[Seq[Long]].collect()
+    assert(rows.contains(Seq(100L, 200L, 300L)),
+      s"recovered state lost the funnel frontier: ${rows.toSeq}")
+  }
+
   test("cross-trigger disorder only tightens floors, never loosens them") {
     val mem = MemoryStream[FunnelEvent](spark)
     val q = track(mem.toDS(), nStages = 2).writeStream
