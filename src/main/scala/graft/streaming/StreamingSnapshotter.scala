@@ -37,12 +37,33 @@ object StreamingSnapshotter {
 
   /** S3: Kafka-shaped (value) JSON messages → typed readings (works on
     * batch or streaming frames; plug after
-    * `spark.readStream.format("kafka")`). */
+    * `spark.readStream.format("kafka")`). Corrupt or key-incomplete
+    * messages are DROPPED, mirroring the reference consumer's
+    * skip-on-parse-error loop (kafka_consumer.py:110-139) — route them to
+    * a quarantine sink with [[deadLetters]] instead of letting from_json's
+    * permissive nulls masquerade as readings. */
   def fromJsonMessages(messages: DataFrame): DataFrame =
-    messages
-      .select(from_json(col("value").cast("string"), messageSchema).as("r"))
+    parsed(messages)
+      .filter(wellFormed)
       .select(col("r.*"))
       .withColumn("date", date_format(col("timestamp"), "yyyy-MM-dd"))
+
+  /** The rejects of [[fromJsonMessages]], with the raw payload preserved
+    * for replay/debugging — the dead-letter-queue half of the ingest
+    * front door. Stateless filters, so both legs run on the same stream
+    * (or batch) source. */
+  def deadLetters(messages: DataFrame): DataFrame =
+    parsed(messages).filter(!wellFormed).select(col("_raw").as("raw_value"))
+
+  private def parsed(messages: DataFrame): DataFrame =
+    messages.select(col("value").cast("string").as("_raw"),
+      from_json(col("value").cast("string"), messageSchema).as("r"))
+
+  /** A reading must carry its key fields; everything else may be null. */
+  private def wellFormed =
+    col("r").isNotNull && col("r.device_id").isNotNull &&
+      col("r.timestamp").isNotNull && col("r.metric_name").isNotNull &&
+      col("r.metric_value").isNotNull
 
   /** Streaming snapshot build: group on (device, exact source timestamp)
     * with a watermark on that same event-time column. Grouping on the tick

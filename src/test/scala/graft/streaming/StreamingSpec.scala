@@ -28,6 +28,22 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("corrupt messages go to the dead-letter leg, never become null readings") {
+    val good = StreamingSnapshotter.toJsonMessages(IoTSimulator.readings(spark, 2))
+    val bad = Seq(
+      ("k1", "{not json at all"),
+      ("k2", """{"device_id": null, "metric_name": "m"}"""), // missing keys
+      ("k3", """{"some": "other schema"}"""),
+    ).toDF("key", "value")
+    val mixed = good.unionByName(bad)
+    val ok = StreamingSnapshotter.fromJsonMessages(mixed)
+    val dlq = StreamingSnapshotter.deadLetters(mixed)
+    assert(ok.count() == good.count(), "a corrupt message leaked into readings")
+    assert(ok.filter($"device_id".isNull || $"metric_value".isNull).count() == 0)
+    assert(dlq.count() == 3)
+    assert(dlq.filter($"raw_value".contains("not json")).count() == 1)
+  }
+
   test("streaming snapshots: append emits only watermark-finalized windows, per-tick granularity") {
     val mem = MemoryStream[MetricReading](spark)
     val out = StreamingSnapshotter.snapshots(mem.toDF(), dim = 16,
