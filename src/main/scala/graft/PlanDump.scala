@@ -224,7 +224,27 @@ object PlanDump {
         "key hashes — GroupedTopKRewrite turns the rank-k window into a " +
         "bounded map-side aggregate, so the distinct-hash set never " +
         "sorts — and the order-statistic estimate is pure integer " +
-        "arithmetic, reproduced bit-for-bit by the oracle."))
+        "arithmetic, reproduced bit-for-bit by the oracle."),
+    "q99_funnel" ->
+      ("Conversion funnel without a per-user sort: each stage is a " +
+        "filtered min-aggregate chained on the user key — the stage " +
+        "tables shrink monotonically, the 1-row stage summaries cross by " +
+        "broadcast (the only by-design nested loops), and the same " +
+        "semantics run incrementally on a stream with O(stages) state " +
+        "per user (StreamingFunnel, batch ≡ stream proven)."),
+    "q101_mad_outliers" ->
+      ("Robust outliers: two grouped exact percentiles (median, then " +
+        "median absolute deviation) — both result tables are |groups| " +
+        "rows and broadcast back over the scan, so the corpus is read " +
+        "twice and shuffled never. MAD tolerates the heavy tails that " +
+        "inflate stddev-based z-scores (q14's method)."),
+    "q102_fuzzy_decontaminate" ->
+      ("Fuzzy decontamination: band signatures of the eval and training " +
+        "sides meet in an equi-join on the band key — never test × " +
+        "train — and only collided candidates are exactly " +
+        "Jaccard-rescored. Catches paraphrased cross-boundary leakage " +
+        "that exact fingerprint overlap (q35) misses; candidate volume " +
+        "scales with band-bucket occupancy, not |test|·|train|."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
