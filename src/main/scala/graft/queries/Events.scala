@@ -296,19 +296,12 @@ object Events {
     "q98_trend_slope" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.types.DecimalType
+      import graft.operators.Trend
       val e = t(s, dir, "events").select($"event_type",
         (unix_timestamp($"ts") - 1704067200L).cast(DecimalType(10, 0)).as("x"),
         $"value".cast(DecimalType(12, 2)).as("y"))
-      e.groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
-        .select($"event_type", $"n",
-          round(
-            (($"n".cast("double") * $"sxy".cast("double") -
-              $"sx".cast("double") * $"sy".cast("double")) /
-             ($"n".cast("double") * $"sxx".cast("double") -
-              $"sx".cast("double") * $"sx".cast("double"))) * 86400d, 6)
-            .as("slope_per_day"))
+      Trend.slope(Trend.momentSums(e, "event_type", "x", "y"),
+          "event_type", unitsPerX = 86400d, scale = 6)
         .orderBy($"event_type")
     }),
 

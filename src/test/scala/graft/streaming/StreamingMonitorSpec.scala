@@ -34,6 +34,31 @@ class StreamingMonitorSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("trend moment sums maintained on a stream equal the batch moments") {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.operators.Trend
+    val mem = MemoryStream[(String, Long, Double)](spark)
+    def typed(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("k", "xs", "vs").select(col("k"),
+        col("xs").cast(DecimalType(10, 0)).as("x"),
+        col("vs").cast(DecimalType(12, 2)).as("y"))
+    val q = Trend.momentSums(typed(mem.toDF()), "k", "x", "y")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("moments").start()
+    val rows = (1 to 30).map(i => ("g", i.toLong * 60, (i % 7) + 0.25))
+    mem.addData(rows.take(17): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(17): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = Trend.slope(spark.table("moments"), "k", 86400d, 6)
+      .as[(String, Long, Double)].collect().toSeq
+    val batch = Trend.slope(
+        Trend.momentSums(typed(rows.toDF()), "k", "x", "y"), "k", 86400d, 6)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("drift bins maintained on a stream yield the batch TVD") {
     val mem = MemoryStream[(String, Double, Boolean)](spark)
     val bins = Histogram.driftBins(mem.toDF().toDF("k", "v", "p"),
