@@ -258,15 +258,17 @@ object Events {
     }),
 
     // Retention cohorts: users grouped by first-activity day, distinct
-    // actives per (cohort, day offset). Two aggregations that share the
-    // user_id shuffle key; the cohort table is |users| rows, so the join
-    // back is broadcast-sized. The product-analytics staple over the
-    // events stream. SURVEY §2.4 A6 + §2.6 F1 (date bucketing).
+    // actives per (cohort, day offset). The cohort table is |users| rows
+    // — it GROWS with the corpus, so it joins back on the SAME user_id
+    // key its aggregation partitioned on (exchange reuse, no broadcast:
+    // a billion-user cohort table must never be a build side). The
+    // product-analytics staple over the events stream. SURVEY §2.4 A6 +
+    // §2.6 F1 (date bucketing).
     "q87_retention_cohorts" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "events").select($"user_id", to_date($"ts").as("d"))
       val first = e.groupBy($"user_id").agg(min($"d").as("chd"))
-      e.join(broadcast(first), Seq("user_id"))
+      e.join(first, Seq("user_id"))
         .groupBy($"chd", datediff($"d", $"chd").cast("bigint").as("day_n"))
         .agg(countDistinct($"user_id").as("n_users"))
         .select(date_format($"chd", "yyyy-MM-dd").as("cohort"), $"day_n", $"n_users")
