@@ -33,14 +33,16 @@ object Trend {
 
   /** Slope per `unitsPerX` x-units (e.g. 86400 for per-day over second
     * x), rounded to `scale` — one deterministic double expression over
-    * the exact moments. */
+    * the exact moments. A group whose x never varies has no defined
+    * slope: null, not a NaN/Inf that engines print differently. */
   def slope(moments: DataFrame, groupCol: String,
-      unitsPerX: Double, scale: Int): DataFrame =
+      unitsPerX: Double, scale: Int): DataFrame = {
+    val den = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val num = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
     moments.select(col(groupCol), col("n"),
-      round(
-        ((col("n").cast("double") * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")) /
-         (col("n").cast("double") * col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx").cast("double"))) * unitsPerX,
-        scale).as("slope_per_day"))
+      when(den === 0d, lit(null).cast("double"))
+        .otherwise(round(num / den * unitsPerX, scale)).as("slope_per_day"))
+  }
 }

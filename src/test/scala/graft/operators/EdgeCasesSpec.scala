@@ -36,6 +36,16 @@ class EdgeCasesSpec extends SparkSpec {
       sourceCol = "doc_id").count() == 0)
   }
 
+  test("trend slope of a constant-x group is null, not NaN/Inf") {
+    import org.apache.spark.sql.types.DecimalType
+    val df = Seq(("g", 5L, 1.0), ("g", 5L, 2.0)).toDF("k", "xs", "vs")
+      .select(col("k"), col("xs").cast(DecimalType(10, 0)).as("x"),
+        col("vs").cast(DecimalType(12, 2)).as("y"))
+    val out = Trend.slope(Trend.momentSums(df, "k", "x", "y"), "k", 86400d, 6)
+      .select(col("slope_per_day")).collect()
+    assert(out.length == 1 && out.head.isNullAt(0))
+  }
+
   test("semanticDupes tolerates nCells exceeding the corpus size") {
     val v = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)))
       .toDF("vec_id", "embedding")
