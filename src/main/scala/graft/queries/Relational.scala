@@ -353,9 +353,11 @@ object Relational {
       byNation
         .withColumn("rrev", sum($"rev").over(Window.partitionBy($"r_name")))
         .select($"r_name", $"n_name", $"rev".cast("double").as("revenue"),
-          // integer cents keep the ppm division exact in both engines
-          expr("(cast(rev * 100 as bigint) * 1000000) div cast(rrev * 100 as bigint)")
-            .as("share_ppm"))
+          // exact decimal sums -> double once, one IEEE division+floor:
+          // deterministic in both engines at ANY revenue magnitude (a
+          // cents-integer numerator would overflow bigint near 1e13)
+          floor($"rev".cast("double") / $"rrev".cast("double") * 1e6)
+            .cast("bigint").as("share_ppm"))
         .orderBy($"r_name", $"n_name")
     }),
 
@@ -602,7 +604,7 @@ object Relational {
         |w AS (SELECT r_name, n_name, rev,
         |        SUM(rev) OVER (PARTITION BY r_name) AS rrev FROM bn)
         |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
-        |  (CAST(rev * 100 AS BIGINT) * 1000000) // CAST(rrev * 100 AS BIGINT)
+        |  CAST(floor(CAST(rev AS DOUBLE) / CAST(rrev AS DOUBLE) * 1e6) AS BIGINT)
         |    AS share_ppm
         |FROM w ORDER BY r_name, n_name""".stripMargin,
 
