@@ -345,12 +345,14 @@ object Events {
       val p = e.filter($"event_type" === "purchase").join(c, Seq("user_id"))
         .filter($"us" >= $"c_us")
         .groupBy($"user_id").agg(min($"us").as("p_us"), min($"c_us").as("c_us"))
+      // per-user gaps floor to whole seconds BEFORE the sum: a sum of
+      // microsecond gaps overflows bigint near 1e9 users x 1-day gaps
       v.agg(count(lit(1)).as("n_view")).crossJoin(
           c.agg(count(lit(1)).as("n_click"),
-            expr("sum(c_us - v_us) div (count(1) * 1000000)").as("avg_v2c_s")))
+            expr("sum((c_us - v_us) div 1000000) div count(1)").as("avg_v2c_s")))
         .crossJoin(
           p.agg(count(lit(1)).as("n_purchase"),
-            expr("sum(p_us - c_us) div (count(1) * 1000000)").as("avg_c2p_s")))
+            expr("sum((p_us - c_us) div 1000000) div count(1)").as("avg_c2p_s")))
     }),
   )
 
@@ -567,10 +569,10 @@ object Events {
         |      WHERE event_type = 'purchase' AND us >= c_us GROUP BY e.user_id)
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_click,
-        |  (SELECT CAST(sum(c_us - v_us) // (count(*) * 1000000) AS BIGINT) FROM c)
+        |  (SELECT CAST(sum((c_us - v_us) // 1000000) // count(*) AS BIGINT) FROM c)
         |    AS avg_v2c_s,
         |  (SELECT count(*) FROM p) AS n_purchase,
-        |  (SELECT CAST(sum(p_us - c_us) // (count(*) * 1000000) AS BIGINT) FROM p)
+        |  (SELECT CAST(sum((p_us - c_us) // 1000000) // count(*) AS BIGINT) FROM p)
         |    AS avg_c2p_s""".stripMargin,
   )
 }
