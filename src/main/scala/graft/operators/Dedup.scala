@@ -331,7 +331,7 @@ object Dedup {
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
       val pre = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(eager = true)
-      (out, (sc.getPersistentRDDs.keySet -- pre).toSet)
+      (out, sc.getPersistentRDDs.keySet.toSet.diff(pre.toSet))
     }
     def free(ids: Set[Int]): Unit = {
       val live = sc.getPersistentRDDs

@@ -57,7 +57,8 @@ object Ivf {
       .withColumnRenamed("_cell", "cell_id")
       .drop("_features", "_nvec")
     val cells = assigned.sparkSession.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) })
+      model.clusterCenters.zipWithIndex.toIndexedSeq
+        .map { case (c, i) => (i, c.toArray.toIndexedSeq) })
       .toDF("cell_id", "centroid")
     IvfIndex(cells, assigned)
   }
@@ -113,7 +114,7 @@ object Ivf {
       idCol: String, vecCol: String, excludeSelf: Boolean): DataFrame = {
     val cellIds = probed.select(col("cell_id")).distinct()
       .collect().map(_.get(0))
-    val pruned = index.assigned.filter(col("cell_id").isin(cellIds: _*))
+    val pruned = index.assigned.filter(col("cell_id").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(cellIds): _*))
     rescore(probed, pruned, k, idCol, vecCol, excludeSelf)
   }
 
@@ -151,7 +152,7 @@ object Ivf {
       excludeSelf: Boolean): DataFrame = {
     val cellIds = probed.select(col("cell_id")).distinct()
       .collect().map(_.get(0))
-    val pruned = index.assigned.filter(col("cell_id").isin(cellIds: _*))
+    val pruned = index.assigned.filter(col("cell_id").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(cellIds): _*))
     val cand = probed.select(col("query_id"), col("cell_id"))
       .join(pruned.select(col("cell_id"), col(idCol).as("neighbor_id")), Seq("cell_id"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
@@ -237,8 +238,9 @@ object Ivf {
 
   /** Adds `cell_id` to a frame that already carries `_mv` (micro vector). */
   private def withCellId(mv: DataFrame, cs: Array[(Int, Seq[Double])]): DataFrame = {
-    val arr = array(cs.map { case (id, c) =>
-      struct(lit(id).as("cid"), array(c.map(lit): _*).as("centroid")) }: _*)
+    val arr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      cs.map { case (id, c) =>
+        struct(lit(id).as("cid"), array(c.map(lit): _*).as("centroid")) }): _*)
     mv.withColumn("_cells", arr)
       .withColumn("cell_id", expr(
         """aggregate(

@@ -98,7 +98,8 @@ object Pq {
       val model = new KMeans().setK(k).setSeed(seed + s)
         .setFeaturesCol("_features").setPredictionCol("_c").fit(feats)
       spark.createDataFrame(
-        model.clusterCenters.zipWithIndex.map { case (c, i) => (s, i, c.toArray.toSeq) })
+        model.clusterCenters.zipWithIndex.toIndexedSeq
+          .map { case (c, i) => (s, i, c.toArray.toIndexedSeq) })
         .toDF("s", "code", "centroid")
     }
     books.reduce(_ union _)
