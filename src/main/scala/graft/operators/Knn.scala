@@ -32,6 +32,23 @@ object Knn {
     * @param corpus  (id bigint, vec array<float|double>) — arbitrarily large
     * @param queries (id bigint, vec array<float|double>) — broadcastable
     */
+  /** Recall@k of an ANN result against ground truth — the tuning metric
+    * for every approximate path (IVF nprobe, PQ rerank, LSH radius).
+    * Both frames carry (query_id, neighbor_id) rows; recall is the
+    * matched fraction of each query's ground-truth set in integer ppm
+    * (portable — q103 hash-checks the recall of the trained stored-IVF
+    * probe itself). Queries the ANN missed entirely still appear, at 0. */
+  def recallAtK(groundTruth: DataFrame, approx: DataFrame): DataFrame = {
+    val gt = groundTruth.select(col("query_id"), col("neighbor_id"))
+    val hit = gt.join(approx.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_semi")
+    gt.groupBy(col("query_id")).agg(count(lit(1)).as("n_gt"))
+      .join(hit.groupBy(col("query_id")).agg(count(lit(1)).as("n_hit")),
+        Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        expr("coalesce(n_hit, 0) * 1000000 div n_gt").as("recall_ppm"))
+  }
+
   def exact(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -158,6 +158,20 @@ object Extras {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // ANN recall evaluation: recall@5 of the trained portable-IVF probe
+    // (q29's index math) against exact kNN, per query in integer ppm —
+    // the nprobe/rerank tuning metric, itself oracle-hash-checked
+    // because BOTH sides are portable.
+    "q103_ann_recall" -> ((s, dir) => {
+      import graft.operators.{Ivf, Knn}
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      val exact = Knn.exact(e, queries, k = 5)
+      val idx = Ivf.buildPortable(e, nCells = 8, iters = 2)
+      val approx = Ivf.searchPrunedPortable(idx, queries, k = 5, nprobe = 3)
+      Knn.recallAtK(exact, approx).orderBy(col("query_id"))
+    }),
+
     // SemDeDup-style semantic dedup: portable trained cells bound the
     // pair space (O(Σ cell²), co-partitioned self-join), earliest-id
     // keep rule makes the removed set deterministic — the whole
@@ -300,6 +314,33 @@ object Extras {
          |         row_number() OVER (PARTITION BY qid ORDER BY ad ASC, nid ASC) AS ark
          |       FROM adc) WHERE ark <= 20),
          |${rescoreSql("sl", 5)}""".stripMargin,
+
+    // Mirrors Knn.recallAtK over the two portable pipelines: the probed
+    // top-5 (q29's CTEs) against the exhaustive top-5.
+    "q103_ann_recall" -> {
+      def topkCte(name: String, cand: String): String =
+        s"""${name}_sc AS (SELECT qid, nid,
+           |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+           |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cs
+           |  FROM (SELECT c.qid, c.nid, ${cosSelect("q.qv", "n.ev")}
+           |        FROM $cand c JOIN q ON q.qid = c.qid JOIN e n ON n.vec_id = c.nid)),
+           |$name AS (SELECT qid, nid FROM (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk
+           |  FROM ${name}_sc) WHERE rk <= 5)""".stripMargin
+      s"""$ivfCtes,
+         |cand AS (SELECT pr.qid, af.vec_id AS nid
+         |         FROM pr JOIN af USING (cell_id) WHERE af.vec_id <> pr.qid),
+         |${topkCte("apx", "cand")},
+         |exc AS (SELECT q.qid, e.vec_id AS nid FROM q, e WHERE e.vec_id <> q.qid),
+         |${topkCte("ext", "exc")}
+         |SELECT g.qid AS query_id,
+         |  CAST(coalesce(h.n_hit, 0) * 1000000 // g.n_gt AS BIGINT) AS recall_ppm
+         |FROM (SELECT qid, count(*) AS n_gt FROM ext GROUP BY qid) g
+         |LEFT JOIN (SELECT x.qid, count(*) AS n_hit
+         |           FROM ext x JOIN apx ON apx.qid = x.qid AND apx.nid = x.nid
+         |           GROUP BY x.qid) h ON h.qid = g.qid
+         |ORDER BY query_id""".stripMargin
+    },
 
     // Mirrors Dedup.semanticDupes: the same portable trained cells (af),
     // within-cell id-ordered pairs, fixed-fold cosine over the raw

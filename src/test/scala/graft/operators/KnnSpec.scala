@@ -64,4 +64,16 @@ class KnnSpec extends SparkSpec {
     val n = emb.count().toDouble
     assert(meanCand < n * 0.8, s"avg candidates $meanCand vs corpus $n")
   }
+
+  test("recallAtK: identical results score 1e6; disjoint 0; missing queries 0") {
+    val gt = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L)) // q3 absent entirely
+      .toDF("query_id", "neighbor_id")
+    val r = Knn.recallAtK(gt, approx).orderBy($"query_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 500000L), (2L, 1000000L), (3L, 0L)))
+    val perfect = Knn.recallAtK(gt, gt).select($"recall_ppm").as[Long].collect()
+    assert(perfect.forall(_ == 1000000L))
+  }
 }
