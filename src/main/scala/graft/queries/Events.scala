@@ -307,6 +307,22 @@ object Events {
         .orderBy($"event_type")
     }),
 
+    // Semi-structured extraction: the props column is a JSON document;
+    // get_json_object pulls the typed field inside whole-stage codegen —
+    // no UDF, no schema migration — and the aggregate runs on the
+    // extracted value. The scan still prunes to (event_type, props).
+    "q104_json_props" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("bigint").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"),
+          countDistinct($"k").as("n_distinct_k"))
+        .orderBy($"event_type")
+    }),
+
     // Robust outliers via median absolute deviation: MAD tolerates the
     // heavy tails that inflate stddev-based z-scores (q14's method).
     // Two grouped exact percentiles; both the median table and the MAD
@@ -527,6 +543,14 @@ object Events {
         |  max(na) AS n_a, max(nb) AS n_b
         |FROM w WHERE na > 0 AND nb > 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q104_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q101_mad_outliers" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
