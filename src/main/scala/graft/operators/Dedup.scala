@@ -158,6 +158,34 @@ object Dedup {
     jaccardOnCandidates(cand, sigs, minJaccard)
   }
 
+  /** Fuzzy record linkage: same-block pairs within `maxEdit` Levenshtein
+    * distance — the entity-resolution / catalog-cleaning staple. EXACT
+    * recall without a per-block cross join: edit distance ≥ length
+    * difference, so with length bands of width `maxEdit + 1` a
+    * qualifying pair sits in the same or an adjacent band — one side
+    * explodes to its ≤3 candidate bands and the join is equi on
+    * (block, band) with the distance check as a residual. Cost is
+    * per-(block, band) occupancy², never block². */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, nameCol: String, blockCol: String,
+      maxEdit: Int): DataFrame = {
+    require(maxEdit >= 0, "maxEdit must be non-negative")
+    val w = maxEdit + 1
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      col(nameCol).as("name_a"),
+      (length(col(nameCol)).cast("int") / w).cast("int").as("band"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+        col(nameCol).as("name_b"),
+        (length(col(nameCol)).cast("int") / w).cast("int").as("b0"))
+      .select(col("blk"), col("id_b"), col("name_b"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("band"))
+    a.join(b, Seq("blk", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxEdit)
+      .select(col("blk").as(blockCol), col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Cross-corpus near-dup pairs (left × right, e.g. eval-benchmark ×
     * training dump): band signatures for BOTH sides meet in an equi-join
     * on the band key — never left × right — and only collided candidates

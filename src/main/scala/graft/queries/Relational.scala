@@ -337,6 +337,21 @@ object Relational {
         .orderBy($"c_mktsegment")
     }),
 
+    // Fuzzy record linkage: near-identical part names within a brand by
+    // Levenshtein <= 2 — EXACT recall via length banding (edit distance
+    // >= length difference), per-(brand, band) occupancy² cost, never
+    // brand². The oracle affirms with the naive exact join (DuckDB can
+    // afford it at sf0.01; the banded plan is what survives 100 TB).
+    "q105_fuzzy_part_names" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Dedup.editDistancePairs(
+          t(s, dir, "part"), "p_partkey", "p_name", "p_brand", maxEdit = 2)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when($"dist" === 0, 1L).otherwise(0L)).as("n_identical"))
+        .orderBy($"p_brand")
+    }),
+
     // Ratio-to-report: each nation's share of its region's revenue, in
     // integer ppm (share = nation·1e6 div region — portable, no float
     // division drift). The window runs over the |nations|-row aggregate,
@@ -592,6 +607,15 @@ object Relational {
         |  GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q105_fuzzy_part_names" ->
+      """SELECT a.p_brand, count(*) AS n_pairs,
+        |  CAST(count(*) FILTER (levenshtein(a.p_name, b.p_name) = 0) AS BIGINT)
+        |    AS n_identical
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin,
 
     "q100_revenue_share" ->
       """WITH bn AS (SELECT r_name, n_name,

@@ -144,6 +144,34 @@ class DedupSpec extends SparkSpec {
     assert(s1 == s2 && s1 >= 0L && s1 < 256L)
   }
 
+  test("editDistancePairs ≡ naive within-block join, incl. cross-band lengths") {
+    // lengths 5 and 7 fall in different width-3 bands (1 vs 2) yet are
+    // within edit distance 2 — the adjacent-band explode must catch them
+    val d = Seq(
+      (1L, "abcde", "B1"), (2L, "abcdefg", "B1"), // dist 2, bands 1/2
+      (3L, "abcde", "B1"),                        // dist 0 to id 1
+      (4L, "zzzzz", "B1"),                        // far from all
+      (5L, "abcde", "B2"),                        // other block: no pair
+    ).toDF("id", "name", "blk")
+    val banded = Dedup.editDistancePairs(d, "id", "name", "blk", maxEdit = 2)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Int)].collect().toSet
+    val rows = d.as[(Long, String, String)].collect()
+    val naive = (for {
+      (ia, na, ba) <- rows; (ib, nb, bb) <- rows
+      if ba == bb && ia < ib
+      dist = {
+        val m = Array.tabulate(na.length + 1, nb.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to na.length; j <- 1 to nb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (na(i - 1) == nb(j - 1)) 0 else 1))
+        m(na.length)(nb.length)
+      }
+      if dist <= 2
+    } yield (ia, ib, dist)).toSet
+    assert(banded == naive && naive.contains((1L, 2L, 2)))
+  }
+
   test("crossNearDupPairs: finds planted cross-corpus near-dups, never pairs within a side") {
     val left = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),
