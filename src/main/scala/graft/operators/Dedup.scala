@@ -180,9 +180,14 @@ object Dedup {
       .select(col("blk"), col("id_b"), col("name_b"),
         explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("band"))
     a.join(b, Seq("blk", "band"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxEdit)
+      .filter(col("id_a") < col("id_b") &&
+        // exact cheap pre-filter: edit distance >= length difference
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxEdit)
+      // thresholded levenshtein: the banded-DP early-exit computes only
+      // the 2·maxEdit+1 diagonal stripe and bails at -1 past the budget —
+      // O(t·len) per candidate instead of O(len²)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxEdit))
+      .filter(col("dist") >= 0 && col("dist") <= maxEdit)
       .select(col("blk").as(blockCol), col("id_a"), col("id_b"), col("dist"))
   }
 
