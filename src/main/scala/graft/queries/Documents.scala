@@ -206,6 +206,27 @@ object Documents {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // Frequent token co-occurrence (market-basket shape): per-doc
+    // distinct tokens self-join WITHIN the doc — per-doc cost is
+    // distinct-token², bounded by vocabulary, never corpus² — then one
+    // partial-aggregating shuffle on the pair key; support threshold by
+    // integer cross-multiplication against the 1-row corpus count.
+    "q106_token_cooccurrence" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("w"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      tok.as("a").join(tok.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(total))
+        .filter(col("n_docs") * 5 >= col("n_total")) // support >= 20%
+        .select(col("w1"), col("w2"), col("n_docs"))
+        .orderBy(col("n_docs").desc, col("w1"), col("w2"))
+    }),
+
     // Fuzzy decontamination: near-duplicate documents ACROSS the
     // train/test boundary by cross-corpus minhash banding — catches
     // paraphrased leakage q35's exact fingerprint overlap can miss.
@@ -702,6 +723,15 @@ object Documents {
          |        $probeJoins
          |ORDER BY exact DESC, sh ASC""".stripMargin
     },
+
+    "q106_token_cooccurrence" ->
+      s"""WITH $tokCte,
+         |d AS (SELECT doc_id, unnest(list_distinct(tok)) AS w FROM t)
+         |SELECT a.w AS w1, b.w AS w2, count(*) AS n_docs
+         |FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.w < b.w
+         |GROUP BY 1, 2
+         |HAVING count(*) * 5 >= (SELECT count(*) FROM documents)
+         |ORDER BY n_docs DESC, w1, w2""".stripMargin,
 
     // Mirrors Dedup.crossNearDupPairs over the q35 split: each side's
     // band rows from the shared sig CTE, candidates from the banded

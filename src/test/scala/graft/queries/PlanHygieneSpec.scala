@@ -41,6 +41,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q96_idle_rich_customers", // 1-row scalar average attached to customers
     "q99_funnel",             // three 1-row stage aggregates crossed into one row
     "q103_ann_recall",        // exact-kNN ground truth: broadcast query set × corpus
+    "q106_token_cooccurrence", // 1-row corpus count attached to pair supports
     "q50_iot_detect_pipeline", // simulator: tick sequence × broadcast metric
                                // spec table (generator fan-out, not a corpus)
   )
