@@ -244,7 +244,21 @@ object PlanDump {
         "train — and only collided candidates are exactly " +
         "Jaccard-rescored. Catches paraphrased cross-boundary leakage " +
         "that exact fingerprint overlap (q35) misses; candidate volume " +
-        "scales with band-bucket occupancy, not |test|·|train|."))
+        "scales with band-bucket occupancy, not |test|·|train|."),
+    "q105_fuzzy_part_names" ->
+      ("Fuzzy record linkage with EXACT recall: edit distance bounds the " +
+        "length difference, so width-(t+1) length bands plus an " +
+        "adjacent-band explode surface every qualifying pair through an " +
+        "equi-join — per-(block, band) occupancy², never block². The " +
+        "residual Levenshtein is thresholded (diagonal-stripe DP, bails " +
+        "past the budget) behind an exact length pre-filter. The oracle " +
+        "affirms with the naive exact join the banding replaces."),
+    "q106_token_cooccurrence" ->
+      ("Market-basket mining: per-doc distinct tokens self-join WITHIN " +
+        "the doc — per-doc cost is distinct-token², bounded by " +
+        "vocabulary, never corpus² — then one partial-aggregating " +
+        "shuffle on the pair key; the support threshold is an integer " +
+        "cross-multiplication against the broadcast 1-row corpus count."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
