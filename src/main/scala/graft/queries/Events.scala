@@ -307,6 +307,30 @@ object Events {
         .orderBy($"event_type")
     }),
 
+    // The STREAMING funnel state machine under the correctness gate:
+    // StreamingFunnel.track runs the same flatMapGroupsWithState code on
+    // a batch Dataset, so the per-user stage frontier it maintains on a
+    // stream is hash-checked against the SQL min-chain oracle here —
+    // stream semantics, batch-verified.
+    "q107_funnel_stages" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFunnel
+      val ev = t(s, dir, "events")
+        .filter($"event_type".isin("view", "click", "purchase"))
+        .select($"user_id",
+          when($"event_type" === "view", 0)
+            .when($"event_type" === "click", 1).otherwise(2).as("stage"),
+          unix_micros($"ts").as("epoch_us"))
+        .as[StreamingFunnel.FunnelEvent]
+      val M = Long.MaxValue
+      StreamingFunnel.track(ev, nStages = 3)
+        .select($"user_id",
+          when($"stageUs"(0) === M, lit(null)).otherwise($"stageUs"(0)).as("v_us"),
+          when($"stageUs"(1) === M, lit(null)).otherwise($"stageUs"(1)).as("c_us"),
+          when($"stageUs"(2) === M, lit(null)).otherwise($"stageUs"(2)).as("p_us"))
+        .orderBy($"user_id")
+    }),
+
     // Semi-structured extraction: the props column is a JSON document;
     // get_json_object pulls the typed field inside whole-stage codegen —
     // no UDF, no schema migration — and the aggregate runs on the
@@ -543,6 +567,22 @@ object Events {
         |  max(na) AS n_a, max(nb) AS n_b
         |FROM w WHERE na > 0 AND nb > 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The q99 min-chain, per user: earliest view; earliest click at or
+    // after it; earliest purchase at or after that.
+    "q107_funnel_stages" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS c_us
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us >= v_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS p_us
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us >= c_us GROUP BY e.user_id)
+        |SELECT v.user_id, v.v_us, c.c_us, p.p_us
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q104_json_props" ->
       """SELECT event_type, count(*) AS n,
