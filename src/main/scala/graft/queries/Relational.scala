@@ -337,6 +337,24 @@ object Relational {
         .orderBy($"c_mktsegment")
     }),
 
+    // Arbitrary GROUPING SETS (the general form rollup/cube specialize):
+    // per-returnflag, per-linestatus, and grand total from ONE fact pass
+    // — no union of three scans; 'ALL' labels keep the output portable.
+    "q108_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq.empty),
+          $"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity", 2).as("sum_qty"), count(lit(1)).as("n_lines"),
+          grouping($"l_returnflag").as("_gf"), grouping($"l_linestatus").as("_gs"))
+        .select(
+          when($"_gf" === 1, "ALL").otherwise($"l_returnflag").as("returnflag"),
+          when($"_gs" === 1, "ALL").otherwise($"l_linestatus").as("linestatus"),
+          $"sum_qty", $"n_lines")
+        .orderBy($"returnflag", $"linestatus")
+    }),
+
     // Fuzzy record linkage: near-identical part names within a brand by
     // Levenshtein <= 2 — EXACT recall via length banding (edit distance
     // >= length difference), per-(brand, band) occupancy² cost, never
@@ -607,6 +625,16 @@ object Relational {
         |  GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q108_grouping_sets" ->
+      s"""SELECT
+         |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY returnflag, linestatus""".stripMargin,
 
     "q105_fuzzy_part_names" ->
       """SELECT a.p_brand, count(*) AS n_pairs,
