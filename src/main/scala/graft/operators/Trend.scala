@@ -45,4 +45,79 @@ object Trend {
       when(den === 0d, lit(null).cast("double"))
         .otherwise(round(num / den * unitsPerX, scale)).as("slope_per_day"))
   }
+
+  /** All pairwise Pearson correlations of `cols` in ONE pass (the feature
+    * correlation matrix a pipeline inspects before training). Every
+    * moment — n, Σxᵢ, Σxᵢ², Σxᵢxⱼ for all i<j — accumulates in a single
+    * partial-aggregating scan: exact DECIMAL(18,`decScale`) sums, so the
+    * result is order-independent at any parallelism and bit-identical to
+    * the DuckDB oracle. Shuffle cost is ONE reduce of a single row of
+    * k(k+3)/2 + 1 sums regardless of data size; the pair fan-out happens
+    * after the agg on that one row. A constant column has no defined
+    * correlation: null, never NaN.
+    *
+    * r(i,j) = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²) · (n·Σyy − Σy²)),
+    * evaluated as fixed-order double ops over the exact sums. */
+  def corrPairs(df: DataFrame, cols: Seq[String], scale: Int = 6,
+      decScale: Int = 4): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dec = s"decimal(18,$decScale)"
+    def s1(c: String) = s"s_$c"
+    def s2(a: String, b: String) = s"s_${a}_$b"
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(col(c).cast(dec)).as(s1(c))) ++
+      cols.map(c => sum(col(c).cast(dec) * col(c).cast(dec)).as(s2(c, c))) ++
+      pairs.map { case (a, b) =>
+        sum(col(a).cast(dec) * col(b).cast(dec)).as(s2(a, b))
+      }
+    val m = df.agg(count(lit(1)).as("n"), aggs: _*)
+    def d(name: String) = col(name).cast("double")
+    val n = d("n")
+    val rows = pairs.map { case (a, b) =>
+      val cov = n * d(s2(a, b)) - d(s1(a)) * d(s1(b))
+      val va = n * d(s2(a, a)) - d(s1(a)) * d(s1(a))
+      val vb = n * d(s2(b, b)) - d(s1(b)) * d(s1(b))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(va === 0d || vb === 0d, lit(null).cast("double"))
+          .otherwise(round(cov / sqrt(va * vb), scale)).as("corr"))
+    }
+    m.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.corr"))
+  }
+
+  /** DuckDB spelling of [[corrPairs]] over table `tbl` — the same exact
+    * moment CTE and the same fixed double readout per pair. Width note:
+    * Spark multiplies DECIMAL(18,s) exactly (result 37,2s fits 38), but
+    * DuckDB caps an 18×18 multiply at width 18 (int64) and overflows;
+    * width 19 forces its INT128 path → exact DECIMAL(38,2s). Same values,
+    * engine-appropriate widths. */
+  def corrPairsSql(tbl: String, cols: Seq[String], scale: Int = 6,
+      decScale: Int = 4): String = {
+    def s1(c: String) = s"s_$c"
+    def s2(a: String, b: String) = s"s_${a}_$b"
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val dec = s"DECIMAL(19,$decScale)"
+    val sums =
+      cols.map(c => s"SUM(CAST($c AS $dec)) AS ${s1(c)}") ++
+      cols.map(c => s"SUM(CAST($c AS $dec) * CAST($c AS $dec)) AS ${s2(c, c)}") ++
+      pairs.map { case (a, b) =>
+        s"SUM(CAST($a AS $dec) * CAST($b AS $dec)) AS ${s2(a, b)}"
+      }
+    def d(name: String) = s"CAST($name AS DOUBLE)"
+    val selects = pairs.map { case (a, b) =>
+      val cov = s"(${d("n")} * ${d(s2(a, b))} - ${d(s1(a))} * ${d(s1(b))})"
+      val va = s"(${d("n")} * ${d(s2(a, a))} - ${d(s1(a))} * ${d(s1(a))})"
+      val vb = s"(${d("n")} * ${d(s2(b, b))} - ${d(s1(b))} * ${d(s1(b))})"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  CASE WHEN $va = 0 OR $vb = 0 THEN NULL
+         |       ELSE round($cov / sqrt($va * $vb), $scale) END AS corr FROM m""".stripMargin
+    }
+    s"""WITH m AS (SELECT count(*) AS n, ${sums.mkString(",\n  ")} FROM $tbl)
+       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Scrub, TextAnalysis}
 import Q._
 
 /** LLM-data-pipeline suite over the `documents` table: deduplication
@@ -276,6 +276,22 @@ object Documents {
         .join(top, Seq("sh"))
         .select(col("sh"), col("exact"), col("cm_est"))
         .orderBy(col("exact").desc, col("sh").asc)
+    }),
+
+    // PII scrub: deterministic synthetic emails/phones/IPs are seeded into
+    // a doc_id-keyed subset (the corpus itself is PII-free word salad),
+    // then detected and redacted by the codegen'd regex pass. Zero-shuffle
+    // scan-transform; the only exchange is the declared ORDER BY.
+    "q109_pii_redaction" -> ((s, dir) => {
+      val seeded = Scrub.seedSyntheticPii(t(s, dir, "documents"))
+      Scrub.redactPii(seeded, "text")
+        .filter(col("n_email") + col("n_phone") + col("n_ipv4") > 0)
+        .select(col("doc_id"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_phone").cast("long").as("n_phone"),
+          col("n_ipv4").cast("long").as("n_ipv4"),
+          md5(col("text_redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
     }),
   )
 
@@ -788,5 +804,20 @@ object Documents {
          |       ELSE (63 * 4294967296) // hk END AS est_distinct,
          |  exact_distinct
          |FROM km JOIN ex USING (source) ORDER BY source""".stripMargin,
+
+    "q109_pii_redaction" -> {
+      import graft.operators.Scrub
+      val counts = Scrub.defaultPatterns
+        .map(p => s"CAST(${Scrub.countSql("text", p)} AS BIGINT) AS n_${p.name}")
+        .mkString(",\n  ")
+      s"""WITH seeded AS (SELECT doc_id, ${Scrub.seedSql} AS text FROM documents),
+         |scrubbed AS (SELECT doc_id,
+         |  $counts,
+         |  md5(${Scrub.redactSql("text")}) AS redacted_md5
+         |FROM seeded)
+         |SELECT * FROM scrubbed
+         |WHERE n_email + n_phone + n_ipv4 > 0
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -439,6 +439,16 @@ object Relational {
         .agg(count(lit(1)).as("custdist"))
         .orderBy($"custdist".desc, $"c_count".desc)
     }),
+
+    // Pairwise Pearson feature-correlation matrix in ONE partial-agg pass:
+    // exact decimal moments (n, Σx, Σx², Σxy) reduce to a single row, the
+    // 6-pair readout is fixed-order double math on that row. At 100 TB the
+    // shuffle is one row of 15 sums, full stop.
+    "q110_feature_corr" -> ((s, dir) => {
+      graft.operators.Trend.corrPairs(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -699,5 +709,11 @@ object Relational {
          |FROM lineitem
          |GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q110_feature_corr" ->
+      s"""SELECT * FROM (
+         |${graft.operators.Trend.corrPairsSql("lineitem",
+               Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))}
+         |) ORDER BY col_a, col_b""".stripMargin,
   )
 }
