@@ -258,7 +258,26 @@ object PlanDump {
         "the doc — per-doc cost is distinct-token², bounded by " +
         "vocabulary, never corpus² — then one partial-aggregating " +
         "shuffle on the pair key; the support threshold is an integer " +
-        "cross-multiplication against the broadcast 1-row corpus count."))
+        "cross-multiplication against the broadcast 1-row corpus count."),
+    "q109_pii_redaction" ->
+      ("PII scrub: detection counts (RegExpExtractAll) and the ordered " +
+        "redaction chain (RegExpReplace) are all codegen'd expressions in " +
+        "ONE projection over the scan — zero shuffle before the declared " +
+        "ORDER BY. At 100 TB the pass is embarrassingly parallel and reads " +
+        "only the id + text columns (pruned scan)."),
+    "q110_feature_corr" ->
+      ("Pairwise Pearson matrix: every moment (n, Σx, Σx², Σxy for all " +
+        "pairs) accumulates in one partial HashAggregate over the scan; " +
+        "the exchange carries a SINGLE row of sums regardless of data " +
+        "size, and the 6-pair readout is constant work on the driver side " +
+        "of the final aggregate. Exact decimal sums make the result " +
+        "partitioning-invariant."),
+    "q111_epoch_upsample" ->
+      ("Epoch upsampling: copy counts (portable-hash Bernoulli on the " +
+        "fractional weight) and the explode(sequence) row expansion are " +
+        "map-side inside the scan task — zero shuffle before the declared " +
+        "ORDER BY. Output volume is Σw_i rows; no stage ever holds more " +
+        "than one task's expansion in memory."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

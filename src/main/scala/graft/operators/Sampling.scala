@@ -144,4 +144,32 @@ object Sampling {
     df.filter(hash32(col(idCol).cast("string"), seed) % 100 <
       coalesce(pct, lit(defaultPct)))
   }
+
+  /** Deterministic fractional repetition — the epoch-mixing/upsampling step
+    * that materializes each row `weightPpm / 10^6` times in expectation
+    * (e.g. 2_500_000 ppm = every row twice, plus a third copy for a
+    * hash-selected half). floor(w) copies are unconditional; the
+    * fractional remainder is a portable-hash Bernoulli draw per row, so
+    * the realized corpus is a pure function of (ids, weights, seed) —
+    * reruns, retried tasks, and the DuckDB oracle materialize the
+    * identical multiset. Weights < 1 downsample with the same rule (0
+    * unconditional copies + fractional draw), unifying up- and
+    * downsampling in one operator.
+    *
+    * Scale shape: a map-side `explode(sequence(...))` — row expansion
+    * happens inside the scan task with ZERO shuffle; the output column
+    * `copy` (1-based) distinguishes repetitions so a downstream
+    * deterministic shuffle can interleave epochs. */
+  def repeatByWeight(df: DataFrame, idCol: String,
+      weightPpmCol: String, seed: Int): DataFrame = {
+    val w = col(weightPpmCol).cast("long")
+    val extra = when(
+      hash32(col(idCol).cast("string"), seed) * lit(1000000L) <
+        (w % 1000000L) * lit(4294967296L), 1L).otherwise(0L)
+    df.withColumn("_k", expr(s"CAST($weightPpmCol AS BIGINT) div 1000000") + extra)
+      .withColumn("copy",
+        explode(when(col("_k") >= 1L, sequence(lit(1L), col("_k")))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("_k")
+  }
 }

@@ -61,6 +61,10 @@ object Trend {
   def corrPairs(df: DataFrame, cols: Seq[String], scale: Int = 6,
       decScale: Int = 4): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
+    // Listwise-complete: a row with ANY null feature contributes to no
+    // moment, keeping n consistent with every sum (pairwise-complete n
+    // would differ per pair and silently bias r on nully data).
+    val base = df.na.drop(cols)
     val dec = s"decimal(18,$decScale)"
     def s1(c: String) = s"s_$c"
     def s2(a: String, b: String) = s"s_${a}_$b"
@@ -73,7 +77,7 @@ object Trend {
       pairs.map { case (a, b) =>
         sum(col(a).cast(dec) * col(b).cast(dec)).as(s2(a, b))
       }
-    val m = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val m = base.agg(count(lit(1)).as("n"), aggs: _*)
     def d(name: String) = col(name).cast("double")
     val n = d("n")
     val rows = pairs.map { case (a, b) =>
@@ -117,7 +121,9 @@ object Trend {
          |  CASE WHEN $va = 0 OR $vb = 0 THEN NULL
          |       ELSE round($cov / sqrt($va * $vb), $scale) END AS corr FROM m""".stripMargin
     }
-    s"""WITH m AS (SELECT count(*) AS n, ${sums.mkString(",\n  ")} FROM $tbl)
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    s"""WITH m AS (SELECT count(*) AS n, ${sums.mkString(",\n  ")}
+       |  FROM $tbl WHERE $notNull)
        |${selects.mkString("\nUNION ALL\n")}""".stripMargin
   }
 }

@@ -229,6 +229,21 @@ object TrainingOps {
           minFreq = 2)
         .orderBy(col("doc_id"))
     }),
+
+    // Epoch mixing: per-source repetition weights (0.5-2.5 epochs, derived
+    // from a portable source hash so the weight table is itself
+    // reproducible) materialize each doc floor(w)+Bernoulli(frac(w)) times.
+    // Map-side explode — zero shuffle before the declared ORDER BY; `copy`
+    // numbers the repetitions for downstream epoch interleaving.
+    "q111_epoch_upsample" -> ((s, dir) => {
+      import graft.functions.TextFunctions.hash32
+      val weighted = t(s, dir, "documents")
+        .withColumn("weight_ppm",
+          lit(500000L) + hash32(col("source"), 7) % 2000000L)
+      Sampling.repeatByWeight(weighted, "doc_id", "weight_ppm", seed = 19)
+        .select(col("doc_id"), col("source"), col("weight_ppm"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
   )
 
   private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -515,5 +530,20 @@ object TrainingOps {
          |    array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ',') || '#0'),
          |    1, 8) AS BIGINT) AS ids_hash
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q111_epoch_upsample" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    500000 + CAST('0x' || substr(md5(source || '#7'), 1, 8) AS BIGINT) % 2000000
+        |      AS weight_ppm
+        |  FROM documents),
+        |k AS (SELECT doc_id, source, weight_ppm,
+        |    weight_ppm // 1000000
+        |    + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#19'), 1, 8) AS BIGINT)
+        |             * 1000000 < (weight_ppm % 1000000) * 4294967296
+        |        THEN 1 ELSE 0 END AS n
+        |  FROM w)
+        |SELECT doc_id, source, weight_ppm, unnest(generate_series(1, n)) AS copy
+        |FROM k WHERE n >= 1
+        |ORDER BY doc_id, copy""".stripMargin,
   )
 }

@@ -96,4 +96,42 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("repeatByWeight: expected multiplicity, determinism, copy numbering") {
+    val weighted = docs.withColumn("weight_ppm", lit(2500000L)) // 2.5 epochs
+    val out = Sampling.repeatByWeight(weighted, "doc_id", "weight_ppm", seed = 19)
+    val n = docs.count().toDouble
+    val total = out.count().toDouble
+    assert(total > n * 2.3 && total < n * 2.7, s"2.5x target, got ${total / n}x")
+    // every doc gets at least floor(w)=2 copies, numbered 1..k
+    val perDoc = out.groupBy($"doc_id").agg(
+      count(lit(1)).as("k"), min($"copy").as("lo"), max($"copy").as("hi"))
+    assert(perDoc.filter($"k" < 2 || $"k" > 3 || $"lo" =!= 1 || $"hi" =!= $"k").isEmpty)
+    // pure function of (id, weight, seed)
+    val again = Sampling.repeatByWeight(weighted, "doc_id", "weight_ppm", seed = 19)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("repeatByWeight downsamples below 1.0 with the same rule") {
+    val weighted = docs.withColumn("weight_ppm", lit(400000L)) // 0.4 epochs
+    val out = Sampling.repeatByWeight(weighted, "doc_id", "weight_ppm", seed = 19)
+    val n = docs.count().toDouble
+    val total = out.count().toDouble
+    assert(total > n * 0.3 && total < n * 0.5, s"0.4x target, got ${total / n}x")
+    assert(out.filter($"copy" =!= 1).isEmpty, "at most one copy below w=1")
+    // the kept set IS weightedHashSample's set (same hash rule)
+    val kept = Sampling.weightedHashSample(weighted, "doc_id", "weight_ppm", seed = 19)
+      .select($"doc_id")
+    assert(out.select($"doc_id").exceptAll(kept).isEmpty &&
+      kept.exceptAll(out.select($"doc_id")).isEmpty)
+  }
+
+  test("repeatByWeight plan is a zero-shuffle map-side explode") {
+    // plain scan (the Tables fixture repartitions small local files)
+    val weighted = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .withColumn("weight_ppm", lit(1500000L))
+    val plan = Sampling.repeatByWeight(weighted, "doc_id", "weight_ppm", seed = 19)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
