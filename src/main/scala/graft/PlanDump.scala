@@ -277,7 +277,15 @@ object PlanDump {
         "fractional weight) and the explode(sequence) row expansion are " +
         "map-side inside the scan task — zero shuffle before the declared " +
         "ORDER BY. Output volume is Σw_i rows; no stage ever holds more " +
-        "than one task's expansion in memory."))
+        "than one task's expansion in memory."),
+    "q112_feature_normalize" ->
+      ("Feature normalization incl. EXACT quantile rank WITHOUT the global " +
+        "sort: value-ordered fixed-width buckets (from the same one-row " +
+        "stats aggregate that feeds min-max/z-score) partition the rank " +
+        "window, and broadcast cumulative bucket counts lift per-bucket " +
+        "ranks to global ones. Equal values share a bucket, so ties are " +
+        "exactly rank()'s. One data shuffle on the bucket key; the only " +
+        "single-partition window is over numBuckets rows."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

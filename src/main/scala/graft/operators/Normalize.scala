@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature normalization for training pipelines: min-max scaling, z-score
+  * standardization, and EXACT quantile rank (the quantile/rank transform)
+  * in one operator (§2.12 extension; declared as q112).
+  *
+  * The interesting part at 100 TB is the quantile rank — naively a global
+  * `rank() OVER (ORDER BY value)`, i.e. a single-partition sort of the
+  * whole table. Instead: fixed-width value buckets (from the same one-row
+  * stats aggregate that feeds min-max/z-score) give a partition key that
+  * FOLLOWS value order, so global min-rank = rows in earlier buckets
+  * (a broadcast-sized cumulative count) + per-bucket rank (a parallel
+  * window). Equal values always share a bucket, so tie semantics are
+  * exactly `rank()`'s. One data shuffle on the bucket key, never a global
+  * sort — the q58/q88 discipline applied to order statistics.
+  *
+  * Portability: moments accumulate as exact decimals; the readouts are
+  * fixed-order double ops; the quantile is integer arithmetic
+  * (`(rank−1)·10⁶ div (n−1)`). Degenerate inputs yield null (constant
+  * column → no min-max/z-score; single row → no quantile), never NaN.
+  */
+object Normalize {
+
+  def featureScale(df: DataFrame, idCol: String, valueCol: String,
+      numBuckets: Int = 256, scale: Int = 6): DataFrame = {
+    require(numBuckets >= 1)
+    val v = col(valueCol)
+    // decimal(16,6): 16+16+1 = 33 ≤ 38 keeps the square's scale-12 digits
+    // exact in Spark (19 would overflow precision and truncate the scale).
+    val dec = "decimal(16,6)"
+    val stats = df.agg(
+      count(lit(1)).as("_n"), min(v).as("_mn"), max(v).as("_mx"),
+      sum(v.cast(dec)).as("_sx"), sum(v.cast(dec) * v.cast(dec)).as("_sxx"))
+    val withB = df.crossJoin(broadcast(stats))
+      .withColumn("_bkt",
+        when(col("_mx") === col("_mn"), lit(0))
+          .otherwise(least(lit(numBuckets - 1),
+            floor((v - col("_mn")) /
+              ((col("_mx") - col("_mn")) / numBuckets)).cast("int"))))
+    // Bucket offsets: numBuckets rows — the single-partition window here is
+    // over a broadcast-sized table by construction.
+    val offsets = withB.groupBy(col("_bkt")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    val ranked = withB
+      .withColumn("_r", rank().over(Window.partitionBy(col("_bkt")).orderBy(v)))
+      .join(broadcast(offsets), Seq("_bkt"))
+      .withColumn("_grank", col("_off") + col("_r"))
+    val n = col("_n").cast("double")
+    val meanD = col("_sx").cast("double") / n
+    val stdD = sqrt((col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double") / n) / n)
+    ranked.select(col(idCol), v.as(valueCol),
+      when(col("_mx") === col("_mn"), lit(null).cast("double"))
+        .otherwise(round((v - col("_mn")) / (col("_mx") - col("_mn")), scale))
+        .as("minmax"),
+      when(stdD === lit(0d), lit(null).cast("double"))
+        .otherwise(round((v - meanD) / stdD, scale)).as("zscore"),
+      when(col("_n") > 1,
+        expr("CAST((_grank - 1) * 1000000 AS BIGINT) div (_n - 1)"))
+        .otherwise(lit(null).cast("long")).as("quantile_ppm"))
+  }
+
+  /** DuckDB spelling of [[featureScale]] over table `tbl` — the oracle
+    * computes the rank with the global window the operator avoids, and the
+    * same exact-decimal moments (width 19 forces DuckDB's INT128 multiply;
+    * Spark uses 16 for the same exact scale-12 digits — see
+    * [[Trend.corrPairsSql]] for the width asymmetry). */
+  def featureScaleSql(tbl: String, idCol: String, valueCol: String,
+      scale: Int = 6): String =
+    s"""WITH s AS (SELECT count(*) AS n, min($valueCol) AS mn, max($valueCol) AS mx,
+       |    SUM(CAST($valueCol AS DECIMAL(19,6))) AS sx,
+       |    SUM(CAST($valueCol AS DECIMAL(19,6)) * CAST($valueCol AS DECIMAL(19,6))) AS sxx
+       |  FROM $tbl),
+       |r AS (SELECT $idCol, $valueCol, rank() OVER (ORDER BY $valueCol) AS rk FROM $tbl)
+       |SELECT $idCol, $valueCol,
+       |  CASE WHEN mx = mn THEN NULL
+       |       ELSE round(($valueCol - mn) / (mx - mn), $scale) END AS minmax,
+       |  CASE WHEN sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n) = 0 THEN NULL
+       |       ELSE round(($valueCol - CAST(sx AS DOUBLE) / n)
+       |            / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n), $scale) END AS zscore,
+       |  CASE WHEN n > 1 THEN (rk - 1) * 1000000 // (n - 1) ELSE NULL END AS quantile_ppm
+       |FROM r, s""".stripMargin
+}

@@ -59,6 +59,19 @@ object Trend {
     * r(i,j) = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²) · (n·Σyy − Σy²)),
     * evaluated as fixed-order double ops over the exact sums. */
   def corrPairs(df: DataFrame, cols: Seq[String], scale: Int = 6,
+      decScale: Int = 4): DataFrame =
+    corrFromMoments(corrMoments(df, cols, decScale), cols, scale)
+
+  private def pairsOf(cols: Seq[String]) = for {
+    i <- cols.indices; j <- cols.indices if i < j
+  } yield (cols(i), cols(j))
+
+  /** The one-row exact moment table (n, Σxᵢ, Σxᵢ², Σxᵢxⱼ). A plain global
+    * aggregation, so the SAME state maintains incrementally under
+    * Structured Streaming (complete mode) and merges across partitions,
+    * days, or engines by summation — the correlation matrix is a live
+    * monitor, not only a batch report (StreamingMonitorSpec). */
+  def corrMoments(df: DataFrame, cols: Seq[String],
       decScale: Int = 4): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     // Listwise-complete: a row with ANY null feature contributes to no
@@ -68,19 +81,23 @@ object Trend {
     val dec = s"decimal(18,$decScale)"
     def s1(c: String) = s"s_$c"
     def s2(a: String, b: String) = s"s_${a}_$b"
-    val pairs = for {
-      i <- cols.indices; j <- cols.indices if i < j
-    } yield (cols(i), cols(j))
     val aggs =
       cols.map(c => sum(col(c).cast(dec)).as(s1(c))) ++
       cols.map(c => sum(col(c).cast(dec) * col(c).cast(dec)).as(s2(c, c))) ++
-      pairs.map { case (a, b) =>
+      pairsOf(cols).map { case (a, b) =>
         sum(col(a).cast(dec) * col(b).cast(dec)).as(s2(a, b))
       }
-    val m = base.agg(count(lit(1)).as("n"), aggs: _*)
+    base.agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** Fixed-order double readout of r(i,j) per pair from the moment row. */
+  def corrFromMoments(m: DataFrame, cols: Seq[String],
+      scale: Int = 6): DataFrame = {
+    def s1(c: String) = s"s_$c"
+    def s2(a: String, b: String) = s"s_${a}_$b"
     def d(name: String) = col(name).cast("double")
     val n = d("n")
-    val rows = pairs.map { case (a, b) =>
+    val rows = pairsOf(cols).map { case (a, b) =>
       val cov = n * d(s2(a, b)) - d(s1(a)) * d(s1(b))
       val va = n * d(s2(a, a)) - d(s1(a)) * d(s1(a))
       val vb = n * d(s2(b, b)) - d(s1(b)) * d(s1(b))

@@ -394,6 +394,16 @@ object Events {
           p.agg(count(lit(1)).as("n_purchase"),
             expr("sum((p_us - c_us) div 1000000) div count(1)").as("avg_c2p_s")))
     }),
+
+    // Feature normalization: min-max + z-score + EXACT quantile rank in
+    // one operator. The rank avoids the global sort via value-ordered
+    // buckets (per-bucket parallel windows + broadcast cumulative
+    // offsets); the oracle uses the global window the operator refuses.
+    "q112_feature_normalize" -> ((s, dir) => {
+      graft.operators.Normalize.featureScale(t(s, dir, "events"),
+          "event_id", "value")
+        .orderBy(col("event_id"))
+    }),
   )
 
   private val statsCte =
@@ -638,5 +648,10 @@ object Events {
         |  (SELECT count(*) FROM p) AS n_purchase,
         |  (SELECT CAST(sum((p_us - c_us) // 1000000) // count(*) AS BIGINT) FROM p)
         |    AS avg_c2p_s""".stripMargin,
+
+    "q112_feature_normalize" ->
+      s"""SELECT * FROM (
+         |${graft.operators.Normalize.featureScaleSql("events", "event_id", "value")}
+         |) ORDER BY event_id""".stripMargin,
   )
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events =
+    graft.sources.Tables(spark, sf("sf0.01"), "events")
+      .select($"event_id", $"value")
+
+  test("quantile rank equals the global-sort rank it avoids") {
+    val ours = Normalize.featureScale(events, "event_id", "value")
+      .select($"event_id", $"quantile_ppm")
+    val n = events.count()
+    val naive = events.select($"event_id",
+      expr(s"(CAST(rank() OVER (ORDER BY value) AS BIGINT) - 1) * 1000000 div ${n - 1}")
+        .as("quantile_ppm"))
+    assert(ours.exceptAll(naive).isEmpty && naive.exceptAll(ours).isEmpty)
+  }
+
+  test("result is invariant to the bucket count") {
+    val a = Normalize.featureScale(events, "event_id", "value", numBuckets = 4)
+    val b = Normalize.featureScale(events, "event_id", "value", numBuckets = 997)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("known values: minmax and zscore") {
+    val df = Seq((1L, 0.0), (2L, 5.0), (3L, 10.0)).toDF("id", "value")
+    val out = Normalize.featureScale(df, "id", "value")
+      .orderBy($"id").collect()
+    assert(out(0).getDouble(2) == 0.0 && out(2).getDouble(2) == 1.0)
+    assert(out(1).getDouble(2) == 0.5)
+    assert(out(1).getDouble(3) == 0.0) // mean point
+    // symmetric z-scores: std = sqrt(50/3); ±5/std
+    assert(math.abs(out(0).getDouble(3) + out(2).getDouble(3)) < 1e-9)
+    assert(out(0).getLong(4) == 0L && out(1).getLong(4) == 500000L &&
+      out(2).getLong(4) == 1000000L)
+  }
+
+  test("degenerate inputs yield null, never NaN") {
+    val const = Seq((1L, 7.0), (2L, 7.0)).toDF("id", "value")
+    val c = Normalize.featureScale(const, "id", "value").collect()
+    assert(c.forall(r => r.isNullAt(2) && r.isNullAt(3))) // no range, no std
+    assert(c.forall(r => !r.isNullAt(4))) // rank still defined (all tied at 0)
+    assert(c.forall(_.getLong(4) == 0L))
+
+    val single = Seq((1L, 3.0)).toDF("id", "value")
+    val s1 = Normalize.featureScale(single, "id", "value").collect()
+    assert(s1.forall(r => r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("ties spanning bucket boundaries share the min-rank") {
+    // many duplicates of few values forces ties into the same bucket check
+    val df = (1L to 100L).map(i => (i, (i % 5).toDouble)).toDF("id", "value")
+    val ours = Normalize.featureScale(df, "id", "value", numBuckets = 3)
+      .select($"id", $"quantile_ppm")
+    val naive = df.select($"id",
+      expr("(CAST(rank() OVER (ORDER BY value) AS BIGINT) - 1) * 1000000 div 99")
+        .as("quantile_ppm"))
+    assert(ours.exceptAll(naive).isEmpty && naive.exceptAll(ours).isEmpty)
+  }
+}

@@ -80,4 +80,28 @@ class StreamingMonitorSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("correlation moments maintained on a stream equal the batch matrix") {
+    import graft.operators.Trend
+    val mem = MemoryStream[(Double, Double, Double)](spark)
+    val cols = Seq("x", "y", "z")
+    val q = Trend.corrMoments(mem.toDF().toDF("x", "y", "z"), cols)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("corr_moments").start()
+    val rows = (1 to 40).map(i =>
+      (i.toDouble, 2.0 * i + (i % 3), 100.0 - i + (i % 5)))
+    mem.addData(rows.take(23): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(23): _*)
+    q.processAllAvailable()
+    q.stop()
+    // per-trigger readout: the 3-pair matrix from the one-row moment state
+    val streamed = Trend.corrFromMoments(spark.table("corr_moments"), cols)
+      .orderBy($"col_a", $"col_b")
+      .as[(String, String, Double)].collect().toSeq
+    val batch = Trend.corrPairs(rows.toDF("x", "y", "z"), cols)
+      .orderBy($"col_a", $"col_b")
+      .as[(String, String, Double)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
