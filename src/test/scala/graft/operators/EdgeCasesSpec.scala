@@ -36,6 +36,30 @@ class EdgeCasesSpec extends SparkSpec {
       sourceCol = "doc_id").count() == 0)
   }
 
+  test("round-4 scrub/normalize/upsample edge inputs") {
+    // null text: counts are null, the sum-gate filter treats it as no-PII
+    val nully = Seq((1L, null.asInstanceOf[String]), (2L, "a@b.co"))
+      .toDF("doc_id", "text")
+    val scrubbed = Scrub.redactPii(nully, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(scrubbed(1L).isNullAt(scrubbed(1L).fieldIndex("n_email")))
+    assert(scrubbed(1L).isNullAt(scrubbed(1L).fieldIndex("text_redacted")))
+    assert(scrubbed(2L).getInt(scrubbed(2L).fieldIndex("n_email")) == 1)
+    // empty input: all three new operators return empty, not throw
+    val emptyIdVal = Seq.empty[(Long, Double)].toDF("id", "value")
+    assert(Normalize.featureScale(emptyIdVal, "id", "value").count() == 0)
+    assert(Sampling.repeatByWeight(
+      emptyIdVal.withColumnRenamed("value", "weight_ppm"), "id",
+      "weight_ppm", seed = 1).count() == 0)
+    assert(Trend.corrPairs(
+      Seq.empty[(Double, Double)].toDF("x", "y"), Seq("x", "y"))
+      .collect().forall(_.isNullAt(2)))
+    // zero weight: no copies at all
+    val zeroW = Seq((1L, 0L)).toDF("id", "weight_ppm")
+    assert(Sampling.repeatByWeight(zeroW, "id", "weight_ppm", seed = 1)
+      .count() == 0)
+  }
+
   test("trend slope of a constant-x group is null, not NaN/Inf") {
     import org.apache.spark.sql.types.DecimalType
     val df = Seq(("g", 5L, 1.0), ("g", 5L, 2.0)).toDF("k", "xs", "vs")

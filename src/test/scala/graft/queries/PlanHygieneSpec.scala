@@ -44,6 +44,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q106_token_cooccurrence", // 1-row corpus count attached to pair supports
     "q50_iot_detect_pipeline", // simulator: tick sequence × broadcast metric
                                // spec table (generator fan-out, not a corpus)
+    "q112_feature_normalize",  // 1-row stats aggregate attached to the scan
+                               // (feeds bucketing + min-max/z-score readouts)
   )
 
   private def executedPlan(name: String): String = {
