@@ -367,4 +367,118 @@ object TextAnalysis {
           expr("((n_ngrams - n_distinct) * 2000000 + n_ngrams) div (2 * n_ngrams)")
             .cast("double") / 1000000.0)
           .otherwise(lit(0.0)))
+
+  /** BM25 batch retrieval: top-`k` documents for a fixed query-term set,
+    * Okapi scoring with the repo's engine-exact integer discipline. The
+    * true Okapi idf is `ln((N-df+0.5)/(df+0.5))` — a libm float that
+    * differs across engines; here idf is the per-million inverse rate
+    * `(N·10^6) div df` (the [[tfidfTopTerms]] trick), which preserves the
+    * rare-term weighting BM25 needs while staying bit-identical anywhere.
+    * The tf saturation and length normalization are the real Okapi forms,
+    * carried in ppm fixed-point:
+    *
+    *   len_ppm  = dl·10^12 div avgdl_ppm,  avgdl_ppm = tot·10^6 div N
+    *   norm_ppm = 10^6 − b_ppm + (b_ppm·len_ppm) div 10^6
+    *   tfc_ppm  = f·(10^6+k1_ppm)·10^6 div (f·10^6 + (k1_ppm·norm_ppm) div 10^6)
+    *   score    = Σ_t (idf_ppm(t) · tfc_ppm(t)) div 10^6        (f > 0 only)
+    *
+    * Scale shape: per-row term counts and document length are narrow array
+    * expressions (no token explode, no shuffle); corpus stats (N, Σdl, df
+    * per query term) are ONE map-side-combined row broadcast back; global
+    * top-k is Spark's TakeOrderedAndProject — never a full sort. The only
+    * wide stage in the whole plan is the 1-row stats aggregate.
+    * Magnitudes: dl·10^12 and tot·10^6 must fit in int64 — fine to ~10^6
+    * avg tokens/doc and ~10^12 corpus tokens; past that, lift the two
+    * products to decimal(38,0). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1Ppm: Long = 1200000L, bPpm: Long = 750000L): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.forall(_.matches("[^'\\\\]+")), "terms must be plain words")
+    val S = 1000000L
+    val withTf = queryTerms.zipWithIndex.foldLeft(
+      docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+        .withColumn("dl", size(col("tok")).cast("bigint"))) {
+      case (d, (term, i)) =>
+        d.withColumn(s"_f$i",
+          size(filter(col("tok"), x => x === lit(term))).cast("bigint"))
+    }.drop("tok")
+    val statCols =
+      Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens")) ++
+        queryTerms.indices.map(i =>
+          sum(when(col(s"_f$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val normed = withTf
+      .crossJoin(broadcast(stats))
+      .withColumn("len_ppm",
+        expr(s"(dl * $S * $S) div ((tot_tokens * $S) div n_docs)"))
+      .withColumn("norm_ppm",
+        expr(s"$S - $bPpm + ($bPpm * len_ppm) div $S"))
+    val termScore = queryTerms.indices.map { i =>
+      expr(s"""CASE WHEN _f$i > 0 THEN
+        (((n_docs * $S) div _df$i) *
+         ((_f$i * ($S + $k1Ppm) * $S) div
+          (_f$i * $S + ($k1Ppm * norm_ppm) div $S))) div $S
+        ELSE 0 END""")
+    }.reduce(_ + _)
+    normed.withColumn("score_ppm", termScore.cast("bigint"))
+      .filter(col("score_ppm") > 0)
+      .orderBy(col("score_ppm").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("dl"), col("score_ppm"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the token-adjacency graph — undirected edges between consecutive
+    * tokens, weighted by corpus co-occurrence count — a fixed number of
+    * power iterations, damping d. The float PageRank recurrence is
+    * carried in ppm fixed-point (`pr` starts at 10^6; per-edge
+    * contribution `(pr·w) div W_u`; update `(1−d) + d·Σcontrib` as
+    * `150000 + (850000·Σ) div 10^6`), so every iteration is pure integer
+    * arithmetic — bit-identical ranks in any engine, no libm, no
+    * convergence-test nondeterminism.
+    *
+    * Scale shape: edge extraction is one narrow zip pass + one groupBy on
+    * the (u,v) pair key; the graph is vocabulary-sized — orders smaller
+    * than the corpus — so the per-iteration join broadcasts (AQE picks
+    * shuffle-hash if the vocabulary outgrows broadcast). `iters` is fixed:
+    * no per-round convergence check, one lazy plan, exactly one job at the
+    * sink — the q38 lesson (never pay a count() per round) applied. Tokens
+    * that never co-occur (single-token documents) have no edges, no rank. */
+  def textRankKeywords(docs: DataFrame, idCol: String, textCol: String,
+      iters: Int = 10, k: Int = 10, dampPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && k >= 1, s"iters=$iters k=$k")
+    val S = 1000000L
+    val basePpm = S - dampPpm
+    val pairs = docs
+      .select(tokens(col(textCol)).as("tok"))
+      .filter(size(col("tok")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("tok"), 1, size(col("tok")) - 1).as("a"),
+        slice(col("tok"), 2, size(col("tok")) - 1).as("b"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = pairs
+      .groupBy(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .agg(count(lit(1)).as("w"))
+    val sym = edges.select(col("u"), col("v"), col("w"))
+      .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .cache()
+    val deg = sym.groupBy(col("u")).agg(sum(col("w")).as("wu")).cache()
+    val ranks0 = deg.select(col("u").as("node"), lit(S).as("pr"))
+    val ranked = (1 to iters).foldLeft(ranks0) { (ranks, _) =>
+      sym
+        .join(ranks, sym("u") === ranks("node"))
+        .join(deg, "u")
+        .select(col("v"), expr("(pr * w) div wu").as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("v").as("node"),
+          expr(s"$basePpm + ($dampPpm * sc) div $S").as("pr"))
+    }
+    ranked
+      .orderBy(col("pr").desc, col("node").asc)
+      .limit(k)
+      .select(col("node").as("term"), col("pr").cast("bigint").as("rank_ppm"))
+  }
 }

@@ -293,7 +293,27 @@ object Documents {
           md5(col("text_redacted")).as("redacted_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // BM25 top-15 retrieval for a fixed query (one rare term for idf
+    // contrast). Narrow per-row tf/dl, ONE 1-row corpus-stats aggregate
+    // broadcast back, TakeOrdered top-k — no token explode, no full sort.
+    "q113_bm25_topk" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          queryTerms = bm25Terms, k = 15)
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+    }),
+
+    // TextRank keywords: 10 integer-ppm PageRank iterations over the
+    // token-adjacency graph (vocabulary-sized — per-iteration joins
+    // broadcast; one job total, no per-round convergence check).
+    "q114_textrank_keywords" -> ((s, dir) => {
+      TextAnalysis.textRankKeywords(t(s, dir, "documents"), "doc_id", "text",
+          iters = 10, k = 10)
+        .orderBy(col("rank_ppm").desc, col("term"))
+    }),
   )
+
+  private val bm25Terms = Seq("dup", "spark", "vector", "merge")
 
   // ---- shared SQL fragments -------------------------------------------
 
@@ -818,6 +838,65 @@ object Documents {
          |SELECT * FROM scrubbed
          |WHERE n_email + n_phone + n_ipv4 > 0
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q113_bm25_topk" -> {
+      // same ppm fixed-point formula as TextAnalysis.bm25TopK; DuckDB's
+      // `//` is floor division == Spark `div` on the all-positive operands
+      val fCols = bm25Terms.zipWithIndex.map { case (term, i) =>
+        s"len(list_filter(tok, x -> x = '$term')) AS f$i"
+      }.mkString(",\n  ")
+      val dfCols = bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN f$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val scoreTerms = bm25Terms.indices.map(i =>
+        s"""CASE WHEN f$i > 0 THEN
+           |  (((n_docs * 1000000) // df$i) *
+           |   ((f$i * (1000000 + 1200000) * 1000000) //
+           |    (f$i * 1000000 + (1200000 * norm_ppm) // 1000000))) // 1000000
+           |  ELSE 0 END""".stripMargin).mkString(" +\n")
+      s"""WITH $tokCte,
+         |d AS (SELECT doc_id, len(tok) AS dl,
+         |  $fCols
+         |FROM t),
+         |s AS (SELECT count(*) AS n_docs, sum(dl) AS tot, $dfCols FROM d),
+         |n AS (SELECT d.*, s.*,
+         |  (dl * 1000000 * 1000000) // ((tot * 1000000) // n_docs) AS len_ppm
+         |FROM d CROSS JOIN s),
+         |m AS (SELECT *,
+         |  1000000 - 750000 + (750000 * len_ppm) // 1000000 AS norm_ppm FROM n),
+         |sc AS (SELECT doc_id, dl,
+         |  $scoreTerms AS score_ppm
+         |FROM m)
+         |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+         |       CAST(score_ppm AS BIGINT) AS score_ppm
+         |FROM sc WHERE score_ppm > 0
+         |ORDER BY score_ppm DESC, doc_id LIMIT 15""".stripMargin
+    },
+
+    "q114_textrank_keywords" -> {
+      // 10 fixed power iterations as chained CTEs; `//` == Spark `div`
+      // on the all-positive ppm fixed-point operands
+      val iterCtes = (1 to 10).map { i =>
+        s"""r$i AS (SELECT v AS node,
+           |  150000 + (850000 * sum((pr * w) // wu)) // 1000000 AS pr
+           |FROM sym JOIN r${i - 1} ON sym.u = r${i - 1}.node
+           |         JOIN deg ON sym.u = deg.u
+           |GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $tokCte,
+         |p AS (SELECT unnest(CASE WHEN len(tok) >= 2 THEN
+         |  list_transform(range(1, len(tok)),
+         |                 i -> struct_pack(a := tok[i], b := tok[i + 1]))
+         |  ELSE [] END) AS pr FROM t),
+         |pp AS (SELECT pr.a AS a, pr.b AS b FROM p WHERE pr.a <> pr.b),
+         |e AS (SELECT least(a, b) AS u, greatest(a, b) AS v, count(*) AS w
+         |      FROM pp GROUP BY 1, 2),
+         |sym AS (SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e),
+         |deg AS (SELECT u, sum(w) AS wu FROM sym GROUP BY u),
+         |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |$iterCtes
+         |SELECT node AS term, CAST(pr AS BIGINT) AS rank_ppm FROM r10
+         |ORDER BY pr DESC, node LIMIT 10""".stripMargin
     },
   )
 }

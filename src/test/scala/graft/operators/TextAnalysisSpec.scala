@@ -119,4 +119,80 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp == fp.sorted)
     assert(fp.distinct.length == 5)
   }
+
+  test("bm25: matches naive integer recomputation; idf and length norm behave") {
+    val docs = Seq(
+      (1L, "rare word here plus filler tokens to pad this doc"),
+      (2L, "common word here and more other filler text now yes"),
+      (3L, "common stuff entirely different content with nothing shared here"),
+      (4L, "rare rare rare common word padded out to a much longer doc than " +
+        "the first one so length normalization has something visible to do"),
+      (5L, "unrelated text about other things entirely no hits")
+    ).toDF("doc_id", "text")
+    val terms = Seq("rare", "common")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+
+    // naive recomputation of the exact ppm fixed-point formula
+    val S = 1000000L
+    val (k1, b) = (1200000L, 750000L)
+    val toks = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.trim.split("\\s+").toSeq }
+    val n = toks.length.toLong
+    val tot = toks.map(_._2.size.toLong).sum
+    val dfm = terms.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    val expect = toks.flatMap { case (id, tk) =>
+      val dl = tk.size.toLong
+      val lenPpm = dl * S * S / (tot * S / n)
+      val normPpm = S - b + b * lenPpm / S
+      val score = terms.map { t =>
+        val f = tk.count(_ == t).toLong
+        if (f == 0) 0L
+        else (n * S / dfm(t)) * (f * (S + k1) * S / (f * S + k1 * normPpm / S)) / S
+      }.sum
+      if (score > 0) Some((id, dl, score)) else None
+    }.sortBy(r => (-r._3, r._1)).toSeq
+    assert(got.sortBy(r => (-r._3, r._1)) == expect, s"got $got expect $expect")
+
+    val byId = got.map(r => r._1 -> r._3).toMap
+    // df(rare)=2 < df(common)=3: one rare hit outscores one common hit
+    assert(byId(1L) > byId(2L))
+    // doc 5 has no query terms -> absent
+    assert(!byId.contains(5L))
+    // k bound respected
+    assert(TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 2)
+      .count() == 2)
+  }
+
+  test("textrank: matches naive fixed-point power iteration") {
+    val docs = Seq(
+      (1L, "hub spoke1 hub spoke2 hub spoke3"),
+      (2L, "spoke1 leaf spoke1"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.textRankKeywords(docs, "doc_id", "text",
+        iters = 5, k = 10)
+      .as[(String, Long)].collect().toSeq
+
+    // naive recomputation: same edges, same integer-ppm recurrence
+    val adj = Seq(("hub", "spoke1"), ("spoke1", "hub"), ("hub", "spoke2"),
+      ("spoke2", "hub"), ("hub", "spoke3"), ("spoke1", "leaf"),
+      ("leaf", "spoke1"))
+    val edges = adj.map { case (a, b) => (Seq(a, b).min, Seq(a, b).max) }
+      .groupBy(identity).map { case ((u, v), g) => (u, v, g.size.toLong) }.toSeq
+    val sym = edges ++ edges.map { case (u, v, w) => (v, u, w) }
+    val deg = sym.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    var pr = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      pr = sym.groupBy(_._2).map { case (v, es) =>
+        val sc = es.map { case (u, _, w) => pr(u) * w / deg(u) }.sum
+        v -> (150000L + 850000L * sc / 1000000L)
+      }
+    }
+    val expect = pr.toSeq.sortBy { case (n, p) => (-p, n) }
+    assert(got == expect, s"got $got expect $expect")
+    // hub has the highest degree -> highest rank; 'solo' never appears
+    assert(got.head._1 == "hub")
+    assert(!got.exists(_._1 == "solo"))
+  }
 }
