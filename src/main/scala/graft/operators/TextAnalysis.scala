@@ -454,8 +454,8 @@ object TextAnalysis {
       .select(tokens(col(textCol)).as("tok"))
       .filter(size(col("tok")) >= 2)
       .select(explode(arrays_zip(
-        slice(col("tok"), 1, size(col("tok")) - 1).as("a"),
-        slice(col("tok"), 2, size(col("tok")) - 1).as("b"))).as("p"))
+        slice(col("tok"), lit(1), size(col("tok")) - 1).as("a"),
+        slice(col("tok"), lit(2), size(col("tok")) - 1).as("b"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .filter(col("a") =!= col("b"))
     val edges = pairs
