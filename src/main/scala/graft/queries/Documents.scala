@@ -311,6 +311,18 @@ object Documents {
           iters = 10, k = 10)
         .orderBy(col("rank_ppm").desc, col("term"))
     }),
+
+    // Score evaluation: Mann-Whitney AUC of the quality score against
+    // the lang=en label — pair counting over the per-distinct-score
+    // class histogram (integer-exact ties), never a per-row rank.
+    "q116_score_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_ppm"))
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+          "doc_id")
+      graft.operators.Evaluate.binaryAuc(scored, col("y"), "quality_ppm")
+    }),
   )
 
   private val bm25Terms = Seq("dup", "spark", "vector", "merge")
@@ -898,5 +910,40 @@ object Documents {
          |SELECT node AS term, CAST(pr AS BIGINT) AS rank_ppm FROM r10
          |ORDER BY pr DESC, node LIMIT 10""".stripMargin
     },
+
+    "q116_score_auc" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |g AS (SELECT doc_id, count(*) AS n_tokens,
+         |        count(*) FILTER (w IN ('a', 'the')) AS n_stop,
+         |        CAST(sum(length(w)) AS BIGINT) AS sum_len
+         |      FROM tk GROUP BY doc_id),
+         |p AS (SELECT doc_id,
+         |        (n_stop * 1000000) // n_tokens AS stop_ppm,
+         |        least((sum_len * 1000000) // (8 * n_tokens), 1000000) AS len_ppm,
+         |        least(n_tokens * 10000, 1000000) AS tok_ppm
+         |      FROM g),
+         |q AS (SELECT doc_id,
+         |        (tok_ppm * 3 + (1000000 - stop_ppm) * 4 + len_ppm * 3) // 10 AS sc
+         |      FROM p),
+         |s AS (SELECT q.sc, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |      FROM q JOIN documents d USING (doc_id)),
+         |h AS (SELECT sc, sum(y) AS np, count(*) - sum(y) AS nn
+         |      FROM s GROUP BY sc),
+         |c AS (SELECT sc, np, nn,
+         |        coalesce(sum(nn) OVER (ORDER BY sc
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS negs_below
+         |      FROM h),
+         |agg AS (SELECT sum(np) AS n_pos, sum(nn) AS n_neg,
+         |          sum(np * negs_below) AS concordant, sum(np * nn) AS tied
+         |        FROM c)
+         |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+         |  CAST(concordant AS BIGINT) AS concordant, CAST(tied AS BIGINT) AS tied,
+         |  CAST(((2 * concordant + tied) * 1000000) // (2 * n_pos * n_neg)
+         |       AS BIGINT) AS auc_ppm,
+         |  CAST(CAST(((2 * concordant + tied) * 1000000) // (2 * n_pos * n_neg)
+         |       AS BIGINT) AS DOUBLE) / 1000000.0 AS auc
+         |FROM agg""".stripMargin,
   )
 }

@@ -404,6 +404,15 @@ object Events {
           "event_id", "value")
         .orderBy(col("event_id"))
     }),
+
+    // Dense hourly per-user series with LOCF gap fill: grid cost is
+    // output-sized (exploded from a per-key min/max agg), LOCF window
+    // sorts within each key's hour span only — no global sort anywhere.
+    "q115_gap_fill_locf" -> ((s, dir) => {
+      graft.operators.Timeseries.gapFillHourlyLocf(t(s, dir, "events"),
+          "user_id", "ts", "value")
+        .orderBy(col("user_id"), col("hr"))
+    }),
   )
 
   private val statsCte =
@@ -653,5 +662,22 @@ object Events {
       s"""SELECT * FROM (
          |${graft.operators.Normalize.featureScaleSql("events", "event_id", "value")}
          |) ORDER BY event_id""".stripMargin,
+
+    "q115_gap_fill_locf" ->
+      """WITH hourly AS (SELECT user_id,
+        |    epoch_us(ts) // 3600000000 AS hr, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(30,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+        |      FROM hourly GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM b)
+        |SELECT g.user_id, g.hr,
+        |  coalesce(n, 0) AS n_events,
+        |  last_value(cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled,
+        |  n IS NULL AS is_gap
+        |FROM g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.hr = hourly.hr
+        |ORDER BY g.user_id, g.hr""".stripMargin,
   )
 }

@@ -46,6 +46,8 @@ class PlanHygieneSpec extends SparkSpec {
                                // spec table (generator fan-out, not a corpus)
     "q112_feature_normalize",  // 1-row stats aggregate attached to the scan
                                // (feeds bucketing + min-max/z-score readouts)
+    "q113_bm25_topk",          // 1-row corpus stats (N, Σdl, df) broadcast
+                               // back onto the narrow per-doc tf/dl scan
   )
 
   private def executedPlan(name: String): String = {
