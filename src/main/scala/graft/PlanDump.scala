@@ -285,7 +285,34 @@ object PlanDump {
         "window, and broadcast cumulative bucket counts lift per-bucket " +
         "ranks to global ones. Equal values share a bucket, so ties are " +
         "exactly rank()'s. One data shuffle on the bucket key; the only " +
-        "single-partition window is over numBuckets rows."))
+        "single-partition window is over numBuckets rows."),
+    "q113_bm25_topk" ->
+      ("BM25 retrieval: per-doc tf (one array_filter per query term) and " +
+        "dl are narrow expressions inside the scan task — the tokens are " +
+        "never exploded. Corpus stats (N, Σdl, per-term df) reduce to ONE " +
+        "row broadcast back, and the global top-k is TakeOrderedAndProject " +
+        "— the full plan has exactly one wide stage, the 1-row aggregate, " +
+        "regardless of corpus size. Scoring is ppm fixed-point: " +
+        "bit-identical in any engine, no libm idf."),
+    "q114_textrank_keywords" ->
+      ("TextRank: edge extraction is a narrow zip + one groupBy on the " +
+        "(u,v) pair key; the graph is vocabulary-sized, so all 10 power " +
+        "iterations run as broadcast-hash joins over cached graph tables " +
+        "— iteration cost never touches the corpus again. Fixed iteration " +
+        "count = no per-round convergence job (the q38 lesson); integer " +
+        "ppm damping makes every round's ranks engine-exact."),
+    "q115_gap_fill_locf" ->
+      ("Dense hourly grid + LOCF: one (key, hour) groupBy is the only " +
+        "corpus-sized shuffle; the grid explodes from a per-key (min,max) " +
+        "aggregate, so grid cost scales with output rows, and the fill " +
+        "window sorts only within a key's hour span — no global sort. A " +
+        "key's window state is its span, independent of its event volume."),
+    "q116_score_auc" ->
+      ("Mann-Whitney AUC: the corpus collapses to a per-DISTINCT-score " +
+        "class histogram in one map-side-combined groupBy; the rank window " +
+        "runs over that histogram (score cardinality, not corpus rows) and " +
+        "the readout is one integer division. Tie handling is exact pair " +
+        "counting — no per-row rank, no float rank averaging."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

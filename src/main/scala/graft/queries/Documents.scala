@@ -323,6 +323,28 @@ object Documents {
           "doc_id")
       graft.operators.Evaluate.binaryAuc(scored, col("y"), "quality_ppm")
     }),
+
+    // Calibration table for the same score/label: 10 fixed-width ppm
+    // bins, observed positive rate per bin — nBins output rows from one
+    // map-side-combined groupBy.
+    "q117_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_ppm"))
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+          "doc_id")
+      graft.operators.Evaluate.calibrationBins(scored, col("y"),
+          "quality_ppm", lo = 0L, hi = 1000000L, nBins = 10)
+        .orderBy(col("bin"))
+    }),
+
+    // Chi-squared independence test source × lang: exact integer/decimal
+    // cell algebra (zero cells handled algebraically), one corpus
+    // groupBy, category-sized everything after.
+    "q118_chi2_independence" -> ((s, dir) => {
+      graft.operators.Evaluate.chiSquared(t(s, dir, "documents"),
+        "source", "lang")
+    }),
   )
 
   private val bm25Terms = Seq("dup", "spark", "vector", "merge")
@@ -945,5 +967,50 @@ object Documents {
          |  CAST(CAST(((2 * concordant + tied) * 1000000) // (2 * n_pos * n_neg)
          |       AS BIGINT) AS DOUBLE) / 1000000.0 AS auc
          |FROM agg""".stripMargin,
+
+    "q117_calibration" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |g AS (SELECT doc_id, count(*) AS n_tokens,
+         |        count(*) FILTER (w IN ('a', 'the')) AS n_stop,
+         |        CAST(sum(length(w)) AS BIGINT) AS sum_len
+         |      FROM tk GROUP BY doc_id),
+         |p AS (SELECT doc_id,
+         |        (n_stop * 1000000) // n_tokens AS stop_ppm,
+         |        least((sum_len * 1000000) // (8 * n_tokens), 1000000) AS len_ppm,
+         |        least(n_tokens * 10000, 1000000) AS tok_ppm
+         |      FROM g),
+         |q AS (SELECT doc_id,
+         |        (tok_ppm * 3 + (1000000 - stop_ppm) * 4 + len_ppm * 3) // 10 AS sc
+         |      FROM p),
+         |s AS (SELECT least(9, (sc * 10) // 1000000) AS bin,
+         |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |      FROM q JOIN documents d USING (doc_id)
+         |      WHERE sc BETWEEN 0 AND 1000000)
+         |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm
+         |FROM s GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q118_chi2_independence" ->
+      """WITH cells AS (SELECT source AS a, lang AS b, count(*) AS o
+        |               FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
+        |ct AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
+        |nt AS (SELECT sum(o) AS n_total FROM cells),
+        |j AS (SELECT o, r, c, n_total
+        |      FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nt),
+        |agg AS (SELECT max(n_total) AS n, count(*) AS n_cells,
+        |  sum(((CAST(o AS HUGEINT) * n_total - CAST(r AS HUGEINT) * c)
+        |       * (CAST(o AS HUGEINT) * n_total - CAST(r AS HUGEINT) * c)
+        |       * 1000000)
+        |      // (CAST(n_total AS HUGEINT) * r * c)) AS obs_ppm,
+        |  sum((CAST(r AS HUGEINT) * c * 1000000) // n_total) AS obs_exp_ppm
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST(obs_ppm + n * 1000000 - obs_exp_ppm AS BIGINT) AS chi2_ppm,
+        |  CAST(CAST(obs_ppm + n * 1000000 - obs_exp_ppm AS BIGINT) AS DOUBLE)
+        |    / 1000000.0 AS chi2
+        |FROM agg""".stripMargin,
   )
 }

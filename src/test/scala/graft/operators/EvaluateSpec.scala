@@ -34,4 +34,56 @@ class EvaluateSpec extends SparkSpec {
     val r = auc(Seq((true, 3L), (true, 1L), (false, 2L), (false, 1L)))
     assert(r == ((2L, 2L, 2L, 1L, 625000L)))
   }
+
+  test("calibration bins: widths, rates, out-of-range filtered") {
+    val rows = Seq(
+      (false, 5L), (false, 15L), (true, 15L),   // bins 0 and 1
+      (true, 95L), (true, 100L),                // bin 9 (100 clamps into 9)
+      (true, 101L), (false, -1L))               // out of range: dropped
+      .toDF("y", "sc")
+    val out = Evaluate.calibrationBins(rows, col("y"), "sc", 0L, 100L, 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, 1L, 0L, 0L),
+      (1L, 2L, 1L, 500000L),
+      (9L, 2L, 2L, 1000000L)))
+  }
+
+  test("chi-squared matches the hand-computed 2x2 table") {
+    // o: (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=50; N=100
+    // chi2 = 196/16 + 196/24 + 196/24 + 196/36 = 34.0278 (ppm-floored)
+    val rows =
+      Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(50)(("y", "q"))
+    val out = Evaluate.chiSquared(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+    assert(out._1 == 100L && out._2 == 4L)
+    assert(out._3 == 12250000L + 8166666L + 8166666L + 5444444L) // 34027776
+  }
+
+  test("chi-squared: independent uniform table scores ~zero; zero cells count") {
+    // perfectly independent 2x2: chi2 == 0
+    val indep =
+      Seq.fill(20)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(20)(("y", "q"))
+    val z = Evaluate.chiSquared(indep.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+    assert(z._3 == 0L)
+    // a structurally missing cell: (y,q) absent -> zero-cell term r*c/N
+    // x: p=10,q=10; y: p=10,q=0  => E(y,q)=20*10/30=6.67 contributes ~6.67
+    val sparse =
+      Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p"))
+    val s = Evaluate.chiSquared(sparse.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+    assert(s._2 == 3L) // only observed cells materialize
+    // naive ppm recomputation over ALL 4 cells (zero cell included)
+    val n = 30L
+    val cells = Seq((10L, 20L, 20L), (10L, 20L, 10L), (10L, 10L, 20L))
+    val obs = cells.map { case (o, r, c) =>
+      val d = o * n - r * c; d * d * 1000000L / (n * r * c)
+    }.sum
+    val obsExp = cells.map { case (_, r, c) => r * c * 1000000L / n }.sum
+    assert(s._3 == obs + n * 1000000L - obsExp)
+  }
 }

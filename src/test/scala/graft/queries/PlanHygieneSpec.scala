@@ -48,6 +48,8 @@ class PlanHygieneSpec extends SparkSpec {
                                // (feeds bucketing + min-max/z-score readouts)
     "q113_bm25_topk",          // 1-row corpus stats (N, Σdl, df) broadcast
                                // back onto the narrow per-doc tf/dl scan
+    "q118_chi2_independence",  // 1-row grand total attached to the
+                               // category-sized contingency cell table
   )
 
   private def executedPlan(name: String): String = {
