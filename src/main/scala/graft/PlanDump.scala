@@ -312,7 +312,25 @@ object PlanDump {
         "class histogram in one map-side-combined groupBy; the rank window " +
         "runs over that histogram (score cardinality, not corpus rows) and " +
         "the readout is one integer division. Tie handling is exact pair " +
-        "counting — no per-row rank, no float rank averaging."))
+        "counting — no per-row rank, no float rank averaging."),
+    "q119_ks_separation" ->
+      ("KS statistic: same distinct-score histogram collapse as the AUC; " +
+        "cumulative class counts are windows over the histogram only, the " +
+        "per-threshold CDF gap is one exact cross-multiplied integer, and " +
+        "the arg-max cut point falls out of the same aggregate (max_by on " +
+        "a unique ordering struct) — no second pass, no float CDFs."),
+    "q120_threshold_sweep" ->
+      ("PR/F1 sweep: every operating point from ONE descending cumulative " +
+        "window over the distinct-score histogram — tp/fp/fn are running " +
+        "sums, each metric one ppm division per DISTINCT score. The " +
+        "output is operating-point-sized; the corpus is touched exactly " +
+        "once by the map-side-combined histogram groupBy."),
+    "q121_lang_kappa" ->
+      ("Cohen's kappa: predictions come from the vocabulary-rate language " +
+        "model (broadcast rate table), then ONE groupBy on the (pred, " +
+        "true) cell key; marginals derive from the cell table and meet on " +
+        "the category key. Both final aggregates are 1-row; the decimal " +
+        "marginal algebra keeps even negative kappa engine-exact."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

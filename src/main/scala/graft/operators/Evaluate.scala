@@ -75,6 +75,122 @@ object Evaluate {
         expr("(n_pos * 1000000) div n").as("pos_rate_ppm"))
   }
 
+  /** Kolmogorov-Smirnov separation of a score between the two classes:
+    *
+    *   KS = max_t |F_pos(t) − F_neg(t)|
+    *
+    * over the per-distinct-score class histogram. With cumulative class
+    * counts cp(t), cn(t) and totals P, N the per-threshold distance is
+    * the integer |cp·N − cn·P|, and `ks_ppm = max (|cp·N − cn·P|·10^6)
+    * div (P·N)` — one division per DISTINCT score, no float CDFs.
+    * `at_score` is the smallest score attaining the max (the natural
+    * cut point), chosen by exact integer comparison.
+    *
+    * Scale shape: identical to [[binaryAuc]] — one map-side-combined
+    * groupBy on the score value, then windows over the distinct-score
+    * table only. Returns one row
+    * (n_pos, n_neg, ks_ppm, at_score, ks). */
+  def ksStatistic(df: DataFrame, labelCol: Column, scoreCol: String): DataFrame = {
+    val g = df
+      .groupBy(col(scoreCol).as("sc"))
+      .agg(
+        sum(when(labelCol, 1L).otherwise(0L)).as("np"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("nn"))
+    val cum = Window.orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g
+      .withColumn("cp", sum(col("np")).over(cum))
+      .withColumn("cn", sum(col("nn")).over(cum))
+      .withColumn("tp", sum(col("np")).over(all))
+      .withColumn("tn", sum(col("nn")).over(all))
+      .withColumn("d_ppm",
+        expr("(abs(CAST(cp AS DECIMAL(38,0)) * tn - CAST(cn AS DECIMAL(38,0)) * tp)" +
+          " * 1000000) div (CAST(tp AS DECIMAL(38,0)) * tn)"))
+      .agg(
+        max(col("tp")).as("n_pos"),
+        max(col("tn")).as("n_neg"),
+        max(col("d_ppm")).as("ks_ppm"),
+        // smallest score attaining the max distance: maximize (d, -sc);
+        // the ordering struct is unique per row, so max_by is deterministic
+        max_by(col("sc"), struct(col("d_ppm"), -col("sc"))).as("at_score"))
+      .select(col("n_pos"), col("n_neg"), col("ks_ppm"),
+        expr("CAST(at_score AS BIGINT)").as("at_score"))
+      .withColumn("ks", col("ks_ppm").cast("double") / 1000000.0)
+  }
+
+  /** Precision/recall/F1 sweep over every distinct score threshold t
+    * (predict positive when score ≥ t). From the descending cumulative
+    * class histogram: tp(t), fp(t) are running sums, fn(t) = P − tp(t),
+    * and each metric is one integer ppm division per distinct score —
+    * no per-row ranks, no float rates.
+    *
+    * Output is distinct-score-sized (threshold, tp, fp, fn,
+    * precision_ppm, recall_ppm, f1_ppm) — the full operating-point
+    * table a threshold choice reads off. Scale shape: one corpus
+    * groupBy, then windows over the distinct-score table. */
+  def thresholdSweep(df: DataFrame, labelCol: Column, scoreCol: String): DataFrame = {
+    val g = df
+      .groupBy(col(scoreCol).as("threshold"))
+      .agg(
+        sum(when(labelCol, 1L).otherwise(0L)).as("np"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("nn"))
+    val cum = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("threshold"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g
+      .withColumn("tp", sum(col("np")).over(cum))
+      .withColumn("fp", sum(col("nn")).over(cum))
+      .withColumn("fn", sum(col("np")).over(all) - col("tp"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        expr("(tp * 1000000) div (tp + fp)").as("precision_ppm"),
+        expr("(tp * 1000000) div (tp + fn)").as("recall_ppm"),
+        expr("(2 * tp * 1000000) div (2 * tp + fp + fn)").as("f1_ppm"))
+  }
+
+  /** Cohen's kappa: chance-corrected agreement between two categorical
+    * labelings (multi-class — e.g. a classifier's prediction against
+    * ground truth, or two annotators). With observed agreement
+    * Σdiag / N and chance agreement Σ_k r_k·c_k / N²,
+    *
+    *   kappa = (N·Σdiag − Σ r·c) / (N² − Σ r·c)
+    *
+    * computed entirely in decimal(38) integers, one truncating ppm
+    * division at readout (Spark `div` and DuckDB `//` both truncate
+    * toward zero, so a negative kappa is engine-exact too). Degenerate
+    * tables (both sides constant ⇒ denominator 0) yield null, never a
+    * division error.
+    *
+    * Scale shape: one corpus groupBy on the (a, b) cell key; marginals
+    * derive from the cell table and meet on the category key (never a
+    * second corpus pass); the final 1-row combine attaches two
+    * category-sized aggregates. Returns one row
+    * (n, n_agree, kappa_ppm, kappa). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("a").as("k")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("b").as("k")).agg(sum(col("o")).as("c"))
+    // Σ_k r_k·c_k over the category union — categories seen on only one
+    // side contribute 0 (their other marginal is 0)
+    val chance = rowT.join(colT, Seq("k"), "full_outer")
+      .agg(sum(expr(
+        "CAST(coalesce(r, 0) AS DECIMAL(38,0)) * coalesce(c, 0)"))
+        .as("sum_rc"))
+    val obs = cells.agg(
+      sum(col("o")).as("n"),
+      sum(when(col("a") === col("b"), col("o")).otherwise(0L)).as("n_agree"))
+    obs.crossJoin(broadcast(chance))
+      .select(col("n"), col("n_agree"),
+        expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * n - sum_rc = 0 THEN NULL
+                ELSE ((CAST(n AS DECIMAL(38,0)) * n_agree - sum_rc) * 1000000)
+                     div (CAST(n AS DECIMAL(38,0)) * n - sum_rc) END""")
+          .cast("bigint").as("kappa_ppm"))
+      .withColumn("kappa", col("kappa_ppm").cast("double") / 1000000.0)
+  }
+
   /** Pearson chi-squared statistic for independence of two categorical
     * columns, in exact integer arithmetic: with cell count O, row total
     * r, column total c and grand total N,

@@ -345,6 +345,46 @@ object Documents {
       graft.operators.Evaluate.chiSquared(t(s, dir, "documents"),
         "source", "lang")
     }),
+
+    // Kolmogorov-Smirnov separation of the quality score between
+    // classes: max CDF gap via exact cross-multiplied cumulative counts
+    // over the distinct-score histogram; at_score is the natural cut.
+    "q119_ks_separation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_ppm"))
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+          "doc_id")
+      graft.operators.Evaluate.ksStatistic(scored, col("y"), "quality_ppm")
+    }),
+
+    // Full precision/recall/F1 operating-point table: one row per
+    // distinct score threshold, all counts from descending cumulative
+    // sums over the histogram — the threshold-choice artifact.
+    "q120_threshold_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_ppm"))
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+          "doc_id")
+      graft.operators.Evaluate.thresholdSweep(scored, col("y"), "quality_ppm")
+        .orderBy(col("threshold"))
+    }),
+
+    // Cohen's kappa of the n-gram language-ID prediction against the
+    // true labels on the q40 holdout — multi-class chance-corrected
+    // agreement, exact decimal marginal algebra.
+    "q121_lang_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = TextAnalysis.languageId(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "lang")
+        .select(col("doc_id"), col("pred_lang"))
+      val joined = pred.join(
+        docs.select(col("doc_id"), col("lang")), "doc_id")
+      graft.operators.Evaluate.cohenKappa(joined, "pred_lang", "lang")
+    }),
   )
 
   private val bm25Terms = Seq("dup", "spark", "vector", "merge")
@@ -353,6 +393,26 @@ object Documents {
 
   private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
   private val tokCte = s"t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents)"
+
+  /** q41's quality-score chain ending in the (sc, y) per-doc table the
+    * evaluation oracles (q119/q120) consume: score ppm + lang=en label. */
+  private val scoredCte =
+    s"""$tokCte,
+       |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+       |g AS (SELECT doc_id, count(*) AS n_tokens,
+       |        count(*) FILTER (w IN ('a', 'the')) AS n_stop,
+       |        CAST(sum(length(w)) AS BIGINT) AS sum_len
+       |      FROM tk GROUP BY doc_id),
+       |p AS (SELECT doc_id,
+       |        (n_stop * 1000000) // n_tokens AS stop_ppm,
+       |        least((sum_len * 1000000) // (8 * n_tokens), 1000000) AS len_ppm,
+       |        least(n_tokens * 10000, 1000000) AS tok_ppm
+       |      FROM g),
+       |q AS (SELECT doc_id,
+       |        (tok_ppm * 3 + (1000000 - stop_ppm) * 4 + len_ppm * 3) // 10 AS sc
+       |      FROM p),
+       |s AS (SELECT sc, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |      FROM q JOIN documents d USING (doc_id))""".stripMargin
 
   private def shingleCte(n: Int): String = {
     val parts = (0 until n).map(j => if (j == 0) "tok[i]" else s"tok[i+$j]").mkString(" || ' ' || ")
@@ -1012,5 +1072,75 @@ object Documents {
         |  CAST(CAST(obs_ppm + n * 1000000 - obs_exp_ppm AS BIGINT) AS DOUBLE)
         |    / 1000000.0 AS chi2
         |FROM agg""".stripMargin,
+
+    "q119_ks_separation" ->
+      s"""WITH $scoredCte,
+         |g2 AS (SELECT sc, CAST(sum(y) AS BIGINT) AS np,
+         |         CAST(count(*) - sum(y) AS BIGINT) AS nn FROM s GROUP BY sc),
+         |c AS (SELECT sc,
+         |        sum(np) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS cp,
+         |        sum(nn) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS cn,
+         |        sum(np) OVER () AS tp, sum(nn) OVER () AS tn
+         |      FROM g2),
+         |d AS (SELECT sc, tp, tn,
+         |        (abs(CAST(cp AS HUGEINT) * tn - CAST(cn AS HUGEINT) * tp)
+         |         * 1000000) // (CAST(tp AS HUGEINT) * tn) AS d_ppm
+         |      FROM c),
+         |m AS (SELECT max(d_ppm) AS ks_ppm FROM d)
+         |SELECT CAST(max(tp) AS BIGINT) AS n_pos,
+         |  CAST(max(tn) AS BIGINT) AS n_neg,
+         |  CAST(max(d.d_ppm) AS BIGINT) AS ks_ppm,
+         |  CAST(min(sc) FILTER (d.d_ppm = m.ks_ppm) AS BIGINT) AS at_score,
+         |  CAST(max(d.d_ppm) AS DOUBLE) / 1000000.0 AS ks
+         |FROM d CROSS JOIN m""".stripMargin,
+
+    "q120_threshold_sweep" ->
+      s"""WITH $scoredCte,
+         |g2 AS (SELECT sc AS threshold, CAST(sum(y) AS BIGINT) AS np,
+         |         CAST(count(*) - sum(y) AS BIGINT) AS nn FROM s GROUP BY sc),
+         |c AS (SELECT threshold,
+         |        sum(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS tp,
+         |        sum(nn) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS fp,
+         |        sum(np) OVER ()
+         |          - sum(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS fn
+         |      FROM g2)
+         |SELECT CAST(threshold AS BIGINT) AS threshold, CAST(tp AS BIGINT) AS tp,
+         |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+         |  CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_ppm,
+         |  CAST((tp * 1000000) // (tp + fn) AS BIGINT) AS recall_ppm,
+         |  CAST((2 * tp * 1000000) // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm
+         |FROM c ORDER BY threshold""".stripMargin,
+
+    "q121_lang_kappa" ->
+      s"""WITH tr AS (SELECT lang, unnest(string_split($normSql, ' ')) AS w
+         |            FROM documents WHERE doc_id % 5 <> 0),
+         |freq AS (SELECT lang, w, count(*) AS freq FROM tr GROUP BY lang, w),
+         |tot AS (SELECT lang, count(*) AS total FROM tr GROUP BY lang),
+         |rate AS (SELECT lang, w, (freq * 1000000) // total AS rate
+         |         FROM freq JOIN tot USING (lang)),
+         |te AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+         |       FROM documents WHERE doc_id % 5 = 0),
+         |sc AS (SELECT doc_id, lang, sum(rate) AS score
+         |       FROM te JOIN rate USING (w) GROUP BY doc_id, lang),
+         |r AS (SELECT doc_id, lang, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM sc),
+         |j AS (SELECT r.lang AS a, d.lang AS b
+         |      FROM r JOIN documents d USING (doc_id) WHERE rn = 1),
+         |cells AS (SELECT a, b, count(*) AS o FROM j GROUP BY a, b),
+         |rt AS (SELECT a AS k, sum(o) AS r FROM cells GROUP BY a),
+         |ct AS (SELECT b AS k, sum(o) AS c FROM cells GROUP BY b),
+         |ch AS (SELECT sum(CAST(coalesce(r, 0) AS HUGEINT) * coalesce(c, 0)) AS sum_rc
+         |       FROM rt FULL OUTER JOIN ct USING (k)),
+         |ob AS (SELECT CAST(sum(o) AS HUGEINT) AS n,
+         |        CAST(coalesce(sum(o) FILTER (a = b), 0) AS HUGEINT) AS n_agree
+         |       FROM cells)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+         |  CAST(CASE WHEN n * n - sum_rc = 0 THEN NULL
+         |       ELSE ((n * n_agree - sum_rc) * 1000000) // (n * n - sum_rc)
+         |       END AS BIGINT) AS kappa_ppm,
+         |  CAST(CAST(CASE WHEN n * n - sum_rc = 0 THEN NULL
+         |       ELSE ((n * n_agree - sum_rc) * 1000000) // (n * n - sum_rc)
+         |       END AS BIGINT) AS DOUBLE) / 1000000.0 AS kappa
+         |FROM ob CROSS JOIN ch""".stripMargin,
   )
 }

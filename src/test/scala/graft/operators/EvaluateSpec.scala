@@ -61,6 +61,61 @@ class EvaluateSpec extends SparkSpec {
     assert(out._3 == 12250000L + 8166666L + 8166666L + 5444444L) // 34027776
   }
 
+  test("ks statistic: max CDF gap and its smallest attaining score") {
+    // distinct scores 1,2,3; np = 0,1,1; nn = 1,1,0; P = N = 2
+    // d(1) = |0*2-1*2|/4 = .5; d(2) = |2-4|/4 = .5; d(3) = 0
+    // max 500000, first attained at score 1
+    val r = Evaluate.ksStatistic(
+        Seq((false, 1L), (false, 2L), (true, 2L), (true, 3L)).toDF("y", "sc"),
+        col("y"), "sc")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r == ((2L, 2L, 500000L, 1L, 0.5)))
+  }
+
+  test("ks statistic: perfect separation -> 1.0 at the top negative score") {
+    val r = Evaluate.ksStatistic(
+        Seq((true, 10L), (true, 9L), (false, 2L), (false, 1L)).toDF("y", "sc"),
+        col("y"), "sc")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r == ((2L, 2L, 1000000L, 2L, 1.0)))
+  }
+
+  test("threshold sweep: per-threshold tp/fp/fn and ppm metrics") {
+    val out = Evaluate.thresholdSweep(
+        Seq((false, 1L), (false, 2L), (true, 2L), (true, 3L)).toDF("y", "sc"),
+        col("y"), "sc")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 0L, 500000L, 1000000L, 666666L),
+      (2L, 2L, 1L, 0L, 666666L, 1000000L, 800000L),
+      (3L, 1L, 0L, 1L, 1000000L, 500000L, 666666L)))
+  }
+
+  test("cohen kappa: textbook 2x2 agreement table") {
+    // agree 35/50, marginals r=(25,25) c=(30,20) -> pe = 1250/2500
+    // kappa = (50*35 - 1250) / (2500 - 1250) = 0.4 exactly
+    val rows =
+      Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))
+    val r = Evaluate.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r == ((50L, 35L, 400000L, 0.4)))
+  }
+
+  test("cohen kappa: degenerate constant table -> null; one-sided categories count") {
+    val d = Evaluate.cohenKappa(
+        Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b")
+      .select("kappa_ppm").as[Option[Long]].head()
+    assert(d.isEmpty)
+    // b has category z never seen in a: union marginals still exact
+    // cells (x,x)=1 (y,z)=1; sum_rc = 1*1 -> kappa = (2-1)/(4-1) = 1/3
+    val s = Evaluate.cohenKappa(
+        Seq(("x", "x"), ("y", "z")).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+    assert(s._1 == 2L && s._2 == 1L && s._3 == 333333L)
+  }
+
   test("chi-squared: independent uniform table scores ~zero; zero cells count") {
     // perfectly independent 2x2: chi2 == 0
     val indep =

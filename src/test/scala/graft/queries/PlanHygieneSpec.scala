@@ -50,6 +50,8 @@ class PlanHygieneSpec extends SparkSpec {
                                // back onto the narrow per-doc tf/dl scan
     "q118_chi2_independence",  // 1-row grand total attached to the
                                // category-sized contingency cell table
+    "q121_lang_kappa",         // 1-row chance-agreement aggregate attached
+                               // to the 1-row observed-agreement aggregate
   )
 
   private def executedPlan(name: String): String = {
