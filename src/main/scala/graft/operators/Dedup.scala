@@ -639,9 +639,21 @@ object Dedup {
       docs: DataFrame, pairs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Only docs that appear in a candidate pair can contribute a span
+    // (every downstream join is inner on a pair side), so prune BEFORE
+    // tokenizing: the posexplode then costs O(pair-involved docs), not
+    // O(corpus) — at scale the pair set is the small output of banding
+    // while the corpus explode would dominate the whole query.
+    // The pair table feeds two consumers (the id prune and the span
+    // join); materialize it once so the candidate-generation pipeline
+    // behind it doesn't run twice.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val inPairs = p
+      .select(explode(array(col("id_a"), col("id_b"))).as("pid")).distinct()
     val pos = docs
+      .join(broadcast(inPairs), col(idCol) === col("pid"), "left_semi")
       .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))).as(Seq("i", "w")))
-    val m = pairs.select(col("id_a"), col("id_b"))
+    val m = p
       .join(pos.select(col("doc_id").as("id_a"), col("i").as("ia"), col("w")), Seq("id_a"))
       .join(pos.select(col("doc_id").as("id_b"), col("i").as("ib"), col("w")), Seq("id_b", "w"))
     val diag = Window.partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("ia"))
