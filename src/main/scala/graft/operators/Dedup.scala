@@ -430,25 +430,27 @@ object Dedup {
     * hash-partitions once on doc_id and reuses that exchange (dup-heavy
     * crawls make the label set a large fraction of the corpus — NOT
     * broadcastable; AQE may still flip it when it is small); the
-    * per-component argmax is a rank-1 window the GroupedTopKRewrite turns
-    * into a bounded aggregate.
+    * per-component argmax and the member count come out of ONE
+    * map-side-combined groupBy (`max_by` on a unique ordering struct) —
+    * no window sort, no second pass joined back.
     */
   def componentRepresentatives(docs: DataFrame, idCol: String, textCol: String,
       scores: DataFrame, scoreCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val comps = nearDupGroups(nearDupPairs(docs, idCol, textCol))
     val labeled = docs.select(col(idCol).as("doc_id"))
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("comp"))
     val scored = labeled.join(
       scores.select(col(idCol).as("doc_id"), col(scoreCol).as("_score")), Seq("doc_id"))
-    val w = Window.partitionBy(col("comp"))
-      .orderBy(col("_score").desc, col("doc_id").asc)
-    val reps = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("comp"), col("doc_id").as("rep_id"), col("_score").as("rep_score"))
-    val counts = scored.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
-    reps.join(counts, Seq("comp"))
+    scored.groupBy(col("comp"))
+      .agg(
+        // highest score, tie-break lowest id: the (score, -id) ordering
+        // struct is unique per member, so the argmax is deterministic
+        max_by(struct(col("doc_id"), col("_score")),
+          struct(col("_score"), -col("doc_id"))).as("rep"),
+        count(lit(1)).as("n_members"))
+      .select(col("comp"), col("rep.doc_id").as("rep_id"),
+        col("rep._score").as("rep_score"), col("n_members"))
   }
 
   /** Embedding near-duplicate pairs at scale: sign-random-projection
