@@ -330,7 +330,31 @@ object PlanDump {
         "model (broadcast rate table), then ONE groupBy on the (pred, " +
         "true) cell key; marginals derive from the cell table and meet on " +
         "the category key. Both final aggregates are 1-row; the decimal " +
-        "marginal algebra keeps even negative kappa engine-exact."))
+        "marginal algebra keeps even negative kappa engine-exact."),
+    "q122_quality_audit" ->
+      ("Data-quality audit: every row predicate shares ONE scan (a single " +
+        "aggregate of conditional counts unpivoted via inline), uniqueness " +
+        "is one map-side-combined key groupBy read off two sums, and FK " +
+        "integrity is one join against the distinct parent keys. The " +
+        "report is constraint-sized whatever the batch size."),
+    "q123_snapshot_diff" ->
+      ("CDC snapshot diff: BOTH as-of snapshots fall out of one groupBy " +
+        "as conditional max_bys (rows past a cutoff have a null ordering " +
+        "struct, which max_by ignores) — one corpus scan, one key " +
+        "shuffle, no snapshot-vs-snapshot join, and the output is the " +
+        "delta only."),
+    "q124_matryoshka_recall" ->
+      ("Matryoshka recall: two exact brute-force kNN passes (64-dim " +
+        "ground truth, 16-dim truncated) — each a broadcast query set " +
+        "mapped over the corpus scan with a bounded top-k aggregate — " +
+        "then recall@5 joins two query-sized frames. The truncated scan " +
+        "reads the same column; slice() keeps it one projection."),
+    "q125_component_split" ->
+      ("Leakage-free split: the q38 component labeling (banded candidate " +
+        "join, frontier label propagation) plus ONE groupBy on the split " +
+        "label. The hash rule keys on the component, so near-dup pairs " +
+        "can't straddle the boundary by construction — the cross-split " +
+        "pair count is structurally zero (SamplingSpec asserts it)."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

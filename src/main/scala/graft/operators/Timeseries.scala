@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -52,5 +52,40 @@ object Timeseries {
         coalesce(col("n"), lit(0L)).as("n_events"),
         last(col("cents"), ignoreNulls = true).over(w).as("cents_filled"),
         col("n").isNull.as("is_gap"))
+  }
+
+  /** CDC-style snapshot diff over an append-only event log: each key's
+    * latest value as of `oldUpTo` vs as of `newUpTo`, emitted as the
+    * change delta — `added` (key first appears in the new window) or
+    * `changed` (latest value differs); unchanged keys are dropped. The
+    * latest-row choice is the exact q16 rule: max_by on the unique
+    * (ts, tiebreak-id) ordering struct.
+    *
+    * Scale shape: ONE corpus scan and ONE groupBy on the key — both
+    * snapshots fall out of the same aggregate as conditional max_bys
+    * (rows outside a cutoff have a null ordering struct, which max_by
+    * ignores), so the diff never joins two snapshot passes. The removal
+    * case (`removed`) is carried for generality: it can only arise when
+    * the old window sees keys the new one doesn't (disjoint windows /
+    * compaction diffs), never with nested cutoffs. */
+  def snapshotDiff(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String,
+      oldUpTo: Column, newUpTo: Column): DataFrame = {
+    def latest(cond: Column) = max_by(
+      when(cond, struct(col(valCol).as("v"))),
+      when(cond, struct(col(tsCol), col(tieCol))))
+    events
+      .groupBy(col(keyCol))
+      .agg(
+        latest(col(tsCol) <= oldUpTo).as("_old"),
+        latest(col(tsCol) <= newUpTo).as("_new"))
+      .select(col(keyCol),
+        when(col("_old").isNull && col("_new").isNull, "unchanged") // out of both windows
+          .when(col("_old").isNull, "added")
+          .when(col("_new").isNull, "removed")
+          .when(col("_old.v") === col("_new.v"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("_old.v").as("old_value"), col("_new.v").as("new_value"))
+      .filter(col("status") =!= "unchanged")
   }
 }

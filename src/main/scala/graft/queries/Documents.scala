@@ -371,6 +371,28 @@ object Documents {
         .orderBy(col("threshold"))
     }),
 
+    // Leakage-free train/test split: the q34 hash rule keyed on the
+    // near-dup COMPONENT label instead of the doc id, so every member of
+    // a near-dup cluster lands in the same split — the split that keeps
+    // paraphrase leakage out of the held-out set by construction (the
+    // cross-split near-dup pair count is structurally zero; asserted in
+    // SamplingSpec). Costs the q38 component labeling plus one groupBy.
+    "q125_component_split" -> ((s, dir) => {
+      import graft.functions.TextFunctions.hash32
+      val docs = t(s, dir, "documents")
+      val comps = Dedup.nearDupGroups(Dedup.nearDupPairs(docs, "doc_id", "text"))
+      docs.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("comp"))
+        .withColumn("split",
+          when(hash32(col("comp").cast("string"), 9) % 100 < 80, "train")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("comp")).as("n_components"))
+        .orderBy(col("split"))
+    }),
+
     // Cohen's kappa of the n-gram language-ID prediction against the
     // true labels on the q40 holdout — multi-class chance-corrected
     // agreement, exact decimal marginal algebra.
@@ -413,6 +435,40 @@ object Documents {
        |      FROM p),
        |s AS (SELECT sc, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
        |      FROM q JOIN documents d USING (doc_id))""".stripMargin
+
+  /** q38's MinHash-banding + Jaccard-verify + recursive-reachability
+    * chain, ending in `comp0(doc_id, keep_id)` — the per-doc component
+    * label for every doc that appears in a near-dup pair. Shared by the
+    * q38 components oracle and the q125 component-split oracle. */
+  private lazy val componentsCtes: String = {
+    val sigCols = (0 until 8)
+      .map(i => s"min(${graft.functions.TextFunctions.minhashPermSql(h32("s", 0), i)}) AS sig$i")
+      .mkString(",\n  ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH RECURSIVE $tokCte,
+       |${shingleCte(3)},
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |band AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+       |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
+       |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+       |inter AS (SELECT id_a, id_b, count(*) AS ni
+       |          FROM cand JOIN dsh a ON a.doc_id = id_a
+       |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
+       |          GROUP BY id_a, id_b),
+       |p AS (SELECT id_a, id_b FROM inter
+       |  JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+       |  WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.5),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(n, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n),
+       |comp0 AS (SELECT n AS doc_id, min(r) AS keep_id FROM reach GROUP BY n)""".stripMargin
+  }
 
   private def shingleCte(n: Int): String = {
     val parts = (0 until n).map(j => if (j == 0) "tok[i]" else s"tok[i+$j]").mkString(" || ' ' || ")
@@ -560,36 +616,20 @@ object Documents {
          |  CAST(max(nt) AS BIGINT) AS max_tokens
          |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "q38_neardup_components" -> {
-      val sigCols = (0 until 8)
-        .map(i => s"min(${graft.functions.TextFunctions.minhashPermSql(h32("s", 0), i)}) AS sig$i")
-        .mkString(",\n  ")
-      val bandRows = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
-      }.mkString("\n UNION ALL ")
-      s"""WITH RECURSIVE $tokCte,
-         |${shingleCte(3)},
-         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
-         |band AS ($bandRows),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
-         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
-         |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
-         |inter AS (SELECT id_a, id_b, count(*) AS ni
-         |          FROM cand JOIN dsh a ON a.doc_id = id_a
-         |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
-         |          GROUP BY id_a, id_b),
-         |p AS (SELECT id_a, id_b FROM inter
-         |  JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
-         |  WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.5),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
-         |reach(n, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n)
-         |SELECT n AS doc_id, min(r) AS keep_id FROM reach
-         |GROUP BY n ORDER BY doc_id""".stripMargin
-    },
+    "q38_neardup_components" ->
+      s"""$componentsCtes
+         |SELECT doc_id, keep_id FROM comp0 ORDER BY doc_id""".stripMargin,
+
+    // q38's component labeling + the q34 hash split rule keyed on the
+    // component label (singletons label themselves).
+    "q125_component_split" ->
+      s"""$componentsCtes,
+         |lab AS (SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS comp
+         |        FROM documents d LEFT JOIN comp0 c USING (doc_id))
+         |SELECT CASE WHEN ${h32("CAST(comp AS VARCHAR)", 9)} % 100 < 80
+         |    THEN 'train' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, count(DISTINCT comp) AS n_components
+         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q79_component_representatives" -> {
       val sigCols = (0 until 8)

@@ -413,6 +413,18 @@ object Events {
           "user_id", "ts", "value")
         .orderBy(col("user_id"), col("hr"))
     }),
+
+    // CDC snapshot diff: each user's latest value as of Jan 15 vs Jan 30,
+    // emitted as the added/changed delta — BOTH snapshots fall out of one
+    // groupBy via conditional max_by (null ordering rows are ignored), so
+    // the diff costs one corpus scan and one key shuffle.
+    "q123_snapshot_diff" -> ((s, dir) => {
+      graft.operators.Timeseries.snapshotDiff(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "value",
+          oldUpTo = lit("2024-01-15").cast("timestamp"),
+          newUpTo = lit("2024-01-30").cast("timestamp"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   private val statsCte =
@@ -679,5 +691,24 @@ object Events {
         |  n IS NULL AS is_gap
         |FROM g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.hr = hourly.hr
         |ORDER BY g.user_id, g.hr""".stripMargin,
+
+    "q123_snapshot_diff" ->
+      """WITH r AS (SELECT user_id, ts, event_id, value FROM events),
+        |o AS (SELECT user_id, value AS old_value FROM (
+        |   SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM r WHERE ts <= TIMESTAMP '2024-01-15') WHERE rn = 1),
+        |n AS (SELECT user_id, value AS new_value FROM (
+        |   SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM r WHERE ts <= TIMESTAMP '2024-01-30') WHERE rn = 1)
+        |SELECT user_id,
+        |  CASE WHEN o.old_value IS NULL THEN 'added'
+        |       WHEN n.new_value IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  o.old_value, n.new_value
+        |FROM o FULL OUTER JOIN n USING (user_id)
+        |WHERE o.old_value IS DISTINCT FROM n.new_value
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -199,6 +199,22 @@ object Extras {
           col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rk"))
     }),
+
+    // Matryoshka truncation evaluation: recall@5 of brute-force kNN on
+    // the FIRST 16 of 64 dims against full-dim ground truth — the
+    // "how much cheaper can the serving vectors get" measurement for
+    // MRL-style embeddings. Both sides are exact deterministic scans,
+    // so even this evaluation is oracle-hash-checked.
+    "q124_matryoshka_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      def trunc(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("embedding", slice(col("embedding"), 1, 16))
+      Knn.recallAtK(
+          Knn.exact(e, queries, k = 5),
+          Knn.exact(trunc(e), trunc(queries), k = 5))
+        .orderBy(col("query_id"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -219,10 +235,13 @@ object Extras {
     fold(s"list_transform(range(1, 65), i -> ($x[i] - $y[i]) * ($x[i] - $y[i]))")
 
   /** cosine with zero-norm→0.0; dot/norms as three separate ltr folds. */
-  private def cosSelect(qv: String, nv: String): String =
-    s"""${fold(s"list_transform(range(1, 65), i -> $qv[i] * $nv[i])")} AS dot,
-       |${fold(s"list_transform(range(1, 65), i -> $qv[i] * $qv[i])")} AS na,
-       |${fold(s"list_transform(range(1, 65), i -> $nv[i] * $nv[i])")} AS nb""".stripMargin
+  private def cosSelect(qv: String, nv: String): String = cosSelectD(qv, nv, 64)
+
+  /** [[cosSelect]] over the first `d` dims (Matryoshka truncation). */
+  private def cosSelectD(qv: String, nv: String, d: Int): String =
+    s"""${fold(s"list_transform(range(1, ${d + 1}), i -> $qv[i] * $nv[i])")} AS dot,
+       |${fold(s"list_transform(range(1, ${d + 1}), i -> $qv[i] * $qv[i])")} AS na,
+       |${fold(s"list_transform(range(1, ${d + 1}), i -> $nv[i] * $nv[i])")} AS nb""".stripMargin
 
   private def assignCte(a: String, c: String): String =
     s"""$a AS (SELECT vec_id, cell_id FROM (
@@ -358,5 +377,31 @@ object Extras {
          |SELECT id_b AS vec_id, min(id_a) AS kept_by,
          |  round(min_by(cs, id_a), 6) AS sim
          |FROM p WHERE cs >= 0.3 GROUP BY id_b ORDER BY vec_id""".stripMargin,
+
+    // Mirrors Knn.recallAtK(exact full-dim, exact 16-dim-truncated):
+    // both brute-force top-5 sides use the same fixed-fold cosine the
+    // Spark expression computes — the truncated side just folds 16 dims.
+    "q124_matryoshka_recall" -> {
+      def topk(name: String, d: Int, qv: String, nv: String): String =
+        s"""${name}_sc AS (SELECT qid, nid,
+           |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+           |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cs
+           |  FROM (SELECT q.qid, n.vec_id AS nid, ${cosSelectD(qv, nv, d)}
+           |        FROM q JOIN e n ON n.vec_id <> q.qid)),
+           |$name AS (SELECT qid, nid FROM (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk
+           |  FROM ${name}_sc) WHERE rk <= 5)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |${topk("gt", 64, "q.qv", "n.v")},
+         |${topk("apx", 16, "q.qv", "n.v")}
+         |SELECT g.qid AS query_id,
+         |  CAST(coalesce(h.n_hit, 0) * 1000000 // g.n_gt AS BIGINT) AS recall_ppm
+         |FROM (SELECT qid, count(*) AS n_gt FROM gt GROUP BY qid) g
+         |LEFT JOIN (SELECT x.qid, count(*) AS n_hit
+         |           FROM gt x JOIN apx ON apx.qid = x.qid AND apx.nid = x.nid
+         |           GROUP BY x.qid) h ON h.qid = g.qid
+         |ORDER BY query_id""".stripMargin
+    },
   )
 }

@@ -449,6 +449,27 @@ object Relational {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("col_a"), col("col_b"))
     }),
+
+    // Data-quality audit gate (Deequ-style expectations): all row
+    // predicates in ONE scan (conditional counts unpivoted to rows),
+    // PK uniqueness as one key groupBy, FK integrity as one join
+    // against the distinct parent keys — a constraint-sized report
+    // whatever the batch size.
+    "q122_quality_audit" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Audit
+      val li = t(s, dir, "lineitem")
+      Audit.report(
+          Audit.rowChecks(li, Seq(
+            "quantity_range" -> ($"l_quantity" >= 1 && $"l_quantity" <= 50),
+            "discount_range" -> ($"l_discount" >= 0.0 && $"l_discount" <= 0.1),
+            "price_positive" -> ($"l_extendedprice" > 0),
+            "shipdate_not_null" -> $"l_shipdate".isNotNull)),
+          Audit.uniqueKey(li, "pk_unique", Seq("l_orderkey", "l_linenumber")),
+          Audit.foreignKey(li, "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey", "order_fk"))
+        .orderBy($"check_name")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -715,5 +736,30 @@ object Relational {
          |${graft.operators.Trend.corrPairsSql("lineitem",
                Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))}
          |) ORDER BY col_a, col_b""".stripMargin,
+
+    "q122_quality_audit" ->
+      """WITH rc AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)) AS v_qty,
+        |    count(*) FILTER (NOT coalesce(l_discount >= 0.0 AND l_discount <= 0.1, FALSE)) AS v_disc,
+        |    count(*) FILTER (NOT coalesce(l_extendedprice > 0, FALSE)) AS v_price,
+        |    count(*) FILTER (l_shipdate IS NULL) AS v_ship
+        |  FROM lineitem),
+        |uq AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(c) - count(*) AS BIGINT) AS v
+        |       FROM (SELECT count(*) AS c FROM lineitem
+        |             GROUP BY l_orderkey, l_linenumber)),
+        |fk AS (SELECT count(*) AS n,
+        |         count(*) FILTER (o.o_orderkey IS NULL) AS v
+        |       FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |         ON l.l_orderkey = o.o_orderkey)
+        |SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+        |  CAST(n_violations AS BIGINT) AS n_violations FROM (
+        |  SELECT 'quantity_range' AS check_name, n AS n_checked, v_qty AS n_violations FROM rc
+        |  UNION ALL SELECT 'discount_range', n, v_disc FROM rc
+        |  UNION ALL SELECT 'price_positive', n, v_price FROM rc
+        |  UNION ALL SELECT 'shipdate_not_null', n, v_ship FROM rc
+        |  UNION ALL SELECT 'pk_unique', n, v FROM uq
+        |  UNION ALL SELECT 'order_fk', n, v FROM fk)
+        |ORDER BY check_name""".stripMargin,
   )
 }

@@ -134,4 +134,36 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("component-keyed split never separates a near-dup pair (q125 rule)") {
+    import graft.functions.TextFunctions.hash32
+    import org.apache.spark.sql.functions.{coalesce, col, when}
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .localCheckpoint()
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+    val split = docs.select(col("doc_id"))
+      .join(Dedup.nearDupGroups(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keep_id"), col("doc_id")).as("comp"))
+      .select(col("doc_id"),
+        when(hash32(col("comp").cast("string"), 9) % 100 < 80, "train")
+          .otherwise("test").as("split"))
+    val crossSplit = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(crossSplit.isEmpty,
+      "a near-dup pair crossed the train/test boundary")
+    // while the q34 doc-id-keyed rule DOES leak on the same corpus
+    val docSplit = docs.select(col("doc_id"),
+      when(hash32(col("doc_id").cast("string"), 9) % 100 < 80, "train")
+        .otherwise("test").as("split"))
+    val leaked = pairs
+      .join(docSplit.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(docSplit.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(!leaked.isEmpty,
+      "fixture too clean to demonstrate doc-keyed leakage")
+  }
 }

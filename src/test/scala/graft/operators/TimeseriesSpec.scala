@@ -33,4 +33,37 @@ class TimeseriesSpec extends SparkSpec {
     assert(Timeseries.gapFillHourlyLocf(empty, "user_id", "ts", "value")
       .count() == 0)
   }
+
+  test("snapshot diff: added/removed/changed statuses, unchanged dropped") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val events = Seq(
+      (1L, ts(10), 100L, 5.0), (1L, ts(30), 101L, 9.0),  // changed 5 -> 9
+      (2L, ts(10), 102L, 3.0), (2L, ts(15), 103L, 3.0),  // same value: unchanged
+      (3L, ts(25), 104L, 7.0),                           // added after old cutoff
+      (4L, ts(10), 105L, 2.0),                           // single event in both: unchanged
+      (5L, ts(40), 106L, 1.0)                            // outside both windows: dropped
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Timeseries.snapshotDiff(events, "user_id", "ts", "event_id",
+        "value", oldUpTo = lit(ts(20)), newUpTo = lit(ts(35)))
+      .as[(Long, String, Option[Double], Option[Double])].collect()
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "changed", Some(5.0), Some(9.0)),
+      (3L, "added", None, Some(7.0))))
+  }
+
+  test("snapshot diff: non-nested windows surface removals") {
+    import org.apache.spark.sql.functions.lit
+    // removal arises when the old window sees a key the new one doesn't
+    // (newUpTo < oldUpTo models a compaction/rewind diff)
+    val events = Seq(
+      (1L, ts(9), 1L, 4.0),  // in [.., h10] but not [.., h8] -> removed
+      (2L, ts(5), 2L, 6.0)   // in both -> unchanged, dropped
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Timeseries.snapshotDiff(events, "user_id", "ts", "event_id",
+        "value", oldUpTo = lit(ts(10)), newUpTo = lit(ts(8)))
+      .as[(Long, String, Option[Double], Option[Double])].collect()
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1L, "removed", Some(4.0), None)))
+  }
 }

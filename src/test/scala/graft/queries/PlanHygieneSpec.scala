@@ -52,6 +52,7 @@ class PlanHygieneSpec extends SparkSpec {
                                // category-sized contingency cell table
     "q121_lang_kappa",         // 1-row chance-agreement aggregate attached
                                // to the 1-row observed-agreement aggregate
+    "q124_matryoshka_recall",  // both sides are broadcast-query exact kNN
   )
 
   private def executedPlan(name: String): String = {
