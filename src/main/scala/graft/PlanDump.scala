@@ -354,7 +354,15 @@ object PlanDump {
         "join, frontier label propagation) plus ONE groupBy on the split " +
         "label. The hash rule keys on the component, so near-dup pairs " +
         "can't straddle the boundary by construction — the cross-split " +
-        "pair count is structurally zero (SamplingSpec asserts it)."))
+        "pair count is structurally zero (SamplingSpec asserts it)."),
+    "q126_bpe_merges" ->
+      ("BPE merge training: the corpus is touched ONCE (word-frequency " +
+        "groupBy); each of the 10 fixed iterations runs on the " +
+        "vocabulary-sized segmentation table — a pair-count groupBy plus " +
+        "a 1-row argmax broadcast back as a single replace. " +
+        "localCheckpoint keeps lineage flat; no per-round convergence " +
+        "job; integer counts + binary-collated ties keep the learned " +
+        "rules engine-exact."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

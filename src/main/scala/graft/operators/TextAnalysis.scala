@@ -481,4 +481,62 @@ object TextAnalysis {
       .limit(k)
       .select(col("node").as("term"), col("pr").cast("bigint").as("rank_ppm"))
   }
+
+  /** BPE merge training (the tokenizer-training core of an LLM data
+    * pipeline): learn the first `nMerges` byte-pair-encoding merge rules
+    * from the corpus, Sennrich-style — repeatedly count adjacent symbol
+    * pairs over the word-frequency table, pick the most frequent pair
+    * (tie-break: lexicographic), fuse it everywhere, repeat.
+    *
+    * Segmentations live in a flat string encoding — `' a  b  c '`
+    * (symbols double-space-separated, single-space sentinels) — chosen so
+    * that applying a merge is ONE `replace(seg, ' a  b ', ' ab ')`:
+    * both Spark's and DuckDB's `replace` scan left-to-right non-overlapping
+    * and resume after the replacement, which is exactly the greedy BPE
+    * application order, and the space anchoring makes a match possible
+    * only on true symbol boundaries (TextAnalysisSpec proves the fold
+    * equivalence, overlap runs included). Everything stays engine-exact:
+    * pair counts are integers and the argmax ordering is binary-collated
+    * strings, so the learned rules are oracle-hash-checkable.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * groupBy); every iteration after that runs on the vocabulary-sized
+    * segmentation table — a pair-count groupBy plus a 1-row argmax
+    * broadcast back as the merge to apply. `localCheckpoint` keeps the
+    * per-iteration lineage flat (the q38 lesson: no compounding plans,
+    * no per-round convergence job). Returns `(step, lhs, rhs,
+    * pair_count)` — the ordered merge-rule artifact a tokenizer ships. */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int = 10): DataFrame = {
+    require(nMerges >= 1, s"nMerges=$nMerges")
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+        array_join(expr("regexp_extract_all(w, '.', 0)"), "  "),
+        lit(" ")).as("seg"), col("freq"))
+    var cur = words.localCheckpoint()
+    val steps = (1 to nMerges).map { step =>
+      val best = cur
+        .select(split(trim(col("seg")), "  ").as("sym"), col("freq"))
+        .filter(size(col("sym")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("sym"), lit(1), size(col("sym")) - 1).as("a"),
+          slice(col("sym"), lit(2), size(col("sym")) - 1).as("b"))).as("p"),
+          col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .localCheckpoint()
+      cur = cur.crossJoin(broadcast(best))
+        .select(expr(
+          "replace(seg, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')")
+          .as("seg"), col("freq"))
+        .localCheckpoint()
+      best.select(lit(step).as("step"), col("a").as("lhs"),
+        col("b").as("rhs"), col("pair_count"))
+    }
+    steps.reduce(_ unionByName _)
+  }
 }

@@ -393,6 +393,17 @@ object Documents {
         .orderBy(col("split"))
     }),
 
+    // BPE merge training: the first 10 tokenizer merge rules learned
+    // from the corpus — one corpus pass builds the word-frequency table,
+    // then 10 vocabulary-sized iterations (pair-count groupBy + 1-row
+    // argmax broadcast back as a single replace). Engine-exact: integer
+    // pair counts, binary-collated tie-breaks, shared replace semantics.
+    "q126_bpe_merges" -> ((s, dir) => {
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "doc_id", "text",
+          nMerges = 10)
+        .orderBy(col("step"))
+    }),
+
     // Cohen's kappa of the n-gram language-ID prediction against the
     // true labels on the q40 holdout — multi-class chance-corrected
     // agreement, exact decimal marginal algebra.
@@ -1112,6 +1123,32 @@ object Documents {
         |  CAST(CAST(obs_ppm + n * 1000000 - obs_exp_ppm AS BIGINT) AS DOUBLE)
         |    / 1000000.0 AS chi2
         |FROM agg""".stripMargin,
+
+    // Mirrors TextAnalysis.bpeMerges: same double-space segmentation
+    // encoding, same pair-count/argmax/replace step, unrolled 10x (the
+    // TextRank fixed-iteration precedent).
+    "q126_bpe_merges" -> {
+      val stepCtes = (1 to 10).map { k =>
+        s"""px$k AS (SELECT string_split(trim(seg), '  ') AS sym, freq FROM w${k - 1}),
+           |pu$k AS (SELECT sym, freq, unnest(range(1, len(sym))) AS i FROM px$k),
+           |pc$k AS (SELECT sym[i] AS a, sym[i+1] AS b, sum(freq) AS cnt
+           |         FROM pu$k GROUP BY 1, 2),
+           |b$k AS (SELECT a, b, cnt FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$k AS (SELECT replace(seg, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seg,
+           |        freq FROM w${k - 1} CROSS JOIN b$k)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 10).map { k =>
+        s"SELECT $k AS step, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM b$k"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $tokCte,
+         |wf AS (SELECT w, count(*) AS freq
+         |       FROM (SELECT unnest(tok) AS w FROM t) GROUP BY w),
+         |w0 AS (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+         |         || ' ' AS seg, freq FROM wf),
+         |$stepCtes
+         |$unions
+         |ORDER BY step""".stripMargin
+    },
 
     "q119_ks_separation" ->
       s"""WITH $scoredCte,

@@ -195,4 +195,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.head._1 == "hub")
     assert(!got.exists(_._1 == "solo"))
   }
+
+  test("bpe merges: hand-computed rules, frequency-weighted, ordered ties") {
+    import spark.implicits._
+    // words: aaab x3, ab x2
+    // step 1: (a,a)=6 beats (a,b)=5 -> merge aa; aaab => [aa, a, b]
+    // step 2: (a,b)=3+2=5 beats (aa,a)=3 -> merge ab; => [aa, ab] / [ab]
+    // step 3: only (aa,ab)=3 remains
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, "doc_id", "text", nMerges = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
+  }
+
+  test("bpe merges: greedy fold on overlapping runs (aaaa -> [aa, aa])") {
+    import spark.implicits._
+    // the replace-encoding danger case: 'a a a a' must merge to BOTH
+    // disjoint pairs in one application, like the Sennrich greedy fold
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, "doc_id", "text", nMerges = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
 }

@@ -53,6 +53,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q121_lang_kappa",         // 1-row chance-agreement aggregate attached
                                // to the 1-row observed-agreement aggregate
     "q124_matryoshka_recall",  // both sides are broadcast-query exact kNN
+    "q126_bpe_merges",         // per-iteration 1-row argmax merge rule
+                               // broadcast onto the vocab-sized seg table
   )
 
   private def executedPlan(name: String): String = {
