@@ -362,7 +362,14 @@ object PlanDump {
         "a 1-row argmax broadcast back as a single replace. " +
         "localCheckpoint keeps lineage flat; no per-round convergence " +
         "job; integer counts + binary-collated ties keep the learned " +
-        "rules engine-exact."))
+        "rules engine-exact."),
+    "q127_bpe_encode" ->
+      ("BPE encode: the rule list is nMerges rows (driver-sized by " +
+        "construction), so rule application is a ZERO-SHUFFLE scan " +
+        "transform — ten codegen'd replaces per doc over the " +
+        "three-space-gap segmentation encoding (merges provably cannot " +
+        "cross word boundaries). Only the training half (q126's plan) " +
+        "shuffles; encoding any corpus size is embarrassingly parallel."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

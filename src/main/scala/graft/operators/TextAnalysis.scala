@@ -539,4 +539,46 @@ object TextAnalysis {
     }
     steps.reduce(_ unionByName _)
   }
+
+  /** Apply learned BPE merge rules ([[bpeMerges]] output) to the corpus:
+    * per document, the subword count after all merges plus the token and
+    * char counts and the subwords-per-char rate — the compression
+    * measurement that tells a pipeline how many model tokens a corpus
+    * costs under a tokenizer.
+    *
+    * Documents use the same double-space segmentation encoding with
+    * words separated by a THREE-space gap (a merge pattern anchors on
+    * single-space flanks around a double-space separator, so it can
+    * never match across the wider word boundary), and the rules apply
+    * in step order as chained `replace`s — the exact greedy semantics
+    * of [[bpeMerges]].
+    *
+    * Scale shape: the rule list is nMerges rows — driver-sized by
+    * construction — so collecting it to build the expression chain is a
+    * bounded pull; the corpus side is a ZERO-SHUFFLE scan transform
+    * (each doc maps through nMerges codegen'd replaces; nothing joins,
+    * nothing aggregates until the caller does). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val rules = merges.select(col("step"), col("lhs"), col("rhs"))
+      .collect().sortBy(_.getAs[Int]("step"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    val seg0 = concat(lit(" "), array_join(
+      transform(tokens(col(textCol)), w => concat(lit(" "),
+        array_join(regexp_extract_all(w, lit("."), lit(0)), "  "),
+        lit(" "))), " "), lit(" "))
+    val segN = rules.foldLeft(seg0) { case (seg, (a, b)) =>
+      replace(seg, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_tok"), segN.as("_seg"))
+      .select(col(idCol),
+        size(col("_tok")).cast("bigint").as("n_tokens"),
+        length(array_join(col("_tok"), "")).cast("bigint").as("n_chars"),
+        when(size(col("_tok")) === 0, 0L)
+          .otherwise(size(split(trim(col("_seg")), " +")).cast("bigint"))
+          .as("n_subwords"))
+      .withColumn("subwords_per_char_ppm",
+        expr("(n_subwords * 1000000) div nullif(n_chars, 0)"))
+  }
 }

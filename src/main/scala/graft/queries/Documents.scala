@@ -404,6 +404,16 @@ object Documents {
         .orderBy(col("step"))
     }),
 
+    // Corpus encoded under the learned merges: per-doc subword count vs
+    // token/char counts — the token-cost measurement. Rule application
+    // is a zero-shuffle scan transform (ten codegen'd replaces).
+    "q127_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, "doc_id", "text", nMerges = 10)
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // Cohen's kappa of the n-gram language-ID prediction against the
     // true labels on the q40 holdout — multi-class chance-corrected
     // agreement, exact decimal marginal algebra.
@@ -446,6 +456,27 @@ object Documents {
        |      FROM p),
        |s AS (SELECT sc, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
        |      FROM q JOIN documents d USING (doc_id))""".stripMargin
+
+  /** BPE training oracle chain (no WITH prefix): word-frequency table,
+    * double-space segmentations, ten unrolled pair-count → argmax (b1..
+    * b10) → replace (w1..w10) steps. Shared by q126 (the rules) and
+    * q127 (the corpus encoded under them). */
+  private lazy val bpeRuleCtes: String = {
+    val stepCtes = (1 to 10).map { k =>
+      s"""px$k AS (SELECT string_split(trim(seg), '  ') AS sym, freq FROM w${k - 1}),
+         |pu$k AS (SELECT sym, freq, unnest(range(1, len(sym))) AS i FROM px$k),
+         |pc$k AS (SELECT sym[i] AS a, sym[i+1] AS b, sum(freq) AS cnt
+         |         FROM pu$k GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, cnt FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$k AS (SELECT replace(seg, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seg,
+         |        freq FROM w${k - 1} CROSS JOIN b$k)""".stripMargin
+    }.mkString(",\n")
+    s"""$tokCte,
+       |wf AS (SELECT w, count(*) AS freq
+       |       FROM (SELECT unnest(tok) AS w FROM t) GROUP BY w),
+       |w0 AS (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), '  ') || ' ' AS seg, freq FROM wf),
+       |$stepCtes""".stripMargin
+  }
 
   /** q38's MinHash-banding + Jaccard-verify + recursive-reachability
     * chain, ending in `comp0(doc_id, keep_id)` — the per-doc component
@@ -1128,26 +1159,38 @@ object Documents {
     // encoding, same pair-count/argmax/replace step, unrolled 10x (the
     // TextRank fixed-iteration precedent).
     "q126_bpe_merges" -> {
-      val stepCtes = (1 to 10).map { k =>
-        s"""px$k AS (SELECT string_split(trim(seg), '  ') AS sym, freq FROM w${k - 1}),
-           |pu$k AS (SELECT sym, freq, unnest(range(1, len(sym))) AS i FROM px$k),
-           |pc$k AS (SELECT sym[i] AS a, sym[i+1] AS b, sum(freq) AS cnt
-           |         FROM pu$k GROUP BY 1, 2),
-           |b$k AS (SELECT a, b, cnt FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1),
-           |w$k AS (SELECT replace(seg, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seg,
-           |        freq FROM w${k - 1} CROSS JOIN b$k)""".stripMargin
-      }.mkString(",\n")
       val unions = (1 to 10).map { k =>
         s"SELECT $k AS step, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM b$k"
       }.mkString("\nUNION ALL ")
-      s"""WITH $tokCte,
-         |wf AS (SELECT w, count(*) AS freq
-         |       FROM (SELECT unnest(tok) AS w FROM t) GROUP BY w),
-         |w0 AS (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
-         |         || ' ' AS seg, freq FROM wf),
-         |$stepCtes
+      s"""WITH $bpeRuleCtes
          |$unions
          |ORDER BY step""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.bpeEncode over the q126 rules: per-doc seg
+    // strings (three-space word gaps), the ten replaces chained via
+    // 1-row cross joins, subword counts off the final segmentation.
+    "q127_bpe_encode" -> {
+      val docCtes = (1 to 10).map { k =>
+        s"""d$k AS (SELECT doc_id, tok, replace(seg, ' '||a||'  '||b||' ',
+           |        ' '||a||b||' ') AS seg FROM d${k - 1} CROSS JOIN b$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bpeRuleCtes,
+         |d0 AS (SELECT doc_id, tok,
+         |    ' ' || array_to_string(list_transform(tok, w ->
+         |      ' ' || array_to_string(regexp_extract_all(w, '.'), '  ') || ' '),
+         |      ' ') || ' ' AS seg FROM t),
+         |$docCtes
+         |SELECT doc_id, n_tokens, n_chars, n_subwords,
+         |  CAST((n_subwords * 1000000) // nullif(n_chars, 0) AS BIGINT)
+         |    AS subwords_per_char_ppm
+         |FROM (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+         |    CAST(length(array_to_string(tok, '')) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN len(tok) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(seg), ' +')) END AS BIGINT)
+         |      AS n_subwords
+         |  FROM d10)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q119_ks_separation" ->

@@ -218,4 +218,23 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
+
+  test("bpe encode: learned rules compress known words; merges stay in-word") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, "doc_id", "text", nMerges = 3)
+    // rules (a,a) (a,b) (aa,ab): aaab -> [aaab]; ab -> [ab]
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 10L, 3L, 300000L),  // 3 words -> 3 subwords, 10 chars
+      (2L, 2L, 6L, 2L, 333333L)))
+    // word boundaries block merges: 'a b' never fuses across the gap
+    val cross = Seq((1L, "a b")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeMerges(
+      Seq((1L, "ab ab")).toDF("doc_id", "text"), "doc_id", "text", 1)
+    val enc = TextAnalysis.bpeEncode(cross, "doc_id", "text", m2)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(enc == ((1L, 2L, 2L, 2L, 1000000L))) // still two subwords
+  }
 }

@@ -55,6 +55,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q124_matryoshka_recall",  // both sides are broadcast-query exact kNN
     "q126_bpe_merges",         // per-iteration 1-row argmax merge rule
                                // broadcast onto the vocab-sized seg table
+    "q127_bpe_encode",         // trains via q126's plan (same 1-row
+                               // argmax broadcasts); encoding itself is
+                               // a zero-shuffle scan transform
   )
 
   private def executedPlan(name: String): String = {
