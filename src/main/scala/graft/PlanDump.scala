@@ -369,7 +369,19 @@ object PlanDump {
         "transform — ten codegen'd replaces per doc over the " +
         "three-space-gap segmentation encoding (merges provably cannot " +
         "cross word boundaries). Only the training half (q126's plan) " +
-        "shuffles; encoding any corpus size is embarrassingly parallel."))
+        "shuffles; encoding any corpus size is embarrassingly parallel."),
+    "q128_column_profile" ->
+      ("Column profile: row/null/exact-distinct counts and native-ordered " +
+        "min/max for ALL columns from ONE scan — the multiple exact " +
+        "distincts become a single Expand (cost x|cols|, one pass), the " +
+        "result is |cols| rows unpivoted via inline. No per-column jobs, " +
+        "no driver loop."),
+    "q129_table_checksum" ->
+      ("Table checksum: one codegen'd md5-derived hash per row, summed " +
+        "map-side into decimal(38) — a single partial-aggregated scan, " +
+        "one row out, invariant to partitioning and row order. The " +
+        "cheapest possible 'did anything change' comparison between " +
+        "pipeline runs."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

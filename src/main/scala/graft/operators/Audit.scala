@@ -66,4 +66,47 @@ object Audit {
   /** Union of check families into the one audit table. */
   def report(parts: DataFrame*): DataFrame =
     parts.reduce(_ unionByName _)
+
+  /** ANALYZE-style column profile in ONE scan: per column the row/null/
+    * exact-distinct counts and min/max (rendered through `render`, which
+    * must be an engine-portable string form — e.g. plain cast for
+    * numerics/strings, an explicit date_format for timestamps). The
+    * multiple exact distincts plan as one Expand over the scan (cost
+    * ×|cols|, still a single pass); swap in approx sketches upstream
+    * when |cols| is large. Output is |cols| rows. */
+  def columnProfile(df: DataFrame, cols: Seq[(String, Column => Column)]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val aggs = cols.flatMap { case (c, render) =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"),
+        // min/max over the NATIVE ordering, rendered afterwards
+        render(min(col(c))).as(s"_min_$c"),
+        render(max(col(c))).as(s"_max_$c"))
+    }
+    val entries = cols.map { case (c, _) =>
+      struct(lit(c).as("col_name"), col("_n").as("n_rows"),
+        col(s"_null_$c").as("n_null"), col(s"_nd_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_value"), col(s"_max_$c").as("max_value"))
+    }
+    df.agg(count(lit(1)).as("_n"), aggs: _*)
+      .select(inline(array(entries: _*)))
+  }
+
+  /** Order-independent table checksum: Σ over rows of the portable
+    * 32-bit hash of the unit-separator-joined column renderings, summed
+    * in decimal(38) (no overflow at any row count). Equal tables always
+    * match, whatever partitioning or order produced them; a mismatch
+    * proves a difference (matches can collide like any hash). The
+    * dataset-versioning primitive: one row out, one map-side-combinable
+    * aggregate in. */
+  def tableChecksum(df: DataFrame, cols: Seq[String], seed: Int = 7): DataFrame = {
+    import graft.functions.TextFunctions.hash32
+    // 0x1F unit separator: unambiguous unless a value embeds it
+    val joined = concat_ws("\u001f", cols.map(c => col(c).cast("string")): _*)
+    df.select(hash32(joined, seed).as("_h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_h").cast("decimal(38,0)")).as("checksum"))
+      .select(col("n_rows"), col("checksum").cast("decimal(38,0)").as("checksum"))
+  }
 }

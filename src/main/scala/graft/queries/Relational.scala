@@ -470,6 +470,35 @@ object Relational {
             t(s, dir, "orders"), "o_orderkey", "order_fk"))
         .orderBy($"check_name")
     }),
+
+    // ANALYZE-style column profile: row/null/exact-distinct counts and
+    // native-ordered min/max per column, ALL from one scan (the multiple
+    // exact distincts plan as a single Expand). The table-stats pass a
+    // warehouse runs before query planning / data handoff.
+    "q128_column_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.Column
+      import graft.operators.Audit
+      val str = (c: Column) => c.cast("string")
+      Audit.columnProfile(t(s, dir, "lineitem"), Seq(
+          "l_orderkey" -> str,
+          "l_quantity" -> str,
+          "l_returnflag" -> str,
+          "l_shipdate" -> ((c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss"))))
+        .orderBy(col("col_name"))
+    }),
+
+    // Order-independent table checksum: one map-side-combinable sum of
+    // portable row hashes — the dataset-versioning / reproducibility
+    // primitive ("did the rewrite change anything?").
+    "q129_table_checksum" -> ((s, dir) => {
+      // integer/string columns only: their to-string rendering is
+      // identical in every engine (double repr is not — pre-render
+      // floats to decimal upstream before checksumming them)
+      graft.operators.Audit.tableChecksum(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+          seed = 7)
+        .select(col("n_rows"), col("checksum").cast("bigint").as("checksum"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -761,5 +790,38 @@ object Relational {
         |  UNION ALL SELECT 'pk_unique', n, v FROM uq
         |  UNION ALL SELECT 'order_fk', n, v FROM fk)
         |ORDER BY check_name""".stripMargin,
+
+    "q128_column_profile" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+        |  count(DISTINCT l_orderkey) AS nd1,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS mn1, CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nu2,
+        |  count(DISTINCT l_quantity) AS nd2,
+        |  CAST(min(l_quantity) AS VARCHAR) AS mn2, CAST(max(l_quantity) AS VARCHAR) AS mx2,
+        |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nu3,
+        |  count(DISTINCT l_returnflag) AS nd3,
+        |  min(l_returnflag) AS mn3, max(l_returnflag) AS mx3,
+        |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nu4,
+        |  count(DISTINCT l_shipdate) AS nd4,
+        |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS mn4,
+        |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS mx4
+        |  FROM lineitem)
+        |SELECT col_name, CAST(n AS BIGINT) AS n_rows, CAST(n_null AS BIGINT) AS n_null,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value FROM (
+        |  SELECT 'l_orderkey' AS col_name, n, nu1 AS n_null, nd1 AS n_distinct,
+        |    mn1 AS min_value, mx1 AS max_value FROM a
+        |  UNION ALL SELECT 'l_quantity', n, nu2, nd2, mn2, mx2 FROM a
+        |  UNION ALL SELECT 'l_returnflag', n, nu3, nd3, mn3, mx3 FROM a
+        |  UNION ALL SELECT 'l_shipdate', n, nu4, nd4, mn4, mx4 FROM a)
+        |ORDER BY col_name""".stripMargin,
+
+    "q129_table_checksum" ->
+      """SELECT count(*) AS n_rows, CAST(sum(h) AS BIGINT) AS checksum
+        |FROM (SELECT CAST('0x' || substr(md5(
+        |    CAST(o_orderkey AS VARCHAR) || chr(31) ||
+        |    CAST(o_custkey AS VARCHAR) || chr(31) ||
+        |    o_orderstatus || chr(31) || o_orderpriority || '#7'), 1, 8)
+        |  AS BIGINT) AS h FROM orders)""".stripMargin,
   )
 }

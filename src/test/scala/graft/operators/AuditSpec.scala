@@ -34,6 +34,31 @@ class AuditSpec extends SparkSpec {
     assert(out == (("fk", 5L, 2L))) // 99 orphan + null key
   }
 
+  test("column profile: nulls, exact distincts, NATIVE-ordered min/max") {
+    val df = Seq[(java.lang.Long, String)]((2L, "b"), (10L, "a"), (null, "a"))
+      .toDF("v", "s")
+    val out = Audit.columnProfile(df, Seq(
+        "v" -> (c => c.cast("string")), "s" -> (c => c)))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    // native ordering: min 2 (string ordering would give "10")
+    assert(out == Seq(
+      ("s", 3L, 0L, 2L, Some("a"), Some("b")),
+      ("v", 3L, 1L, 2L, Some("2"), Some("10"))))
+  }
+
+  test("table checksum: order-invariant, difference-sensitive") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    val b = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("id", "v") // permuted
+    val c = Seq((1L, "x"), (2L, "y"), (3L, "w")).toDF("id", "v") // changed
+    def ck(df: org.apache.spark.sql.DataFrame) =
+      Audit.tableChecksum(df.repartition(3), Seq("id", "v"))
+        .select(col("n_rows"), col("checksum").cast("long"))
+        .as[(Long, Long)].head()
+    assert(ck(a) == ck(b))
+    assert(ck(a) != ck(c) && ck(a)._1 == ck(c)._1)
+  }
+
   test("report unions families into one constraint-sized table") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val r = Audit.report(
