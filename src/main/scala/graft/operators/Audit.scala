@@ -67,6 +67,25 @@ object Audit {
   def report(parts: DataFrame*): DataFrame =
     parts.reduce(_ unionByName _)
 
+  /** [[rowChecks]] as a running aggregation: per-row unpivot to
+    * (check_name, violation) then a keyed count/sum — a shape that is
+    * ALSO streaming-legal (no window, no distinct), so the same call on
+    * a readStream is the continuous data-quality monitor: per-trigger
+    * updated totals per check, commutative sums ⇒ drained stream ≡
+    * batch [[rowChecks]] exactly (AuditSpec proves it). Prefer
+    * [[rowChecks]] for batch (single 1-row aggregate, no unpivoted
+    * row expansion before the partial agg — cheaper at corpus scale). */
+  def rowCheckCounters(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one row check")
+    val entries = checks.map { case (name, pred) =>
+      struct(lit(name).as("check_name"),
+        when(coalesce(pred, lit(false)), 0L).otherwise(1L).as("_v"))
+    }
+    df.select(inline(array(entries: _*)))
+      .groupBy(col("check_name"))
+      .agg(count(lit(1)).as("n_checked"), sum(col("_v")).as("n_violations"))
+  }
+
   /** ANALYZE-style column profile in ONE scan: per column the row/null/
     * exact-distinct counts and min/max (rendered through `render`, which
     * must be an engine-portable string form — e.g. plain cast for

@@ -59,6 +59,28 @@ class AuditSpec extends SparkSpec {
     assert(ck(a) != ck(c) && ck(a)._1 == ck(c)._1)
   }
 
+  test("running audit counters on a stream drain to the batch rowChecks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val checks = Seq(
+      "v_nonneg" -> (col("v") >= 0.0), "id_odd" -> (col("id") % 2 === 1))
+    val rows = Seq((1L, 5.0), (2L, -1.0), (3L, 2.0), (4L, -3.0))
+    val mem = MemoryStream[(Long, Double)](spark)
+    val q = Audit.rowCheckCounters(mem.toDF().toDF("id", "v"), checks)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("audit_run").start()
+    mem.addData(rows.take(2): _*); q.processAllAvailable()
+    mem.addData(rows.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("audit_run")
+      .as[(String, Long, Long)].collect().toSet
+    spark.sql("DROP TABLE audit_run")
+    val batch = Audit.rowChecks(rows.toDF("id", "v"), checks)
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch && batch ==
+      Set(("v_nonneg", 4L, 2L), ("id_odd", 4L, 2L)))
+  }
+
   test("report unions families into one constraint-sized table") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val r = Audit.report(
