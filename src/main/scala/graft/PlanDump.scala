@@ -381,7 +381,13 @@ object PlanDump {
         "map-side into decimal(38) — a single partial-aggregated scan, " +
         "one row out, invariant to partitioning and row order. The " +
         "cheapest possible 'did anything change' comparison between " +
-        "pipeline runs."))
+        "pipeline runs."),
+    "q130_cumulative_gain" ->
+      ("Gain/lift table: the same distinct-score histogram collapse as " +
+        "the AUC; bin assignment is integer cross-multiplication on the " +
+        "descending cumulative counts (whole tied groups, no row-level " +
+        "ranks), then an nBins-row aggregate + window. Corpus touched " +
+        "once; everything after is score-cardinality-sized."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -150,6 +150,48 @@ object Evaluate {
         expr("(2 * tp * 1000000) div (2 * tp + fp + fn)").as("f1_ppm"))
   }
 
+  /** Cumulative gain / lift table: rank by score DESCENDING, cut into
+    * `nBins` equal-count bins, and per bin report the positive capture.
+    * A whole distinct-score group lands in the bin of its first row
+    * (`bin = cum_before·nBins div N`) — deterministic under ties, no
+    * row-level ranks. `gain_ppm` is the cumulative share of ALL
+    * positives captured through the bin; `lift_ppm` is the bin's
+    * positive rate over the global rate (1e6 = average), both exact
+    * integer cross-multiplications.
+    *
+    * Scale shape: identical to [[binaryAuc]] — one map-side-combined
+    * groupBy on the score, windows over the distinct-score histogram,
+    * then an nBins-row aggregate. */
+  def cumulativeGain(df: DataFrame, labelCol: Column, scoreCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins=$nBins")
+    val g = df
+      .groupBy(col(scoreCol).as("sc"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(labelCol, 1L).otherwise(0L)).as("np"))
+    val desc = Window.orderBy(col("sc").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val binned = g
+      .withColumn("cum_before", coalesce(sum(col("n")).over(desc), lit(0L)))
+      .withColumn("nt", sum(col("n")).over(all))
+      .withColumn("pt", sum(col("np")).over(all))
+      .withColumn("bin", expr(s"(cum_before * $nBins) div nt"))
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("np")).as("n_pos"),
+        max(col("nt")).as("nt"), max(col("pt")).as("pt"))
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+      .select(col("bin"), col("n"), col("n_pos"), col("cum_pos"),
+        expr("(CAST(cum_pos AS DECIMAL(38,0)) * 1000000) div nullif(pt, 0)")
+          .as("gain_ppm"),
+        expr("(CAST(n_pos AS DECIMAL(38,0)) * nt * 1000000)" +
+          " div nullif(CAST(n AS DECIMAL(38,0)) * pt, 0)").as("lift_ppm"))
+  }
+
   /** Cohen's kappa: chance-corrected agreement between two categorical
     * labelings (multi-class — e.g. a classifier's prediction against
     * ground truth, or two annotators). With observed agreement

@@ -414,6 +414,20 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Cumulative gain / lift table: descending-score deciles (whole
+    // distinct-score groups, deterministic under ties), per-bin positive
+    // capture vs the global rate — the targeting/threshold-budget chart.
+    "q130_cumulative_gain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_ppm"))
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+          "doc_id")
+      graft.operators.Evaluate.cumulativeGain(scored, col("y"),
+          "quality_ppm", nBins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // Cohen's kappa of the n-gram language-ID prediction against the
     // true labels on the q40 holdout — multi-class chance-corrected
     // agreement, exact decimal marginal algebra.
@@ -1230,6 +1244,30 @@ object Documents {
          |  CAST((tp * 1000000) // (tp + fn) AS BIGINT) AS recall_ppm,
          |  CAST((2 * tp * 1000000) // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm
          |FROM c ORDER BY threshold""".stripMargin,
+
+    "q130_cumulative_gain" ->
+      s"""WITH $scoredCte,
+         |g2 AS (SELECT sc, count(*) AS n, CAST(sum(y) AS BIGINT) AS np
+         |       FROM s GROUP BY sc),
+         |c AS (SELECT sc, n, np,
+         |        coalesce(sum(n) OVER (ORDER BY sc DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         |        sum(n) OVER () AS nt, sum(np) OVER () AS pt
+         |      FROM g2),
+         |b AS (SELECT (cum_before * 10) // nt AS bin,
+         |        sum(n) AS n, sum(np) AS n_pos, max(nt) AS nt, max(pt) AS pt
+         |      FROM c GROUP BY 1),
+         |f AS (SELECT bin, n, n_pos,
+         |        sum(n_pos) OVER (ORDER BY bin
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+         |        nt, pt FROM b)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+         |  CAST(n_pos AS BIGINT) AS n_pos, CAST(cum_pos AS BIGINT) AS cum_pos,
+         |  CAST((CAST(cum_pos AS HUGEINT) * 1000000) // nullif(pt, 0) AS BIGINT)
+         |    AS gain_ppm,
+         |  CAST((CAST(n_pos AS HUGEINT) * nt * 1000000)
+         |    // nullif(CAST(n AS HUGEINT) * pt, 0) AS BIGINT) AS lift_ppm
+         |FROM f ORDER BY bin""".stripMargin,
 
     "q121_lang_kappa" ->
       s"""WITH tr AS (SELECT lang, unnest(string_split($normSql, ' ')) AS w

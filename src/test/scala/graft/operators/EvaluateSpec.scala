@@ -92,6 +92,20 @@ class EvaluateSpec extends SparkSpec {
       (3L, 1L, 0L, 1L, 1000000L, 500000L, 666666L)))
   }
 
+  test("cumulative gain: equal-count bins, tied groups stay whole") {
+    val rows = Seq((true, 4L), (false, 3L), (true, 2L), (false, 1L))
+    val out = Evaluate.cumulativeGain(rows.toDF("y", "sc"), col("y"), "sc", 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, 2L, 1L, 1L, 500000L, 1000000L),
+      (1L, 2L, 1L, 2L, 1000000L, 1000000L)))
+    // all scores tied: one whole group in bin 0
+    val tied = Seq((true, 5L), (false, 5L), (true, 5L), (false, 5L))
+    val t2 = Evaluate.cumulativeGain(tied.toDF("y", "sc"), col("y"), "sc", 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(t2 == Seq((0L, 4L, 2L, 2L, 1000000L, 1000000L)))
+  }
+
   test("cohen kappa: textbook 2x2 agreement table") {
     // agree 35/50, marginals r=(25,25) c=(30,20) -> pe = 1250/2500
     // kappa = (50*35 - 1250) / (2500 - 1250) = 0.4 exactly
