@@ -35,7 +35,8 @@ object Audit {
     df.agg(
         count(lit(1)).as("_n"),
         checks.map { case (name, pred) =>
-          sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"_v_$name")
+          coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)), lit(0L))
+            .as(s"_v_$name")
         }: _*)
       .select(inline(array(entries: _*)))
   }
@@ -45,8 +46,8 @@ object Audit {
   def uniqueKey(df: DataFrame, name: String, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_c"))
-      .agg(sum(col("_c")).as("n_checked"),
-        (sum(col("_c")) - count(lit(1))).as("n_violations"))
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("n_checked"),
+        (coalesce(sum(col("_c")), lit(0L)) - count(lit(1))).as("n_violations"))
       .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
 
   /** Referential integrity: child rows whose (non-null) key has no match
@@ -59,7 +60,8 @@ object Audit {
     child.select(col(childKey).as("_ck"))
       .join(p, col("_ck") === col("_pk"), "left_outer")
       .agg(count(lit(1)).as("n_checked"),
-        sum(when(col("_present").isNull, 1L).otherwise(0L)).as("n_violations"))
+        coalesce(sum(when(col("_present").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_violations"))
       .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
   }
 

@@ -89,4 +89,14 @@ class AuditSpec extends SparkSpec {
     assert(r.columns.toSeq == Seq("check_name", "n_checked", "n_violations"))
     assert(r.count() == 2)
   }
+
+  test("empty input: every family reports (0, 0), never null") {
+    val e = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = Audit.report(
+        Audit.rowChecks(e, Seq("a_pos" -> (col("a") > 0))),
+        Audit.uniqueKey(e, "u", Seq("a")),
+        Audit.foreignKey(e, "a", Seq((1L, 1L)).toDF("k", "x"), "k", "fk"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("a_pos", 0L, 0L), ("fk", 0L, 0L), ("u", 0L, 0L)))
+  }
 }
