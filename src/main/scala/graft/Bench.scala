@@ -19,9 +19,14 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       // Steady-state timing: one warm-up execution compiles codegen and
       // faults in the input, then the best of two measured runs is kept.
-      // A GC between queries stops one query's garbage from being charged
-      // to the next — in a 61-query single-JVM sweep, collection pauses
-      // otherwise land on arbitrary queries and masquerade as plan costs.
+      // Between queries, drop leftover cached/localCheckpoint RDD blocks
+      // (iterative operators pin them; across a 120+-query single-JVM
+      // sweep they accumulate into block-manager pressure that taxes
+      // whichever query runs next) and GC, so one query's residue never
+      // masquerades as another's plan cost.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
       System.gc()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val times = (1 to 2).map { _ =>
