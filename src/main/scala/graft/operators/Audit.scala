@@ -114,6 +114,30 @@ object Audit {
       .select(inline(array(entries: _*)))
   }
 
+  /** k-anonymity audit over a quasi-identifier column set: how many QI
+    * groups (and rows) fall below the anonymity threshold `k` — the
+    * re-identification-risk gate a corpus passes before release (a group
+    * of size < k means those rows are attributable to < k candidates).
+    * One groupBy on the QI columns, then a constraint-sized 1-row report:
+    * group/row totals, violating groups, rows at risk, and the smallest
+    * group observed. Null QI values form their own group (they are a
+    * quasi-identifier value like any other). */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 2, "k-anonymity needs k >= 2")
+    df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("_c"))
+      .agg(
+        coalesce(sum(col("_c")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("_c") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_small_groups"),
+        coalesce(sum(when(col("_c") < k, col("_c")).otherwise(0L)), lit(0L))
+          .as("n_risky_rows"),
+        coalesce(min(col("_c")), lit(0L)).as("min_group_size"))
+      .select(lit(k.toLong).as("k"), col("n_rows"), col("n_groups"),
+        col("n_small_groups"), col("n_risky_rows"), col("min_group_size"))
+  }
+
   /** Order-independent table checksum: Σ over rows of the portable
     * 32-bit hash of the unit-separator-joined column renderings, summed
     * in decimal(38) (no overflow at any row count). Equal tables always

@@ -69,6 +69,35 @@ object Skew {
       .unionByName(lh.join(rh, Seq(key, "_salt")).drop("_salt"))
   }
 
+  /** Hot-key audit for a join/aggregation key — the diagnostic run BEFORE
+    * choosing a salt factor: the `topK` heaviest key values with their row
+    * count, corpus share (ppm), and heat relative to a uniform key
+    * distribution (`hot_x100` = count ÷ (total/n_keys), ×100 — a key at
+    * 100 is average; at 3200 it owns 32 reducers' fair share and wants
+    * `saltFactor ≈ hot_x100/100`).
+    *
+    * Scale shape: one map-side-combined groupBy on the key; the global
+    * totals reduce the (already aggregated) count table, not the input;
+    * top-k is TakeOrdered (no full sort), and the final window ranks only
+    * the `topK` surviving rows. Null keys are audited as the '<null>'
+    * bucket — at 100 TB the null hot key is the classic skew culprit. */
+  def skewAudit(df: DataFrame, key: String, topK: Int): DataFrame = {
+    require(topK >= 1)
+    val counts = df
+      .groupBy(coalesce(col(key).cast("string"), lit("<null>")).as("key_value"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("_total"),
+      count(lit(1)).as("_n_keys"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key_value").asc)
+    counts.orderBy(col("cnt").desc, col("key_value").asc).limit(topK)
+      .crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .select(col("rk"), col("key_value"), col("cnt"),
+        expr("(cnt * 1000000) div _total").as("share_ppm"),
+        expr("(cnt * _n_keys * 100) div _total").as("hot_x100"))
+  }
+
   /** Shuffle-spread report for a join/aggregation key: rows per hash
     * partition at `numPartitions`, with and without `saltFactor` salting —
     * the observability half of the tool (decide whether to salt). */

@@ -581,4 +581,58 @@ object TextAnalysis {
       .withColumn("subwords_per_char_ppm",
         expr("(n_subwords * 1000000) div nullif(n_chars, 0)"))
   }
+
+  /** Held-out bigram language-model scoring (the perplexity-style quality
+    * filter, e.g. CCNet's KenLM gate): a conditional bigram model with
+    * Laplace smoothing is fit on `train` and each `holdout` document is
+    * scored by its per-bigram probability p(w2|w1) = (c12+1)/(c1+V) in
+    * integer ppm (truncating division, engine-portable). Reported per doc:
+    * bigram count, half-up mean ppm, and the minimum ppm (the "most
+    * surprising transition" — a one-bad-sentence detector the mean dilutes).
+    * Unlike [[bigramFluency]] (joint rate of the doc's own corpus), this is
+    * a TRAINED conditional model applied to unseen text.
+    *
+    * Determinism: all integer arithmetic until the final cosmetic double.
+    *
+    * Scale shape: ONE aggregation over the exploded train bigrams builds
+    * c12; the prefix counts c1 derive from that (much smaller) count table,
+    * not from a second corpus pass; the vocabulary size is one distinct
+    * count over train tokens (bigram keys alone would miss single-token
+    * docs). Scoring is two equi-joins on compact string keys (AQE
+    * broadcasts the rate tables while they fit) plus a map-side-combinable
+    * per-doc aggregate. Docs with < 2 tokens have no bigrams and produce
+    * no row. */
+  def bigramLmScore(train: DataFrame, holdout: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def bigrams(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_tok"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("_tok"), lit(1), greatest(size(col("_tok")) - 1, lit(0))),
+        slice(col("_tok"), lit(2), greatest(size(col("_tok")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+      .select(col("doc_id"), col("_bg.w1"), col("_bg.w2"))
+    val c12 = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    // vocabulary = distinct train tokens; w2 of the LAST bigram covers the
+    // final token of each doc, so distinct(w1 ∪ w2) equals it for docs with
+    // bigrams — single-token docs contribute their token via a w1-less
+    // union from the (tiny) c12 table's key space plus those stragglers.
+    val vocab = train
+      .select(explode(tokens(col(textCol))).as("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    bigrams(holdout)
+      .join(c12, Seq("w1", "w2"), "left_outer")
+      .join(c1, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("((coalesce(c12, 0L) + 1) * 1000000) div (coalesce(c1, 0L) + v)")
+          .as("ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("ppm")).as("_sum"), min(col("ppm")).as("min_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(2 * _sum + n_bigrams) div (2 * n_bigrams)").as("avg_ppm"),
+        col("min_ppm"))
+  }
 }

@@ -442,6 +442,18 @@ object Documents {
         docs.select(col("doc_id"), col("lang")), "doc_id")
       graft.operators.Evaluate.cohenKappa(joined, "pred_lang", "lang")
     }),
+
+    // Held-out bigram-LM scoring (the CCNet/KenLM-style perplexity gate):
+    // Laplace-smoothed p(w2|w1) trained on the q40 train split, holdout
+    // docs scored by mean + min transition probability in integer ppm.
+    "q131_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bigramLmScore(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val bm25Terms = Seq("dup", "spark", "vector", "merge")
@@ -1300,5 +1312,30 @@ object Documents {
          |       ELSE ((n * n_agree - sum_rc) * 1000000) // (n * n - sum_rc)
          |       END AS BIGINT) AS DOUBLE) / 1000000.0 AS kappa
          |FROM ob CROSS JOIN ch""".stripMargin,
+
+    // Multiple unnests in one SELECT zip positionally in DuckDB, so the
+    // (w1, w2) bigram stream is the two shifted list slices zipped —
+    // exactly zip_with(slice, slice) on the Spark side.
+    "q131_lm_score" ->
+      s"""WITH $tokCte,
+         |trb AS (SELECT unnest(tok[1:len(tok)-1]) AS w1,
+         |          unnest(tok[2:len(tok)]) AS w2
+         |        FROM t WHERE doc_id % 5 <> 0),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM trb GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         |vs AS (SELECT count(DISTINCT w) AS v FROM (
+         |         SELECT unnest(tok) AS w FROM t WHERE doc_id % 5 <> 0)),
+         |hob AS (SELECT doc_id, unnest(tok[1:len(tok)-1]) AS w1,
+         |          unnest(tok[2:len(tok)]) AS w2
+         |        FROM t WHERE doc_id % 5 = 0),
+         |sc AS (SELECT doc_id,
+         |         ((coalesce(c12, 0) + 1) * 1000000) // (coalesce(c1, 0) + v)
+         |           AS ppm
+         |       FROM hob LEFT JOIN c12 USING (w1, w2)
+         |       LEFT JOIN c1 USING (w1) CROSS JOIN vs)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST((2 * sum(ppm) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_ppm,
+         |  CAST(min(ppm) AS BIGINT) AS min_ppm
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -425,6 +425,14 @@ object Events {
           newUpTo = lit("2024-01-30").cast("timestamp"))
         .orderBy(col("user_id"))
     }),
+
+    // Hot-key audit on the event stream's natural join key: the top-10
+    // heaviest users with share and heat vs a uniform distribution — the
+    // "do I need to salt this join, and by how much" diagnostic.
+    "q132_skew_audit" -> ((s, dir) => {
+      graft.operators.Skew.skewAudit(t(s, dir, "events"), "user_id", topK = 10)
+        .orderBy(col("rk"))
+    }),
   )
 
   private val statsCte =
@@ -710,5 +718,16 @@ object Events {
         |FROM o FULL OUTER JOIN n USING (user_id)
         |WHERE o.old_value IS DISTINCT FROM n.new_value
         |ORDER BY user_id""".stripMargin,
+
+    "q132_skew_audit" ->
+      """WITH c AS (SELECT coalesce(CAST(user_id AS VARCHAR), '<null>')
+        |    AS key_value, count(*) AS cnt FROM events GROUP BY 1),
+        |t2 AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c),
+        |r AS (SELECT key_value, cnt, row_number() OVER (
+        |        ORDER BY cnt DESC, key_value ASC) AS rk FROM c)
+        |SELECT rk, key_value, cnt,
+        |  CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm,
+        |  CAST((cnt * n_keys * 100) // total AS BIGINT) AS hot_x100
+        |FROM r CROSS JOIN t2 WHERE rk <= 10 ORDER BY rk""".stripMargin,
   )
 }

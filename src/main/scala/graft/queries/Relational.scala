@@ -499,6 +499,16 @@ object Relational {
           seed = 7)
         .select(col("n_rows"), col("checksum").cast("bigint").as("checksum"))
     }),
+
+    // k-anonymity audit: group sizes over the (nation, market-segment)
+    // quasi-identifier pair — groups below k=10 are re-identification
+    // risks; the release gate a training corpus passes alongside PII
+    // scrubbing (q109 removes direct identifiers, this bounds indirect
+    // ones).
+    "q133_k_anonymity" -> ((s, dir) => {
+      graft.operators.Audit.kAnonymity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -823,5 +833,18 @@ object Relational {
         |    CAST(o_custkey AS VARCHAR) || chr(31) ||
         |    o_orderstatus || chr(31) || o_orderpriority || '#7'), 1, 8)
         |  AS BIGINT) AS h FROM orders)""".stripMargin,
+
+    "q133_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS c
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+        |  count(*) AS n_groups,
+        |  CAST(coalesce(sum(CASE WHEN c < 10 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(coalesce(sum(CASE WHEN c < 10 THEN c ELSE 0 END), 0) AS BIGINT)
+        |    AS n_risky_rows,
+        |  CAST(coalesce(min(c), 0) AS BIGINT) AS min_group_size
+        |FROM g""".stripMargin,
   )
 }

@@ -99,4 +99,18 @@ class AuditSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq(("a_pos", 0L, 0L), ("fk", 0L, 0L), ("u", 0L, 0L)))
   }
+
+  test("kAnonymity: group sizes vs threshold, nulls form their own group") {
+    // groups: (1,x)×3, (1,null)×2, (2,x)×1 → k=3: two small groups, 3 risky rows
+    val df = Seq((1, Some("x")), (1, Some("x")), (1, Some("x")),
+      (1, None), (1, None), (2, Some("x"))).toDF("qi1", "qi2")
+    val out = Audit.kAnonymity(df, Seq("qi1", "qi2"), k = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(out == ((3L, 6L, 3L, 2L, 3L, 1L)))
+    // empty input: zero groups, zero risk, min size 0
+    val e = Seq.empty[(Int, String)].toDF("qi1", "qi2")
+    val z = Audit.kAnonymity(e, Seq("qi1"), k = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(z == ((2L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }

@@ -78,4 +78,16 @@ class SkewSpec extends SparkSpec {
       .collect().toSet
     assert(guarded == plain)
   }
+
+  test("skewAudit: hot keys ranked with share and uniform-relative heat") {
+    // key a×6, b×2, null×1, c×1 → total 10, n_keys 4, uniform share 2.5
+    val df = Seq(Some("a"), Some("a"), Some("a"), Some("a"), Some("a"),
+      Some("a"), Some("b"), Some("b"), None, Some("c")).toDF("k")
+    val out = Skew.skewAudit(df, "k", topK = 3)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", 6L, 600000L, 240L),      // 6/10, 6/2.5 = 2.4× uniform
+      (2L, "b", 2L, 200000L, 80L),
+      (3L, "<null>", 1L, 100000L, 40L))) // ties break on key_value asc
+  }
 }

@@ -237,4 +237,26 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].head()
     assert(enc == ((1L, 2L, 2L, 2L, 1000000L))) // still two subwords
   }
+
+  test("bigram LM score: Laplace-smoothed conditional ppm, hand-computed") {
+    import spark.implicits._
+    // train: "a b a b c" → bigrams ab, ba, ab, bc; V = {a,b,c} = 3
+    // c12: (a,b)=2 (b,a)=1 (b,c)=1; c1: a=2 b=2
+    val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    // holdout "a b d": (a,b) → (2+1)*1e6 div (2+3) = 600000
+    //                  (b,d) → (0+1)*1e6 div (2+3) = 200000
+    // avg = (2*800000+2) div 4 = 400000 (half-up), min = 200000
+    val ho = Seq((2L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(train, ho, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 2L, 400000L, 200000L)))
+    // unseen prefix: "d d" → (0+1)*1e6 div (0+3) = 333333
+    val ho2 = Seq((3L, "d d")).toDF("doc_id", "text")
+    val out2 = TextAnalysis.bigramLmScore(train, ho2, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out2 == ((3L, 1L, 333333L, 333333L)))
+    // sub-2-token holdout docs emit no row
+    val ho3 = Seq((4L, "a"), (5L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramLmScore(train, ho3, "doc_id", "text").count() == 0L)
+  }
 }
