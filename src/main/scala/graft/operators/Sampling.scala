@@ -172,4 +172,37 @@ object Sampling {
           .otherwise(array().cast("array<bigint>"))))
       .drop("_k")
   }
+
+  /** Deterministic negative sampling for contrastive training: each anchor
+    * draws `k` pseudo-random negatives from `candidates` WITHOUT scoring
+    * all |A|×|C| pairs. Candidates are hashed into `buckets`; each
+    * (anchor, slot) pair hashes to ONE bucket and takes that bucket's
+    * candidate minimizing the pair hash (anchor excluded, ties by id) —
+    * an equi-join on the bucket id, cost |A|·k·(|C|/buckets). Rerun- and
+    * engine-stable: every choice is an md5 order, no RNG state.
+    *
+    * A slot whose bucket is empty (or holds only the anchor) yields no
+    * row; two slots of one anchor can land on the same negative — callers
+    * wanting exactly-k distinct negatives oversample slots and dedup.
+    * Size `buckets` ≈ |C|/poolSize: larger ⇒ cheaper join, smaller pool
+    * per slot. */
+  def hashNegatives(anchors: DataFrame, candidates: DataFrame, idCol: String,
+      k: Int, buckets: Int, seed: Int = 21): DataFrame = {
+    require(k >= 1 && buckets >= 1)
+    val cand = candidates.select(col(idCol).cast("string").as("cand_id"))
+      .withColumn("_b", hash32(col("cand_id"), seed) % buckets)
+    val slots = anchors.select(col(idCol).cast("string").as("anchor_id"))
+      .withColumn("slot", explode(sequence(lit(0L), lit((k - 1).toLong))))
+      .withColumn("_b",
+        hash32(concat_ws("#", col("anchor_id"), col("slot")), seed + 1) % buckets)
+    slots.join(cand, "_b")
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .withColumn("_h",
+        hash32(concat_ws(":", col("anchor_id"), col("cand_id")), seed + 2))
+      .groupBy(col("anchor_id"), col("slot"))
+      // min over (hash, id) structs: a deterministic argmin even at a
+      // (vanishingly unlikely) hash collision
+      .agg(min(struct(col("_h"), col("cand_id"))).as("_m"))
+      .select(col("anchor_id"), col("slot"), col("_m.cand_id").as("neg_id"))
+  }
 }

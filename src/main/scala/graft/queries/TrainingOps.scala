@@ -244,6 +244,16 @@ object TrainingOps {
         .select(col("doc_id"), col("source"), col("weight_ppm"), col("copy"))
         .orderBy(col("doc_id"), col("copy"))
     }),
+
+    // Contrastive negative sampling: every 10th doc anchors 3 hash-drawn
+    // negatives from 16 candidate buckets — |A|·k·(|C|/16) join work, no
+    // all-pairs scoring, md5-deterministic picks.
+    "q134_negative_sampling" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.hashNegatives(docs.filter(col("doc_id") % 10 === 0), docs,
+          "doc_id", k = 3, buckets = 16)
+        .orderBy(col("anchor_id").cast("bigint"), col("slot"))
+    }),
   )
 
   private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -545,5 +555,26 @@ object TrainingOps {
         |SELECT doc_id, source, weight_ppm, unnest(generate_series(1, n)) AS copy
         |FROM k WHERE n >= 1
         |ORDER BY doc_id, copy""".stripMargin,
+
+    "q134_negative_sampling" ->
+      """WITH cand AS (SELECT CAST(doc_id AS VARCHAR) AS cand_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#21'), 1, 8)
+        |      AS BIGINT) % 16 AS b
+        |  FROM documents),
+        |an AS (SELECT CAST(doc_id AS VARCHAR) AS anchor_id
+        |       FROM documents WHERE doc_id % 10 = 0),
+        |sl AS (SELECT anchor_id, sx.slot,
+        |    CAST('0x' || substr(md5(anchor_id || '#' || CAST(sx.slot AS VARCHAR)
+        |      || '#22'), 1, 8) AS BIGINT) % 16 AS b
+        |  FROM an CROSS JOIN (SELECT unnest([0, 1, 2]) AS slot) sx),
+        |p AS (SELECT anchor_id, slot, cand_id,
+        |    CAST('0x' || substr(md5(anchor_id || ':' || cand_id || '#23'), 1, 8)
+        |      AS BIGINT) AS h
+        |  FROM sl JOIN cand USING (b) WHERE cand_id <> anchor_id),
+        |r AS (SELECT anchor_id, slot, cand_id, row_number() OVER (
+        |        PARTITION BY anchor_id, slot ORDER BY h, cand_id) AS rn FROM p)
+        |SELECT anchor_id, CAST(slot AS BIGINT) AS slot, cand_id AS neg_id
+        |FROM r WHERE rn = 1
+        |ORDER BY CAST(anchor_id AS BIGINT), slot""".stripMargin,
   )
 }

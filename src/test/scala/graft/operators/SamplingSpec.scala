@@ -166,4 +166,33 @@ class SamplingSpec extends SparkSpec {
     assert(!leaked.isEmpty,
       "fixture too clean to demonstrate doc-keyed leakage")
   }
+
+  test("hashNegatives: deterministic, anchor-free, bucket-pool argmin") {
+    import graft.functions.TextFunctions.hash32
+    val ids = (0L until 40L).toDF("id")
+    val anchors = ids.filter(col("id") % 4 === 0)
+    val out = Sampling.hashNegatives(anchors, ids, "id", k = 3, buckets = 4)
+      .as[(String, Long, String)].collect().sortBy(r => (r._1.toLong, r._2))
+    // ≤ k slots per anchor, a negative is never its own anchor
+    assert(out.groupBy(_._1).forall(_._2.length <= 3))
+    assert(out.forall { case (a, _, n) => a != n })
+    // rerun-stable (no RNG state)
+    val again = Sampling.hashNegatives(anchors, ids, "id", k = 3, buckets = 4)
+      .as[(String, Long, String)].collect().sortBy(r => (r._1.toLong, r._2))
+    assert(out.toSeq == again.toSeq)
+    // each pick is the pair-hash argmin within the slot's candidate bucket
+    val bucketOf = ids.select(col("id").cast("string").as("c"),
+        (hash32(col("id").cast("string"), 21) % 4).as("b"))
+      .as[(String, Long)].collect().toMap
+    val pairH = (a: String, c: String) =>
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a:$c#23".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, 16)
+    out.foreach { case (a, slot, n) =>
+      val pool = bucketOf.collect {
+        case (c, b) if b == bucketOf(n) && c != a => c }
+      assert(pool.minBy(c => (pairH(a, c), c)) == n,
+        s"anchor $a slot $slot: $n is not the bucket argmin")
+    }
+  }
 }
