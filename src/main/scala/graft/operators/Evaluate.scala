@@ -250,6 +250,58 @@ object Evaluate {
     * terms run in decimal(38) (int128 in DuckDB), so O·N up to ~10^19
     * is exact; per-term floor division defines the ppm rounding.
     * Returns one row (n, n_cells, chi2_ppm, chi2). */
+  /** Cluster-quality report over an embedding column with a cluster
+    * assignment (label cells here; any assignment column works): per
+    * cluster the mean squared distance to its own centroid, the mean
+    * squared distance to the nearest OTHER centroid, and the mean
+    * simplified (centroid-based / "medoid-free") silhouette
+    *
+    *   s = (b − a) / max(a, b),  a = ‖x − c_own‖²,  b = min_{c≠own} ‖x − c‖²
+    *
+    * — the standard O(n·k) silhouette approximation (full silhouette is
+    * O(n²) pairwise and does not scale; centroids stand in for cluster
+    * means, which is exact for squared-Euclidean k-means geometry).
+    *
+    * Scale shape: centroids are k·dim cells from one exploded shuffle-agg
+    * over the corpus; the per-point distance pass is a BROADCAST cross
+    * join (k small) — map-side only, no second corpus shuffle; the final
+    * per-cluster agg is k rows. Cross-engine determinism: centroid
+    * components go through exact decimal means rounded to 6dp (so both
+    * engines compare against identical centroid bits), distances fold
+    * left-to-right over the dims via `aggregate`, and per-cluster means
+    * go through [[graft.queries.Q.dsum]]-style decimal sums. */
+  def clusterQuality(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pts = df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      col(vecCol).cast("array<double>").as("v"))
+    val centroids = pts
+      .select(col("lbl"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(round(sum(col("x").cast(DecimalType(30, 15))).cast("double") /
+        count(lit(1)), 6).as("m"))
+      .groupBy(col("lbl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("lbl").as("clbl"), expr("transform(pm, p -> p.m)").as("c"))
+    val dists = pts.crossJoin(broadcast(centroids))
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(v, c, (x, m) -> (x - m) * (x - m)), 0D, (acc, y) -> acc + y)"))
+    val perPoint = dists.groupBy(col("id"), col("lbl"))
+      .agg(
+        max(when(col("clbl") === col("lbl"), col("dist2"))).as("a"),
+        min(when(col("clbl") =!= col("lbl"), col("dist2"))).as("b"))
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) <= lit(0.0), lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+    def dmean(c: Column) = round(
+      sum(c.cast(DecimalType(30, 15))).cast("double") / count(lit(1)), 6)
+    perPoint.groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n"),
+        dmean(col("a")).as("mean_intra"),
+        dmean(col("b")).as("mean_nearest_other"),
+        dmean(col("s")).as("mean_silhouette"))
+  }
+
   def chiSquared(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("o"))

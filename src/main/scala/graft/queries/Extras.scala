@@ -215,6 +215,18 @@ object Extras {
           Knn.exact(trunc(e), trunc(queries), k = 5))
         .orderBy(col("query_id"))
     }),
+
+    // Cluster-quality report over the label cells: per cluster the mean
+    // squared distance to its own centroid, to the nearest other centroid,
+    // and the centroid-based silhouette — the O(n·k) quality measurement
+    // for an embedding partitioning (full silhouette is O(n²) and does
+    // not scale). Broadcast centroids: the per-point pass is map-side.
+    "q135_cluster_quality" -> ((s, dir) => {
+      import graft.operators.Evaluate
+      val e = t(s, dir, "embeddings")
+      Evaluate.clusterQuality(e, "vec_id", "label", "embedding")
+        .orderBy(col("label"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -403,5 +415,33 @@ object Extras {
          |           GROUP BY x.qid) h ON h.qid = g.qid
          |ORDER BY query_id""".stripMargin
     },
+
+    // Mirrors Evaluate.clusterQuality step for step: 6dp-rounded exact
+    // decimal centroid means (identical bits in both engines, the q21
+    // recipe), left-to-right squared-distance folds, decimal per-cluster
+    // means. greatest() and the s-guard are single double ops.
+    "q135_cluster_quality" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |cm AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+         |cc AS (SELECT label, pos,
+         |         round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 6) AS m
+         |       FROM cm GROUP BY label, pos),
+         |c AS (SELECT label AS clbl, list(m ORDER BY pos) AS c FROM cc GROUP BY label),
+         |d AS (SELECT e.vec_id, e.label, c.clbl,
+         |        ${fold("list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))")} AS dist2
+         |      FROM e CROSS JOIN c),
+         |p AS (SELECT vec_id, label,
+         |        max(CASE WHEN clbl = label THEN dist2 END) AS a,
+         |        min(CASE WHEN clbl <> label THEN dist2 END) AS b
+         |      FROM d GROUP BY vec_id, label),
+         |ps AS (SELECT label, a, b,
+         |        CASE WHEN greatest(a, b) <= 0.0 THEN 0.0
+         |             ELSE (b - a) / greatest(a, b) END AS s
+         |      FROM p)
+         |SELECT label, count(*) AS n,
+         |  round(${dsumSql("a", 15)} / count(*), 6) AS mean_intra,
+         |  round(${dsumSql("b", 15)} / count(*), 6) AS mean_nearest_other,
+         |  round(${dsumSql("s", 15)} / count(*), 6) AS mean_silhouette
+         |FROM ps GROUP BY label ORDER BY label""".stripMargin,
   )
 }

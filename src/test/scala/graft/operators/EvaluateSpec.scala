@@ -155,4 +155,33 @@ class EvaluateSpec extends SparkSpec {
     val obsExp = cells.map { case (_, r, c) => r * c * 1000000L / n }.sum
     assert(s._3 == obs + n * 1000000L - obsExp)
   }
+
+  test("cluster quality: tight well-separated clusters score near 1") {
+    // two clusters far apart, points at centroid ± 0.1 on dim 0
+    val rows = Seq(
+      (0L, "a", Seq(0.1, 0.0)), (1L, "a", Seq(-0.1, 0.0)),
+      (2L, "b", Seq(10.1, 0.0)), (3L, "b", Seq(9.9, 0.0)))
+    val out = Evaluate.clusterQuality(
+        rows.toDF("id", "lbl", "v"), "id", "lbl", "v")
+      .orderBy(col("label"))
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq("a", "b"))
+    out.foreach { case (_, n, intra, nearest, sil) =>
+      assert(n == 2L)
+      assert(intra == 0.01) // (±0.1)² to own centroid
+      assert(nearest == 100.01) // 10² + own offset²
+      assert(sil > 0.999) // (b-a)/b ≈ 1
+    }
+  }
+
+  test("cluster quality: single point per cluster -> intra 0, silhouette 1") {
+    val rows = Seq((0L, "a", Seq(0.0, 0.0)), (1L, "b", Seq(3.0, 4.0)))
+    val out = Evaluate.clusterQuality(
+        rows.toDF("id", "lbl", "v"), "id", "lbl", "v")
+      .orderBy(col("label"))
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.forall(_._3 == 0.0)) // sits on its own centroid
+    assert(out.forall(_._4 == 25.0)) // 3² + 4²
+    assert(out.forall(_._5 == 1.0)) // a=0 -> s = b/b
+  }
 }
