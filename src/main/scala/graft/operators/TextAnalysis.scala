@@ -635,4 +635,51 @@ object TextAnalysis {
         expr("(2 * _sum + n_bigrams) div (2 * n_bigrams)").as("avg_ppm"),
         col("min_ppm"))
   }
+
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): hash every token into one of `buckets` feature buckets,
+    * estimate the target and raw bucket distributions, and weight each raw
+    * document by how target-like its tokens are. Log-free integer form:
+    * the per-bucket target/raw rate ratio (add-1 smoothed)
+    *
+    *   r_ppm(b) = ((ct(b)+1) · (Nr+B) · 10^6) div ((cr(b)+1) · (Nt+B))
+    *
+    * and the document weight is the round-half-up mean of r_ppm over its
+    * token occurrences — >10^6 means "more likely under the target than
+    * the raw distribution" (the paper's resampling acceptance direction).
+    * The ratio mean replaces the paper's log-likelihood-ratio sum so every
+    * step stays in exact integer arithmetic (cross products in
+    * decimal(38), exact at any corpus size) — no transcendental whose
+    * rounding could differ across engines.
+    *
+    * Scale shape: the bucket tables are `buckets` rows built by ONE
+    * map-side-combined pass over each side; totals derive from the bucket
+    * tables (never a second corpus pass); scoring is a broadcast join of
+    * the `buckets`-row rate table onto the exploded raw tokens plus a
+    * map-side-combinable per-doc agg. Empty text normalizes to the single
+    * empty token (split convention), so every raw doc gets a row. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 1024): DataFrame = {
+    def bucketed(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .select(col("doc_id"), pmod(hash32(col("w"), 7), lit(buckets.toLong)).as("b"))
+    val rawB = bucketed(raw)
+    val tb = bucketed(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rb = rawB.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val totals = rb.agg(sum(col("cr")).as("nr"))
+      .crossJoin(tb.agg(sum(col("ct")).as("nt")))
+    val rates = rb.join(tb, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        s"(CAST(coalesce(ct, 0L) + 1 AS DECIMAL(38,0)) * (nr + $buckets) * 1000000)" +
+        s" div (CAST(cr + 1 AS DECIMAL(38,0)) * (nt + $buckets))")
+        .cast("long").as("r_ppm"))
+    rawB.join(broadcast(rates), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("r_ppm")).as("_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(2 * _sum + n_tokens) div (2 * n_tokens)").as("weight_ppm"))
+      .withColumn("target_like", col("weight_ppm") >= 1000000L)
+  }
 }

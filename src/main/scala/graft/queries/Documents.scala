@@ -454,6 +454,17 @@ object Documents {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+
+    // DSIR-style importance weights: every document scored by how
+    // target-like (here: English-doc token distribution) its hashed
+    // unigram buckets are — the published importance-resampling recipe
+    // for domain-targeted pretraining selection, in exact integer form.
+    "q136_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.importanceWeights(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val bm25Terms = Seq("dup", "spark", "vector", "merge")
@@ -1337,5 +1348,29 @@ object Documents {
          |  CAST((2 * sum(ppm) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_ppm,
          |  CAST(min(ppm) AS BIGINT) AS min_ppm
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.importanceWeights: same md5 bucket hash, same
+    // add-1-smoothed HUGEINT cross products and truncating division, same
+    // round-half-up per-doc ratio mean.
+    "q136_dsir_weights" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |bk AS (SELECT doc_id, ${h32("w", 7)} % 1024 AS b FROM tk),
+         |tb AS (SELECT b, count(*) AS ct FROM bk
+         |       JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY b),
+         |rb AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+         |ttot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tb),
+         |rtot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rb),
+         |rt AS (SELECT rb.b,
+         |         CAST((CAST(coalesce(ct, 0) + 1 AS HUGEINT) * (nr + 1024) * 1000000)
+         |           // (CAST(cr + 1 AS HUGEINT) * (nt + 1024)) AS BIGINT) AS r_ppm
+         |       FROM rb LEFT JOIN tb USING (b) CROSS JOIN ttot CROSS JOIN rtot),
+         |g AS (SELECT doc_id, count(*) AS n_tokens,
+         |        CAST(sum(r_ppm) AS BIGINT) AS s
+         |      FROM bk JOIN rt USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  (2 * s + n_tokens) // (2 * n_tokens) AS weight_ppm,
+         |  ((2 * s + n_tokens) // (2 * n_tokens)) >= 1000000 AS target_like
+         |FROM g ORDER BY doc_id""".stripMargin,
   )
 }

@@ -259,4 +259,45 @@ class TextAnalysisSpec extends SparkSpec {
     val ho3 = Seq((4L, "a"), (5L, "")).toDF("doc_id", "text")
     assert(TextAnalysis.bigramLmScore(train, ho3, "doc_id", "text").count() == 0L)
   }
+
+  test("DSIR importance weights: target-only docs outweigh raw-only docs") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.hash32
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val raw = Seq(
+      (1L, "alpha alpha beta"), (2L, "gamma gamma delta"),
+      (3L, "alpha gamma")).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") === 1L)
+    val out = TextAnalysis.importanceWeights(raw, target, "doc_id", "text",
+        buckets = 64)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    assert(out.map(_._2) == Seq(3L, 3L, 2L)) // token counts
+    val byId = out.map(o => o._1 -> o._3).toMap
+    // doc 1 is the target itself; doc 2 shares no tokens with it
+    assert(byId(1L) > byId(3L) && byId(3L) > byId(2L))
+    // the flag is exactly weight >= 1e6 (with B=64 add-1 smoothing the
+    // absolute ratios sit below 1 at this toy scale — only the ORDER is
+    // scale-free)
+    out.foreach(o => assert(o._4 == (o._3 >= 1000000L)))
+    // brute-force recomputation of one bucket's ratio: doc 2's tokens
+    val b = spark.range(1).select(
+      pmod(hash32(lit("gamma"), 7), lit(64L))).as[Long].head()
+    // Nt=3, Nr=8, B=64; gamma: ct=0, cr=3 (if no collision with others)
+    val collisions = Seq("alpha", "beta", "delta").map(w =>
+      spark.range(1).select(pmod(hash32(lit(w), 7), lit(64L))).as[Long].head())
+    assume(!collisions.contains(b))
+    val expected = (0L + 1L) * (8L + 64L) * 1000000L / ((3L + 1L) * (3L + 64L))
+    val rppmGamma = expected // (1 * 72 * 1e6) / (4 * 67)
+    assert(rppmGamma == 268656L)
+    // empty text normalizes to the single empty token (split convention,
+    // same in DuckDB's string_split) — one-row result, n_tokens = 1
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+    val er = TextAnalysis.importanceWeights(
+      raw.union(empty), target, "doc_id", "text", 64)
+      .filter(col("doc_id") === 9L)
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(er._2 == 1L)
+  }
 }
