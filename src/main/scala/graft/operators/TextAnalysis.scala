@@ -636,6 +636,33 @@ object TextAnalysis {
         col("min_ppm"))
   }
 
+  /** Tokenizer fertility per group (typically language): subwords per
+    * whitespace word and characters per subword — the standard measure of
+    * how efficiently a tokenizer covers each language (high fertility =
+    * the language pays more sequence length per word). Uses the
+    * deterministic subword segmentation ([[graft.functions.TextFunctions
+    * .subwordCount]], the engine's BPE pre-tokenization stand-in) so the
+    * whole measurement is exact integer arithmetic.
+    *
+    * Scale shape: one map-side-combined groupBy on the group key — output
+    * is group-cardinality-sized regardless of corpus size. */
+  def tokenizerFertility(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    docs.select(col(groupCol).as("grp"),
+        size(tokens(col(textCol))).cast("bigint").as("nw"),
+        subwordCount(col(textCol)).as("ns"),
+        length(regexp_replace(normText(col(textCol)), " ", "")).cast("bigint").as("nc"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("ns")).as("n_subwords"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("grp"), col("n_docs"), col("n_words"), col("n_subwords"),
+        col("n_chars"),
+        expr("(n_subwords * 1000000) div n_words").as("fertility_ppm"),
+        expr("(n_chars * 1000000) div greatest(n_subwords, 1)")
+          .as("chars_per_subword_ppm"))
+
   /** DSIR-style importance weights for domain-targeted data selection
     * (Xie et al. 2023, "Data Selection for Language Models via Importance
     * Resampling"): hash every token into one of `buckets` feature buckets,

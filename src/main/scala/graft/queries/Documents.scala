@@ -455,6 +455,15 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer fertility by language: subwords/word and chars/subword —
+    // the multilingual tokenizer-efficiency audit (which languages pay
+    // more sequence length per word under this segmentation).
+    "q137_tokenizer_fertility" -> ((s, dir) => {
+      TextAnalysis.tokenizerFertility(t(s, dir, "documents"), "text", "lang")
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang"))
+    }),
+
     // DSIR-style importance weights: every document scored by how
     // target-like (here: English-doc token distribution) its hashed
     // unigram buckets are — the published importance-resampling recipe
@@ -1348,6 +1357,21 @@ object Documents {
          |  CAST((2 * sum(ppm) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_ppm,
          |  CAST(min(ppm) AS BIGINT) AS min_ppm
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q137_tokenizer_fertility" ->
+      s"""WITH g AS (SELECT lang,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS nw,
+         |  CAST(len(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS ns,
+         |  CAST(length(replace($normSql, ' ', '')) AS BIGINT) AS nc
+         |FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(ns) AS BIGINT) AS n_subwords,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST((sum(ns) * 1000000) // sum(nw) AS BIGINT) AS fertility_ppm,
+         |  CAST((sum(nc) * 1000000) // greatest(sum(ns), 1) AS BIGINT)
+         |    AS chars_per_subword_ppm
+         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Mirrors TextAnalysis.importanceWeights: same md5 bucket hash, same
     // add-1-smoothed HUGEINT cross products and truncating division, same

@@ -300,4 +300,19 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean)].head()
     assert(er._2 == 1L)
   }
+
+  test("tokenizerFertility: exact integer subwords/word and chars/subword") {
+    // "ab cd, x9" normalizes to "ab cd, x9": words = [ab, cd,, x9] (3),
+    // subwords = ab|cd|,|x|9 (5), chars (no spaces) = 7
+    val docs = Seq(("en", "ab cd, x9"), ("en", "one"), ("zz", "a-b"))
+      .toDF("lang", "text")
+    val out = TextAnalysis.tokenizerFertility(docs, "text", "lang")
+      .orderBy(col("grp"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // en: words 3+1=4, subwords 5+1=6, chars 7+3=10
+    assert(out(0) == (("en", 2L, 4L, 6L, 10L,
+      6L * 1000000L / 4L, 10L * 1000000L / 6L)))
+    // zz "a-b": 1 word, subwords a|-|b = 3, chars 3
+    assert(out(1) == (("zz", 1L, 1L, 3L, 3L, 3000000L, 1000000L)))
+  }
 }
