@@ -666,4 +666,68 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("run")).as("max_span"))
   }
+
+  /** AllPairs/PPJoin-style prefix-filtered EXACT similarity self-join:
+    * every pair of documents whose distinct word-3-shingle sets have
+    * Jaccard ≥ tauNum/tauDen — no banding recall loss, no all-pairs
+    * stage. The classic prefix-filter theorem: order each doc's shingles
+    * by a global total order (rarest-first: ascending corpus document
+    * frequency, shingle text as tie-break) and keep only the first
+    * s − ⌈τ·s⌉ + 1 of its s shingles; any pair with Jaccard ≥ τ must
+    * collide inside these prefixes, so the candidate join is equi on
+    * prefix shingles — cost Σ prefix-multiplicity², concentrated on RARE
+    * shingles (common boilerplate shingles sort to the suffix and never
+    * join). A symmetric length filter (τ·sa ≤ sb ∧ τ·sb ≤ sa, exact in
+    * integers) prunes size-incompatible collisions before the verify.
+    *
+    * vs [[nearDupPairs]] (MinHash banding, probabilistic recall) and
+    * [[jaccardWithin]] (per-block all-shingles join): this is the exact-
+    * recall scale path when τ is high — prefixes shrink as τ grows.
+    * Equivalence to the brute-force all-pairs join is spec-proven
+    * (DedupSpec). Scale: two corpus-sized shuffles (per-doc set build,
+    * df count), a window sort bounded per doc, and the prefix equi-join.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
+    val sh = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      .select(col("doc_id"), explode(shingles(col("tok"), 3)).as("s"))
+      .distinct()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // prefix length p = s − ⌈τ·s⌉ + 1, all-integer: ⌈a/b⌉ = (a+b−1) div b
+    val prefix = sh
+      .join(df, Seq("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .join(sz, Seq("doc_id"))
+      .filter(col("rn") <=
+        col("ns") - expr(s"(ns * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col("doc_id"), col("s"), col("ns"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.ns") * tauNum <= col("b.ns") * tauDen &&
+          col("b.ns") * tauNum <= col("a.ns") * tauDen)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("hs"), count(lit(1)).as("ns"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+        col("ns").as("na")).hint("shuffle_hash"), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hb"),
+        col("ns").as("nb")).hint("shuffle_hash"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("bigint").as("ni"),
+        col("na"), col("nb"))
+      // threshold in exact integers: ni/(na+nb−ni) ≥ n/d ⟺ d·ni ≥ n·(na+nb−ni)
+      .filter(col("ni") * tauDen >= (col("na") + col("nb") - col("ni")) * tauNum)
+      .select(col("id_a"), col("id_b"), col("ni"),
+        (col("na") + col("nb") - col("ni")).as("nu"),
+        round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6)
+          .as("jaccard"))
+  }
 }

@@ -66,4 +66,46 @@ object Packing {
         packs.iterator
       }
   }
+
+  /** Padding-waste audit for fixed-batch dataloading: how many pad tokens
+    * a batching strategy burns. Documents are batched `batchSize` at a
+    * time in deterministic id order; each batch pads every member to the
+    * batch max length, so its waste is Σ(max_len − len). Strategies are
+    * expressed as a bucketing column: `lit(0)` reproduces naive
+    * arrival-order batching; `ceil(len / W)` buckets similar lengths
+    * together (what length-grouped samplers do), shrinking the per-batch
+    * max−len gap. Emits one row per (strategy, bucket): batch count,
+    * real tokens, padded slots, and waste in integer ppm — the number
+    * that decides whether packing (q52) is worth its shuffle.
+    *
+    * Scale shape: per strategy one shuffle on the bucket key and a
+    * window sort WITHIN each bucket (never global — bucket width bounds
+    * the sort span); waste math is exact integer arithmetic, so results
+    * are engine- and partition-order-independent.
+    */
+  def paddingWaste(docs: DataFrame, idCol: String, lenCol: String,
+      batchSize: Int, bucketWidth: Int): DataFrame = {
+    require(batchSize >= 1 && bucketWidth >= 1)
+    def strategy(name: String, bucket: org.apache.spark.sql.Column) = {
+      docs
+        .select(col(idCol).cast("long").as("id"),
+          col(lenCol).cast("long").as("len"))
+        .withColumn("bucket", bucket.cast("long"))
+        .withColumn("batch", expr(s"(row_number() OVER (PARTITION BY bucket ORDER BY id) - 1) div $batchSize"))
+        .groupBy(col("bucket"), col("batch"))
+        .agg(sum(col("len")).as("real_tokens"),
+          (max(col("len")) * count(lit(1)) - sum(col("len"))).as("pad_tokens"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("real_tokens")).as("real_tokens"),
+          sum(col("pad_tokens")).as("pad_tokens"))
+        .select(lit(name).as("strategy"), col("bucket"), col("n_batches"),
+          col("real_tokens"), col("pad_tokens"),
+          expr("pad_tokens * 1000000 div (real_tokens + pad_tokens)")
+            .as("waste_ppm"))
+    }
+    strategy("naive", lit(0L))
+      .unionByName(strategy("length_bucketed",
+        expr(s"(len + ${bucketWidth - 1}) div $bucketWidth")))
+  }
 }

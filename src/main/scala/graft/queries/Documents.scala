@@ -474,6 +474,19 @@ object Documents {
           docs, docs.filter(col("lang") === "en"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+
+    // Prefix-filtered EXACT Jaccard self-join (AllPairs/PPJoin): every
+    // pair with shingle-set Jaccard >= 0.6, candidates generated only
+    // from rarest-first prefixes of length s - ceil(0.6 s) + 1 — exact
+    // recall (spec-proven vs brute force) with no banding probability
+    // and no all-pairs stage; the scale path for HIGH thresholds where
+    // prefixes are short. Complements q31 (MinHash, probabilistic) and
+    // q33 (per-block all-shingles).
+    "q140_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          tauNum = 3, tauDen = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   private val bm25Terms = Seq("dup", "spark", "vector", "merge")
@@ -1396,5 +1409,33 @@ object Documents {
          |  (2 * s + n_tokens) // (2 * n_tokens) AS weight_ppm,
          |  ((2 * s + n_tokens) // (2 * n_tokens)) >= 1000000 AS target_like
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Dedup.prefixJaccardPairs: distinct shingle sets, global
+    // rarest-first prefix of length ns - ceil(3 ns / 5) + 1, prefix
+    // equi-join with the integer length filter, exact set-intersection
+    // verify with the integer threshold 5·ni >= 3·(na+nb-ni).
+    "q140_prefix_jaccard" ->
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+         |dfc AS (SELECT s, count(*) AS df FROM dsh GROUP BY s),
+         |pf AS (SELECT r.doc_id, r.s, sz.ns FROM (
+         |         SELECT doc_id, s, row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY dfc.df, s) AS rn
+         |         FROM dsh JOIN dfc USING (s)) r JOIN sz USING (doc_id)
+         |       WHERE r.rn <= sz.ns - (sz.ns * 3 + 4) // 5 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM pf a JOIN pf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |           AND a.ns * 3 <= b.ns * 5 AND b.ns * 3 <= a.ns * 5),
+         |i AS (SELECT id_a, id_b, count(*) AS ni
+         |      FROM cand JOIN dsh x ON x.doc_id = id_a
+         |           JOIN dsh y ON y.doc_id = id_b AND y.s = x.s
+         |      GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, ni, na.ns + nb.ns - ni AS nu,
+         |  round(CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni), 6) AS jaccard
+         |FROM i JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+         |WHERE ni * 5 >= (na.ns + nb.ns - ni) * 3
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

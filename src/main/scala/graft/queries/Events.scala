@@ -433,6 +433,28 @@ object Events {
       graft.operators.Skew.skewAudit(t(s, dir, "events"), "user_id", topK = 10)
         .orderBy(col("rk"))
     }),
+
+    // EWMA control chart per user: the memoryful upgrade of the q14
+    // z-score test — each reading judged against the exponentially
+    // smoothed state of everything before it, not a static mean. The
+    // sequential recurrence runs as a codegen'd left-to-right fold over
+    // the user's time-ordered series (one shuffle); every fold step is
+    // mirrored token-for-token by the oracle's list_reduce.
+    "q138_ewma_control" -> ((s, dir) => {
+      graft.operators.ControlChart.ewma(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "value", alpha = 0.2, nSigma = 3.0)
+        .orderBy(col("user_id"))
+    }),
+
+    // Two-sided CUSUM drift detector per user: accumulates small
+    // persistent shifts the point tests (q14/q138) are blind to, firing
+    // and resetting when an accumulator crosses the decision interval.
+    // Same fold machinery and oracle discipline as q138.
+    "q139_cusum_shift" -> ((s, dir) => {
+      graft.operators.ControlChart.cusum(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "value", kSigma = 0.5, hSigma = 4.0)
+        .orderBy(col("user_id"))
+    }),
   )
 
   private val statsCte =
@@ -729,5 +751,57 @@ object Events {
         |  CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm,
         |  CAST((cnt * n_keys * 100) // total AS BIGINT) AS hot_x100
         |FROM r CROSS JOIN t2 WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    // Mirrors ControlChart.seriesAgg + the EWMA fold step for step: exact
+    // decimal baseline (the q15 recipe), then list_reduce over the
+    // time-ordered series with the accumulator as a 2-element list —
+    // every step the same fixed chain of IEEE double ops Spark codegens.
+    "q138_ewma_control" ->
+      s"""WITH g AS (SELECT user_id, COUNT(*) AS n,
+         |    ${dsumSql("value", 2)} / COUNT(*) AS mu,
+         |    sqrt(${dsumSql("value * value", 4)} / COUNT(*)
+         |         - (${dsumSql("value", 2)} / COUNT(*))
+         |           * (${dsumSql("value", 2)} / COUNT(*))) AS sigma,
+         |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS seq
+         |  FROM events GROUP BY user_id),
+         |f AS (SELECT user_id, n, list_reduce(
+         |    list_prepend([mu, 0.0], list_transform(seq, x -> [x, 0.0])),
+         |    (a, b) -> [a[1] + 0.2 * (b[1] - a[1]),
+         |               a[2] + CASE WHEN abs(b[1] - a[1]) > 3.0 * sigma
+         |                           THEN 1.0 ELSE 0.0 END]) AS st
+         |  FROM g)
+         |SELECT user_id, n, round(st[1], 6) AS ewma_final,
+         |  CAST(st[2] AS BIGINT) AS n_out_of_control
+         |FROM f ORDER BY user_id""".stripMargin,
+
+    // Mirrors ControlChart.cusum: slack k = 0.5σ, decision h = 4σ,
+    // post-alarm reset; the fired test recomputes the same pure
+    // accumulator expressions Spark binds once — identical values.
+    "q139_cusum_shift" ->
+      s"""WITH g AS (SELECT user_id, COUNT(*) AS n,
+         |    ${dsumSql("value", 2)} / COUNT(*) AS mu,
+         |    sqrt(${dsumSql("value * value", 4)} / COUNT(*)
+         |         - (${dsumSql("value", 2)} / COUNT(*))
+         |           * (${dsumSql("value", 2)} / COUNT(*))) AS sigma,
+         |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS seq
+         |  FROM events GROUP BY user_id),
+         |f AS (SELECT user_id, n, list_reduce(
+         |    list_prepend([0.0, 0.0, 0.0], list_transform(seq, x -> [x, 0.0, 0.0])),
+         |    (a, b) -> [
+         |      CASE WHEN greatest(0.0, a[1] + ((b[1] - mu) - 0.5 * sigma)) > 4.0 * sigma
+         |             OR greatest(0.0, a[2] + ((mu - b[1]) - 0.5 * sigma)) > 4.0 * sigma
+         |           THEN 0.0
+         |           ELSE greatest(0.0, a[1] + ((b[1] - mu) - 0.5 * sigma)) END,
+         |      CASE WHEN greatest(0.0, a[1] + ((b[1] - mu) - 0.5 * sigma)) > 4.0 * sigma
+         |             OR greatest(0.0, a[2] + ((mu - b[1]) - 0.5 * sigma)) > 4.0 * sigma
+         |           THEN 0.0
+         |           ELSE greatest(0.0, a[2] + ((mu - b[1]) - 0.5 * sigma)) END,
+         |      a[3] + CASE WHEN greatest(0.0, a[1] + ((b[1] - mu) - 0.5 * sigma)) > 4.0 * sigma
+         |                    OR greatest(0.0, a[2] + ((mu - b[1]) - 0.5 * sigma)) > 4.0 * sigma
+         |                  THEN 1.0 ELSE 0.0 END]) AS st
+         |  FROM g)
+         |SELECT user_id, n, CAST(st[3] AS BIGINT) AS n_alerts,
+         |  round(st[1], 6) AS cusum_high, round(st[2], 6) AS cusum_low
+         |FROM f ORDER BY user_id""".stripMargin,
   )
 }

@@ -254,6 +254,19 @@ object TrainingOps {
           "doc_id", k = 3, buckets = 16)
         .orderBy(col("anchor_id").cast("bigint"), col("slot"))
     }),
+
+    // Padding-waste audit: pad tokens burned by fixed-size-8 batches
+    // under naive id-order batching vs width-64 length bucketing — the
+    // dataloader-efficiency number that justifies (or not) paying q52's
+    // packing shuffle. Exact integer arithmetic end to end.
+    "q141_padding_waste" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).as("len"))
+      graft.operators.Packing.paddingWaste(docs, "doc_id", "len",
+          batchSize = 8, bucketWidth = 64)
+        .orderBy(col("strategy"), col("bucket"))
+    }),
   )
 
   private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -576,5 +589,28 @@ object TrainingOps {
         |SELECT anchor_id, CAST(slot AS BIGINT) AS slot, cand_id AS neg_id
         |FROM r WHERE rn = 1
         |ORDER BY CAST(anchor_id AS BIGINT), slot""".stripMargin,
+
+    // Mirrors Packing.paddingWaste: id-ordered batches of 8 per bucket,
+    // pad-to-batch-max, all integer; hugeint sums cast back to BIGINT.
+    "q141_padding_waste" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
+         |l AS (SELECT doc_id AS id, CAST(len(tok) AS BIGINT) AS len FROM t),
+         |b AS (SELECT 'naive' AS strategy, CAST(0 AS BIGINT) AS bucket, id, len FROM l
+         |      UNION ALL
+         |      SELECT 'length_bucketed', (len + 63) // 64, id, len FROM l),
+         |w AS (SELECT strategy, bucket, len,
+         |        (row_number() OVER (PARTITION BY strategy, bucket ORDER BY id) - 1) // 8
+         |          AS batch
+         |      FROM b),
+         |g AS (SELECT strategy, bucket, batch,
+         |        CAST(sum(len) AS BIGINT) AS real_tokens,
+         |        CAST(max(len) * count(*) - sum(len) AS BIGINT) AS pad_tokens
+         |      FROM w GROUP BY 1, 2, 3)
+         |SELECT strategy, bucket, count(*) AS n_batches,
+         |  CAST(sum(real_tokens) AS BIGINT) AS real_tokens,
+         |  CAST(sum(pad_tokens) AS BIGINT) AS pad_tokens,
+         |  CAST(sum(pad_tokens) * 1000000 // (sum(real_tokens) + sum(pad_tokens))
+         |    AS BIGINT) AS waste_ppm
+         |FROM g GROUP BY 1, 2 ORDER BY strategy, bucket""".stripMargin,
   )
 }

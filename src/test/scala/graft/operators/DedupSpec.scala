@@ -246,4 +246,34 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(out == ((1L, 1L, 7L)))
   }
+
+  test("prefixJaccardPairs ≡ brute-force all-pairs at several thresholds") {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+    def brute(tauNum: Int, tauDen: Int): Set[(Long, Long, Long, Long)] = {
+      val sets = docs
+        .select($"doc_id", tokens($"text").as("tok"))
+        .select($"doc_id", array_distinct(shingles($"tok", 3)).as("hs"))
+      sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          size(array_intersect($"a.hs", $"b.hs")).cast("long").as("ni"),
+          (size($"a.hs") + size($"b.hs") - size(array_intersect($"a.hs", $"b.hs")))
+            .cast("long").as("nu"))
+        .filter($"ni" * tauDen >= $"nu" * tauNum)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    def fast(tauNum: Int, tauDen: Int): Set[(Long, Long, Long, Long)] =
+      Dedup.prefixJaccardPairs(docs, "doc_id", "text", tauNum, tauDen)
+        .select($"id_a", $"id_b", $"ni", $"nu")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    for ((n, d) <- Seq((3, 5), (4, 5), (9, 10)))
+      assert(fast(n, d) == brute(n, d), s"tau=$n/$d")
+  }
+
+  test("prefixJaccardPairs plans no cartesian/nested-loop stage") {
+    val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+    val p = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

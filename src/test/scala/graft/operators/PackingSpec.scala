@@ -29,6 +29,31 @@ class PackingSpec extends SparkSpec {
     assert(packs.collect().sortBy(_.pack_id).toSeq == again.collect().sortBy(_.pack_id).toSeq)
   }
 
+  test("paddingWaste: exact waste on a known fixture; bucketing never loses") {
+    // lens: batchSize 2, bucketWidth 4 → naive batches (id order): (7,1),(5,3),(2,8)
+    //   waste: (7-1)+(5-3)+(8-2) = 14; real = 26
+    // bucketed: bucket ceil(len/4): 7→2,1→1,5→2,3→1,2→1,8→2
+    //   bucket1 ids (2,4,5) lens (1,3,2): batches (1,3),(2) → waste 2+0
+    //   bucket2 ids (1,3,6) lens (7,5,8): batches (7,5),(8) → waste 2+0
+    val docs = Seq((1L, 7L), (2L, 1L), (3L, 5L), (4L, 3L), (5L, 2L), (6L, 8L))
+      .toDF("doc_id", "len")
+    val out = Packing.paddingWaste(docs, "doc_id", "len", batchSize = 2, bucketWidth = 4)
+      .orderBy($"strategy", $"bucket")
+      .select($"strategy", $"bucket", $"n_batches", $"real_tokens", $"pad_tokens")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("length_bucketed", 1L, 2L, 6L, 2L),
+      ("length_bucketed", 2L, 2L, 20L, 2L),
+      ("naive", 0L, 3L, 26L, 14L)))
+    // on real data: total bucketed waste <= naive waste (the point of bucketing)
+    val real = Tables(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", length($"text").as("len"))
+    val waste = Packing.paddingWaste(real, "doc_id", "len", 8, 64)
+      .groupBy($"strategy").agg(sum($"pad_tokens").as("w"))
+      .as[(String, Long)].collect().toMap
+    assert(waste("length_bucketed") <= waste("naive"))
+  }
+
   test("writeSharded bounds file sizes and covers all rows") {
     val dir = Files.createTempDirectory("graft_shard").toString
     val docs = Tables(spark, sf("sf0.001"), "documents").select($"doc_id", $"lang")

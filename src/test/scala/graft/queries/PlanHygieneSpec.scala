@@ -58,6 +58,14 @@ class PlanHygieneSpec extends SparkSpec {
     "q127_bpe_encode",         // trains via q126's plan (same 1-row
                                // argmax broadcasts); encoding itself is
                                // a zero-shuffle scan transform
+    "q131_lm_score",           // 1-row vocab-size (smoothing V) attached
+                               // to the holdout bigram score table
+    "q132_skew_audit",         // 1-row total/keys aggregate attached to
+                               // the top-K hot-key frame
+    "q135_cluster_quality",    // label-count centroid table broadcast
+                               // over the point scan (k rows, k ≈ 8)
+    "q136_dsir_weights",       // 1-row corpus totals attached to the
+                               // hashed-bucket rate tables
   )
 
   private def executedPlan(name: String): String = {
