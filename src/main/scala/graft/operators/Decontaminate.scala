@@ -38,7 +38,10 @@ object Decontaminate {
       idCol: String, textCol: String, n: Int = 4,
       fpp: Double = 0.01): DataFrame = {
     val spark = train.sparkSession
+    // three consumers (count, bloom build, exact-verify semi-join) — persist
+    // so the test corpus is tokenized once, not three times
     val testH = shingleHashes(test, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainH = shingleHashes(train, idCol, textCol, n)
 
     // Bloom sketch of the test shingle universe, built distributed and

@@ -26,6 +26,16 @@ import graft.functions.GraftFunctions.hamming_dist
   */
 object Dedup {
 
+  /** Persist a fan-out intermediate consumed by several plan branches.
+    * Catalyst does not share non-exchange subtrees across branches, so a
+    * table like the per-doc shingle-set/signature frame would otherwise be
+    * re-tokenized once per consumer (3-4x in the pipelines below).
+    * MEMORY_AND_DISK spills instead of OOMing; at cluster scale the same
+    * role is played by a persisted bucketed table ([[writeNearDupIndex]]).
+    * Bench/Verify drop leftover blocks between queries. */
+  private def shared(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact duplicate groups by canonical text: (keep_id = min doc id,
     * n_copies). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -100,7 +110,8 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("tok"), 3)).as("sh0"))
       .select(col("doc_id"), hash32(col("sh0"), 0).as("sh"))
       .distinct()
-    val counts = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val cachedDs = shared(ds)
+    val counts = cachedDs.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val inter = pairs
       .join(ds.select(col("doc_id").as("id_a"), col("sh").as("sha")).hint("shuffle_hash"), Seq("id_a"))
       .join(ds.select(col("doc_id").as("id_b"), col("sh").as("shb")).hint("shuffle_hash"), Seq("id_b"))
@@ -153,7 +164,7 @@ object Dedup {
   def nearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
-    val sigs = shingleSetSigs(docs, idCol, textCol, numHashes)
+    val sigs = shared(shingleSetSigs(docs, idCol, textCol, numHashes))
     val cand = minhashCandidates(sigs.drop("hs"), numHashes, rowsPerBand)
     jaccardOnCandidates(cand, sigs, minJaccard)
   }
@@ -205,8 +216,8 @@ object Dedup {
       left: DataFrame, right: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2,
       minJaccard: Double = 0.5): DataFrame = {
-    val sa = shingleSetSigs(left, idCol, textCol, numHashes)
-    val sb = shingleSetSigs(right, idCol, textCol, numHashes)
+    val sa = shared(shingleSetSigs(left, idCol, textCol, numHashes))
+    val sb = shared(shingleSetSigs(right, idCol, textCol, numHashes))
     val cand = bandKeyRows(sa.drop("hs"), numHashes, rowsPerBand).as("x")
       .join(bandKeyRows(sb.drop("hs"), numHashes, rowsPerBand).as("y"),
         col("x.bk") === col("y.bk"))
@@ -234,7 +245,7 @@ object Dedup {
   def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String, numHashes: Int = 8, rowsPerBand: Int = 2,
       nBuckets: Int = 16): Unit = {
-    val sigs = shingleSetSigs(docs, idCol, textCol, numHashes)
+    val sigs = shared(shingleSetSigs(docs, idCol, textCol, numHashes))
     Maintenance.writeBucketed(
       bandKeyRows(sigs, numHashes, rowsPerBand), s"${table}_bands", "bk", nBuckets)
     Maintenance.writeBucketed(
@@ -264,7 +275,7 @@ object Dedup {
       table: String, numHashes: Int = 8, rowsPerBand: Int = 2,
       minJaccard: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
-    val sigs = shingleSetSigs(newDocs, idCol, textCol, numHashes)
+    val sigs = shared(shingleSetSigs(newDocs, idCol, textCol, numHashes))
     val newBands = bandKeyRows(sigs, numHashes, rowsPerBand)
     val oldBands = spark.table(s"${table}_bands")
     val oldSets = spark.table(s"${table}_sets")
@@ -302,9 +313,10 @@ object Dedup {
       .select(col("blk"), col("doc_id"), explode(shingles(col("tok"), 3)).as("sh0"))
       .select(col("blk"), col("doc_id"), hash32(col("sh0"), 0).as("sh"))
       .distinct()
-    val counts = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val inter = ds.select(col("blk"), col("doc_id").as("id_a"), col("sh"))
-      .join(ds.select(col("blk"), col("doc_id").as("id_b"), col("sh")).hint("shuffle_hash"),
+    val cachedDs = shared(ds)
+    val counts = cachedDs.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val inter = cachedDs.select(col("blk"), col("doc_id").as("id_a"), col("sh"))
+      .join(cachedDs.select(col("blk"), col("doc_id").as("id_b"), col("sh")).hint("shuffle_hash"),
         Seq("blk", "sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
@@ -691,21 +703,28 @@ object Dedup {
       tauNum: Int, tauDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
-    val sh = docs
+    // Shingles compared by 32-bit hash from here on: every downstream
+    // shuffle/sort/set carries 8-byte keys instead of strings, and PPJoin's
+    // prefix-filter recall is exact under ANY consistent global order —
+    // (df, hash) is as valid an order as (df, string). The one corpus-wide
+    // tokenize is cached; four branches (sizes, document frequency, prefix,
+    // verify sets) read it.
+    val sh = shared(docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
-      .select(col("doc_id"), explode(shingles(col("tok"), 3)).as("s"))
-      .distinct()
+      .select(col("doc_id"), explode(shingles(col("tok"), 3)).as("s0"))
+      .select(col("doc_id"), hash32(col("s0"), 0).as("s"))
+      .distinct())
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // prefix length p = s − ⌈τ·s⌉ + 1, all-integer: ⌈a/b⌉ = (a+b−1) div b
-    val prefix = sh
+    val prefix = shared(sh
       .join(df, Seq("s"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
       .join(sz, Seq("doc_id"))
       .filter(col("rn") <=
         col("ns") - expr(s"(ns * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
-      .select(col("doc_id"), col("s"), col("ns"))
+      .select(col("doc_id"), col("s"), col("ns")))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&

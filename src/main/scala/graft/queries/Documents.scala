@@ -1410,14 +1410,15 @@ object Documents {
          |  ((2 * s + n_tokens) // (2 * n_tokens)) >= 1000000 AS target_like
          |FROM g ORDER BY doc_id""".stripMargin,
 
-    // Mirrors Dedup.prefixJaccardPairs: distinct shingle sets, global
-    // rarest-first prefix of length ns - ceil(3 ns / 5) + 1, prefix
+    // Mirrors Dedup.prefixJaccardPairs: distinct hashed shingle sets,
+    // global rarest-first prefix of length ns - ceil(3 ns / 5) + 1, prefix
     // equi-join with the integer length filter, exact set-intersection
-    // verify with the integer threshold 5·ni >= 3·(na+nb-ni).
+    // verify with the integer threshold 5·ni >= 3·(na+nb-ni). Shingles are
+    // compared by the portable 32-bit hash exactly like the engine.
     "q140_prefix_jaccard" ->
       s"""WITH $tokCte,
          |${shingleCte(3)},
-         |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
          |sz AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
          |dfc AS (SELECT s, count(*) AS df FROM dsh GROUP BY s),
          |pf AS (SELECT r.doc_id, r.s, sz.ns FROM (

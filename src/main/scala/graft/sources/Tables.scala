@@ -32,13 +32,22 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw =
       if (name == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-        // read as a timestamp. Read it as raw nanos (legacy conf) and
-        // convert with exact integer division — the driver data is
-        // micro-precision, so the ns→µs truncation is lossless.
+        // events.ts has varied across fixture generations: TIMESTAMP(NANOS)
+        // (which Spark 4 refuses to read as a timestamp — read as raw nanos
+        // via the legacy conf and divide; µs-precision data makes the
+        // truncation lossless) or TIMESTAMP(MICROS)/NTZ (cast straight to
+        // session-TZ timestamp; session TZ is pinned UTC so the cast is
+        // value-preserving). Dispatch on the actual file schema.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        val df0 = spark.read.parquet(s"$dir/$name.parquet")
+        df0.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df0.withColumn("ts",
+              org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          case _ =>
+            df0.withColumn("ts",
+              org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        }
       } else {
         spark.read.parquet(s"$dir/$name.parquet")
       }
