@@ -547,19 +547,29 @@ object Dedup {
     * O(n²) — the standard simhash sharding scheme at corpus scale. */
   def simhashPairsBlocked(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs64(simhash64(docs, idCol, textCol), maxHamming)
+
+  /** All (id_a < id_b) pairs within `maxHamming` bits over 64-bit
+    * signatures carried as two 32-bit halves (doc_id, sim_lo, sim_hi) —
+    * the generic engine behind [[simhashPairsBlocked]] and perceptual-hash
+    * image dedup ([[Multimodal.imageAHash64]]). EXACT recall via the
+    * pigeonhole principle: splitting 64 bits into `maxHamming + 1`-plus
+    * blocks means any pair within the budget agrees on at least one whole
+    * block, so candidate generation is an equi-join on block values —
+    * no all-pairs stage anywhere in the plan. */
+  def hammingPairs64(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nBlocks = Seq(2, 4, 8, 16, 32).find(_ >= maxHamming + 1).getOrElse(
       throw new IllegalArgumentException(s"maxHamming $maxHamming too large for 64-bit blocks"))
     val w = 64 / nBlocks // 32 % w == 0, so blocks never straddle the halves
     val mask = (1L << w) - 1
-    val sh = simhash64(docs, idCol, textCol)
     val blocks = array((0 until nBlocks).map { j =>
       val start = j * w
       val half = if (start < 32) "sim_lo" else "sim_hi"
       val off = start % 32
       struct(lit(j).as("j"), expr(s"($half >> $off) & $mask").as("bv"))
     }: _*)
-    val e = sh.select(col("doc_id"), col("sim_lo"), col("sim_hi"), explode(blocks).as("blk"))
+    val e = sigs.select(col("doc_id"), col("sim_lo"), col("sim_hi"), explode(blocks).as("blk"))
     e.as("x").join(e.as("y"),
         col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),

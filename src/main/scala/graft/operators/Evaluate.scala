@@ -52,6 +52,30 @@ object Evaluate {
       .withColumn("auc", col("auc_ppm").cast("double") / 1000000.0)
   }
 
+  /** Mean reciprocal rank over a ranked retrieval result: per query, the
+    * reciprocal of the FIRST relevant rank (queries with no relevant hit
+    * in their list count 0 — they stay in the denominator). Carried as
+    * exact integers: `rr_ppm = 10^6 div first_rank`, `mrr_ppm =
+    * Σ rr_ppm div n_queries` — no float summation order to drift. Input
+    * is any (query_id, rk, relevant) frame (rk 1-based, e.g. a [[Knn]]
+    * or BM25 result joined to a qrels flag); `queries` supplies the full
+    * query universe so empty result lists still count. One groupBy on
+    * query_id then a 1-row fold. */
+  def mrr(ranked: DataFrame, queries: DataFrame, relCol: Column): DataFrame = {
+    val firsts = ranked
+      .filter(relCol)
+      .groupBy(col("query_id"))
+      .agg(min(col("rk")).as("first_rel"))
+    queries
+      .join(firsts, Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("first_rel").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        coalesce(sum(expr("1000000 div first_rel")), lit(0L)).as("_s"))
+      .select(col("n_queries"), col("n_hit"),
+        expr("_s div n_queries").as("mrr_ppm"))
+  }
+
   /** Reliability (calibration) table: `nBins` fixed-width bins over the
     * integer score range `[lo, hi]`; per bin the observed positive rate
     * in ppm. A well-calibrated score has `pos_rate_ppm` tracking the bin

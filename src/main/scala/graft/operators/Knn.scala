@@ -60,6 +60,28 @@ object Knn {
     reduceTopK(pairs.withColumn("_sim", cosine_sim(col("_qvec"), col("_nvec"))), k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query (an
+    * anchor with a label), the top-k most-similar corpus rows with a
+    * DIFFERENT label — the "closest wrong answers" that make the
+    * strongest negatives. Same bounded top-k shape as [[exact]] (broadcast
+    * queries, map-side partial top-k, shuffle = partitions × |Q| × k);
+    * the label inequality rides the broadcast join as a residual, so the
+    * corpus is scanned once whatever the label distribution. Complements
+    * the hash-bucketed random negatives of `Sampling.negativePairs`
+    * (q134): random negatives are cheap but mostly easy; these cost one
+    * kNN pass and are all hard. */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("_ql"),
+      col(vecCol).as("_qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("_nl"),
+      col(vecCol).as("_nvec"))
+    val pairs = c.join(broadcast(q), col("_ql") =!= col("_nl"))
+    reduceTopK(pairs.withColumn("_sim", cosine_sim(col("_qvec"), col("_nvec"))), k)
+  }
+
   /** Per-group self-kNN: neighbors restricted to rows sharing `groupCol`.
     * Pre-filtering before the similarity search (rather than the
     * reference's global-ANN-then-filter, whose k can starve after

@@ -263,6 +263,28 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual average-hash (aHash) over REALLY-decoded images:
+    * 8×8 mean-luminance grid from [[ImageIoDecoder]] (true pixels, not
+    * payload bytes), bit j set iff cell j's luminance exceeds the grid
+    * mean. Emitted as two 32-bit halves (media_id → doc_id, sim_lo,
+    * sim_hi) so [[Dedup.hammingPairs64]] can band them into near-dup
+    * pairs with exact pigeonhole recall — visually-close images collide
+    * within a few bits even when their encoded bytes share nothing
+    * (re-encode, metadata churn), which is exactly why image dedup hashes
+    * pixels, not payloads. Non-image rows and failed decodes drop out. */
+  def imageAHash64(media: Dataset[MediaRow]): DataFrame = {
+    val feats = extractFeatures(media, () => new ImageIoDecoder(64)).toDF()
+      .filter(col("kind") === "image" && col("decode_ok"))
+    val mean = aggregate(col("features"), lit(0.0d), (acc, x) => acc + x) / size(col("features"))
+    feats
+      .withColumn("_m", mean)
+      .select(col("media_id").as("doc_id"),
+        expr("aggregate(filter(transform(features, (x, j) -> IF(x > _m AND j < 32, j, -1)), j -> j >= 0), " +
+          "CAST(0 AS BIGINT), (acc, j) -> acc | shiftleft(CAST(1 AS BIGINT), j))").as("sim_lo"),
+        expr("aggregate(filter(transform(features, (x, j) -> IF(x > _m AND j >= 32, j - 32, -1)), j -> j >= 0), " +
+          "CAST(0 AS BIGINT), (acc, j) -> acc | shiftleft(CAST(1 AS BIGINT), j))").as("sim_hi"))
+  }
+
   /** Deterministic 8×8 grayscale PNG rendered from text bytes — a REAL
     * image payload (the JDK PNG writer emits only IHDR/IDAT/IEND, so the
     * bytes are a pure function of the pixels), letting the demo media

@@ -368,6 +368,28 @@ object TextAnalysis {
             .cast("double") / 1000000.0)
           .otherwise(lit(0.0)))
 
+  /** Token-diversity (Simpson) concentration per document, the no-libm
+    * complement to entropy: the unbiased Simpson index
+    * `D = Σ c_i(c_i−1) / (n(n−1))` is the probability two tokens drawn
+    * without replacement are the same type — 0 for all-distinct text,
+    * →1 for one token repeated. Pure integer rational arithmetic carried
+    * in ppm (entropy needs `log`, whose libm rounding differs across
+    * engines; Simpson is exact everywhere), so the oracle hash-matches
+    * bit-for-bit. One narrow pass: per-doc token counts aggregate to the
+    * two moments (n, Σc²) without materializing the count vector. */
+  def simpsonDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * (col("c") - 1)).as("_rep2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 1,
+          expr("_rep2 * 1000000 div (n_tokens * (n_tokens - 1))"))
+          .otherwise(lit(0L)).as("simpson_ppm"))
+
   /** BM25 batch retrieval: top-`k` documents for a fixed query-term set,
     * Okapi scoring with the repo's engine-exact integer discipline. The
     * true Okapi idf is `ln((N-df+0.5)/(df+0.5))` — a libm float that

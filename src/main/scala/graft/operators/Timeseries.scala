@@ -54,6 +54,37 @@ object Timeseries {
         col("n").isNull.as("is_gap"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) interval build from a change
+    * log: per key, each maximal run of equal attribute values becomes one
+    * row with `valid_from` (run start), `valid_to` (next run's start,
+    * null while current) and `is_current`. The warehouse dimension-table
+    * primitive: point-in-time joins become `BETWEEN valid_from AND
+    * valid_to` lookups instead of per-query window scans.
+    *
+    * Gaps-and-islands on (key, ts, seq): a change flag against the lagged
+    * attribute, a running sum numbering the runs, one groupBy per run,
+    * then a lead for the closing edge. All windows partition by the key —
+    * thousands of small per-key sorts, never a global one — and `seqCol`
+    * breaks equal-timestamp ties so run numbering is deterministic. */
+  def scd2Intervals(events: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, attrCol: String): DataFrame = {
+    val byTime = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val runs = events
+      .select(col(keyCol), col(tsCol), col(seqCol), col(attrCol))
+      .withColumn("_chg",
+        when(lag(col(attrCol), 1).over(byTime).isNull ||
+          lag(col(attrCol), 1).over(byTime) =!= col(attrCol), 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_chg")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_run"))
+      .agg(first(col(attrCol)).as(attrCol), min(col(tsCol)).as("valid_from"))
+    val byRun = Window.partitionBy(col(keyCol)).orderBy(col("_run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** CDC-style snapshot diff over an append-only event log: each key's
     * latest value as of `oldUpTo` vs as of `newUpTo`, emitted as the
     * change delta — `added` (key first appears in the new window) or

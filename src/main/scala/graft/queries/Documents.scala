@@ -15,6 +15,16 @@ import Q._
 object Documents {
 
   val queries: Map[String, QueryFn] = Map(
+    // Token-diversity (unbiased Simpson) concentration per document —
+    // the no-libm entropy stand-in: exact rational ppm, one narrow
+    // two-level aggregate (token counts → two moments), no count vector
+    // materialized.
+    "q144_token_diversity" -> ((s, dir) => {
+      graft.operators.TextAnalysis.simpsonDiversity(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup by canonical text hash (hash-groupBy; one 16-byte-key
     // shuffle regardless of document size).
     "q30_exact_dedup" -> ((s, dir) => {
@@ -581,6 +591,21 @@ object Documents {
     s"CAST('0x' || substr(md5($expr || '#$seed'), 1, 8) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors TextAnalysis.simpsonDiversity: per-type counts, then the
+    // exact integer Simpson ppm Σc(c−1)·10^6 div n(n−1).
+    "q144_token_diversity" ->
+      s"""WITH $tokCte,
+         |w AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+         |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        count(*) AS n_types, CAST(sum(c * (c - 1)) AS BIGINT) AS r2
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_types,
+         |  CASE WHEN n_tokens > 1
+         |       THEN r2 * 1000000 // (n_tokens * (n_tokens - 1))
+         |       ELSE 0 END AS simpson_ppm
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     "q30_exact_dedup" ->
       s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM documents GROUP BY md5($normSql) ORDER BY keep_id""".stripMargin,

@@ -16,6 +16,22 @@ import Q._
 object Events {
 
   val queries: Map[String, QueryFn] = Map(
+    // SCD2 dimension build from the event change log: per user, each
+    // maximal run of equal event_type becomes one validity interval
+    // (valid_from, valid_to, is_current) — the warehouse point-in-time
+    // join primitive. Gaps-and-islands windows per user; event_id breaks
+    // equal-timestamp ties deterministically.
+    "q145_scd2_intervals" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Timeseries.scd2Intervals(
+          t(s, dir, "events").filter($"user_id" < 20),
+          "user_id", "ts", "event_id", "event_type")
+        .select($"user_id", $"event_type",
+          unix_micros($"valid_from").as("from_us"),
+          unix_micros($"valid_to").as("to_us"), $"is_current")
+        .orderBy($"user_id", $"from_us")
+    }),
+
     // Tumbling 60 s window aggregation (reference A1: floor-to-window
     // bucketing, kafka_consumer.py:285-289) via Spark's window().
     "q10_window_tumbling" -> ((s, dir) => {
@@ -466,6 +482,25 @@ object Events {
        |FROM events GROUP BY event_type)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors Timeseries.scd2Intervals: change-flag → run numbering →
+    // per-run interval, closing edge by lead over run starts.
+    "q145_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 20),
+        |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                       OR lag(event_type) OVER w <> event_type
+        |                     THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        |      FROM c),
+        |g AS (SELECT user_id, run, min(event_type) AS event_type,
+        |        min(ts) AS valid_from
+        |      FROM r GROUP BY user_id, run)
+        |SELECT user_id, event_type, epoch_us(valid_from) AS from_us,
+        |  epoch_us(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)) AS to_us,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL AS is_current
+        |FROM g ORDER BY user_id, from_us""".stripMargin,
+
     "q10_window_tumbling" ->
       s"""SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS window_start, event_type,
          |  COUNT(*) AS n, ${dsumSql("value", 2)} AS sum_value

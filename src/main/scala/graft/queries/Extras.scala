@@ -14,6 +14,20 @@ import Q._
 object Extras {
 
   val queries: Map[String, QueryFn] = Map(
+    // Image near-dup by perceptual hash over REALLY-decoded pixels:
+    // 64-bit aHash from the 8×8 luminance grid (javax.imageio decode),
+    // then Hamming-close pairs via the same exact pigeonhole banding as
+    // simhash — the multimodal dedup path (visually-identical images
+    // collide even when their encoded bytes differ). Rows-only: DuckDB
+    // can't decode PNG; the hash bits and pair recall are asserted in
+    // MultimodalSpec on constructed near/far image fixtures.
+    "q146_image_phash_pairs" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+      graft.operators.Dedup.hammingPairs64(
+          Multimodal.imageAHash64(media), maxHamming = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Flagship IoT dataflow (reference §3.1-3.2 end-to-end): simulate a
     // fleet with an injected compressor failure, snapshot, profile on the
     // clean period, detect (paths 1+2), emit events. Rows-only: validated

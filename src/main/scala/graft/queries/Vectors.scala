@@ -29,6 +29,33 @@ object Vectors {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    // Hard-negative mining for contrastive training: per anchor, the
+    // top-5 most-similar DIFFERENT-label vectors (the closest wrong
+    // answers). Same bounded top-k plan as q22; the label inequality is
+    // a residual on the broadcast join.
+    "q142_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Knn.hardNegatives(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rk").cast("bigint").as("rk"),
+          col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // Retrieval MRR: exact kNN top-10 per query scored against the
+    // same-label relevance rule, folded to one exact-integer summary row
+    // (even the evaluation metric is oracle-hash-checked).
+    "q143_retrieval_mrr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val ranked = graft.operators.Knn.exact(e, q, k = 10)
+        .join(broadcast(e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("_nl"))), Seq("neighbor_id"))
+        .join(broadcast(e.select(col("vec_id").as("query_id"),
+          col("label").as("_ql"))), Seq("query_id"))
+      graft.operators.Evaluate.mrr(ranked,
+        q.select(col("vec_id").as("query_id")), col("_nl") === col("_ql"))
+    }),
+
     // Cosine similarity of every vector against one query vector (the ANN
     // probe test_ann_query.py re-expressed as a broadcast scalar join).
     "q20_cosine_vs_query" -> ((s, dir) => {
@@ -194,6 +221,35 @@ object Vectors {
       |c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM g GROUP BY label)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors Knn.hardNegatives: per-anchor ranking restricted to rows
+    // with a DIFFERENT label, ties broken by lower neighbor id.
+    "q142_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS ql, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, e.v) AS cs
+        |      FROM q JOIN e ON e.label <> ql),
+        |r AS (SELECT qid, nid, cs,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk FROM s)
+        |SELECT qid AS query_id, rk, nid AS neighbor_id, round(cs, 6) AS sim
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // Mirrors Evaluate.mrr over the q22-shaped exact kNN list: first
+    // same-label rank per query, reciprocal in exact integer ppm.
+    "q143_retrieval_mrr" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS ql, v AS qv FROM e WHERE vec_id < 20),
+        |s AS (SELECT qid, ql, e.vec_id AS nid, e.label AS nl,
+        |             list_cosine_similarity(qv, e.v) AS cs
+        |      FROM q JOIN e ON e.vec_id <> qid),
+        |r AS (SELECT qid, ql, nid, nl, cs,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk FROM s),
+        |f AS (SELECT qid, min(rk) AS first_rel FROM r
+        |      WHERE rk <= 10 AND nl = ql GROUP BY qid)
+        |SELECT count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(coalesce(CAST(sum(1000000 // first_rel) AS BIGINT), 0) // count(*) AS BIGINT) AS mrr_ppm
+        |FROM q LEFT JOIN f USING (qid)""".stripMargin,
+
     "q20_cosine_vs_query" ->
       """SELECT e.vec_id,
         |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -184,4 +184,23 @@ class EvaluateSpec extends SparkSpec {
     assert(out.forall(_._4 == 25.0)) // 3² + 4²
     assert(out.forall(_._5 == 1.0)) // a=0 -> s = b/b
   }
+
+  test("mrr: first-relevant reciprocal in exact ppm, misses count zero") {
+    import org.apache.spark.sql.functions._
+    // q1 hits at rank 2 -> 500000; q2 at rank 1 -> 1000000; q3 never -> 0
+    val ranked = Seq(
+      (1L, 1L, false), (1L, 2L, true), (1L, 3L, true),
+      (2L, 1L, true),
+      (3L, 1L, false), (3L, 2L, false)).toDF("query_id", "rk", "rel")
+    val queries = Seq(1L, 2L, 3L).toDF("query_id")
+    val out = Evaluate.mrr(ranked, queries, col("rel")).collect().head
+    assert(out.getAs[Long]("n_queries") == 3L)
+    assert(out.getAs[Long]("n_hit") == 2L)
+    assert(out.getAs[Long]("mrr_ppm") == (500000L + 1000000L) / 3L)
+    // a query absent from `ranked` entirely still sits in the denominator
+    val out2 = Evaluate.mrr(ranked, Seq(1L, 2L, 3L, 4L).toDF("query_id"),
+      col("rel")).collect().head
+    assert(out2.getAs[Long]("n_queries") == 4L)
+    assert(out2.getAs[Long]("mrr_ppm") == 1500000L / 4L)
+  }
 }

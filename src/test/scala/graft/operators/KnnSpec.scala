@@ -76,4 +76,27 @@ class KnnSpec extends SparkSpec {
     val perfect = Knn.recallAtK(gt, gt).select($"recall_ppm").as[Long].collect()
     assert(perfect.forall(_ == 1000000L))
   }
+
+  test("hardNegatives: top-k closest different-label rows, equals brute force") {
+    val e = Tables(spark, sf("sf0.001"), "embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val got = Knn.hardNegatives(e, q, k = 4).cache()
+    // every result crosses labels
+    val lbl = e.select($"vec_id", $"label")
+    val crossed = got
+      .join(lbl.select($"vec_id".as("query_id"), $"label".as("ql")), "query_id")
+      .join(lbl.select($"vec_id".as("neighbor_id"), $"label".as("nl")), "neighbor_id")
+    assert(crossed.filter($"ql" === $"nl").count() == 0)
+    assert(got.groupBy($"query_id").count().select($"count").as[Long].collect().forall(_ == 4))
+    // brute force cross-check on one query
+    import graft.functions.GraftFunctions.cosine_sim
+    val q0 = e.filter($"vec_id" === 0).select($"embedding".as("qv"), $"label".as("ql"))
+    val brute = e.crossJoin(q0).filter($"label" =!= $"ql")
+      .select($"vec_id", cosine_sim($"embedding", $"qv").as("s"))
+      .orderBy($"s".desc, $"vec_id").limit(4)
+      .select($"vec_id").as[Long].collect().toSeq
+    val ours = got.filter($"query_id" === 0).orderBy($"rk")
+      .select($"neighbor_id").as[Long].collect().toSeq
+    assert(ours == brute)
+  }
 }

@@ -138,4 +138,39 @@ class MultimodalSpec extends SparkSpec {
     val sims = knn.select($"sim").as[Double].collect()
     assert(sims.forall(s => s >= -1.0 && s <= 1.0 + 1e-9))
   }
+
+  test("imageAHash64: perceptual near-dups collide, distinct images don't") {
+    import java.awt.image.BufferedImage
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // base: strong gradient; near: same with ONE cell nudged (stays on the
+    // same side of the mean); far: inverted gradient (every bit flips)
+    val base = png((x, y) => x * 32)
+    val near = png((x, y) => if (x == 7 && y == 7) 230 else x * 32)
+    val far = png((x, y) => 255 - x * 32)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", base, "s"),
+      Multimodal.MediaRow(2L, "image", near, "s"),
+      Multimodal.MediaRow(3L, "image", far, "s"),
+      Multimodal.MediaRow(4L, "audio", base, "s"), // non-image: dropped
+      Multimodal.MediaRow(5L, "image", Array[Byte](1, 2, 3), "s")) // bad decode: dropped
+    val sigs = Multimodal.imageAHash64(spark.createDataset(rows)).cache()
+    assert(sigs.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val pairs = Dedup.hammingPairs64(sigs, maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "visually-near pair must collide")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "inverted image must stay far")
+    // hash is a pure function of pixels: identical images -> identical bits
+    val again = Multimodal.imageAHash64(spark.createDataset(rows))
+    assert(sigs.collect().toSet == again.collect().toSet)
+  }
 }

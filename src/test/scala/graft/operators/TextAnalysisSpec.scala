@@ -315,4 +315,17 @@ class TextAnalysisSpec extends SparkSpec {
     // zz "a-b": 1 word, subwords a|-|b = 3, chars 3
     assert(out(1) == (("zz", 1L, 1L, 3L, 3L, 3000000L, 1000000L)))
   }
+
+  test("simpsonDiversity: exact rational ppm concentration") {
+    val docs = Seq(
+      (1L, "a a a a"),           // all same type: D = 1 -> 1000000
+      (2L, "a b c d"),           // all distinct: D = 0
+      (3L, "a a b b"),           // 2*(2*1)/(4*3) = 4/12 -> 333333
+      (4L, "x")).toDF("doc_id", "text") // n <= 1 guard
+    val out = TextAnalysis.simpsonDiversity(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"n_tokens", $"n_types", $"simpson_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((4L, 1L, 1000000L), (4L, 4L, 0L), (4L, 2L, 333333L), (1L, 1L, 0L)))
+  }
 }

@@ -66,4 +66,29 @@ class TimeseriesSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(out == Seq((1L, "removed", Some(4.0), None)))
   }
+
+  test("scd2Intervals: runs become intervals; ties broken by seq; last is current") {
+    import org.apache.spark.sql.functions._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    val log = Seq(
+      (7L, ts(10), 1L, "A"), (7L, ts(20), 2L, "A"), (7L, ts(30), 3L, "B"),
+      (7L, ts(40), 4L, "A"),
+      // equal timestamps: seq decides the run order deterministically
+      (8L, ts(10), 1L, "X"), (8L, ts(10), 2L, "Y"),
+      (9L, ts(5), 1L, "Z")).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Timeseries.scd2Intervals(log, "user_id", "ts", "event_id", "event_type")
+      .orderBy($"user_id", $"valid_from")
+      .select($"user_id", $"event_type",
+        unix_micros($"valid_from").as("f"), unix_micros($"valid_to").as("t"),
+        $"is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2) / 1000000L,
+        if (r.isNullAt(3)) -1L else r.getLong(3) / 1000000L,
+        r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      (7L, "A", 10L, 30L, false), (7L, "B", 30L, 40L, false),
+      (7L, "A", 40L, -1L, true),
+      (8L, "X", 10L, 10L, false), (8L, "Y", 10L, -1L, true),
+      (9L, "Z", 5L, -1L, true)))
+  }
 }

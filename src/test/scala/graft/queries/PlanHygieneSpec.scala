@@ -66,6 +66,10 @@ class PlanHygieneSpec extends SparkSpec {
                                // over the point scan (k rows, k ≈ 8)
     "q136_dsir_weights",       // 1-row corpus totals attached to the
                                // hashed-bucket rate tables
+    "q142_hard_negatives",     // broadcast anchor set × corpus scan with
+                               // the label-inequality residual (q22 shape)
+    "q143_retrieval_mrr",      // exact-kNN ranking side (broadcast query
+                               // set × corpus) under the 1-row MRR fold
   )
 
   private def executedPlan(name: String): String = {
