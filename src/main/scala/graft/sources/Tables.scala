@@ -25,6 +25,10 @@ object Tables {
   private val spreadKeys = Map(
     "documents" -> "doc_id", // md5/shingle pipelines: CPU-bound narrow phase
     "events" -> "user_id") // per-user windows reuse the partitioning
+  // embeddings intentionally NOT spread (measured: q29 2.3s -> 2.9s, q85
+  // 1.4s -> 1.6s under a forced vec_id spread — vector pipelines shuffle
+  // on their own keys immediately, so the extra exchange only adds cost;
+  // same reasoning as lineitem/orders below).
   // lineitem/orders intentionally NOT spread: their narrow phases are
   // cheap columnar aggregates where the extra shuffle costs more than the
   // single-split scan (measured: q01 0.19s -> 0.43s under a forced spread).
