@@ -125,22 +125,33 @@ object Dedup {
   }
 
   /** (doc_id, hs, ns, sig0..sig{n-1}): per-doc distinct shingle-hash set,
-    * its size, and the minhash signature derived from it. ONE corpus
-    * shuffle builds the set; signatures (min ignores duplicates, so
-    * minhash over the set == over the multiset) and counts derive
-    * narrowly. Per-doc set size is bounded by document length. */
-  private def shingleSetSigs(docs: DataFrame, idCol: String, textCol: String,
+    * its size, and the minhash signature derived from it. Fully NARROW —
+    * the set, its size and every signature component are higher-order
+    * array expressions over the row's own text (shingle → hash →
+    * array_distinct → per-permutation array_min; min ignores duplicates,
+    * so minhash over the set == over the multiset), so building
+    * signatures costs ZERO shuffles at any corpus size (the old
+    * explode + collect_set form paid a corpus-sized exchange here).
+    * Per-doc set size is bounded by document length. Also the form that
+    * makes the same signatures computable on a STREAM (narrow maps are
+    * streaming-legal with no state) — see [[streamingNearDupPairs]]. */
+  private[graft] def shingleSetSigs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int): DataFrame = {
-    val sets = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
-      .select(col("doc_id"), explode(shingles(col("tok"), 3)).as("sh0"))
-      .select(col("doc_id"), hash32(col("sh0"), 0).as("h"))
-      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
     val sigCols = Seq(col("doc_id"), col("hs"),
       size(col("hs")).cast("bigint").as("ns")) ++
       (0 until numHashes).map(i =>
         array_min(transform(col("hs"), h => minhashPerm(h, i))).as(s"sig$i"))
-    sets.select(sigCols: _*)
+    // NB: `shingles(tokens(...))` inline is fine HERE — the whole chain
+    // sits inside one projection where whole-stage codegen's subexpression
+    // elimination evaluates the token split once (measured: inline 0.7s vs
+    // 1.1s with a materializing projection barrier on q31/sf0.1). The
+    // shingles() scaladoc warning applies when the token array crosses
+    // OPERATOR boundaries (explode/groupBy), not within a single project.
+    docs
+      .select(col(idCol).as("doc_id"),
+        array_distinct(transform(shingles(tokens(col(textCol)), 3),
+          s => hash32(s, 0))).as("hs"))
+      .select(sigCols: _*)
   }
 
   /** Exact Jaccard rescore of candidate (id_a, id_b) pairs against the
