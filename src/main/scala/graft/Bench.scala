@@ -24,8 +24,12 @@ object Bench {
       // sweep they accumulate into block-manager pressure that taxes
       // whichever query runs next) and GC, so one query's residue never
       // masquerades as another's plan cost.
+      // blocking: this cleanup is OUTSIDE the timed region, and a lazy
+      // unpersist leaves the previous query's blocks draining into the
+      // next query's measured runs (components-family queries measured 3x
+      // their isolated time under the lazy variant)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.gc()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

@@ -148,6 +148,15 @@ object Dedup {
     // shingles() scaladoc warning applies when the token array crosses
     // OPERATOR boundaries (explode/groupBy), not within a single project.
     docs
+      // docs shorter than the shingle width have no signature (the old
+      // explode form dropped them implicitly; without this they'd all
+      // share null sigs, band together, and 0/0 the Jaccard). hs is empty
+      // iff the text has < 3 whitespace-separated chunks — tested with an
+      // early-exit regex FIND, not a filter on size(hs): that variant
+      // gets the whole shingle+hash+distinct chain substituted into the
+      // pushed-down predicate and tokenizes every document twice
+      // (measured 2x on the q38/q74/q79/q125 family).
+      .filter(col(textCol).rlike("\\S\\s+\\S+\\s+\\S"))
       .select(col(idCol).as("doc_id"),
         array_distinct(transform(shingles(tokens(col(textCol)), 3),
           s => hash32(s, 0))).as("hs"))

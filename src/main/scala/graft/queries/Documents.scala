@@ -25,6 +25,24 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // The streaming MinHash near-dup operator on a batch frame: same
+    // banded pair set as q31 (first-colliding-band emission is
+    // output-invariant), so the stream state-machine code itself is
+    // oracle-hash-checked — the q107 discipline applied to dedup.
+    "q147_streaming_neardup_batch" -> ((s, dir) => {
+      // quarter sample: the gate exercises the state-machine code path,
+      // not throughput — batch-mode FMGWS pays object (de)serialization
+      // the real banded join avoids, so don't bench it on the full corpus
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") % 4 === 0)
+        .withColumn("ts", timestamp_seconds(col("doc_id")))
+      graft.streaming.StreamingNearDup.pairs(docs, "ts", "doc_id", "text",
+          minJaccard = 0.5)
+        .toDF()
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Exact dedup by canonical text hash (hash-groupBy; one 16-byte-key
     // shuffle regardless of document size).
     "q30_exact_dedup" -> ((s, dir) => {
@@ -590,6 +608,36 @@ object Documents {
   private def h32(expr: String, seed: Int): String =
     s"CAST('0x' || substr(md5($expr || '#$seed'), 1, 8) AS BIGINT)"
 
+  /** Shared q31/q147 oracle: MinHash(8)+LSH(4x2) banding, exact-Jaccard
+    * verify at >= 0.5, reproduced in portable SQL. */
+  private def minhashBandOracle(roundDp: Int, where: String = ""): String = {
+    import graft.functions.TextFunctions.minhashPermSql
+    val sigCols = (0 until 8)
+      .map(i => s"min(${minhashPermSql(h32("s", 0), i)}) AS sig$i").mkString(",\n  ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
+    }.mkString("\n UNION ALL ")
+    val srcCte = if (where.isEmpty) tokCte
+      else tokCte.replace("FROM documents", s"FROM documents $where")
+    s"""WITH $srcCte,
+       |${shingleCte(3)},
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |band AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+       |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
+       |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+       |inter AS (SELECT id_a, id_b, count(*) AS ni
+       |          FROM cand JOIN dsh a ON a.doc_id = id_a
+       |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
+       |          GROUP BY id_a, id_b)
+       |SELECT id_a, id_b,
+       |  round(CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni), $roundDp) AS jaccard
+       |FROM inter JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+       |WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     // Mirrors TextAnalysis.simpsonDiversity: per-type counts, then the
     // exact integer Simpson ppm Σc(c−1)·10^6 div n(n−1).
@@ -610,31 +658,14 @@ object Documents {
       s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM documents GROUP BY md5($normSql) ORDER BY keep_id""".stripMargin,
 
-    "q31_minhash_neardup" -> {
-      import graft.functions.TextFunctions.minhashPermSql
-      val sigCols = (0 until 8)
-        .map(i => s"min(${minhashPermSql(h32("s", 0), i)}) AS sig$i").mkString(",\n  ")
-      val bandRows = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
-      }.mkString("\n UNION ALL ")
-      s"""WITH $tokCte,
-         |${shingleCte(3)},
-         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
-         |band AS ($bandRows),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
-         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
-         |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
-         |inter AS (SELECT id_a, id_b, count(*) AS ni
-         |          FROM cand JOIN dsh a ON a.doc_id = id_a
-         |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
-         |          GROUP BY id_a, id_b)
-         |SELECT id_a, id_b,
-         |  round(CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni), 4) AS jaccard
-         |FROM inter JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
-         |WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "q31_minhash_neardup" -> minhashBandOracle(roundDp = 4),
+
+    // The STREAMING near-dup operator run in batch mode computes the same
+    // banded pair set (first-colliding-band emission is output-invariant),
+    // so the state-machine code itself sits under the driver's hash gate —
+    // the q107 discipline applied to dedup.
+    "q147_streaming_neardup_batch" ->
+      minhashBandOracle(roundDp = 6, where = "WHERE doc_id % 4 = 0"),
 
     // Full banding recompute restricted to delta-touching pairs — the
     // equivalence IncrementalDedupSpec proves operationally.
