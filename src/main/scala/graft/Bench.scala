@@ -24,16 +24,23 @@ object Bench {
       // sweep they accumulate into block-manager pressure that taxes
       // whichever query runs next) and GC, so one query's residue never
       // masquerades as another's plan cost.
-      // blocking: this cleanup is OUTSIDE the timed region, and a lazy
-      // unpersist leaves the previous query's blocks draining into the
-      // next query's measured runs (components-family queries measured 3x
-      // their isolated time under the lazy variant)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-      System.gc()
+      // Cleanup runs before EVERY execution (warmup and timed), outside
+      // the timed region: operators that persist fan-out intermediates
+      // must each run from a clean cache state — a stale cached copy of
+      // the same plan from the previous execution makes the next one
+      // re-cache through the slow boxed columnar-array read path
+      // (measured 2.4x on the components family). Blocking, so nothing
+      // drains into the measured window.
+      def clean(): Unit = {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+        System.gc()
+      }
+      clean()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val times = (1 to 2).map { _ =>
+        clean()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

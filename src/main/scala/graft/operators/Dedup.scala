@@ -28,11 +28,17 @@ object Dedup {
 
   /** Persist a fan-out intermediate consumed by several plan branches.
     * Catalyst does not share non-exchange subtrees across branches, so a
-    * table like the per-doc shingle-set/signature frame would otherwise be
-    * re-tokenized once per consumer (3-4x in the pipelines below).
-    * MEMORY_AND_DISK spills instead of OOMing; at cluster scale the same
-    * role is played by a persisted bucketed table ([[writeNearDupIndex]]).
-    * Bench/Verify drop leftover blocks between queries. */
+    * multiply-consumed derived table would otherwise be recomputed once
+    * per consumer. MEMORY_AND_DISK spills instead of OOMing; at cluster
+    * scale the same role is played by a persisted bucketed table
+    * ([[writeNearDupIndex]]). Bench/Verify drop leftover blocks between
+    * queries. Compute-once-read-thrice beats recompute-per-consumer 5x
+    * here (array columns read back through the boxed columnar path, but
+    * the tokenize+shingle chain is far heavier still); measurements of a
+    * query that persists MUST start from a clean cache state — running
+    * against a STALE copy of the same plan re-caches through the slow
+    * boxed read and costs 2.4x the clean pass (see Bench's per-run
+    * cleanup). */
   private def shared(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -297,7 +303,7 @@ object Dedup {
   /** Append a processed delta to the index so the next increment sees it. */
   def appendToNearDupIndex(newDocs: DataFrame, idCol: String, textCol: String,
       table: String, numHashes: Int = 8, rowsPerBand: Int = 2): Unit = {
-    val sigs = shingleSetSigs(newDocs, idCol, textCol, numHashes)
+    val sigs = shared(shingleSetSigs(newDocs, idCol, textCol, numHashes))
     bandKeyRows(sigs, numHashes, rowsPerBand)
       .write.mode("append").insertInto(s"${table}_bands")
     sigs.select(col("doc_id"), col("hs"), col("ns"))
