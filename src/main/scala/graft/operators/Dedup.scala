@@ -513,6 +513,24 @@ object Dedup {
         col("rep._score").as("rep_score"), col("n_members"))
   }
 
+  /** Duplication-aware loss weights: every document gets weight
+    * 1e6/|its near-dup component| ppm (singletons weigh 1e6), so each
+    * semantic unit contributes the same total training mass no matter how
+    * many copies the crawl surfaced — the soft alternative to hard
+    * survivor selection, and what loss-reweighting trainers consume.
+    * Cost = the component labeling (q38's frontier propagation) + one
+    * component-keyed count join. */
+  def dedupWeights(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val comps = nearDupGroups(nearDupPairs(docs, idCol, textCol))
+    val labeled = docs.select(col(idCol).as("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("comp"))
+    val sizes = labeled.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+    labeled.join(sizes, Seq("comp"))
+      .select(col("doc_id"), col("comp"), col("comp_size"),
+        expr("1000000 div comp_size").as("weight_ppm"))
+  }
+
   /** Embedding near-duplicate pairs at scale: sign-random-projection
     * signatures banded into `nBands` buckets; only same-bucket pairs are
     * exactly rescored with cosine. The banding join replaces the O(n²)
@@ -806,5 +824,72 @@ object Dedup {
         (col("na") + col("nb") - col("ni")).as("nu"),
         round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6)
           .as("jaccard"))
+  }
+
+  /** Directed shingle-set containment join: ordered pairs (id_a, id_b),
+    * a ≠ b, with |Sa ∩ Sb| ≥ τ·|Sa| — "document A is (mostly) contained
+    * in document B". The asymmetric dup test symmetric Jaccard cannot
+    * express: a snippet quoted whole inside a much larger document has
+    * Jaccard ≈ |Sa|/|Sb| → 0, so neither MinHash banding (q31, tuned for
+    * J ≥ 0.5) nor the PPJoin size filter (q140 prunes |Sa|,|Sb| to within
+    * τ of each other) can ever surface it — yet it is exactly the
+    * quote-expansion / boilerplate-embedding duplication a training
+    * corpus needs removed or down-weighted.
+    *
+    * Exact recall via the asymmetric prefix filter: order each probe
+    * doc's shingles by (global df, hash) and take the first
+    * p = |Sa| − ⌈τ·|Sa|⌉ + 1. If B contains none of them,
+    * |Sa ∩ Sb| ≤ |Sa| − p < τ·|Sa| — so probing only A's p df-rarest
+    * shingles into the full posting table finds every qualifying pair.
+    * Unlike the symmetric case the indexed side cannot be prefix-pruned
+    * (B's size is unbounded relative to A's), but cost still concentrates
+    * on rare shingles: a corpus-frequent shingle is almost never among a
+    * doc's df-rarest, so Σ prefixDf(s)·df(s) is rare×rare, never a
+    * cross join. Candidates are verified with one exact set
+    * intersection; the threshold is all-integer
+    * (ni·tauDen ≥ na·tauNum — no float drift at the boundary). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
+    val sh = shared(docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      .select(col("doc_id"), explode(shingles(col("tok"), 3)).as("s0"))
+      .select(col("doc_id"), hash32(col("s0"), 0).as("s"))
+      .distinct())
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // probe prefix: p = ns − ⌈τ·ns⌉ + 1 df-rarest shingles per doc
+    val prefix = sh
+      .join(df, Seq("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .join(sz, Seq("doc_id"))
+      .filter(col("rn") <=
+        col("ns") - expr(s"(ns * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col("doc_id").as("id_a"), col("s"), col("ns").as("na"))
+    // candidates: A-prefix shingle present anywhere in B; B must hold at
+    // least ⌈τ·na⌉ shingles to possibly qualify
+    val cand = prefix
+      .join(sh.select(col("doc_id").as("id_b"), col("s"))
+        .join(sz.select(col("doc_id").as("id_b"), col("ns").as("nb")), Seq("id_b")),
+        Seq("s"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("nb") * tauDen >= col("na") * tauNum)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("hs"), count(lit(1)).as("ns"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+        col("ns").as("na")).hint("shuffle_hash"), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hb")
+        ).hint("shuffle_hash"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("na"),
+        size(array_intersect(col("ha"), col("hb"))).cast("bigint").as("ni"))
+      .filter(col("ni") * tauDen >= col("na") * tauNum)
+      // ppm in pure integer arithmetic (div truncates identically in
+      // Spark and DuckDB) — no float at the readout either
+      .withColumn("containment_ppm", expr("ni * 1000000 div na"))
   }
 }

@@ -67,6 +67,60 @@ object Normalize {
         .otherwise(lit(null).cast("long")).as("quantile_ppm"))
   }
 
+  /** Cross-group quantile normalization: remap each row's value so every
+    * group's value distribution matches the POOLED global distribution —
+    * the score-calibration step that makes per-source quality thresholds
+    * comparable when sources score on different scales (one crawl's
+    * "0.9" is another's "0.5"). Classic quantile normalization: a row at
+    * within-group quantile q is assigned the global value at quantile q.
+    *
+    * Deterministic integer rule: within-group position r of n_g (ordered
+    * by (value, id)) maps to global position
+    * `1 + (r−1)·(N−1) div (n_g−1)` (singleton groups map to the global
+    * median position `(N+1) div 2`); the value at a global position
+    * comes from a (position → value) table built WITHOUT a global sort —
+    * the same value-ordered-bucket + broadcast-offset machinery as
+    * [[featureScale]]'s rank (global row_number = bucket offset +
+    * within-bucket row_number; bucketing is value-monotone so the
+    * positions are exactly the global sort's). Per-group windows are the
+    * only windows over data; the position join shuffles on an integer
+    * key. Output: (id, group, value, norm_value). */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, numBuckets: Int = 256): DataFrame = {
+    require(numBuckets >= 1)
+    val v = col(valueCol)
+    val stats = df.agg(count(lit(1)).as("_n"), min(v).as("_mn"), max(v).as("_mx"))
+    def bkt(d: DataFrame): DataFrame = d
+      .withColumn("_bkt",
+        when(col("_mx") === col("_mn"), lit(0))
+          .otherwise(least(lit(numBuckets - 1),
+            floor((v - col("_mn")) /
+              ((col("_mx") - col("_mn")) / numBuckets)).cast("int"))))
+    val withB = bkt(df.crossJoin(broadcast(stats)))
+    val offsets = withB.groupBy(col("_bkt")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    val pos = withB
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_bkt")).orderBy(v, col(idCol))))
+      .join(broadcast(offsets), Seq("_bkt"))
+      .select((col("_off") + col("_rn")).as("_gpos"), v.as("_gv"))
+    val wg = Window.partitionBy(col(groupCol)).orderBy(v, col(idCol))
+    val g = df.crossJoin(broadcast(stats))
+      .withColumn("_r", row_number().over(wg).cast("long"))
+      .withColumn("_ng",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))).cast("long"))
+      .withColumn("_idx",
+        when(col("_ng") > 1,
+          lit(1L) + expr("(_r - 1) * (_n - 1) div (_ng - 1)"))
+          .otherwise(expr("(_n + 1) div 2")))
+    g.join(pos, col("_idx") === col("_gpos"))
+      .select(col(idCol), col(groupCol), v,
+        col("_gv").as(s"norm_$valueCol"))
+  }
+
   /** DuckDB spelling of [[featureScale]] over table `tbl` — the oracle
     * computes the rank with the global window the operator avoids, and the
     * same exact-decimal moments (width 19 forces DuckDB's INT128 multiply;

@@ -54,6 +54,68 @@ object Timeseries {
         col("n").isNull.as("is_gap"))
   }
 
+  /** Per-key autocorrelation function at lags 1..`maxLag` over the key's
+    * observed hourly value series (hours in order; gaps are skipped, so
+    * this is the ACF of the SAMPLE sequence — the seasonality /
+    * burst-persistence diagnostic feature pipelines attach per entity).
+    *
+    *   r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * Exactness: hourly values are exact-decimal cent sums; with x̄ = S/n
+    * the whole formula multiplies through by n² into pure integer
+    * moments — n²·Σ'x_t·x_{t+k} − n·S·(Σ'x_t + Σ'x_{t+k}) + m_k·S² over
+    * n²·Σx² − n·S². Every moment sum is an exact integer below 2^53
+    * (double-exact); the scaled combination runs in IEEE doubles with an
+    * identical expression shape in the oracle (decimal would NOT be
+    * portable here — DuckDB demotes >38-wide decimal products to double
+    * on its own terms), so the readout is bit-identical in any engine.
+    * A constant series (zero denominator) yields null.
+    *
+    * Scale shape: one (key, hour) groupBy is the only corpus-sized
+    * shuffle; the lag windows and the moment aggregation are per-key,
+    * state bounded by the key's hour span (same bound as
+    * [[gapFillHourlyLocf]]); output is keys × maxLag rows. */
+  def hourlyAcf(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val dec = DecimalType(38, 0)
+    val hourly = events
+      .groupBy(col(keyCol), expr(s"unix_micros($tsCol) div 3600000000").as("hr"))
+      .agg((sum(col(valCol).cast(DecimalType(30, 2))) * 100).cast("bigint")
+        .as("x"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("hr"))
+    val lagged = hourly.select(
+      col(keyCol) +: col("x") +:
+        (1 to maxLag).map(k => lead(col("x"), k).over(w).as(s"y$k")): _*)
+    val xd = col("x").cast(dec)
+    val aggCols: Seq[Column] =
+      Seq(count(lit(1)).cast(dec).as("n"), sum(xd).as("s"),
+        sum(xd * xd).as("s2")) ++
+      (1 to maxLag).flatMap { k =>
+        val yd = col(s"y$k").cast(dec)
+        Seq(
+          sum(when(col(s"y$k").isNotNull, xd)).as(s"sx$k"),
+          sum(yd).as(s"sy$k"),
+          sum(xd * yd).as(s"sxy$k"),
+          count(col(s"y$k")).cast(dec).as(s"m$k"))
+      }
+    val agg = lagged.groupBy(col(keyCol)).agg(aggCols.head, aggCols.tail: _*)
+    def d(c: Column) = c.cast("double")
+    val lagRows = (1 to maxLag).map { k =>
+      val num = d(col("n")) * d(col("n")) * d(col(s"sxy$k")) -
+        d(col("n")) * d(col("s")) * (d(col(s"sx$k")) + d(col(s"sy$k"))) +
+        d(col(s"m$k")) * d(col("s")) * d(col("s"))
+      val den = d(col("n")) * d(col("n")) * d(col("s2")) -
+        d(col("n")) * d(col("s")) * d(col("s"))
+      struct(lit(k).as("lag"),
+        when(den =!= 0.0 && col(s"m$k") > 0, round(num / den, 6)).as("acf"),
+        col(s"m$k").cast("bigint").as("n_pairs"))
+    }
+    agg.select(col(keyCol), explode(array(lagRows: _*)).as("r"))
+      .select(col(keyCol), col("r.lag").as("lag"), col("r.acf").as("acf"),
+        col("r.n_pairs").as("n_pairs"))
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) interval build from a change
     * log: per key, each maximal run of equal attribute values becomes one
     * row with `valid_from` (run start), `valid_to` (next run's start,

@@ -515,6 +515,38 @@ object Documents {
           tauNum = 3, tauDen = 5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // Directed containment (A ⊂ B) — the asymmetric dup test: catches a
+    // snippet quoted whole inside a larger document, where symmetric
+    // Jaccard is diluted by the size gap and q31/q140 never fire.
+    "q148_containment_pairs" -> ((s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          tauNum = 4, tauDen = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Cross-source quantile normalization of the q41 quality score: each
+    // source's score distribution is remapped onto the pooled global
+    // distribution, so one per-corpus threshold means the same thing for
+    // every source. No global sort — the position table comes from
+    // value-ordered buckets + broadcast offsets (q112's rank machinery).
+    "q151_quantile_normalize" -> ((s, dir) => {
+      import graft.operators.Normalize
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(TextAnalysis.qualityScores(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_ppm")), Seq("doc_id"))
+      Normalize.quantileNormalize(scored, "doc_id", "source", "quality_ppm")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Duplication-aware loss weights: 1e6/|near-dup component| ppm per
+    // doc — each semantic unit contributes equal training mass however
+    // many copies exist. The soft companion to q79's hard survivor pick.
+    "q152_dedup_weights" -> ((s, dir) => {
+      Dedup.dedupWeights(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val bm25Terms = Seq("dup", "spark", "vector", "merge")
@@ -1494,5 +1526,76 @@ object Documents {
          |FROM i JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
          |WHERE ni * 5 >= (na.ns + nb.ns - ni) * 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Mirrors Dedup.containmentPairs: asymmetric prefix filter (probe A's
+    // df-rarest p = ns − ⌈0.8·ns⌉ + 1 shingles into the FULL posting
+    // table), exact set-intersection verify, all-integer threshold.
+    "q148_containment_pairs" ->
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+         |dfc AS (SELECT s, count(*) AS df FROM dsh GROUP BY s),
+         |pf AS (SELECT r.doc_id, r.s, sz.ns FROM (
+         |         SELECT doc_id, s, row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY dfc.df, s) AS rn
+         |         FROM dsh JOIN dfc USING (s)) r JOIN sz USING (doc_id)
+         |       WHERE r.rn <= sz.ns - (sz.ns * 4 + 4) // 5 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM pf a JOIN dsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |              JOIN sz nb ON nb.doc_id = b.doc_id
+         |         WHERE nb.ns * 5 >= a.ns * 4),
+         |i AS (SELECT id_a, id_b, count(*) AS ni
+         |      FROM cand JOIN dsh x ON x.doc_id = id_a
+         |           JOIN dsh y ON y.doc_id = id_b AND y.s = x.s
+         |      GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, na.ns AS na, ni,
+         |  ni * 1000000 // na.ns AS containment_ppm
+         |FROM i JOIN sz na ON na.doc_id = id_a
+         |WHERE ni * 5 >= na.ns * 4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Mirrors Normalize.quantileNormalize over the q41 quality score: the
+    // oracle uses the global windows the operator's bucketed machinery
+    // avoids — positions and the integer index rule are identical.
+    "q151_quantile_normalize" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |gq AS (SELECT doc_id, count(*) AS n_tokens,
+         |        count(*) FILTER (w IN ('a', 'the')) AS n_stop,
+         |        CAST(sum(length(w)) AS BIGINT) AS sum_len
+         |      FROM tk GROUP BY doc_id),
+         |pq AS (SELECT doc_id,
+         |        (n_stop * 1000000) // n_tokens AS stop_ppm,
+         |        least((sum_len * 1000000) // (8 * n_tokens), 1000000) AS len_ppm,
+         |        least(n_tokens * 10000, 1000000) AS tok_ppm
+         |      FROM gq),
+         |q AS (SELECT d.doc_id, d.source,
+         |        CAST((tok_ppm * 3 + (1000000 - stop_ppm) * 4 + len_ppm * 3) // 10
+         |          AS BIGINT) AS quality_ppm
+         |      FROM documents d JOIN pq ON pq.doc_id = d.doc_id),
+         |g AS (SELECT doc_id, source, quality_ppm,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY quality_ppm, doc_id) AS r,
+         |        count(*) OVER (PARTITION BY source) AS ng FROM q),
+         |p2 AS (SELECT quality_ppm AS gv, row_number() OVER (
+         |         ORDER BY quality_ppm, doc_id) AS gpos FROM q),
+         |t2 AS (SELECT count(*) AS n FROM q)
+         |SELECT g.doc_id, g.source, g.quality_ppm, p2.gv AS norm_quality_ppm
+         |FROM g CROSS JOIN t2 JOIN p2 ON p2.gpos =
+         |  CASE WHEN g.ng > 1 THEN 1 + (g.r - 1) * (t2.n - 1) // (g.ng - 1)
+         |       ELSE (t2.n + 1) // 2 END
+         |ORDER BY g.doc_id""".stripMargin,
+
+    // q38's component labeling + per-component size → ppm weight.
+    "q152_dedup_weights" ->
+      s"""$componentsCtes,
+         |lab AS (SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS comp
+         |        FROM documents d LEFT JOIN comp0 c ON c.doc_id = d.doc_id),
+         |sz2 AS (SELECT comp, count(*) AS comp_size FROM lab GROUP BY comp)
+         |SELECT lab.doc_id, lab.comp, sz2.comp_size,
+         |  1000000 // sz2.comp_size AS weight_ppm
+         |FROM lab JOIN sz2 USING (comp)
+         |ORDER BY lab.doc_id""".stripMargin,
   )
 }

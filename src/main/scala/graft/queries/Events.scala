@@ -430,6 +430,17 @@ object Events {
         .orderBy(col("user_id"), col("hr"))
     }),
 
+    // Per-user autocorrelation at lags 1-3 of the hourly value series —
+    // the seasonality / burst-persistence feature. One (user, hour)
+    // groupBy is the only corpus-sized shuffle; lag windows and moments
+    // are per-key; integer moment sums (double-exact) combine in IEEE
+    // doubles with an oracle-identical expression shape.
+    "q149_hourly_acf" -> ((s, dir) => {
+      graft.operators.Timeseries.hourlyAcf(t(s, dir, "events"),
+          "user_id", "ts", "value", maxLag = 3)
+        .orderBy(col("user_id"), col("lag"))
+    }),
+
     // CDC snapshot diff: each user's latest value as of Jan 15 vs Jan 30,
     // emitted as the added/changed delta — BOTH snapshots fall out of one
     // groupBy via conditional max_by (null ordering rows are ignored), so
@@ -756,6 +767,42 @@ object Events {
         |  n IS NULL AS is_gap
         |FROM g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.hr = hourly.hr
         |ORDER BY g.user_id, g.hr""".stripMargin,
+
+    // Mirrors Timeseries.hourlyAcf: exact integer moments, IEEE-double
+    // combination with the same expression shape as the Spark plan.
+    "q149_hourly_acf" -> {
+      val leads = (1 to 3).map(k =>
+        s"lead(x, $k) OVER (PARTITION BY user_id ORDER BY hr) AS y$k").mkString(",\n    ")
+      val moms = (1 to 3).map(k =>
+        s"""CAST(sum(CASE WHEN y$k IS NOT NULL THEN x END) AS DOUBLE) AS sx$k,
+           |    CAST(sum(y$k) AS DOUBLE) AS sy$k,
+           |    CAST(sum(x * y$k) AS DOUBLE) AS sxy$k,
+           |    count(y$k) AS m$k""".stripMargin).mkString(",\n    ")
+      val lagSelects = (1 to 3).map(k =>
+        s"""SELECT user_id, $k AS lag,
+           |  CASE WHEN n * n * s2 - n * s * s <> 0 AND m$k > 0 THEN
+           |    round((n * n * sxy$k - n * s * (sx$k + sy$k) +
+           |           CAST(m$k AS DOUBLE) * s * s) /
+           |          (n * n * s2 - n * s * s), 6) END AS acf,
+           |  CAST(m$k AS BIGINT) AS n_pairs
+           |FROM a""".stripMargin).mkString("\n  UNION ALL\n  ")
+      s"""WITH hourly AS (SELECT user_id,
+         |    epoch_us(ts) // 3600000000 AS hr,
+         |    CAST(sum(CAST(value AS DECIMAL(30,2))) * 100 AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT user_id, x,
+         |    $leads
+         |  FROM hourly),
+         |a AS (SELECT user_id,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(x) AS DOUBLE) AS s,
+         |    CAST(sum(x * x) AS DOUBLE) AS s2,
+         |    $moms
+         |  FROM l GROUP BY 1)
+         |SELECT user_id, lag, acf, n_pairs FROM (
+         |  $lagSelects)
+         |ORDER BY user_id, lag""".stripMargin
+    },
 
     "q123_snapshot_diff" ->
       """WITH r AS (SELECT user_id, ts, event_id, value FROM events),

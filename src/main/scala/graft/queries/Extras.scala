@@ -241,6 +241,19 @@ object Extras {
       Evaluate.clusterQuality(e, "vec_id", "label", "embedding")
         .orderBy(col("label"))
     }),
+
+    // Top-PC projection over the leading 8 embedding dims: one
+    // moments pass (a single row out of the shuffle), 10 power-iteration
+    // steps on the driver-sized 8×8 scatter matrix, then a zero-shuffle
+    // integer projection map — the whitening / dominant-direction
+    // primitive before outlier pruning. Even the TRAINED component is
+    // oracle-reproduced (unrolled-CTE power iteration, micro-unit exact
+    // moments, ppm-quantized component).
+    "q150_pca_projection" -> ((s, dir) => {
+      graft.operators.Pca.projectTop(t(s, dir, "embeddings"),
+          dim = 8, iters = 10)
+        .orderBy(col("vec_id"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -457,5 +470,62 @@ object Extras {
          |  round(${dsumSql("b", 15)} / count(*), 6) AS mean_nearest_other,
          |  round(${dsumSql("s", 15)} / count(*), 6) AS mean_silhouette
          |FROM ps GROUP BY label ORDER BY label""".stripMargin,
+
+    // Mirrors Pca.projectTop term for term: micro-unit integer scatter
+    // moments, c_ij = n·S_ij − S_i·S_j cast to double, 10 power-iteration
+    // steps with left-associated folds, first-max-abs sign rule,
+    // ppm-quantized component, pure-integer projection.
+    "q150_pca_projection" -> {
+      val dim = 8; val iters = 10
+      def sname(i: Int, j: Int) =
+        if (i <= j) s"s${i}_$j" else s"s${j}_$i"
+      val qCols = (1 to dim).map(i =>
+        s"CAST(floor(v[$i] * 1000000.0) AS BIGINT) AS q$i").mkString(", ")
+      val momCols = ((1 to dim).map(i => s"sum(q$i) AS s$i") ++
+        (for (i <- 1 to dim; j <- i to dim)
+          yield s"sum(q$i * q$j) AS s${i}_$j")).mkString(",\n    ")
+      val cCols = (for (i <- 1 to dim; j <- 1 to dim) yield
+        s"CAST(n * ${sname(i, j)} - s$i * s$j AS DOUBLE) AS c${i}_$j")
+        .mkString(",\n    ")
+      val it0 = (1 to dim).map(i => s"1.0 AS v$i").mkString(", ")
+      val iterCtes = (1 to iters).map { k =>
+        val ws = (1 to dim).map { i =>
+          (1 to dim).map(j => s"c.c${i}_$j * p.v$j").mkString(" + ") +
+            s" AS w$i"
+        }.mkString(",\n    ")
+        val nrm = (1 to dim).map(i => s"w$i * w$i").mkString(" + ")
+        val vs = (1 to dim).map(i => s"w$i / sqrt($nrm) AS v$i")
+          .mkString(",\n    ")
+        s"""w$k AS (SELECT $ws FROM c, it${k - 1} p),
+           |it$k AS (SELECT $vs FROM w$k)""".stripMargin
+      }.mkString(",\n")
+      val mxExpr = (1 to dim).map(i => s"abs(v$i)").mkString("greatest(", ", ", ")")
+      val sgnCase = (1 to dim).map(i =>
+        s"WHEN abs(v$i) = m THEN (CASE WHEN v$i < 0 THEN -1.0 ELSE 1.0 END)")
+        .mkString("CASE ", " ", " END")
+      val vqCols = (1 to dim).map(i =>
+        s"CAST(floor(v$i * sgn * 1000000.0 + 0.5) AS BIGINT) AS vq$i")
+        .mkString(",\n    ")
+      val proj = (1 to dim).map(i => s"q.q$i * vq.vq$i").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qt AS (SELECT vec_id, $qCols FROM e),
+         |mom AS (SELECT count(*) AS n,
+         |    $momCols
+         |  FROM qt),
+         |c AS (SELECT
+         |    $cCols
+         |  FROM mom),
+         |it0 AS (SELECT $it0),
+         |$iterCtes,
+         |mx AS (SELECT *, $mxExpr AS m FROM it$iters),
+         |sg AS (SELECT *, $sgnCase AS sgn FROM mx),
+         |vq AS (SELECT
+         |    $vqCols
+         |  FROM sg)
+         |SELECT q.vec_id, $proj AS proj_scaled,
+         |  round(CAST($proj AS DOUBLE) / 1000000000000.0, 6) AS proj
+         |FROM qt q CROSS JOIN vq
+         |ORDER BY q.vec_id""".stripMargin
+    },
   )
 }

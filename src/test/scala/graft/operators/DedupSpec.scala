@@ -276,4 +276,64 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("containmentPairs ≡ brute-force directed containment at several thresholds") {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+    def brute(tauNum: Int, tauDen: Int): Set[(Long, Long, Long, Long)] = {
+      val sets = docs
+        .select($"doc_id", tokens($"text").as("tok"))
+        .select($"doc_id", array_distinct(shingles($"tok", 3)).as("hs"))
+        .filter(size($"hs") > 0)
+      sets.as("a").join(sets.as("b"), $"a.doc_id" =!= $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          size($"a.hs").cast("long").as("na"),
+          size(array_intersect($"a.hs", $"b.hs")).cast("long").as("ni"))
+        .filter($"ni" * tauDen >= $"na" * tauNum)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    def fast(tauNum: Int, tauDen: Int): Set[(Long, Long, Long, Long)] =
+      Dedup.containmentPairs(docs, "doc_id", "text", tauNum, tauDen)
+        .select($"id_a", $"id_b", $"na", $"ni")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    for ((n, d) <- Seq((4, 5), (9, 10), (1, 1)))
+      assert(fast(n, d) == brute(n, d), s"tau=$n/$d")
+  }
+
+  test("containmentPairs: snippet quoted inside a large doc fires; symmetric Jaccard never can") {
+    val snippet = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 80).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (10L, snippet),
+      (11L, s"$filler $snippet"), // snippet embedded whole in a 10x larger doc
+      (12L, "totally unrelated content about something else entirely friend"),
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", 9, 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(cont.contains((10L, 11L)))     // small ⊂ big detected
+    assert(!cont.contains((11L, 10L)))    // big not contained in small
+    assert(!cont.exists(p => p._1 == 12L || p._2 == 12L))
+    // the same pair is invisible to the symmetric-Jaccard scale path even
+    // at its lowest declared threshold: J ≈ |Sa|/|Sb| is diluted away
+    val jac = Dedup.prefixJaccardPairs(corpus, "doc_id", "text", 3, 5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((10L, 11L)))
+  }
+
+  test("dedupWeights: component members split the unit mass; singletons keep it") {
+    val w = Dedup.dedupWeights(docs, "doc_id", "text")
+      .select($"doc_id", $"comp", $"comp_size", $"weight_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // docs 0/1/2 form one component (exact dup + J=0.75 near dup), 3 is solo
+    assert(w == Set(
+      (0L, 0L, 3L, 333333L), (1L, 0L, 3L, 333333L), (2L, 0L, 3L, 333333L),
+      (3L, 3L, 1L, 1000000L)))
+  }
+
+  test("containmentPairs plans no cartesian/nested-loop stage") {
+    val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+    val p = Dedup.containmentPairs(docs, "doc_id", "text", 4, 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -62,4 +62,39 @@ class NormalizeSpec extends SparkSpec {
         .as("quantile_ppm"))
     assert(ours.exceptAll(naive).isEmpty && naive.exceptAll(ours).isEmpty)
   }
+
+  test("quantileNormalize ≡ naive global-window implementation; several bucket counts") {
+    // three groups with wildly different score scales + one singleton
+    val rnd = new scala.util.Random(5)
+    val rows =
+      (0 until 40).map(i => (i.toLong, "a", (rnd.nextInt(100) + 900).toLong)) ++
+      (40 until 90).map(i => (i.toLong, "b", rnd.nextInt(50).toLong)) ++
+      (90 until 120).map(i => (i.toLong, "c", (rnd.nextInt(10) * 1000).toLong)) ++
+      Seq((120L, "solo", 77L))
+    val df = rows.toDF("id", "grp", "v")
+    def naive: Set[(Long, String, Long, Long)] = {
+      val g = df.select($"id", $"grp", $"v",
+        expr("CAST(row_number() OVER (PARTITION BY grp ORDER BY v, id) AS BIGINT)").as("r"),
+        expr("CAST(count(*) OVER (PARTITION BY grp) AS BIGINT)").as("ng"),
+        expr("CAST(count(*) OVER () AS BIGINT)").as("n"))
+      val pos = df.select($"v".as("gv"),
+        expr("CAST(row_number() OVER (ORDER BY v, id) AS BIGINT)").as("gpos"))
+      g.withColumn("idx",
+          when($"ng" > 1, lit(1L) + expr("(r - 1) * (n - 1) div (ng - 1)"))
+            .otherwise(expr("(n + 1) div 2")))
+        .join(pos, $"idx" === $"gpos")
+        .select($"id", $"grp", $"v", $"gv")
+        .as[(Long, String, Long, Long)].collect().toSet
+    }
+    for (b <- Seq(1, 7, 256)) {
+      val got = Normalize.quantileNormalize(df, "id", "grp", "v", numBuckets = b)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == naive, s"buckets=$b")
+    }
+    // the singleton group lands on the global median value
+    val med = Normalize.quantileNormalize(df, "id", "grp", "v")
+      .filter($"grp" === "solo").select($"norm_v").as[Long].head()
+    val sortedVals = rows.sortBy(r => (r._3, r._1)).map(_._3)
+    assert(med == sortedVals((rows.size + 1) / 2 - 1))
+  }
 }

@@ -91,4 +91,36 @@ class TimeseriesSpec extends SparkSpec {
       (8L, "X", 10L, 10L, false), (8L, "Y", 10L, -1L, true),
       (9L, "Z", 5L, -1L, true)))
   }
+
+  test("hourlyAcf ≡ naive per-key ACF; constant and too-short series yield null") {
+    // key 1: alternating series -> strong negative lag-1, positive lag-2
+    // key 2: constant series -> zero denominator -> null at every lag
+    // key 3: 2 points -> lags 2,3 have no pairs -> null
+    val events =
+      (0 until 10).map(h => (1L, ts(h.toLong), if (h % 2 == 0) 1.0 else 5.0)) ++
+      (0 until 6).map(h => (2L, ts(h.toLong), 3.0)) ++
+      Seq((3L, ts(0), 1.0), (3L, ts(1), 2.0))
+    val df = events.toDF("user_id", "ts", "value")
+    val out = Timeseries.hourlyAcf(df, "user_id", "ts", "value", maxLag = 3)
+      .as[(Long, Int, Option[Double], Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    def naive(xs: Seq[Double], k: Int): Option[Double] = {
+      val n = xs.length
+      if (n <= k) return None
+      val mean = xs.sum / n
+      val den = xs.map(x => (x - mean) * (x - mean)).sum
+      if (den == 0) return None
+      Some((0 until n - k).map(t => (xs(t) - mean) * (xs(t + k) - mean)).sum / den)
+    }
+    val s1 = (0 until 10).map(h => if (h % 2 == 0) 100.0 else 500.0) // cents
+    for (k <- 1 to 3) {
+      val (acf, m) = out((1L, k))
+      assert(m == 10 - k)
+      assert(math.abs(acf.get - naive(s1, k).get) < 1e-5, s"lag $k")
+    }
+    for (k <- 1 to 3) assert(out((2L, k))._1.isEmpty)       // constant
+    assert(out((3L, 1))._1.isDefined && out((3L, 2))._1.isEmpty &&
+      out((3L, 3))._1.isEmpty)                              // short series
+    assert(out((3L, 2))._2 == 0L && out((3L, 3))._2 == 0L)
+  }
 }
