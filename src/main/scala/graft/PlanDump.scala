@@ -387,7 +387,30 @@ object PlanDump {
         "the AUC; bin assignment is integer cross-multiplication on the " +
         "descending cumulative counts (whole tied groups, no row-level " +
         "ranks), then an nBins-row aggregate + window. Corpus touched " +
-        "once; everything after is score-cardinality-sized."))
+        "once; everything after is score-cardinality-sized."),
+    "q148_containment_pairs" ->
+      ("Directed containment join: each probe doc's df-rarest prefix " +
+        "shingles equi-join the FULL posting table (the asymmetric " +
+        "prefix-filter theorem keeps recall exact — the indexed side " +
+        "cannot be prefix-pruned because |B| is unbounded relative to " +
+        "|A|), then one exact set-intersection verify on candidates. " +
+        "Cost concentrates on rare×rare shingle collisions; no " +
+        "cartesian/nested-loop stage anywhere."),
+    "q150_pca_projection" ->
+      ("PCA without a linear-algebra library: every scatter moment of " +
+        "the micro-unit dims accumulates in ONE partial aggregate (a " +
+        "single row crosses the exchange regardless of corpus size), " +
+        "the 8×8 power iteration runs on the driver like the IVF " +
+        "centroid collect, and the component returns as literals into " +
+        "a zero-shuffle integer projection scan. At 100 TB the plan is " +
+        "one corpus pass + one map pass."),
+    "q151_quantile_normalize" ->
+      ("Quantile normalization with no global sort: within-source ranks " +
+        "are per-group windows; the global (position → value) table " +
+        "comes from value-ordered buckets + broadcast cumulative " +
+        "offsets (q112's rank machinery), and the remap is an integer " +
+        "equi-join on the computed position. The two 1-row stats " +
+        "attaches are the only BNLJs, by design."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

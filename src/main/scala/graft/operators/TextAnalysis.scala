@@ -377,6 +377,31 @@ object TextAnalysis {
     * engines; Simpson is exact everywhere), so the oracle hash-matches
     * bit-for-bit. One narrow pass: per-doc token counts aggregate to the
     * two moments (n, Σc²) without materializing the count vector. */
+  /** Per-document n-gram novelty: the share (ppm) of a doc's distinct
+    * shingles whose FIRST corpus occurrence (lowest doc id = crawl order)
+    * is this doc — the marginal-content diagnostic for an incremental
+    * crawl: a feed whose novelty decays is re-collecting what the corpus
+    * already holds, however the per-doc dedup verdicts look. One shuffle
+    * keyed on the shingle hash (the TF-IDF df-table shape: first-owner is
+    * a min aggregate, never a window over the posting list) plus the
+    * per-doc readout groupBy; all-integer output. Docs with < n tokens
+    * have no shingles and no row. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), n)).as("s0"))
+      .select(col("doc_id"), hash32(col("s0"), 0).as("s"))
+      .distinct()
+    val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
+  }
+
   def simpsonDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))

@@ -116,6 +116,38 @@ object Timeseries {
         col("r.n_pairs").as("n_pairs"))
   }
 
+  /** Per-key inter-arrival burstiness: gaps in whole seconds between
+    * consecutive events (ordered by (ts, seq) — the unique tie-break
+    * makes gap sequences deterministic under equal timestamps), reduced
+    * to count, truncating integer mean, and the coefficient of variation
+    * CV = σ/μ = √(m·Σg² − (Σg)²)/Σg — CV ≈ 1 is Poisson traffic, CV ≫ 1
+    * is bursty (bots, batch replays), CV ≈ 0 is a metronome (synthetic
+    * feeds). The bot/organic-traffic triage feature next to [[hourlyAcf]].
+    *
+    * One per-key lag window + one keyed aggregate; integer gap moments
+    * (exact in decimal) combine in IEEE doubles with an oracle-identical
+    * expression shape. Keys with < 2 events have no gaps and no row;
+    * all-equal timestamps (Σg = 0) yield null CV. */
+  def interArrivalStats(events: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val secs = expr(s"unix_micros($tsCol) div 1000000")
+    val gaps = events
+      .select(col(keyCol), (secs - lag(secs, 1).over(w)).as("g"))
+      .filter(col("g").isNotNull)
+    def d(c: Column) = c.cast("double")
+    gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g").cast(dec)).as("_sg"),
+        sum(col("g").cast(dec) * col("g").cast(dec)).as("_sg2"))
+      .select(col(keyCol), col("n_gaps"),
+        expr("CAST(_sg AS BIGINT) div n_gaps").as("mean_gap_s"),
+        when(col("_sg") > 0,
+          round(sqrt(d(col("n_gaps")) * d(col("_sg2")) -
+            d(col("_sg")) * d(col("_sg"))) / d(col("_sg")), 6)).as("cv"))
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) interval build from a change
     * log: per key, each maximal run of equal attribute values becomes one
     * row with `valid_from` (run start), `valid_to` (next run's start,

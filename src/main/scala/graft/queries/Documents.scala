@@ -547,6 +547,15 @@ object Documents {
       Dedup.dedupWeights(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+
+    // Per-doc n-gram novelty in crawl order: ppm of distinct shingles
+    // first seen HERE — the marginal-content trend an incremental crawl
+    // watches. First-owner is a min aggregate on the shingle hash (the
+    // TF-IDF df-table shape), never a window over posting lists.
+    "q153_ngram_novelty" -> ((s, dir) => {
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val bm25Terms = Seq("dup", "spark", "vector", "merge")
@@ -1586,6 +1595,20 @@ object Documents {
          |  CASE WHEN g.ng > 1 THEN 1 + (g.r - 1) * (t2.n - 1) // (g.ng - 1)
          |       ELSE (t2.n + 1) // 2 END
          |ORDER BY g.doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.ngramNovelty: distinct shingle hashes,
+    // first-owner min aggregate, integer ppm readout.
+    "q153_ngram_novelty" ->
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
+         |f AS (SELECT s, min(doc_id) AS first_doc FROM dsh GROUP BY s)
+         |SELECT dsh.doc_id, count(*) AS n_shingles,
+         |  CAST(count(*) FILTER (first_doc = dsh.doc_id) AS BIGINT) AS n_novel,
+         |  count(*) FILTER (first_doc = dsh.doc_id) * 1000000 // count(*)
+         |    AS novelty_ppm
+         |FROM dsh JOIN f USING (s) GROUP BY dsh.doc_id
+         |ORDER BY dsh.doc_id""".stripMargin,
 
     // q38's component labeling + per-component size → ppm weight.
     "q152_dedup_weights" ->

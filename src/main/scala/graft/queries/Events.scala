@@ -441,6 +441,16 @@ object Events {
         .orderBy(col("user_id"), col("lag"))
     }),
 
+    // Inter-arrival burstiness per user: CV of the gap-seconds series —
+    // CV ≈ 1 Poisson, ≫ 1 bursty (bots/batch replays), ≈ 0 metronome.
+    // One per-key lag window + one keyed aggregate; exact integer gap
+    // moments, IEEE-double readout with an oracle-identical shape.
+    "q154_interarrival_stats" -> ((s, dir) => {
+      graft.operators.Timeseries.interArrivalStats(t(s, dir, "events"),
+          "user_id", "ts", "event_id")
+        .orderBy(col("user_id"))
+    }),
+
     // CDC snapshot diff: each user's latest value as of Jan 15 vs Jan 30,
     // emitted as the added/changed delta — BOTH snapshots fall out of one
     // groupBy via conditional max_by (null ordering rows are ignored), so
@@ -803,6 +813,25 @@ object Events {
          |  $lagSelects)
          |ORDER BY user_id, lag""".stripMargin
     },
+
+    // Mirrors Timeseries.interArrivalStats: whole-second gaps under the
+    // (ts, event_id) order, exact integer moments, IEEE-double CV with
+    // the same expression shape.
+    "q154_interarrival_stats" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) // 1000000 AS t,
+        |    lag(epoch_us(ts) // 1000000) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS pt
+        |  FROM events),
+        |g AS (SELECT user_id, t - pt AS g FROM o WHERE pt IS NOT NULL),
+        |a AS (SELECT user_id, count(*) AS n_gaps,
+        |    sum(g) AS sg, sum(g * g) AS sg2 FROM g GROUP BY user_id)
+        |SELECT user_id, n_gaps,
+        |  CAST(sg AS BIGINT) // n_gaps AS mean_gap_s,
+        |  CASE WHEN sg > 0 THEN
+        |    round(sqrt(CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE) -
+        |      CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(sg AS DOUBLE), 6)
+        |  END AS cv
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "q123_snapshot_diff" ->
       """WITH r AS (SELECT user_id, ts, event_id, value FROM events),

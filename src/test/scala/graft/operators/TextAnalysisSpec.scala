@@ -328,4 +328,19 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((4L, 1L, 1000000L), (4L, 4L, 0L), (4L, 2L, 333333L), (1L, 1L, 0L)))
   }
+
+  test("ngramNovelty: first-owner shares, exact dup scores zero, short docs absent") {
+    val docs = Seq(
+      (0L, "a b c d e"),  // 3 shingles, all first here -> 1e6
+      (1L, "a b c d e"),  // exact dup -> 0 novel
+      (2L, "c d e f g"),  // {cde,def,efg}: cde owned by doc 0 -> 2/3
+      (3L, "x y")         // too short for a 3-shingle -> no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_shingles", $"n_novel", $"novelty_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 3L, 1000000L), (1L, 3L, 0L, 0L), (2L, 3L, 2L, 666666L)))
+  }
 }

@@ -123,4 +123,29 @@ class TimeseriesSpec extends SparkSpec {
       out((3L, 3))._1.isEmpty)                              // short series
     assert(out((3L, 2))._2 == 0L && out((3L, 3))._2 == 0L)
   }
+
+  test("interArrivalStats: metronome CV=0, bursty CV>1, singletons absent, zero-gap null") {
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    val events =
+      // key 1: metronome every 60 s -> CV = 0
+      (0 until 10).map(i => (1L, at(i * 60L), i.toLong)) ++
+      // key 2: burst of 5 within 4 s then a 3600 s silence, twice
+      (0 until 2).flatMap(b => (0 until 5).map(i =>
+        (2L, at(b * 3604L + i.toLong), (100 + b * 5 + i).toLong))) ++
+      // key 3: single event -> no gaps -> no row
+      Seq((3L, at(0), 200L)) ++
+      // key 4: two events at the SAME second -> one zero gap -> null CV
+      Seq((4L, at(5), 300L), (4L, at(5), 301L))
+    val df = events.toDF("user_id", "ts", "event_id")
+    val out = Timeseries.interArrivalStats(df, "user_id", "ts", "event_id")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((9L, 60L, Some(0.0))))
+    val (n2, mean2, cv2) = out(2L)
+    assert(n2 == 9L && cv2.get > 1.5, out(2L)) // burst-dominated
+    // naive check of mean: total span 3604+4 over 9 gaps
+    assert(mean2 == (3604L + 4L) / 9L)
+    assert(!out.contains(3L))
+    assert(out(4L) == ((1L, 0L, None)))
+  }
 }

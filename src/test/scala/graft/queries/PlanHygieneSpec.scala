@@ -70,6 +70,9 @@ class PlanHygieneSpec extends SparkSpec {
                                // the label-inequality residual (q22 shape)
     "q143_retrieval_mrr",      // exact-kNN ranking side (broadcast query
                                // set × corpus) under the 1-row MRR fold
+    "q151_quantile_normalize", // 1-row (n, min, max) stats aggregate
+                               // attached for bucketing + the index rule
+                               // (q112's designed shape, twice)
   )
 
   private def executedPlan(name: String): String = {
