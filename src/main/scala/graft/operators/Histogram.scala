@@ -25,6 +25,32 @@ import org.apache.spark.sql.functions._
   */
 object Histogram {
 
+  /** Fixed-bin 2D occupancy grid over two integer features — the corpus
+    * map (length × quality, tokens × repetition, …) an analyst reads
+    * before committing to a JOINT filter threshold: marginal histograms
+    * (q54/q88) hide exactly the correlated corner a 2D cut targets.
+    * Fixed absolute bin widths: no stats pass, and grids from different
+    * shards/days merge by cell-wise addition (the q92 drift discipline
+    * in two dimensions). Counts plus corpus-share ppm, all integer.
+    * One groupBy on the (xb, yb) cell key; the share total rides a
+    * window over the grid-sized frame. */
+  def grid2d(df: DataFrame, xCol: String, xWidth: Long, xMaxBin: Int,
+      yCol: String, yWidth: Long, yMaxBin: Int): DataFrame = {
+    require(xWidth > 0 && yWidth > 0, "bin widths must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // integer div: identical to DuckDB's // on the non-negative features
+    // this grids (counts, lengths, ppm scores)
+    df.select(
+        expr(s"least(CAST(`$xCol` AS BIGINT) div $xWidth, CAST($xMaxBin AS BIGINT))").as("xb"),
+        expr(s"least(CAST(`$yCol` AS BIGINT) div $yWidth, CAST($yMaxBin AS BIGINT))").as("yb"))
+      .groupBy(col("xb"), col("yb"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_tot", sum(col("n")).over(
+        Window.partitionBy()))
+      .select(col("xb"), col("yb"), col("n"),
+        expr("n * 1000000 div _tot").as("share_ppm"))
+  }
+
   /** Per-group lower-edge percentiles from fixed-width bins. Output:
     * (group, p_<ppm> columns in value units). */
   def binPercentiles(

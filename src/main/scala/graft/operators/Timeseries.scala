@@ -128,6 +128,30 @@ object Timeseries {
     * (exact in decimal) combine in IEEE doubles with an oracle-identical
     * expression shape. Keys with < 2 events have no gaps and no row;
     * all-equal timestamps (Σg = 0) yield null CV. */
+  /** First-order behavioral transition matrix: counts and per-origin ppm
+    * rates of consecutive (prev event type → event type) steps within
+    * each key's (ts, seq)-ordered stream — the Markov-model / anomalous-
+    * journey primitive next to the funnel (q107): a transition whose rate
+    * collapses week-over-week is a broken product flow.
+    *
+    * One per-key lag window over the corpus; everything after is
+    * |types|²-sized, so the per-origin total ride is a window over a
+    * broadcast-scale frame. All-integer output. */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val steps = events
+      .select(col(keyCol), lag(col(typeCol), 1).over(w).as("prev_type"),
+        col(typeCol).as("next_type"))
+      .filter(col("prev_type").isNotNull)
+    steps.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_tot",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000000 div _tot").as("rate_ppm"))
+  }
+
   def interArrivalStats(events: DataFrame, keyCol: String, tsCol: String,
       seqCol: String): DataFrame = {
     val dec = DecimalType(38, 0)

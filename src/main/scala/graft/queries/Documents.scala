@@ -556,6 +556,19 @@ object Documents {
       TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+
+    // 2D corpus map: fixed-bin (length × quality) occupancy grid — the
+    // joint distribution a marginal histogram hides; cells merge across
+    // shards/days by addition. All-integer, no stats pass.
+    "q156_quality_length_grid" -> ((s, dir) => {
+      import graft.operators.Histogram
+      val docs = t(s, dir, "documents")
+      val f = docs.select(col("doc_id"), col("n_chars"))
+        .join(TextAnalysis.qualityScores(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_ppm")), Seq("doc_id"))
+      Histogram.grid2d(f, "n_chars", 500L, 19, "quality_ppm", 100000L, 9)
+        .orderBy(col("xb"), col("yb"))
+    }),
   )
 
   private val bm25Terms = Seq("dup", "spark", "vector", "merge")
@@ -1595,6 +1608,32 @@ object Documents {
          |  CASE WHEN g.ng > 1 THEN 1 + (g.r - 1) * (t2.n - 1) // (g.ng - 1)
          |       ELSE (t2.n + 1) // 2 END
          |ORDER BY g.doc_id""".stripMargin,
+
+    // Mirrors Histogram.grid2d over (n_chars, q41 quality): fixed-width
+    // integer bins, corpus-share ppm.
+    "q156_quality_length_grid" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |gq AS (SELECT doc_id, count(*) AS n_tokens,
+         |        count(*) FILTER (w IN ('a', 'the')) AS n_stop,
+         |        CAST(sum(length(w)) AS BIGINT) AS sum_len
+         |      FROM tk GROUP BY doc_id),
+         |pq AS (SELECT doc_id,
+         |        (n_stop * 1000000) // n_tokens AS stop_ppm,
+         |        least((sum_len * 1000000) // (8 * n_tokens), 1000000) AS len_ppm,
+         |        least(n_tokens * 10000, 1000000) AS tok_ppm
+         |      FROM gq),
+         |q AS (SELECT d.doc_id, d.n_chars,
+         |        CAST((tok_ppm * 3 + (1000000 - stop_ppm) * 4 + len_ppm * 3) // 10
+         |          AS BIGINT) AS quality_ppm
+         |      FROM documents d JOIN pq ON pq.doc_id = d.doc_id),
+         |g2 AS (SELECT least(n_chars // 500, 19) AS xb,
+         |         least(quality_ppm // 100000, 9) AS yb FROM q),
+         |c AS (SELECT xb, yb, count(*) AS n FROM g2 GROUP BY 1, 2),
+         |t2 AS (SELECT sum(n) AS tot FROM c)
+         |SELECT xb, yb, n, CAST(n * 1000000 // tot AS BIGINT) AS share_ppm
+         |FROM c CROSS JOIN t2
+         |ORDER BY xb, yb""".stripMargin,
 
     // Mirrors TextAnalysis.ngramNovelty: distinct shingle hashes,
     // first-owner min aggregate, integer ppm readout.

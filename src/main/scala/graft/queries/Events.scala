@@ -451,6 +451,15 @@ object Events {
         .orderBy(col("user_id"))
     }),
 
+    // First-order event-type transition matrix with per-origin ppm rates
+    // — the Markov journey model next to q107's funnel. One per-user lag
+    // window; everything downstream is |types|²-sized.
+    "q155_event_transitions" -> ((s, dir) => {
+      graft.operators.Timeseries.transitionMatrix(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // CDC snapshot diff: each user's latest value as of Jan 15 vs Jan 30,
     // emitted as the added/changed delta — BOTH snapshots fall out of one
     // groupBy via conditional max_by (null ordering rows are ignored), so
@@ -832,6 +841,22 @@ object Events {
         |      CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(sg AS DOUBLE), 6)
         |  END AS cv
         |FROM a ORDER BY user_id""".stripMargin,
+
+    // Mirrors Timeseries.transitionMatrix: per-user lag pairs, counts,
+    // per-origin integer ppm rates.
+    "q155_event_transitions" ->
+      """WITH st AS (SELECT user_id,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, count(*) AS n FROM st
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t2 AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |  CAST(c.n * 1000000 // t2.tot AS BIGINT) AS rate_ppm
+        |FROM c JOIN t2 USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
 
     "q123_snapshot_diff" ->
       """WITH r AS (SELECT user_id, ts, event_id, value FROM events),

@@ -58,4 +58,31 @@ class HistogramSpec extends SparkSpec {
     // bins are the values themselves at width 1: min=3, median=7, max=11
     assert(out == (("g", 3.0, 7.0, 11.0)))
   }
+
+  test("grid2d: known cells, overflow clamps to max bin, shares sum to ~1e6") {
+    val df = Seq(
+      (0L, 100L), (0L, 150L),   // cell (0,1) x2
+      (550L, 100L),             // cell (1,1)
+      (99999L, 99999L)          // clamps to (19, 9) with width 500/100
+    ).toDF("x", "y")
+    val out = Histogram.grid2d(df, "x", 500L, 19, "y", 100L, 9)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 1L, 2L, 500000L), (1L, 1L, 1L, 250000L), (19L, 9L, 1L, 250000L)))
+    // shares sum to 1e6 up to div truncation
+    assert(out.toSeq.map(_._4).sum <= 1000000L &&
+      out.toSeq.map(_._4).sum > 1000000L - out.size)
+  }
+
+  test("grid2d grids merge by cell-wise addition across shards") {
+    val a = Seq((0L, 0L), (600L, 0L)).toDF("x", "y")
+    val b = Seq((0L, 0L), (0L, 150L)).toDF("x", "y")
+    val merged = Histogram.grid2d(a.union(b), "x", 500L, 19, "y", 100L, 9)
+      .select($"xb", $"yb", $"n").as[(Long, Long, Long)].collect().toSet
+    val sharded = (Histogram.grid2d(a, "x", 500L, 19, "y", 100L, 9) union
+        Histogram.grid2d(b, "x", 500L, 19, "y", 100L, 9))
+      .groupBy($"xb", $"yb").agg(org.apache.spark.sql.functions.sum($"n").as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged == sharded)
+  }
 }

@@ -148,4 +148,23 @@ class TimeseriesSpec extends SparkSpec {
     assert(!out.contains(3L))
     assert(out(4L) == ((1L, 0L, None)))
   }
+
+  test("transitionMatrix: counts and per-origin rates; no cross-user pairs") {
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    val events = Seq(
+      (1L, at(0), 0L, "view"), (1L, at(1), 1L, "click"),
+      (1L, at(2), 2L, "view"), (1L, at(3), 3L, "click"),
+      (2L, at(0), 4L, "click"), (2L, at(1), 5L, "buy"),
+      (3L, at(0), 6L, "view") // single event: no transition
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Timeseries.transitionMatrix(events, "user_id", "ts",
+        "event_id", "event_type")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // from "view": 2 transitions, both to click; from "click": view|buy
+    assert(out(("view", "click")) == ((2L, 1000000L)))
+    assert(out(("click", "view")) == ((1L, 500000L)))
+    assert(out(("click", "buy")) == ((1L, 500000L)))
+    assert(out.size == 3) // user 3 and cross-user boundaries add nothing
+  }
 }
