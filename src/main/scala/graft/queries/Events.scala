@@ -460,6 +460,27 @@ object Events {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // The STREAMING transition extractor run in batch mode: the
+    // flatMapGroupsWithState machine (O(1) last-event state per key)
+    // replays each group in (time, seq) order, so its batch output is
+    // exactly q155's lag-window pairs — the state-machine code itself
+    // sits under the driver's hash gate (the q107/q147 discipline).
+    "q157_streaming_transitions_batch" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingTransitions
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("epoch_us"),
+          col("event_id").as("seq"), col("event_type").as("etype"))
+        .as[StreamingTransitions.Step]
+      StreamingTransitions.steps(ev)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("_tot", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          expr("n * 1000000 div _tot").as("rate_ppm"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // CDC snapshot diff: each user's latest value as of Jan 15 vs Jan 30,
     // emitted as the added/changed delta — BOTH snapshots fall out of one
     // groupBy via conditional max_by (null ordering rows are ignored), so
@@ -845,6 +866,22 @@ object Events {
     // Mirrors Timeseries.transitionMatrix: per-user lag pairs, counts,
     // per-origin integer ppm rates.
     "q155_event_transitions" ->
+      """WITH st AS (SELECT user_id,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, count(*) AS n FROM st
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t2 AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |  CAST(c.n * 1000000 // t2.tot AS BIGINT) AS rate_ppm
+        |FROM c JOIN t2 USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
+
+    // The streaming state machine's batch run computes the identical
+    // matrix, so it shares q155's oracle verbatim.
+    "q157_streaming_transitions_batch" ->
       """WITH st AS (SELECT user_id,
         |    lag(event_type) OVER (
         |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
