@@ -76,6 +76,43 @@ object Evaluate {
         expr("_s div n_queries").as("mrr_ppm"))
   }
 
+  /** Binary-relevance nDCG@k per query, in exact integer ppm. The DCG
+    * position weights are PRECOMPUTED constants
+    * `w_i = round(1e6 / log2(i+1))` — libm runs once at plan build (the
+    * same JVM call generates the operator literals and the oracle SQL),
+    * never inside either engine, so even the "logarithmic" ranking
+    * metric is hash-checkable. `ranked` carries (query_id, rk); `relCol`
+    * marks relevant rows; `queries` carries (query_id, n_rel) where
+    * n_rel is the query's total relevant-candidate count — IDCG
+    * truncates at min(k, n_rel); n_rel = 0 yields null nDCG. The DCG
+    * pass is one rank-bounded aggregate; everything else is
+    * queries-sized. */
+  def ndcgAtK(ranked: DataFrame, queries: DataFrame, relCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val w = ndcgWeights(k)
+    val cum = w.scanLeft(0L)(_ + _).tail
+    val wArr = array(w.map(lit): _*)
+    val cumArr = array(cum.map(lit): _*)
+    val dcg = ranked.filter(relCol && col("rk") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(element_at(wArr, col("rk").cast("int"))).as("_d"))
+    queries
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("_d"), lit(0L)).as("dcg_ppm"),
+        when(col("n_rel") > 0,
+          element_at(cumArr, least(lit(k.toLong), col("n_rel")).cast("int")))
+          .otherwise(lit(0L)).as("idcg_ppm"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_ppm") > 0, expr("dcg_ppm * 1000000 div idcg_ppm")))
+  }
+
+  /** The shared ppm weight table `round(1e6 / log2(i+1))`, i = 1..k —
+    * used by both the operator literals and the oracle SQL generator. */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
   /** Reliability (calibration) table: `nBins` fixed-width bins over the
     * integer score range `[lo, hi]`; per bin the observed positive rate
     * in ppm. A well-calibrated score has `pos_rate_ppm` tracking the bin

@@ -128,6 +128,30 @@ object Timeseries {
     * (exact in decimal) combine in IEEE doubles with an oracle-identical
     * expression shape. Keys with < 2 events have no gaps and no row;
     * all-equal timestamps (Σg = 0) yield null CV. */
+  /** Replay / double-fire detection: events whose identical predecessor —
+    * same key, type and value — lies within `windowSec` seconds. The
+    * double-click / at-least-once-redelivery scrub event data needs
+    * before counting anything. A candidate duplicate shares its
+    * (key, type, value) window partition BY CONSTRUCTION, so one lag
+    * window replaces any self-join; emits the LATER event of each close
+    * pair with the gap. At 100 TB this is one shuffle on the identity
+    * key with per-partition state bounded by that identity's history. */
+  def replayDuplicates(events: DataFrame, identityCols: Seq[String],
+      tsCol: String, seqCol: String, windowSec: Long): DataFrame = {
+    require(windowSec >= 0 && identityCols.nonEmpty)
+    val w = Window.partitionBy(identityCols.map(col): _*)
+      .orderBy(col(tsCol), col(seqCol))
+    val us = expr(s"unix_micros($tsCol)")
+    events
+      .select(identityCols.map(col) ++ Seq(col(seqCol),
+        us.as("_us"), lag(us, 1).over(w).as("_pus"),
+        lag(col(seqCol), 1).over(w).as("prev_seq")): _*)
+      .filter(col("_pus").isNotNull &&
+        col("_us") - col("_pus") <= windowSec * 1000000L)
+      .select(identityCols.map(col) ++ Seq(col(seqCol), col("prev_seq"),
+        (col("_us") - col("_pus")).as("gap_us")): _*)
+  }
+
   /** First-order behavioral transition matrix: counts and per-origin ppm
     * rates of consecutive (prev event type → event type) steps within
     * each key's (ts, seq)-ordered stream — the Markov-model / anomalous-

@@ -465,6 +465,16 @@ object Events {
     // replays each group in (time, seq) order, so its batch output is
     // exactly q155's lag-window pairs — the state-machine code itself
     // sits under the driver's hash gate (the q107/q147 discipline).
+    // Replay / double-fire scrub: events whose identical predecessor
+    // (same user + type) fired within 300 s — the at-least-once-delivery
+    // artifact to drop before counting. The identity shares a window
+    // partition by construction: one lag window, no self-join.
+    "q159_event_replay_dupes" -> ((s, dir) => {
+      graft.operators.Timeseries.replayDuplicates(t(s, dir, "events"),
+          Seq("user_id", "event_type"), "ts", "event_id", windowSec = 300L)
+        .orderBy(col("event_id"))
+    }),
+
     "q157_streaming_transitions_batch" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.StreamingTransitions
@@ -878,6 +888,18 @@ object Events {
         |  CAST(c.n * 1000000 // t2.tot AS BIGINT) AS rate_ppm
         |FROM c JOIN t2 USING (prev_type)
         |ORDER BY prev_type, next_type""".stripMargin,
+
+    // Mirrors Timeseries.replayDuplicates on the (user, type) identity.
+    "q159_event_replay_dupes" ->
+      """WITH o AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS pus,
+        |    lag(event_id) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev_seq
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, prev_seq, us - pus AS gap_us
+        |FROM o WHERE pus IS NOT NULL AND us - pus <= 300000000
+        |ORDER BY event_id""".stripMargin,
 
     // The streaming state machine's batch run computes the identical
     // matrix, so it shares q155's oracle verbatim.

@@ -56,6 +56,27 @@ object Vectors {
         q.select(col("vec_id").as("query_id")), col("_nl") === col("_ql"))
     }),
 
+    // nDCG@5 with same-label relevance — the rank-position-weighted
+    // retrieval metric beside MRR (first hit) and recall (set overlap).
+    // Position weights are precomputed ppm constants, so no libm runs in
+    // either engine and the metric is hash-checked end to end.
+    "q158_retrieval_ndcg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val ranked = graft.operators.Knn.exact(e, q, k = 5)
+        .join(broadcast(e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("_nl"))), Seq("neighbor_id"))
+        .join(broadcast(e.select(col("vec_id").as("query_id"),
+          col("label").as("_ql"))), Seq("query_id"))
+      val lc = e.groupBy(col("label")).agg(count(lit(1)).as("_c"))
+      val queries = q.select(col("vec_id").as("query_id"), col("label"))
+        .join(broadcast(lc), Seq("label"))
+        .select(col("query_id"), (col("_c") - 1).as("n_rel"))
+      graft.operators.Evaluate.ndcgAtK(ranked, queries,
+          col("_nl") === col("_ql"), k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // Cosine similarity of every vector against one query vector (the ANN
     // probe test_ann_query.py re-expressed as a broadcast scalar join).
     "q20_cosine_vs_query" -> ((s, dir) => {
@@ -249,6 +270,36 @@ object Vectors {
         |  CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
         |  CAST(coalesce(CAST(sum(1000000 // first_rel) AS BIGINT), 0) // count(*) AS BIGINT) AS mrr_ppm
         |FROM q LEFT JOIN f USING (qid)""".stripMargin,
+
+    // Mirrors Evaluate.ndcgAtK: the SAME Scala call generates the ppm
+    // weight constants for operator literals and this SQL, so no log()
+    // ever runs inside either engine.
+    "q158_retrieval_ndcg" -> {
+      val w = graft.operators.Evaluate.ndcgWeights(5)
+      val cum = w.scanLeft(0L)(_ + _).tail
+      val wCase = w.zipWithIndex
+        .map { case (wi, i) => s"WHEN ${i + 1} THEN $wi" }.mkString(" ")
+      val cumList = cum.mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS ql, v AS qv FROM e WHERE vec_id < 20),
+         |s AS (SELECT qid, ql, e.vec_id AS nid, e.label AS nl,
+         |             list_cosine_similarity(qv, e.v) AS cs
+         |      FROM q JOIN e ON e.vec_id <> qid),
+         |r AS (SELECT qid, ql, nid, nl,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk FROM s),
+         |d AS (SELECT qid, sum(CASE rk $wCase END) AS dcg FROM r
+         |      WHERE rk <= 5 AND nl = ql GROUP BY qid),
+         |lc AS (SELECT label, count(*) AS c FROM e GROUP BY label),
+         |x AS (SELECT q.qid AS query_id,
+         |        CAST(coalesce(d.dcg, 0) AS BIGINT) AS dcg_ppm,
+         |        CAST(CASE WHEN lc.c - 1 > 0
+         |          THEN list_extract($cumList, CAST(least(5, lc.c - 1) AS INTEGER))
+         |          ELSE 0 END AS BIGINT) AS idcg_ppm
+         |      FROM q JOIN lc ON lc.label = q.ql LEFT JOIN d ON d.qid = q.qid)
+         |SELECT query_id, dcg_ppm, idcg_ppm,
+         |  CASE WHEN idcg_ppm > 0 THEN dcg_ppm * 1000000 // idcg_ppm END AS ndcg_ppm
+         |FROM x ORDER BY query_id""".stripMargin
+    },
 
     "q20_cosine_vs_query" ->
       """SELECT e.vec_id,

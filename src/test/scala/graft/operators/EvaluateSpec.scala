@@ -203,4 +203,28 @@ class EvaluateSpec extends SparkSpec {
     assert(out2.getAs[Long]("n_queries") == 4L)
     assert(out2.getAs[Long]("mrr_ppm") == 1500000L / 4L)
   }
+
+  test("ndcgAtK: known fixtures, IDCG truncation, no-relevant null") {
+    val w = Evaluate.ndcgWeights(5)
+    assert(w == Seq(1000000L, 630930L, 500000L, 430677L, 386853L))
+    val ranked = Seq(
+      // q1: relevant at ranks 1 and 3
+      (1L, 1, true), (1L, 2, false), (1L, 3, true), (1L, 4, false), (1L, 5, false),
+      // q2: relevant at rank 2 only, but n_rel = 1 -> IDCG = w1
+      (2L, 1, false), (2L, 2, true), (2L, 3, false),
+      // q3: nothing relevant in top-5
+      (3L, 1, false), (3L, 2, false),
+      // q4 absent from ranked entirely
+    ).toDF("query_id", "rk", "rel")
+    val queries = Seq((1L, 10L), (2L, 1L), (3L, 4L), (4L, 0L))
+      .toDF("query_id", "n_rel")
+    val out = Evaluate.ndcgAtK(ranked, queries, col("rel"), k = 5)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val cum = w.scanLeft(0L)(_ + _).tail
+    assert(out(1L) == ((w(0) + w(2), cum(4), Some((w(0) + w(2)) * 1000000L / cum(4)))))
+    assert(out(2L) == ((w(1), w(0), Some(w(1) * 1000000L / w(0)))))
+    assert(out(3L) == ((0L, cum(3), Some(0L))))
+    assert(out(4L) == ((0L, 0L, None))) // n_rel = 0: undefined nDCG
+  }
 }

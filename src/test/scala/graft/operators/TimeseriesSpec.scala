@@ -167,4 +167,20 @@ class TimeseriesSpec extends SparkSpec {
     assert(out(("click", "buy")) == ((1L, 500000L)))
     assert(out.size == 3) // user 3 and cross-user boundaries add nothing
   }
+
+  test("replayDuplicates: in-window repeats flagged, identity and window respected") {
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    val events = Seq(
+      (1L, at(0), 0L, "click"), (1L, at(5), 1L, "click"),   // 5 s repeat -> dup
+      (1L, at(400), 2L, "click"),                           // outside 300 s
+      (1L, at(401), 3L, "view"),                            // different type
+      (2L, at(402), 4L, "view"),                            // different user
+      (2L, at(402), 5L, "view")                             // same-second repeat -> dup
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Timeseries.replayDuplicates(events,
+        Seq("user_id", "event_type"), "ts", "event_id", windowSec = 300L)
+      .select($"event_id", $"prev_seq", $"gap_us")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 5000000L), (5L, 4L, 0L)))
+  }
 }

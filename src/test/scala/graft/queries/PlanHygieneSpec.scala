@@ -73,6 +73,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q151_quantile_normalize", // 1-row (n, min, max) stats aggregate
                                // attached for bucketing + the index rule
                                // (q112's designed shape, twice)
+    "q158_retrieval_ndcg",     // exact-kNN ranking side (broadcast query
+                               // set × corpus), the q143 shape
   )
 
   private def executedPlan(name: String): String = {
