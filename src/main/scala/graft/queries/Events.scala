@@ -242,6 +242,37 @@ object Events {
         .orderBy($"user_id", $"session_idx")
     }),
 
+    // Session-level product rollup on q46's boundary rule: per user the
+    // session count, bounce share (single-event sessions) and mean
+    // session length — the engagement report a sessionized stream feeds.
+    // Same one-window session assignment; the rollup adds one keyed
+    // aggregate, all-integer readouts.
+    "q160_session_summary" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+      val sess = t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when($"prev_us".isNull ||
+            unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum($"is_new").over(cum))
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_ev"),
+          min(unix_micros($"ts")).as("s_us"), max(unix_micros($"ts")).as("e_us"))
+      sess.groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(when($"n_ev" === 1, 1L).otherwise(0L)).as("bounce_sessions"),
+          sum($"n_ev").as("total_events"),
+          sum($"e_us" - $"s_us").as("_dur_us"))
+        .select($"user_id", $"n_sessions", $"bounce_sessions", $"total_events",
+          expr("(_dur_us div 1000000) div n_sessions").as("mean_session_secs"),
+          expr("bounce_sessions * 1000000 div n_sessions").as("bounce_ppm"))
+        .orderBy($"user_id")
+    }),
+
     // Counter-table recompute (reference A7: device_statistics counters —
     // Spark has no mutable counters; recompute, SURVEY §7.3 hard-part 4).
     "q45_user_counters" -> ((s, dir) => {
@@ -888,6 +919,33 @@ object Events {
         |  CAST(c.n * 1000000 // t2.tot AS BIGINT) AS rate_ppm
         |FROM c JOIN t2 USING (prev_type)
         |ORDER BY prev_type, next_type""".stripMargin,
+
+    // Mirrors the q160 session rollup: same boundary rule and windows,
+    // integer readouts.
+    "q160_session_summary" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS pus
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, us,
+        |    CASE WHEN pus IS NULL OR us - pus > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM o),
+        |x AS (SELECT user_id, us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM m),
+        |sess AS (SELECT user_id, session_idx, count(*) AS n_ev,
+        |    min(us) AS s_us, max(us) AS e_us
+        |  FROM x GROUP BY 1, 2),
+        |a AS (SELECT user_id, count(*) AS n_sessions,
+        |    CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounce_sessions,
+        |    CAST(sum(n_ev) AS BIGINT) AS total_events,
+        |    CAST(sum(e_us - s_us) AS BIGINT) AS dur_us
+        |  FROM sess GROUP BY 1)
+        |SELECT user_id, n_sessions, bounce_sessions, total_events,
+        |  (dur_us // 1000000) // n_sessions AS mean_session_secs,
+        |  bounce_sessions * 1000000 // n_sessions AS bounce_ppm
+        |FROM a ORDER BY user_id""".stripMargin,
 
     // Mirrors Timeseries.replayDuplicates on the (user, type) identity.
     "q159_event_replay_dupes" ->

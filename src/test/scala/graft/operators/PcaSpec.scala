@@ -67,6 +67,23 @@ class PcaSpec extends SparkSpec {
     assert(strongMin > noiseMax * 10)
   }
 
+  test("scatter moments merge across shards by field-wise addition") {
+    // the 100 TB story: per-shard/per-day moment rows sum into the
+    // corpus moments, so the component retrains incrementally without
+    // touching old shards
+    val a = planted(120, 8).toDF("vec_id", "embedding")
+    val b = planted(80, 8).map { case (id, v) => (id + 1000L, v) }
+      .toDF("vec_id", "embedding")
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = Pca.scatterMoments(df, 8, "embedding").collect()(0)
+      (0 until r.length).map { i =>
+        if (i == 0) BigDecimal(r.getLong(0)) else BigDecimal(r.getDecimal(i))
+      }
+    }
+    val (ra, rb, ru) = (row(a), row(b), row(a.union(b)))
+    assert(ru == ra.zip(rb).map { case (x, y) => x + y })
+  }
+
   test("moments pass plans a single-row partial aggregate — no shuffle of rows") {
     val emb = planted(100, 8).toDF("vec_id", "embedding")
     val plan = Pca.scatterMoments(emb, 8, "embedding")
