@@ -82,21 +82,24 @@ object Normalize {
     * the same value-ordered-bucket + broadcast-offset machinery as
     * [[featureScale]]'s rank (global row_number = bucket offset +
     * within-bucket row_number; bucketing is value-monotone so the
-    * positions are exactly the global sort's). Per-group windows are the
-    * only windows over data; the position join shuffles on an integer
-    * key. Output: (id, group, value, norm_value). */
+    * positions are exactly the global sort's). The WITHIN-group rank is
+    * built the same way on (group, bucket) cells — never a per-group
+    * window over the data, so a dominant source (half the corpus from
+    * one crawl) still ranks across all its buckets in parallel; window
+    * state is bounded by cell occupancy on both paths. The position
+    * join shuffles on an integer key.
+    * Output: (id, group, value, norm_value). */
   def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, numBuckets: Int = 256): DataFrame = {
     require(numBuckets >= 1)
     val v = col(valueCol)
     val stats = df.agg(count(lit(1)).as("_n"), min(v).as("_mn"), max(v).as("_mx"))
-    def bkt(d: DataFrame): DataFrame = d
+    val withB = df.crossJoin(broadcast(stats))
       .withColumn("_bkt",
         when(col("_mx") === col("_mn"), lit(0))
           .otherwise(least(lit(numBuckets - 1),
             floor((v - col("_mn")) /
               ((col("_mx") - col("_mn")) / numBuckets)).cast("int"))))
-    val withB = bkt(df.crossJoin(broadcast(stats)))
     val offsets = withB.groupBy(col("_bkt")).agg(count(lit(1)).as("_c"))
       .withColumn("_off", coalesce(
         sum(col("_c")).over(Window.orderBy(col("_bkt"))
@@ -107,11 +110,25 @@ object Normalize {
         Window.partitionBy(col("_bkt")).orderBy(v, col(idCol))))
       .join(broadcast(offsets), Seq("_bkt"))
       .select((col("_off") + col("_rn")).as("_gpos"), v.as("_gv"))
-    val wg = Window.partitionBy(col(groupCol)).orderBy(v, col(idCol))
-    val g = df.crossJoin(broadcast(stats))
-      .withColumn("_r", row_number().over(wg).cast("long"))
-      .withColumn("_ng",
-        count(lit(1)).over(Window.partitionBy(col(groupCol))).cast("long"))
+    // within-group ranks from (group, bucket) cells: cell counts roll up
+    // to per-group bucket offsets and group sizes (a groups×buckets-sized
+    // broadcast), per-cell row_numbers lift to within-group ranks
+    val cellCounts = withB.groupBy(col(groupCol), col("_bkt"))
+      .agg(count(lit(1)).as("_c"))
+    val gOffsets = cellCounts
+      .withColumn("_goff", coalesce(
+        sum(col("_c")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(groupCol), col("_bkt"), col("_goff"))
+    val sizes = cellCounts.groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("_ng"))
+    val g = withB
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(groupCol), col("_bkt")).orderBy(v, col(idCol))))
+      .join(broadcast(gOffsets), Seq(groupCol, "_bkt"))
+      .join(broadcast(sizes), Seq(groupCol))
+      .withColumn("_r", col("_goff") + col("_rn"))
       .withColumn("_idx",
         when(col("_ng") > 1,
           lit(1L) + expr("(_r - 1) * (_n - 1) div (_ng - 1)"))
