@@ -47,6 +47,68 @@ object Corpus {
       .select(col(idCol), col("split"), col("quality"))
   }
 
+  /** Round-5 curation capstone — [[prepare]] upgraded with the directed
+    * and distribution-aware operators: exact-dedup winners, near-dup
+    * losers dropped, CONTAINMENT-dominated docs dropped (a snippet
+    * living whole inside a surviving bigger doc — invisible to the
+    * Jaccard stages), surviving docs carrying their 1/component-size
+    * loss weight, the quality cut taken on the cross-source
+    * QUANTILE-NORMALIZED score (so one threshold means the same thing
+    * for every source), and the split keyed on the near-dup COMPONENT
+    * label (clusters land whole in one split — no leakage).
+    *
+    * Containment-removal determinism: drop `a` when a ⊂ b unless the
+    * containment is mutual with `a` the lower id (mutual containment =
+    * equal shingle sets; exactly one of the pair survives). The
+    * near-dup pair set is computed once and persisted — components,
+    * weights and the loser set all read it. */
+  def curate(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source",
+      minJaccard: Double = 0.5, contNum: Int = 9, contDen: Int = 10,
+      minNormPpm: Long = 500000L, trainPct: Int = 80,
+      splitSeed: Int = 9): DataFrame = {
+    val exactKeep = Dedup.exactGroups(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val pairs = Dedup.nearDupPairs(docs, idCol, textCol, minJaccard = minJaccard)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nearLosers = pairs.select(col("id_b").as(idCol)).distinct()
+    val comps = Dedup.nearDupGroups(pairs)
+    val labeled = docs.select(col(idCol).as("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("comp"))
+    val sizes = labeled.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+    val weights = labeled.join(sizes, Seq("comp"))
+      .select(col("doc_id").as(idCol), col("comp"),
+        expr("1000000 div comp_size").as("weight_ppm"))
+    val cont = Dedup.containmentPairs(docs, idCol, textCol, contNum, contDen)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contDominated = cont.as("p")
+      .join(cont.as("m"),
+        col("m.id_a") === col("p.id_b") && col("m.id_b") === col("p.id_a"),
+        "left")
+      .filter(col("m.id_a").isNull || col("p.id_a") > col("p.id_b"))
+      .select(col("p.id_a").as(idCol)).distinct()
+    val scored = docs.select(col(idCol), col(sourceCol))
+      .join(TextAnalysis.qualityScores(docs, idCol, textCol)
+        .select(col("doc_id").as(idCol), col("quality_ppm")), Seq(idCol))
+    val norm = Normalize.quantileNormalize(scored, idCol, sourceCol, "quality_ppm")
+      .select(col(idCol), col("norm_quality_ppm"))
+    docs.select(col(idCol))
+      .join(exactKeep, Seq(idCol), "left_semi")
+      .join(nearLosers, Seq(idCol), "left_anti")
+      .join(contDominated, Seq(idCol), "left_anti")
+      .join(weights, Seq(idCol))
+      .join(norm, Seq(idCol))
+      .filter(col("norm_quality_ppm") >= minNormPpm)
+      .withColumn("split",
+        when(hash32(col("comp").cast("string"), splitSeed) % 100 < trainPct,
+          "train").otherwise("test"))
+      .select(col(idCol), col("split"), col("comp"), col("weight_ppm"),
+        col("norm_quality_ppm"))
+  }
+
   /** Token-budget corpus mixing — "give me the best `budget_s` tokens of
     * each source" (the dataset-curation step that hits per-source token
     * targets: 30% code / 50% web / ... of a fixed training budget).

@@ -557,6 +557,16 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Round-5 curation capstone: exact-dedup winners, near-dup losers
+    // and containment-dominated docs dropped, component loss weights,
+    // quality cut on the cross-source quantile-normalized score, split
+    // keyed on the component label. Every stage is the declared operator
+    // behind q30/q31/q148/q152/q151/q125, composed.
+    "q161_corpus_curate" -> ((s, dir) => {
+      graft.operators.Corpus.curate(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // 2D corpus map: fixed-bin (length × quality) occupancy grid — the
     // joint distribution a marginal histogram hides; cells merge across
     // shards/days by addition. All-integer, no stats pass.
@@ -1648,6 +1658,75 @@ object Documents {
          |    AS novelty_ppm
          |FROM dsh JOIN f USING (s) GROUP BY dsh.doc_id
          |ORDER BY dsh.doc_id""".stripMargin,
+
+    // Mirrors Corpus.curate: componentsCtes supplies the pair graph +
+    // labels; the containment, quantile-normalize and split fragments are
+    // the q148/q151/q125 oracles inlined over the SAME shingle tables.
+    "q161_corpus_curate" ->
+      s"""$componentsCtes,
+         |lab AS (SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS comp
+         |        FROM documents d LEFT JOIN comp0 c USING (doc_id)),
+         |szc AS (SELECT comp, count(*) AS comp_size FROM lab GROUP BY comp),
+         |wt AS (SELECT lab.doc_id, lab.comp, 1000000 // szc.comp_size AS weight_ppm
+         |       FROM lab JOIN szc USING (comp)),
+         |ek AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5($normSql)),
+         |nl AS (SELECT DISTINCT id_b FROM p),
+         |dfc AS (SELECT s, count(*) AS df FROM dsh GROUP BY s),
+         |cpf AS (SELECT r.doc_id, r.s, cnt.ns FROM (
+         |         SELECT doc_id, s, row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY dfc.df, s) AS rn
+         |         FROM dsh JOIN dfc USING (s)) r JOIN cnt USING (doc_id)
+         |       WHERE r.rn <= cnt.ns - (cnt.ns * 9 + 9) // 10 + 1),
+         |ccand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM cpf a JOIN dsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |               JOIN cnt nb ON nb.doc_id = b.doc_id
+         |          WHERE nb.ns * 10 >= a.ns * 9),
+         |ci AS (SELECT id_a, id_b, count(*) AS ni
+         |       FROM ccand JOIN dsh x ON x.doc_id = id_a
+         |            JOIN dsh y ON y.doc_id = id_b AND y.s = x.s
+         |       GROUP BY id_a, id_b),
+         |cp2 AS (SELECT ci.id_a, ci.id_b FROM ci JOIN cnt na ON na.doc_id = ci.id_a
+         |        WHERE ci.ni * 10 >= na.ns * 9),
+         |cdom AS (SELECT DISTINCT pp.id_a AS doc_id FROM cp2 pp
+         |         LEFT JOIN cp2 m ON m.id_a = pp.id_b AND m.id_b = pp.id_a
+         |         WHERE m.id_a IS NULL OR pp.id_a > pp.id_b),
+         |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |gq AS (SELECT doc_id, count(*) AS n_tokens,
+         |        count(*) FILTER (w IN ('a', 'the')) AS n_stop,
+         |        CAST(sum(length(w)) AS BIGINT) AS sum_len
+         |      FROM tk GROUP BY doc_id),
+         |pq AS (SELECT doc_id,
+         |        (n_stop * 1000000) // n_tokens AS stop_ppm,
+         |        least((sum_len * 1000000) // (8 * n_tokens), 1000000) AS len_ppm,
+         |        least(n_tokens * 10000, 1000000) AS tok_ppm
+         |      FROM gq),
+         |qual AS (SELECT d.doc_id, d.source,
+         |        CAST((tok_ppm * 3 + (1000000 - stop_ppm) * 4 + len_ppm * 3) // 10
+         |          AS BIGINT) AS quality_ppm
+         |      FROM documents d JOIN pq ON pq.doc_id = d.doc_id),
+         |gg AS (SELECT doc_id, source, quality_ppm,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY quality_ppm, doc_id) AS r,
+         |        count(*) OVER (PARTITION BY source) AS ng FROM qual),
+         |pos AS (SELECT quality_ppm AS gv, row_number() OVER (
+         |         ORDER BY quality_ppm, doc_id) AS gpos FROM qual),
+         |tot AS (SELECT count(*) AS n FROM qual),
+         |nq AS (SELECT gg.doc_id, pos.gv AS norm_quality_ppm
+         |       FROM gg CROSS JOIN tot JOIN pos ON pos.gpos =
+         |         CASE WHEN gg.ng > 1 THEN 1 + (gg.r - 1) * (tot.n - 1) // (gg.ng - 1)
+         |              ELSE (tot.n + 1) // 2 END)
+         |SELECT d.doc_id,
+         |  CASE WHEN ${h32("CAST(wt.comp AS VARCHAR)", 9)} % 100 < 80
+         |       THEN 'train' ELSE 'test' END AS split,
+         |  wt.comp, wt.weight_ppm, nq.norm_quality_ppm
+         |FROM documents d
+         |JOIN ek ON ek.keep_id = d.doc_id
+         |JOIN wt ON wt.doc_id = d.doc_id
+         |JOIN nq ON nq.doc_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT id_b FROM nl)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM cdom)
+         |  AND nq.norm_quality_ppm >= 500000
+         |ORDER BY d.doc_id""".stripMargin,
 
     // q38's component labeling + per-component size → ppm weight.
     "q152_dedup_weights" ->

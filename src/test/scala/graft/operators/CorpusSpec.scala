@@ -62,4 +62,42 @@ class CorpusSpec extends SparkSpec {
       .filter($"n_kept" =!= $"n_all")
     assert(partial.count() == 0, "partial bin detected")
   }
+
+  test("curate: exact/near losers and contained snippets dropped, mutual containment keeps the lower id") {
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", "s1"),
+      (1L, "  The  QUICK brown fox jumps over the lazy dog today ", "s1"), // exact dup of 0
+      (3L, "alpha beta gamma delta epsilon zeta", "s2"),    // snippet …
+      (4L, s"$filler alpha beta gamma delta epsilon zeta", "s2"), // … inside this doc
+      (5L, "completely different content about something else entirely", "s2"),
+      (6L, "p q r p q r", "s3"),        // same shingle SET as 7 (mutual containment)
+      (7L, "p q r p q r p q r", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Corpus.curate(docs, minNormPpm = 0L)
+      .select($"doc_id", $"comp", $"weight_ppm", $"split")
+      .as[(Long, Long, Long, String)].collect()
+    val kept = out.map(_._1).toSet
+    assert(!kept.contains(1L), "exact dup loser must drop")
+    assert(!kept.contains(3L), "contained snippet must drop")
+    assert(!kept.contains(7L), "mutual containment keeps the LOWER id")
+    assert(kept.contains(0L) && kept.contains(4L) &&
+      kept.contains(5L) && kept.contains(6L), kept)
+    // weights agree with the standalone dedupWeights on every kept doc
+    val w = Dedup.dedupWeights(docs, "doc_id", "text")
+      .select($"doc_id", $"comp", $"weight_ppm")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { case (id, comp, wppm, _) =>
+      assert(w(id) == ((comp, wppm)), s"doc $id")
+    }
+    // split is the component-keyed hash rule
+    import graft.functions.TextFunctions.hash32
+    val expect = docs.select($"doc_id",
+        when(hash32($"doc_id".cast("string"), 9) % 100 < 80, "train")
+          .otherwise("test").as("sp"))
+      .as[(Long, String)].collect().toMap
+    out.filter(r => r._1 == r._2) // singleton comps: comp == own id
+      .foreach { case (id, _, _, sp) => assert(sp == expect(id), s"doc $id") }
+  }
 }

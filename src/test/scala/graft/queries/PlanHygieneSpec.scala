@@ -75,6 +75,8 @@ class PlanHygieneSpec extends SparkSpec {
                                // (q112's designed shape, twice)
     "q158_retrieval_ndcg",     // exact-kNN ranking side (broadcast query
                                // set × corpus), the q143 shape
+    "q161_corpus_curate",      // quantile-normalize stage: q151's
+                               // designed 1-row stats attaches
   )
 
   private def executedPlan(name: String): String = {
