@@ -40,6 +40,10 @@ object GraftFunctions {
     Bridge.column(TopKByScore(Bridge.expression(score), Bridge.expression(id), k)
       .toAggregateExpression())
 
+  def freq_items(item: Column, cap: Int): Column =
+    Bridge.column(FrequentItems(Bridge.expression(item), cap)
+      .toAggregateExpression())
+
   def rhp_signature(vec: Column, nBits: Int, dim: Int, seed: Long,
       portable: Boolean = false): Column =
     Bridge.column(RandomHyperplaneSignature(Bridge.expression(vec), nBits, dim, seed, portable))

@@ -389,4 +389,47 @@ object Evaluate {
           .as("chi2_ppm"))
       .withColumn("chi2", col("chi2_ppm").cast("double") / 1000000.0)
   }
+
+  /** Spearman rank correlation between two columns, tie-corrected
+    * (average ranks), as Pearson over ranks — the monotone-association
+    * companion to q110's Pearson matrix (rank-based, so outliers and
+    * nonlinearity don't fake or hide a relationship).
+    *
+    * No per-row rank window: a row's DOUBLED average rank is
+    * `2·|{v' < v}| + |{v' = v}| + 1`, read off the per-distinct-value
+    * count table (corpus-sized groupBy, then a window over the DISTINCT
+    * values — bounded by the value domain, broadcast-class for ppm/score
+    * domains). Doubling keeps ranks integral, so every moment accumulates
+    * as an exact decimal; Pearson-over-ranks is scale/shift-invariant, so
+    * rho is unchanged. The readout is a fixed shape over exact integers —
+    * cast, multiply, sqrt, divide once — bit-identical in any engine.
+    * Degenerate (constant) columns yield null, never NaN. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def ranks2(c: String, out: String): DataFrame = {
+      val g = df.groupBy(col(c).as(c)).agg(count(lit(1)).as("_cnt"))
+      val ord = Window.orderBy(col(c))
+      g.withColumn("_less", coalesce(sum(col("_cnt")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(c), (col("_less") * 2 + col("_cnt") + 1).as(out))
+    }
+    df.select(col(xCol), col(yCol))
+      .join(broadcast(ranks2(xCol, "_rx")), Seq(xCol))
+      .join(broadcast(ranks2(yCol, "_ry")), Seq(yCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_rx").cast("decimal(38,0)")).as("_sx"),
+        sum(col("_ry").cast("decimal(38,0)")).as("_sy"),
+        sum(col("_rx").cast("decimal(38,0)") * col("_rx").cast("decimal(38,0)")).as("_sxx"),
+        sum(col("_ry").cast("decimal(38,0)") * col("_ry").cast("decimal(38,0)")).as("_syy"),
+        sum(col("_rx").cast("decimal(38,0)") * col("_ry").cast("decimal(38,0)")).as("_sxy"))
+      .select(col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * _sxy - _sx * _sy").as("_num"),
+        expr("CAST(n AS DECIMAL(38,0)) * _sxx - _sx * _sx").as("_dx"),
+        expr("CAST(n AS DECIMAL(38,0)) * _syy - _sy * _sy").as("_dy"))
+      .select(col("n"),
+        when(col("_dx") > 0 && col("_dy") > 0,
+          round(col("_num").cast("double") /
+            sqrt(col("_dx").cast("double") * col("_dy").cast("double")), 6))
+          .as("spearman"))
+  }
 }

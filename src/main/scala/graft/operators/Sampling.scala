@@ -205,4 +205,35 @@ object Sampling {
       .agg(min(struct(col("_h"), col("cand_id"))).as("_m"))
       .select(col("anchor_id"), col("slot"), col("_m.cand_id").as("neg_id"))
   }
+
+  /** Per-group token-budget selection: inside each group (source/domain),
+    * rank rows quality-first (`scoreCol` desc, `idCol` asc) and keep the
+    * prefix whose cumulative `weightCol` (token count) stays within
+    * `budgetNum/budgetDen` of the group's total weight — the "best 30% of
+    * tokens per source" curation gate, the budgeted counterpart of the
+    * temperature rebalance (q72): that one equalizes PROPORTIONS, this one
+    * spends a hard token budget on the highest-quality rows.
+    *
+    * Deterministic: the order is total (score, id), the budget test is an
+    * integer cross-multiplication (`cum·den ≤ total·num` — no float
+    * rounding at the boundary). Scale shape: one shuffle on the group key;
+    * the ranking window and running sum are per-group (parallel across
+    * groups), and group totals ride the same shuffle — no global sort, no
+    * second pass over the data. A pathologically hot group bounds a task
+    * (same caveat as every per-group window; salt or split upstream). */
+  def budgetSelect(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, scoreCol: String,
+      budgetNum: Int, budgetDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetNum >= 0 && budgetDen > 0)
+    val byScore = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val all = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select(col(idCol), col(groupCol), col(weightCol), col(scoreCol))
+      .withColumn("cum_weight", sum(col(weightCol)).over(
+        byScore.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("group_weight", sum(col(weightCol)).over(all))
+      .filter(col("cum_weight") * budgetDen <= col("group_weight") * budgetNum)
+  }
 }

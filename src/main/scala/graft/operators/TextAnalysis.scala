@@ -756,4 +756,92 @@ object TextAnalysis {
         expr("(2 * _sum + n_tokens) div (2 * n_tokens)").as("weight_ppm"))
       .withColumn("target_like", col("weight_ppm") >= 1000000L)
   }
+
+  /** Zipf/head-heaviness audit of the token distribution — one summary
+    * row: vocabulary size, token mass, the top-1 token's share (ppm), and
+    * the number of distinct tokens needed to cover 50/90/99% of all token
+    * occurrences. The coverage knee is the practical "how much of this
+    * corpus is boilerplate vocabulary" signal behind tokenizer sizing and
+    * stopword-list choices.
+    *
+    * Scale shape: the corpus-sized work is one `groupBy(token)` shuffle;
+    * everything after runs over the VOCABULARY (≪ corpus, bounded by
+    * distinct tokens), where a single ordered window is broadcast-class
+    * work by construction — same discipline as [[Normalize.featureScale]]'s
+    * bucket-offset table. All thresholds are integer cross-multiplications
+    * (`cum·100 ≥ tot·99`), no float shares until the final readout. */
+  def zipfCoverage(docs: DataFrame, textCol: String): DataFrame = {
+    val vf = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = vf.agg(
+      count(lit(1)).as("n_vocab"), sum(col("cnt")).as("n_tokens"))
+    val ord = Window.orderBy(col("cnt").desc, col("w"))
+    vf
+      .withColumn("rk", row_number().over(ord).cast("bigint"))
+      .withColumn("cum", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(col("n_vocab")).as("n_vocab"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(when(col("rk") === 1,
+          expr("cnt * 1000000 div n_tokens"))).as("top1_ppm"),
+        min(when(col("cum") * 2 >= col("n_tokens"), col("rk"))).as("k50"),
+        min(when(col("cum") * 10 >= col("n_tokens") * 9, col("rk"))).as("k90"),
+        min(when(col("cum") * 100 >= col("n_tokens") * 99, col("rk"))).as("k99"))
+  }
+
+  /** Exact heavy hitters, two-pass: tokens whose frequency strictly
+    * exceeds `n_tokens / k`.
+    *
+    * Pass 1 folds the stream through the Misra-Gries summary
+    * ([[graft.functions.FrequentItems]], k−1 counters) AND the total count
+    * in ONE aggregate — bounded O(k) state per partition, merged on the
+    * driver side of a map-side-combined agg, guaranteed to retain every
+    * token with freq > n/k. Pass 2 exactly recounts ONLY the ≤ k−1
+    * candidates via a broadcast semi-join and keeps those that truly clear
+    * the threshold — so the output is exact and deterministic even though
+    * the intermediate sketch is merge-order-dependent.
+    *
+    * At 100 TB this shuffles `partitions × k` rows + the candidate
+    * recount, vs a full-vocabulary `groupBy(token)` whose shuffle is the
+    * vocabulary itself; it is also the shape that survives a skewed
+    * vocabulary (the hot tokens are exactly what the sketch keeps). */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.freq_items
+    val tk = docs.select(explode(tokens(col(textCol))).as("w"))
+    // one-row pass-1 result (total + ≤ k−1 candidates); localCheckpoint so
+    // the two consumers below don't re-run the corpus scan
+    val pass1 = tk
+      .agg(count(lit(1)).as("n_tokens"), freq_items(col("w"), k - 1).as("cand"))
+      .localCheckpoint()
+    val cands = pass1.select(explode(col("cand")).as("w"))
+    tk.join(broadcast(cands), Seq("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(pass1.select(col("n_tokens"))))
+      .filter(col("cnt") * k > col("n_tokens"))
+      .select(col("w"), col("cnt"), col("n_tokens"))
+  }
+
+  /** Exact phrase-occurrence mining: finds the corpus's most frequent
+    * token `n`-gram (ties → lexicographically last) and returns every
+    * document containing it with its occurrence count — the
+    * inverted-index-with-positions retrieval primitive (phrase search)
+    * driven by a corpus-derived phrase so the whole thing is closed-form
+    * testable. Candidate generation and probe are both equi-joins on the
+    * shingle string; the argmax is a bounded `max(struct(cnt, s))`
+    * aggregate, never a vocabulary sort. */
+  def phraseHits(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(tokens(col(textCol)), n)).as("s"))
+    val top = sh.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+      .agg(max(struct(col("cnt"), col("s"))).as("m"))
+      .select(col("m.s").as("s"), col("m.cnt").as("phrase_count"))
+    sh.join(broadcast(top), Seq("s"))
+      .groupBy(col("doc_id"), col("s"), col("phrase_count"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("s").as("phrase"), col("n_hits"),
+        col("phrase_count"))
+  }
 }

@@ -579,6 +579,112 @@ object Documents {
       Histogram.grid2d(f, "n_chars", 500L, 19, "quality_ppm", 100000L, 9)
         .orderBy(col("xb"), col("yb"))
     }),
+
+    // Zipf/head-heaviness audit: vocab size, token mass, top-1 token
+    // share, and the distinct-token counts covering 50/90/99% of all
+    // occurrences. Corpus-sized work is one groupBy(token); the ordered
+    // window runs over the vocabulary only.
+    "q162_zipf_coverage" -> ((s, dir) =>
+      TextAnalysis.zipfCoverage(t(s, dir, "documents"), "text")),
+
+    // Exact heavy hitters (freq > N/200), two-pass: a Misra-Gries
+    // TypedImperativeAggregate (199 counters, bounded map-side state,
+    // guaranteed-superset candidates) + an exact broadcast recount of the
+    // <= 199 candidates. The intermediate sketch is merge-order-dependent;
+    // the recount makes the declared output exact and deterministic.
+    "q163_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), "text", k = 200)
+        .orderBy(col("cnt").desc, col("w"))),
+
+    // Per-source token-budget curation: spend 30% of each source's token
+    // mass on its quality-ranked best documents — integer boundary test,
+    // one shuffle on the source key.
+    "q164_budget_select" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val docs = t(s, dir, "documents")
+      val base = docs
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+        .join(TextAnalysis.qualityScores(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_ppm")), Seq("doc_id"))
+      graft.operators.Sampling.budgetSelect(base, "doc_id", "source",
+          "n_tokens", "quality_ppm", budgetNum = 3, budgetDen = 10)
+        .select(col("source"), col("doc_id"), col("quality_ppm"),
+          col("n_tokens"), col("cum_weight"))
+        .orderBy(col("source"), col("cum_weight"))
+    }),
+
+    // Phrase search driven by the corpus's own most frequent trigram
+    // (ties -> lexicographically last): every document containing it,
+    // with occurrence counts — the positional-retrieval primitive beside
+    // q113's BM25 term ranking.
+    "q165_phrase_hits" -> ((s, dir) =>
+      TextAnalysis.phraseHits(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))),
+
+    // Spearman rank correlation (tie-corrected, average ranks) between
+    // document length and quality score — the monotone-association
+    // companion to q110's Pearson matrix, built from distinct-value count
+    // tables instead of a per-row global rank window.
+    "q166_spearman_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val f = docs.select(col("doc_id"), col("n_chars"))
+        .join(TextAnalysis.qualityScores(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_ppm")), Seq("doc_id"))
+      graft.operators.Evaluate.spearman(f, "n_chars", "quality_ppm")
+    }),
+
+    // Dataset-card manifest: one governance row per source — doc/token
+    // mass, language spread, mean quality, exact median length, and an
+    // order-invariant content checksum (q129's discipline, per group).
+    "q168_source_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.{tokens, hash32}
+      val docs = t(s, dir, "documents")
+      val base = docs
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+          hash32(concat_ws("\u001f", col("doc_id").cast("string"), col("text")), 7)
+            .as("h"))
+        .join(TextAnalysis.qualityScores(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_ppm")), Seq("doc_id"))
+      val byLen = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val all = Window.partitionBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      base
+        .withColumn("rn", row_number().over(byLen))
+        .withColumn("cnt", count(lit(1)).over(all))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          expr("sum(quality_ppm) div count(1)").as("mean_quality_ppm"),
+          min(when(col("rn") * 2 >= col("cnt"), col("n_chars"))).as("p50_chars"),
+          sum(col("h").cast("decimal(38,0)")).cast("bigint").as("checksum"))
+        .orderBy(col("source"))
+    }),
+
+    // Near-dup provenance audit: q31's verified pair set classified by
+    // whether the two docs share a source / a language — syndication vs
+    // in-source duplication vs cross-lingual label noise, one row per
+    // combination.
+    "q170_dup_provenance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2, minJaccard = 0.5)
+      val dims = docs.select(col("doc_id"), col("source"), col("lang"))
+      pairs
+        .join(dims.select(col("doc_id").as("id_a"), col("source").as("src_a"),
+          col("lang").as("lang_a")), Seq("id_a"))
+        .join(dims.select(col("doc_id").as("id_b"), col("source").as("src_b"),
+          col("lang").as("lang_b")), Seq("id_b"))
+        .groupBy((col("src_a") === col("src_b")).as("same_source"),
+          (col("lang_a") === col("lang_b")).as("same_lang"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("same_source"), col("same_lang"))
+    }),
   )
 
   private val bm25Terms = Seq("dup", "spark", "vector", "merge")
@@ -1738,5 +1844,118 @@ object Documents {
          |  1000000 // sz2.comp_size AS weight_ppm
          |FROM lab JOIN sz2 USING (comp)
          |ORDER BY lab.doc_id""".stripMargin,
+
+    "q162_zipf_coverage" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT unnest(tok) AS w FROM t),
+         |vf AS (SELECT w, count(*) AS cnt FROM tk GROUP BY w),
+         |tot AS (SELECT count(*) AS n_vocab,
+         |        CAST(sum(cnt) AS BIGINT) AS n_tokens FROM vf),
+         |r AS (SELECT cnt, w,
+         |    row_number() OVER (ORDER BY cnt DESC, w) AS rk,
+         |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, w
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM vf)
+         |SELECT max(n_vocab) AS n_vocab, max(n_tokens) AS n_tokens,
+         |  max(CASE WHEN rk = 1 THEN (cnt * 1000000) // n_tokens END) AS top1_ppm,
+         |  min(CASE WHEN cum * 2 >= n_tokens THEN rk END) AS k50,
+         |  min(CASE WHEN cum * 10 >= n_tokens * 9 THEN rk END) AS k90,
+         |  min(CASE WHEN cum * 100 >= n_tokens * 99 THEN rk END) AS k99
+         |FROM r, tot""".stripMargin,
+
+    "q163_heavy_hitters" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT unnest(tok) AS w FROM t),
+         |tot AS (SELECT count(*) AS n_tokens FROM tk),
+         |c AS (SELECT w, count(*) AS cnt FROM tk GROUP BY w)
+         |SELECT w, cnt, n_tokens FROM c, tot
+         |WHERE cnt * 200 > n_tokens
+         |ORDER BY cnt DESC, w""".stripMargin,
+
+    "q164_budget_select" ->
+      s"""WITH $scoredCte,
+         |b AS (SELECT d.source, q.doc_id, q.sc AS quality_ppm, g.n_tokens
+         |      FROM q JOIN g USING (doc_id) JOIN documents d USING (doc_id)),
+         |w AS (SELECT *,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY quality_ppm DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_weight,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+         |      AS group_weight
+         |  FROM b)
+         |SELECT source, doc_id, quality_ppm, n_tokens, cum_weight
+         |FROM w WHERE cum_weight * 10 <= group_weight * 3
+         |ORDER BY source, cum_weight""".stripMargin,
+
+    "q165_phrase_hits" ->
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |cnt AS (SELECT s, count(*) AS cnt FROM sh GROUP BY s),
+         |top AS (SELECT s, cnt FROM cnt ORDER BY cnt DESC, s DESC LIMIT 1)
+         |SELECT doc_id, sh.s AS phrase, count(*) AS n_hits,
+         |  top.cnt AS phrase_count
+         |FROM sh JOIN top ON sh.s = top.s
+         |GROUP BY doc_id, sh.s, top.cnt
+         |ORDER BY doc_id""".stripMargin,
+
+    "q166_spearman_rank" ->
+      s"""WITH $scoredCte,
+         |f AS (SELECT d.n_chars AS x, q.sc AS y
+         |      FROM q JOIN documents d USING (doc_id)),
+         |cx AS (SELECT x, count(*) AS c FROM f GROUP BY x),
+         |rx AS (SELECT x, 2 * coalesce(CAST(sum(c) OVER (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |    + c + 1 AS r2 FROM cx),
+         |cy AS (SELECT y, count(*) AS c FROM f GROUP BY y),
+         |ry AS (SELECT y, 2 * coalesce(CAST(sum(c) OVER (ORDER BY y
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |    + c + 1 AS r2 FROM cy),
+         |j AS (SELECT rx.r2 AS a, ry.r2 AS b
+         |      FROM f JOIN rx USING (x) JOIN ry USING (y)),
+         |m AS (SELECT count(*) AS n,
+         |    sum(CAST(a AS DECIMAL(38,0))) AS sx,
+         |    sum(CAST(b AS DECIMAL(38,0))) AS sy,
+         |    sum(CAST(a AS DECIMAL(38,0)) * CAST(a AS DECIMAL(38,0))) AS sxx,
+         |    sum(CAST(b AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))) AS syy,
+         |    sum(CAST(a AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))) AS sxy
+         |  FROM j),
+         |d AS (SELECT n,
+         |    CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS num,
+         |    CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS dx,
+         |    CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS dy
+         |  FROM m)
+         |SELECT n, CASE WHEN dx > 0 AND dy > 0 THEN
+         |    round(CAST(num AS DOUBLE) /
+         |      sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6)
+         |  END AS spearman
+         |FROM d""".stripMargin,
+
+    "q168_source_manifest" ->
+      s"""WITH $scoredCte,
+         |base AS (SELECT d.source, d.doc_id, d.lang, d.n_chars,
+         |    g.n_tokens, q.sc AS quality_ppm,
+         |    ${h32("CAST(d.doc_id AS VARCHAR) || chr(31) || d.text", 7)} AS h
+         |  FROM documents d JOIN g USING (doc_id) JOIN q USING (doc_id)),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS cnt
+         |  FROM base)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(quality_ppm) AS BIGINT) // count(*) AS mean_quality_ppm,
+         |  min(CASE WHEN rn * 2 >= cnt THEN n_chars END) AS p50_chars,
+         |  CAST(sum(h) AS BIGINT) AS checksum
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q170_dup_provenance" ->
+      s"""$componentsCtes
+         |SELECT a.source = b.source AS same_source,
+         |  a.lang = b.lang AS same_lang, count(*) AS n_pairs
+         |FROM p JOIN documents a ON a.doc_id = p.id_a
+         |       JOIN documents b ON b.doc_id = p.id_b
+         |GROUP BY 1, 2 ORDER BY same_source, same_lang""".stripMargin,
   )
 }

@@ -563,6 +563,70 @@ object Events {
           "user_id", "ts", "event_id", "value", kSigma = 0.5, hSigma = 4.0)
         .orderBy(col("user_id"))
     }),
+
+    // Top event-type TRIGRAM journeys: q155's first-order transition
+    // matrix extended one step — the 3-event paths users actually walk,
+    // ranked. Per-user lead() windows (identity-partitioned, no
+    // self-join), then a type-trigram aggregate whose domain is bounded
+    // by |event_type|^3, so the final top-25 sort is broadcast-class.
+    "q167_event_trigrams" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+        .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(25)
+    }),
+
+    // Session-level event-type association (PMI-style lift): for each
+    // unordered type pair, how much more often they co-occur in one
+    // session than independence predicts — lift_ppm =
+    // n_ab·n_sessions·10^6 div (n_a·n_b), exact integers. Sessions are
+    // q46's 30-min-gap rule; the pair join is per-session over the
+    // bounded distinct-type set, never a row-level self-join.
+    "q169_session_pmi" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+      val st = t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("is_new")).over(cum))
+        .select(col("user_id"), col("session_idx"), col("event_type"))
+        .distinct()
+        // four consumers (pair sides, marginals, session count) — pin the
+        // session×type table (bounded: sessions × |event_type|) so the
+        // event-level window runs once
+        .localCheckpoint()
+      val nSess = st.select(col("user_id"), col("session_idx")).distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val marg = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+      val pairs = st.as("a")
+        .join(st.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.session_idx") === col("b.session_idx") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(marg.select(col("event_type").as("type_a"),
+          col("n_t").as("n_a"))), Seq("type_a"))
+        .join(broadcast(marg.select(col("event_type").as("type_b"),
+          col("n_t").as("n_b"))), Seq("type_b"))
+        .crossJoin(broadcast(nSess))
+        .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          expr("n_ab * n_sessions * 1000000 div (n_a * n_b)").as("lift_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
   )
 
   private val statsCte =
@@ -1056,5 +1120,48 @@ object Events {
          |SELECT user_id, n, CAST(st[3] AS BIGINT) AS n_alerts,
          |  round(st[1], 6) AS cusum_high, round(st[2], 6) AS cusum_low
          |FROM f ORDER BY user_id""".stripMargin,
+
+    "q167_event_trigrams" ->
+      """WITH l AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT e1, e2, e3, count(*) AS n
+        |FROM l WHERE e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 25""".stripMargin,
+
+    "q169_session_pmi" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |sess AS (SELECT user_id, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM m),
+        |st AS (SELECT DISTINCT user_id, session_idx, event_type FROM sess),
+        |ns AS (SELECT count(*) AS n_sessions
+        |       FROM (SELECT DISTINCT user_id, session_idx FROM st)),
+        |marg AS (SELECT event_type, count(*) AS n_t FROM st GROUP BY event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        count(*) AS n_ab
+        |      FROM st a JOIN st b ON a.user_id = b.user_id
+        |        AND a.session_idx = b.session_idx
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b,
+        |  (n_ab * n_sessions * 1000000) // (ma.n_t * mb.n_t) AS lift_ppm
+        |FROM p JOIN marg ma ON ma.event_type = type_a
+        |       JOIN marg mb ON mb.event_type = type_b, ns
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 }
