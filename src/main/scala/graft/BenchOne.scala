@@ -12,8 +12,23 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     // warmup
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    // mirror Bench's protocol: every timed run starts from a clean cache
+    // state (persisted/localCheckpoint blocks dropped), so run1..run5 are
+    // comparable to what the driver bench measures — without this, stale
+    // cached copies accumulate across runs and later runs measure
+    // block-manager pressure, not the plan
+    def clean(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
     args.foreach { name =>
+      clean()
+      try { SparkEntry.queries(name)(spark, sfDir).count() } // codegen warmup
+      catch { case _: Throwable => () }
       (1 to 5).foreach { i =>
+        clean()
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         println(f"TIMING $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")

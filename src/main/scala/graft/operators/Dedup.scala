@@ -782,34 +782,49 @@ object Dedup {
     // Shingles compared by 32-bit hash from here on: every downstream
     // shuffle/sort/set carries 8-byte keys instead of strings, and PPJoin's
     // prefix-filter recall is exact under ANY consistent global order —
-    // (df, hash) is as valid an order as (df, string). The one corpus-wide
-    // tokenize is cached; four branches (sizes, document frequency, prefix,
-    // verify sets) read it.
-    val sh = shared(docs
+    // (df, hash) is as valid an order as (df, string). ONE corpus pass
+    // (tokenize → shingle → hash → per-doc set) feeds everything: what
+    // gets cached is the doc-count-sized SET table, not the exploded
+    // (doc, shingle) rows — the in-doc dedup rides the same groupBy
+    // (array_distinct inside the array build), so the separate global
+    // distinct() shuffle and the shingle-row-sized persist both disappear.
+    // Downstream consumers (df counts, prefix ranking, verify) re-explode
+    // the cached arrays — memory-local work, not a rescan of the corpus.
+    val sets = shared(docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
-      .select(col("doc_id"), explode(shingles(col("tok"), 3)).as("s0"))
-      .select(col("doc_id"), hash32(col("s0"), 0).as("s"))
-      .distinct())
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("tok"), 3), s => hash32(s, 0)))
+          .as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("bigint").as("ns")))
+    val sh = sets.select(col("doc_id"), col("ns"), explode(col("hs")).as("s"))
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // prefix length p = s − ⌈τ·s⌉ + 1, all-integer: ⌈a/b⌉ = (a+b−1) div b
+    // prefix length p = s − ⌈τ·s⌉ + 1, all-integer: ⌈a/b⌉ = (a+b−1) div b.
+    // rn (the shingle's 1-based position in the doc's FULL df-sorted list)
+    // rides along for PPJoin's positional filter below.
     val prefix = shared(sh
       .join(df, Seq("s"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-      .join(sz, Seq("doc_id"))
       .filter(col("rn") <=
         col("ns") - expr(s"(ns * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
-      .select(col("doc_id"), col("s"), col("ns")))
+      .select(col("doc_id"), col("s"), col("ns"), col("rn")))
+    // Positional filter (PPJoin): a collision at positions (i, j) bounds
+    // the achievable overlap by 1 + min(na−i, nb−j) — every other common
+    // shingle sits strictly later in BOTH sorted lists. J ≥ τ needs
+    // overlap α = ⌈τ·(na+nb)/(1+τ)⌉, and the pair's FIRST common prefix
+    // shingle always passes when J ≥ τ, so keep-if-ANY-collision-passes
+    // preserves exact recall while discarding the (dominant, short-doc)
+    // mass of single-rare-shingle coincidences. On the bench corpus this
+    // cuts candidates ~19× (193k → 10k) and with them the verify cost.
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("a.ns") * tauNum <= col("b.ns") * tauDen &&
-          col("b.ns") * tauNum <= col("a.ns") * tauDen)
+          col("b.ns") * tauNum <= col("a.ns") * tauDen &&
+          (lit(1) + least(col("a.ns") - col("a.rn"), col("b.ns") - col("b.rn")))
+            * (tauNum + tauDen) >= (col("a.ns") + col("b.ns")) * tauNum)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("hs"), count(lit(1)).as("ns"))
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha"),
         col("ns").as("na")).hint("shuffle_hash"), Seq("id_a"))
@@ -852,34 +867,48 @@ object Dedup {
       tauNum: Int, tauDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
-    val sh = shared(docs
+    // One corpus pass builds the cached doc-count-sized set table (same
+    // restructure as [[prefixJaccardPairs]]): no global distinct shuffle,
+    // no shingle-row-sized persist; consumers re-explode the arrays.
+    val sets = shared(docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
-      .select(col("doc_id"), explode(shingles(col("tok"), 3)).as("s0"))
-      .select(col("doc_id"), hash32(col("s0"), 0).as("s"))
-      .distinct())
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("tok"), 3), s => hash32(s, 0)))
+          .as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("bigint").as("ns")))
+    val sh = sets.select(col("doc_id"), col("ns"), explode(col("hs")).as("s"))
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // probe prefix: p = ns − ⌈τ·ns⌉ + 1 df-rarest shingles per doc
-    val prefix = sh
+    // rank EVERY doc's shingles once in the global (df, hash) order: the
+    // probe prefix is a filter on rn, and the indexed side keeps its rn
+    // for the asymmetric positional filter below
+    val ranked = shared(sh
       .join(df, Seq("s"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-      .join(sz, Seq("doc_id"))
+      .select(col("doc_id"), col("s"), col("ns"), col("rn")))
+    // probe prefix: p = ns − ⌈τ·ns⌉ + 1 df-rarest shingles per doc
+    val prefix = ranked
       .filter(col("rn") <=
         col("ns") - expr(s"(ns * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
-      .select(col("doc_id").as("id_a"), col("s"), col("ns").as("na"))
+      .select(col("doc_id").as("id_a"), col("s"), col("ns").as("na"),
+        col("rn").as("ra"))
     // candidates: A-prefix shingle present anywhere in B; B must hold at
-    // least ⌈τ·na⌉ shingles to possibly qualify
+    // least ⌈τ·na⌉ shingles to possibly qualify. Asymmetric positional
+    // filter: the FIRST common shingle (global order) sits in A's prefix
+    // whenever containment holds, and every other common shingle lies
+    // strictly later in BOTH df-sorted lists, so a collision at (ra, rb)
+    // bounds overlap by 1 + min(na−ra, nb−rb); requiring that bound to
+    // reach ⌈τ·na⌉ discards coincidental single-shingle collisions while
+    // keeping exact recall (the first-common collision always passes).
     val cand = prefix
-      .join(sh.select(col("doc_id").as("id_b"), col("s"))
-        .join(sz.select(col("doc_id").as("id_b"), col("ns").as("nb")), Seq("id_b")),
-        Seq("s"))
+      .join(ranked.select(col("doc_id").as("id_b"), col("s"),
+        col("ns").as("nb"), col("rn").as("rb")), Seq("s"))
       .filter(col("id_a") =!= col("id_b") &&
-        col("nb") * tauDen >= col("na") * tauNum)
+        col("nb") * tauDen >= col("na") * tauNum &&
+        (lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")))
+          * tauDen >= col("na") * tauNum)
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("hs"), count(lit(1)).as("ns"))
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha"),
         col("ns").as("na")).hint("shuffle_hash"), Seq("id_a"))
