@@ -410,7 +410,33 @@ object PlanDump {
         "comes from value-ordered buckets + broadcast cumulative " +
         "offsets (q112's rank machinery), and the remap is an integer " +
         "equi-join on the computed position. The two 1-row stats " +
-        "attaches are the only BNLJs, by design."))
+        "attaches are the only BNLJs, by design."),
+    "q140_prefix_jaccard" ->
+      ("PPJoin with BOTH classic filters: prefix (df-rarest p = " +
+        "s−⌈τs⌉+1 shingles per doc, equi-join on the 8-byte hash) AND " +
+        "positional (a collision at ranks (i,j) bounds overlap by " +
+        "1+min(na−i, nb−j) — integer cross-multiplied against " +
+        "α = ⌈τ(na+nb)/(1+τ)⌉). On the bench corpus the positional " +
+        "test cuts candidates ~19× (193k → 10k). What gets persisted " +
+        "is the doc-count-sized per-doc SET table, not exploded " +
+        "shingle rows — one corpus pass feeds df counts, prefix " +
+        "ranking and the set verify."),
+    "q163_heavy_hitters" ->
+      ("Exact heavy hitters whose shuffle never sees the vocabulary: " +
+        "pass 1 is ONE aggregate carrying both the total count and the " +
+        "Misra-Gries summary (TypedImperativeAggregate, k−1 counters, " +
+        "map-side partial merge — partitions×k rows cross the wire); " +
+        "pass 2 recounts only the ≤k−1 candidates behind a broadcast " +
+        "semi-join. The sketch is merge-order-dependent; the recount " +
+        "makes the output exact and deterministic. A plain " +
+        "groupBy(token) would shuffle every distinct token instead."),
+    "q169_session_pmi" ->
+      ("Association mining that never self-joins raw events: the one " +
+        "event-level window assigns sessions, the distinct " +
+        "session×type table (bounded by sessions·|types|) is pinned " +
+        "once, and the pair join runs per session over the ≤|types| " +
+        "rows it owns. Marginals and the 1-row session total attach " +
+        "by broadcast; the lift readout is exact-integer ppm."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

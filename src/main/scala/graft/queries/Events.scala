@@ -627,6 +627,25 @@ object Events {
           expr("n_ab * n_sessions * 1000000 div (n_a * n_b)").as("lift_ppm"))
         .orderBy(col("type_a"), col("type_b"))
     }),
+
+    // Day-of-week × hour activity heatmap: event mass and distinct actives
+    // per calendar cell, with integer-ppm share of total traffic — the
+    // seasonality fingerprint behind load planning and anomaly baselines.
+    // One groupBy on the (dow, hr) cell; the share join is a broadcast
+    // 1-row total.
+    "q172_activity_heatmap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tot = ev.agg(count(lit(1)).as("total"))
+      ev.groupBy(
+          dayofweek(col("ts")).cast("bigint").as("dow"),
+          hour(col("ts")).cast("bigint").as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), col("hr"), col("n_events"), col("n_users"),
+          expr("n_events * 1000000 div total").as("share_ppm"))
+        .orderBy(col("dow"), col("hr"))
+    }),
   )
 
   private val statsCte =
@@ -1163,5 +1182,14 @@ object Events {
         |FROM p JOIN marg ma ON ma.event_type = type_a
         |       JOIN marg mb ON mb.event_type = type_b, ns
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // DuckDB dayofweek is 0-based Sunday; Spark's is 1-based Sunday.
+    "q172_activity_heatmap" ->
+      """WITH tot AS (SELECT count(*) AS total FROM events)
+        |SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  (count(*) * 1000000) // total AS share_ppm
+        |FROM events, tot GROUP BY 1, 2, total
+        |ORDER BY dow, hr""".stripMargin,
   )
 }

@@ -509,6 +509,26 @@ object Relational {
       graft.operators.Audit.kAnonymity(t(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 10)
     }),
+
+    // Ranking-window completeness suite: ntile quartiles, percent_rank,
+    // cume_dist, nth_value and lag over ONE per-status sort (all five
+    // functions share the window, so the plan sorts each partition once).
+    // The order key is total (price desc, key) — percent_rank/cume_dist
+    // are exact rationals of integer ranks, identical in any engine.
+    "q171_window_suite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val head = w.rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("bigint").as("bucket4"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(head).as("second_key"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"))
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -846,5 +866,19 @@ object Relational {
         |    AS n_risky_rows,
         |  CAST(coalesce(min(c), 0) AS BIGINT) AS min_group_size
         |FROM g""".stripMargin,
+
+    "q171_window_suite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER w AS bucket4,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+        |  lag(o_orderkey, 1) OVER w AS prev_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -233,6 +233,58 @@ object Vectors {
           col("code_sum"), col("code_min"), col("code_max"), col("mse"))
         .orderBy(col("vec_id"))
     }),
+
+    // Embedding-space drift monitor: per-label centroid of the even-id
+    // half vs the odd-id half, compared by cosine — the train-vs-serve
+    // distribution shift test in embedding space (a label whose halves
+    // disagree has moved). Per-half means are exact decimal sums; the
+    // cross products of the 6dp-rounded means accumulate as exact
+    // decimals too, so the one sqrt/divide readout is engine-identical.
+    "q173_centroid_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      def half(p: Int) = e.filter(col("vec_id") % 2 === p)
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(dsum(col("x"), 15) / count(lit(1)), 6)
+          .cast("decimal(18,6)").as(s"m$p"))
+      half(0).join(half(1), Seq("label", "pos"))
+        .groupBy(col("label"))
+        .agg(
+          sum(col("m0") * col("m1")).as("dot"),
+          sum(col("m0") * col("m0")).as("n0"),
+          sum(col("m1") * col("m1")).as("n1"))
+        .select(col("label"),
+          when(col("n0") > 0 && col("n1") > 0,
+            round(col("dot").cast("double") /
+              (sqrt(col("n0").cast("double")) * sqrt(col("n1").cast("double"))), 6))
+            .as("drift_cos"))
+        .orderBy(col("label"))
+    }),
+
+    // Leave-one-out kNN majority-vote classification over the embedding
+    // table: top-5 cosine neighbors vote on each query's label (ties →
+    // smaller label id) — the classic label-quality / separability probe;
+    // the vote argmax is a bounded min(struct) aggregate, never a window.
+    "q174_knn_vote" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 40 === 0)
+      graft.operators.Knn.exact(e, q, k = 5)
+        .join(broadcast(e.select(col("vec_id").as("neighbor_id"),
+          col("label").cast("bigint").as("_nl"))), Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("_nl"))
+        .agg(count(lit(1)).as("_votes"))
+        .groupBy(col("query_id"))
+        .agg(min(struct((-col("_votes")).as("nv"), col("_nl").as("l"))).as("_m"))
+        .select(col("query_id"), col("_m.l").as("pred_label"),
+          (-col("_m.nv")).as("votes"))
+        .join(broadcast(e.select(col("vec_id").as("query_id"),
+          col("label").cast("bigint").as("true_label"))), Seq("query_id"))
+        .select(col("query_id"), col("true_label"), col("pred_label"),
+          (col("pred_label") === col("true_label")).as("correct"),
+          col("votes"))
+        .orderBy(col("query_id"))
+    }),
   )
 
   private val centroidCte =
@@ -492,5 +544,44 @@ object Vectors {
         |  CAST(list_max(codes) AS BIGINT) AS code_max,
         |  list_reduce(list_prepend(0.0, terms), (a, x) -> a + x) / n_dims AS mse
         |FROM t ORDER BY vec_id""".stripMargin,
+
+    "q173_centroid_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |u AS (SELECT vec_id % 2 AS half, label,
+        |        generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+        |g AS (SELECT half, label, pos,
+        |        CAST(round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE)
+        |          / count(*), 6) AS DECIMAL(18,6)) AS m
+        |      FROM u GROUP BY half, label, pos),
+        |j AS (SELECT a.label, a.m AS m0, b.m AS m1
+        |      FROM g a JOIN g b ON a.label = b.label AND a.pos = b.pos
+        |        AND a.half = 0 AND b.half = 1),
+        |s AS (SELECT label, sum(m0 * m1) AS dot,
+        |        sum(m0 * m0) AS n0, sum(m1 * m1) AS n1
+        |      FROM j GROUP BY label)
+        |SELECT label, CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |    round(CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(n0 AS DOUBLE)) * sqrt(CAST(n1 AS DOUBLE))), 6)
+        |  END AS drift_cos
+        |FROM s ORDER BY label""".stripMargin,
+
+    "q174_knn_vote" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS tl FROM e WHERE vec_id % 40 = 0),
+        |s AS (SELECT qid, e.vec_id AS nid, e.label AS nl,
+        |        list_cosine_similarity(qv, e.v) AS cs
+        |      FROM q JOIN e ON e.vec_id <> qid),
+        |r AS (SELECT qid, nl, nid,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rk
+        |      FROM s),
+        |v AS (SELECT qid, CAST(nl AS BIGINT) AS nl, count(*) AS votes
+        |      FROM r WHERE rk <= 5 GROUP BY 1, 2),
+        |p AS (SELECT qid, nl, votes,
+        |        row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nl) AS pr
+        |      FROM v)
+        |SELECT q.qid AS query_id, CAST(q.tl AS BIGINT) AS true_label,
+        |  p.nl AS pred_label, p.nl = CAST(q.tl AS BIGINT) AS correct,
+        |  p.votes AS votes
+        |FROM p JOIN q ON p.qid = q.qid WHERE pr = 1 ORDER BY query_id""".stripMargin,
   )
 }

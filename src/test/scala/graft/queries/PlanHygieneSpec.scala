@@ -77,6 +77,16 @@ class PlanHygieneSpec extends SparkSpec {
                                // set × corpus), the q143 shape
     "q161_corpus_curate",      // quantile-normalize stage: q151's
                                // designed 1-row stats attaches
+    "q162_zipf_coverage",      // 1-row (n_vocab, n_tokens) total attached
+                               // to the vocabulary-sized coverage window
+    "q163_heavy_hitters",      // 1-row MG-candidates + total aggregate
+                               // attached to the bounded exact recount
+    "q169_session_pmi",        // 1-row session-count total attached to
+                               // the |types|²-sized pair table
+    "q172_activity_heatmap",   // 1-row event total attached to the
+                               // 7×24-bounded calendar-cell table
+    "q174_knn_vote",           // exact-kNN ranking side (broadcast query
+                               // set × corpus), the q143 shape
   )
 
   private def executedPlan(name: String): String = {
