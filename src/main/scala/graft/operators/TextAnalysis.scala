@@ -833,8 +833,11 @@ object TextAnalysis {
     * aggregate, never a vocabulary sort. */
   def phraseHits(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
+    // two consumers (argmax + probe) — pin the shingle table so the
+    // corpus tokenizes once (same discipline as Dedup.shared)
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(shingles(tokens(col(textCol)), n)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = sh.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
       .agg(max(struct(col("cnt"), col("s"))).as("m"))
       .select(col("m.s").as("s"), col("m.cnt").as("phrase_count"))

@@ -628,6 +628,73 @@ object Events {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // Longest consecutive-error streak per user (gaps-and-islands on the
+    // event sequence): the "how broken did it get" reliability readout
+    // that point error counts hide. Two row_numbers on the same per-user
+    // sort; their difference is constant exactly inside a streak.
+    "q176_error_streaks" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val byErr = Window.partitionBy(col("user_id"), col("is_err"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("is_err", col("event_type") === "error")
+        .withColumn("g",
+          row_number().over(byUser) - row_number().over(byErr))
+        .filter(col("is_err"))
+        .groupBy(col("user_id"), col("g"))
+        .agg(count(lit(1)).as("streak"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("streak")).as("n_errors"),
+          max(col("streak")).as("max_streak"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Weekly activity trend with week-over-week change: calendar rollup
+    // plus a lag over the (year, week)-ordered 5-row summary — the
+    // trend-line companion to q172's heatmap. The ratio is ONE double
+    // division of exact integers (integer div truncation differs between
+    // engines on negatives, so the readout stays float, rounded).
+    "q177_weekly_trend" -> ((s, dir) => {
+      val byWeek = Window.orderBy(col("yr"), col("wk"))
+      t(s, dir, "events")
+        .groupBy(year(col("ts")).cast("bigint").as("yr"),
+          weekofyear(col("ts")).cast("bigint").as("wk"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("prev", lag(col("n_events"), 1).over(byWeek))
+        .select(col("yr"), col("wk"), col("n_events"), col("n_users"),
+          (col("n_events") - col("prev")).as("wow_diff"),
+          round((col("n_events") - col("prev")).cast("double") /
+            col("prev").cast("double"), 6).as("wow_ratio"))
+        .orderBy(col("yr"), col("wk"))
+    }),
+
+    // Top session journey strings: the full ordered event-type path each
+    // session walks, ranked by frequency — the funnel-free view of what
+    // users actually do. Paths build per session from one sorted-struct
+    // aggregate (no window over the corpus beyond q46's session
+    // assignment); the final top-20 sorts only distinct paths.
+    "q178_journey_paths" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+      val paths = t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("is_new")).over(cum))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(us, event_id, event_type)))," +
+            " x -> x.event_type)"), ">").as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    }),
+
     // Day-of-week × hour activity heatmap: event mass and distinct actives
     // per calendar cell, with integer-ppm share of total traffic — the
     // seasonality fingerprint behind load planning and anomaly baselines.
@@ -1182,6 +1249,50 @@ object Events {
         |FROM p JOIN marg ma ON ma.event_type = type_a
         |       JOIN marg mb ON mb.event_type = type_b, ns
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "q176_error_streaks" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type = 'error' AS is_err,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, event_type = 'error'
+        |      ORDER BY ts, event_id) AS rne
+        |  FROM events),
+        |s AS (SELECT user_id, rn - rne AS g, count(*) AS streak
+        |      FROM x WHERE is_err GROUP BY user_id, g)
+        |SELECT user_id, CAST(sum(streak) AS BIGINT) AS n_errors,
+        |  max(streak) AS max_streak
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q177_weekly_trend" ->
+      """WITH w AS (SELECT year(ts) AS yr, weekofyear(ts) AS wk,
+        |        count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |      FROM events GROUP BY 1, 2),
+        |l AS (SELECT *, lag(n_events, 1) OVER (ORDER BY yr, wk) AS prev FROM w)
+        |SELECT yr, wk, n_events, n_users, n_events - prev AS wow_diff,
+        |  round(CAST(n_events - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+        |    AS wow_ratio
+        |FROM l ORDER BY yr, wk""".stripMargin,
+
+    "q178_journey_paths" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |sess AS (SELECT user_id, event_id, event_type, us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM m),
+        |sp AS (SELECT user_id, session_idx,
+        |        string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        |      FROM sess GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM sp GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     // DuckDB dayofweek is 0-based Sunday; Spark's is 1-based Sunday.
     "q172_activity_heatmap" ->

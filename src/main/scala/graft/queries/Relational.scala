@@ -510,6 +510,37 @@ object Relational {
         Seq("c_nationkey", "c_mktsegment"), k = 10)
     }),
 
+    // Market-basket association rules over order contents: part pairs
+    // co-bought in one order, with support count, confidence and lift in
+    // exact-integer ppm — the classic affinity-mining primitive. The pair
+    // expansion happens per order (bounded by order width², never
+    // catalog²); marginals and the 1-row order total attach by broadcast.
+    "q175_market_basket" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrd = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val marg = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(marg.select(col("l_partkey").as("part_a"),
+          col("n_p").as("n_a"))), Seq("part_a"))
+        .join(broadcast(marg.select(col("l_partkey").as("part_b"),
+          col("n_p").as("n_b"))), Seq("part_b"))
+        .crossJoin(broadcast(nOrd))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          expr("n_ab * 1000000 div n_a").as("confidence_ppm"),
+          expr("n_ab * n_orders * 1000000 div (n_a * n_b)").as("lift_ppm"))
+        .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
     // Ranking-window completeness suite: ntile quartiles, percent_rank,
     // cume_dist, nth_value and lag over ONE per-status sort (all five
     // functions share the window, so the plan sorts each partition once).
@@ -866,6 +897,22 @@ object Relational {
         |    AS n_risky_rows,
         |  CAST(coalesce(min(c), 0) AS BIGINT) AS min_group_size
         |FROM g""".stripMargin,
+
+    "q175_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        |m AS (SELECT l_partkey, count(*) AS n_p FROM li GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |        count(*) AS n_ab
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_ab, ma.n_p AS n_a, mb.n_p AS n_b,
+        |  (n_ab * 1000000) // ma.n_p AS confidence_ppm,
+        |  (n_ab * n_orders * 1000000) // (ma.n_p * mb.n_p) AS lift_ppm
+        |FROM p JOIN m ma ON ma.l_partkey = part_a
+        |       JOIN m mb ON mb.l_partkey = part_b, no
+        |ORDER BY n_ab DESC, part_a, part_b LIMIT 20""".stripMargin,
 
     "q171_window_suite" ->
       """SELECT o_orderkey, o_orderstatus,

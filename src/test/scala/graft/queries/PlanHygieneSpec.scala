@@ -87,6 +87,8 @@ class PlanHygieneSpec extends SparkSpec {
                                // 7×24-bounded calendar-cell table
     "q174_knn_vote",           // exact-kNN ranking side (broadcast query
                                // set × corpus), the q143 shape
+    "q175_market_basket",      // 1-row order total attached to the
+                               // support-bounded pair table
   )
 
   private def executedPlan(name: String): String = {
