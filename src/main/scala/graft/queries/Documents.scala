@@ -666,6 +666,47 @@ object Documents {
         .orderBy(col("source"))
     }),
 
+    // Language-ID confusion matrix: q40's frequency-vote predictions
+    // against the stored labels, one row per (true, predicted) pair with
+    // the row-normalized ppm rate — WHERE the classifier fails, not just
+    // how often (the per-pair view q121's single kappa collapses).
+    "q180_lang_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val preds = TextAnalysis.languageId(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang")
+      preds
+        .join(docs.select(col("doc_id"), col("lang").as("true_lang")),
+          Seq("doc_id"))
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("_tot",
+          sum(col("n")).over(Window.partitionBy(col("true_lang"))))
+        .select(col("true_lang"), col("pred_lang"), col("n"),
+          expr("n * 1000000 div _tot").as("rate_ppm"))
+        .orderBy(col("true_lang"), col("pred_lang"))
+    }),
+
+    // Exactly-k-per-group deterministic sample: rank every doc inside its
+    // source by portable hash (uniform, rerun-stable) and keep the first
+    // 5 — the equal-allocation stratified draw q47's fraction rule can't
+    // guarantee. The rank filter is the GroupedTopKRewrite shape, so the
+    // per-group sort is a bounded map-side top-k, not a full window sort.
+    "q181_exact_k_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.hash32
+      val w = Window.partitionBy(col("source"))
+        .orderBy(hash32(col("doc_id").cast("string"), 13), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("doc_id"), col("rn").cast("bigint").as("rn"))
+        .orderBy(col("source"), col("rn"))
+    }),
+
     // Near-dup provenance audit: q31's verified pair set classified by
     // whether the two docs share a source / a language — syndication vs
     // in-source duplication vs cross-lingual label noise, one row per
@@ -1949,6 +1990,37 @@ object Documents {
          |  min(CASE WHEN rn * 2 >= cnt THEN n_chars END) AS p50_chars,
          |  CAST(sum(h) AS BIGINT) AS checksum
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q180_lang_confusion" ->
+      s"""WITH tr AS (SELECT lang, unnest(string_split($normSql, ' ')) AS w
+         |            FROM documents WHERE doc_id % 5 <> 0),
+         |freq AS (SELECT lang, w, count(*) AS freq FROM tr GROUP BY lang, w),
+         |tot AS (SELECT lang, count(*) AS total FROM tr GROUP BY lang),
+         |rate AS (SELECT lang, w, (freq * 1000000) // total AS rate
+         |         FROM freq JOIN tot USING (lang)),
+         |te AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+         |       FROM documents WHERE doc_id % 5 = 0),
+         |sc AS (SELECT doc_id, lang, sum(rate) AS score
+         |       FROM te JOIN rate USING (w) GROUP BY doc_id, lang),
+         |r AS (SELECT doc_id, lang, score, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM sc),
+         |p AS (SELECT r.doc_id, d.lang AS true_lang, r.lang AS pred_lang
+         |      FROM r JOIN documents d USING (doc_id) WHERE rn = 1),
+         |c AS (SELECT true_lang, pred_lang, count(*) AS n
+         |      FROM p GROUP BY 1, 2),
+         |tt AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS tot
+         |       FROM c GROUP BY true_lang)
+         |SELECT true_lang, pred_lang, n, (n * 1000000) // tot AS rate_ppm
+         |FROM c JOIN tt USING (true_lang)
+         |ORDER BY true_lang, pred_lang""".stripMargin,
+
+    "q181_exact_k_sample" ->
+      s"""WITH r AS (SELECT source, doc_id, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ${h32("CAST(doc_id AS VARCHAR)", 13)}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT source, doc_id, rn FROM r WHERE rn <= 5
+         |ORDER BY source, rn""".stripMargin,
 
     "q170_dup_provenance" ->
       s"""$componentsCtes

@@ -628,6 +628,25 @@ object Events {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // The streaming streak state machine on a batch frame: one group
+    // pass replays each user's full history, so the O(1)-state tracker's
+    // output ≡ q176's gaps-and-islands window for ANY input — the
+    // q107/q147/q157 discipline; this row puts the STREAMING code path
+    // itself under the driver's oracle gate.
+    "q179_streaming_streaks_batch" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingStreaks
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("epoch_us"),
+          col("event_id").as("seq"),
+          (col("event_type") === "error").as("is_err"))
+        .as[StreamingStreaks.Ev]
+      StreamingStreaks.streaks(ev)
+        .filter(col("n_errors") > 0)
+        .select(col("key").as("user_id"), col("n_errors"), col("max_streak"))
+        .orderBy(col("user_id"))
+    }),
+
     // Longest consecutive-error streak per user (gaps-and-islands on the
     // event sequence): the "how broken did it get" reliability readout
     // that point error counts hide. Two row_numbers on the same per-user
@@ -1249,6 +1268,22 @@ object Events {
         |FROM p JOIN marg ma ON ma.event_type = type_a
         |       JOIN marg mb ON mb.event_type = type_b, ns
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // Same oracle as q176 — the streaming state machine must reproduce
+    // the gaps-and-islands window exactly on batch input.
+    "q179_streaming_streaks_batch" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type = 'error' AS is_err,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, event_type = 'error'
+        |      ORDER BY ts, event_id) AS rne
+        |  FROM events),
+        |s AS (SELECT user_id, rn - rne AS g, count(*) AS streak
+        |      FROM x WHERE is_err GROUP BY user_id, g)
+        |SELECT user_id, CAST(sum(streak) AS BIGINT) AS n_errors,
+        |  max(streak) AS max_streak
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q176_error_streaks" ->
       """WITH x AS (
