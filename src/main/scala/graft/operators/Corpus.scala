@@ -70,7 +70,12 @@ object Corpus {
       splitSeed: Int = 9): DataFrame = {
     val exactKeep = Dedup.exactGroups(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
-    val pairs = Dedup.nearDupPairs(docs, idCol, textCol, minJaccard = minJaccard)
+    // ONE corpus tokenize+shingle pass, persisted, fanned out to both the
+    // near-dup and the containment stage (each standalone operator pays
+    // its own pass; composed here they must not pay it twice)
+    val sets = Dedup.shingleSets(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.nearDupPairsFromSets(sets, minJaccard = minJaccard)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearLosers = pairs.select(col("id_b").as(idCol)).distinct()
     val comps = Dedup.nearDupGroups(pairs)
@@ -81,7 +86,7 @@ object Corpus {
     val weights = labeled.join(sizes, Seq("comp"))
       .select(col("doc_id").as(idCol), col("comp"),
         expr("1000000 div comp_size").as("weight_ppm"))
-    val cont = Dedup.containmentPairs(docs, idCol, textCol, contNum, contDen)
+    val cont = Dedup.containmentPairsFromSets(sets, contNum, contDen)
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contDominated = cont.as("p")

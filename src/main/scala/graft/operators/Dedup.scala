@@ -195,6 +195,38 @@ object Dedup {
     jaccardOnCandidates(cand, sigs, minJaccard)
   }
 
+  /** Bare per-doc shingle-set table (doc_id, hs, ns) — the one
+    * corpus-tokenizing pass a multi-stage curation pipeline ([[Corpus]])
+    * computes ONCE, persists, and fans out to every dedup stage via the
+    * `FromSets` variants below (standalone operators each pay their own
+    * pass; composed they must not pay it four times). */
+  private[graft] def shingleSets(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        array_distinct(transform(shingles(tokens(col(textCol)), 3),
+          s => hash32(s, 0))).as("hs"))
+      .select(col("doc_id"), col("hs"),
+        size(col("hs")).cast("bigint").as("ns"))
+
+  /** [[nearDupPairs]] over a PRE-BUILT (ideally persisted) shingle-set
+    * table. `ns > 0` replaces the public path's rlike pre-filter — safe
+    * here because the caller materialized `hs`, so the predicate cannot
+    * be substituted into a second tokenize of the corpus. */
+  private[graft] def nearDupPairsFromSets(sets: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sigCols = Seq(col("doc_id"), col("hs"), col("ns")) ++
+      (0 until numHashes).map(i =>
+        array_min(transform(col("hs"), h => minhashPerm(h, i))).as(s"sig$i"))
+    // NOT re-persisted: the caller's cached set table already holds the
+    // arrays, and re-deriving the signature projection from memory is
+    // cheaper than caching `hs` a second time (array columns re-cache
+    // through the slow boxed columnar path — see [[shared]]'s scaladoc).
+    val sigs = sets.filter(col("ns") > 0).select(sigCols: _*)
+    val cand = minhashCandidates(sigs.drop("hs"), numHashes, rowsPerBand)
+    jaccardOnCandidates(cand, sigs, minJaccard)
+  }
+
   /** Fuzzy record linkage: same-block pairs within `maxEdit` Levenshtein
     * distance — the entity-resolution / catalog-cleaning staple. EXACT
     * recall without a per-block cross join: edit distance ≥ length
@@ -864,18 +896,19 @@ object Dedup {
     * intersection; the threshold is all-integer
     * (ni·tauDen ≥ na·tauNum — no float drift at the boundary). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      tauNum: Int, tauDen: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
+      tauNum: Int, tauDen: Int): DataFrame =
     // One corpus pass builds the cached doc-count-sized set table (same
     // restructure as [[prefixJaccardPairs]]): no global distinct shuffle,
     // no shingle-row-sized persist; consumers re-explode the arrays.
-    val sets = shared(docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
-      .select(col("doc_id"),
-        array_distinct(transform(shingles(col("tok"), 3), s => hash32(s, 0)))
-          .as("hs"))
-      .select(col("doc_id"), col("hs"), size(col("hs")).cast("bigint").as("ns")))
+    containmentPairsFromSets(
+      shared(shingleSets(docs, idCol, textCol)), tauNum, tauDen)
+
+  /** [[containmentPairs]] over a PRE-BUILT (ideally persisted)
+    * shingle-set table — the [[Corpus]] composition path. */
+  private[graft] def containmentPairsFromSets(sets: DataFrame,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
     val sh = sets.select(col("doc_id"), col("ns"), explode(col("hs")).as("s"))
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // rank EVERY doc's shingles once in the global (df, hash) order: the
