@@ -707,6 +707,36 @@ object Documents {
         .orderBy(col("source"), col("rn"))
     }),
 
+    // 3-gram frequency-of-frequency spectrum (Good-Turing counts): how
+    // many distinct word-3-grams occur exactly k times (k ≤ 10, tail
+    // pooled) — the vocabulary-growth statistic behind smoothing
+    // estimates and dedup-threshold sizing (the singleton count IS the
+    // novel-content mass). Two bounded groupBys; nothing after the first
+    // is corpus-sized.
+    "q182_token_spectrum" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{tokens, shingles}
+      t(s, dir, "documents")
+        .select(explode(shingles(tokens(col("text")), 3)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .groupBy(when(col("cnt") <= 10, col("cnt")).otherwise(11L).as("k"))
+        .agg(count(lit(1)).as("n_grams_with_k"),
+          sum(col("cnt")).as("mass"))
+        .orderBy(col("k"))
+    }),
+
+    // Near-dup component size distribution: how big do dup clusters get
+    // (the long-tail view q152's per-doc weights and q38's labels imply
+    // but never show) — one row per cluster size with cluster counts and
+    // total docs bound up in them.
+    "q185_component_size_dist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupGroups(Dedup.nearDupPairs(docs, "doc_id", "text"))
+        .groupBy(col("keep_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_components"),
+          sum(col("sz")).as("n_docs"))
+        .orderBy(col("sz"))
+    }),
+
     // Near-dup provenance audit: q31's verified pair set classified by
     // whether the two docs share a source / a language — syndication vs
     // in-source duplication vs cross-lingual label noise, one row per
@@ -1990,6 +2020,21 @@ object Documents {
          |  min(CASE WHEN rn * 2 >= cnt THEN n_chars END) AS p50_chars,
          |  CAST(sum(h) AS BIGINT) AS checksum
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q182_token_spectrum" ->
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |c AS (SELECT s AS w, count(*) AS cnt FROM sh GROUP BY s)
+         |SELECT CASE WHEN cnt <= 10 THEN cnt ELSE 11 END AS k,
+         |  count(*) AS n_grams_with_k, CAST(sum(cnt) AS BIGINT) AS mass
+         |FROM c GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q185_component_size_dist" ->
+      s"""$componentsCtes,
+         |g AS (SELECT keep_id, count(*) AS sz FROM comp0 GROUP BY keep_id)
+         |SELECT sz, count(*) AS n_components,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs
+         |FROM g GROUP BY sz ORDER BY sz""".stripMargin,
 
     "q180_lang_confusion" ->
       s"""WITH tr AS (SELECT lang, unnest(string_split($normSql, ' ')) AS w

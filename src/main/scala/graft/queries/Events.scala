@@ -714,6 +714,39 @@ object Events {
         .limit(20)
     }),
 
+    // Conversion rate by session depth: does a longer session convert
+    // more? — sessions bucketed by event count (1, 2-3, 4-7, 8+), each
+    // bucket's purchase-containing fraction in exact-integer ppm. Builds
+    // on q46's one-window session assignment; everything after the
+    // per-session aggregate is bucket-sized.
+    "q184_session_conversion" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+      val sess = t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("is_new")).over(cum))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+      sess
+        .groupBy(
+          when(col("n_events") === 1, "1")
+            .when(col("n_events") <= 3, "2-3")
+            .when(col("n_events") <= 7, "4-7")
+            .otherwise("8+").as("depth_bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("converted")).as("n_converted"))
+        .select(col("depth_bucket"), col("n_sessions"), col("n_converted"),
+          expr("n_converted * 1000000 div n_sessions").as("cvr_ppm"))
+        .orderBy(col("depth_bucket"))
+    }),
+
     // Day-of-week × hour activity heatmap: event mass and distinct actives
     // per calendar cell, with integer-ppm share of total traffic — the
     // seasonality fingerprint behind load planning and anomaly baselines.
@@ -1328,6 +1361,31 @@ object Events {
         |      FROM sess GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM sp GROUP BY path
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q184_session_conversion" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |sess AS (SELECT user_id, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM m),
+        |s2 AS (SELECT user_id, session_idx, count(*) AS n_events,
+        |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |          AS converted
+        |      FROM sess GROUP BY 1, 2)
+        |SELECT CASE WHEN n_events = 1 THEN '1' WHEN n_events <= 3 THEN '2-3'
+        |    WHEN n_events <= 7 THEN '4-7' ELSE '8+' END AS depth_bucket,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  (CAST(sum(converted) AS BIGINT) * 1000000) // count(*) AS cvr_ppm
+        |FROM s2 GROUP BY 1 ORDER BY depth_bucket""".stripMargin,
 
     // DuckDB dayofweek is 0-based Sunday; Spark's is 1-based Sunday.
     "q172_activity_heatmap" ->

@@ -541,6 +541,36 @@ object Relational {
         .limit(20)
     }),
 
+    // Order-fulfillment lag by priority: days from order to each line's
+    // ship date — count, mean (exact-integer div), exact lower-median via
+    // a per-priority rank window, and max. The operational-SLA readout;
+    // one fact-side shuffle on the order key, dims ride broadcast.
+    "q183_fulfillment_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lagDays = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")), Seq("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("bigint")
+            .as("lag_days"),
+          col("l_orderkey"), col("l_linenumber"))
+      val byP = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("lag_days"), col("l_orderkey"), col("l_linenumber"))
+      val all = Window.partitionBy(col("o_orderpriority"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      lagDays
+        .withColumn("rn", row_number().over(byP))
+        .withColumn("cnt", count(lit(1)).over(all))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          expr("sum(lag_days) div count(1)").as("mean_days"),
+          min(when(col("rn") * 2 >= col("cnt"), col("lag_days")))
+            .as("p50_days"),
+          max(col("lag_days")).as("max_days"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Ranking-window completeness suite: ntile quartiles, percent_rank,
     // cume_dist, nth_value and lag over ONE per-status sort (all five
     // functions share the window, so the plan sorts each partition once).
@@ -897,6 +927,23 @@ object Relational {
         |    AS n_risky_rows,
         |  CAST(coalesce(min(c), 0) AS BIGINT) AS min_group_size
         |FROM g""".stripMargin,
+
+    "q183_fulfillment_lag" ->
+      """WITH l AS (SELECT o_orderpriority,
+        |    date_diff('day', o_orderdate, l_shipdate) AS lag_days,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY lag_days, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM l)
+        |SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(lag_days) AS BIGINT) // count(*) AS mean_days,
+        |  min(CASE WHEN rn * 2 >= cnt THEN lag_days END) AS p50_days,
+        |  max(lag_days) AS max_days
+        |FROM r GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q175_market_basket" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
