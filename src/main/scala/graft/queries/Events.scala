@@ -747,6 +747,31 @@ object Events {
         .orderBy(col("depth_bucket"))
     }),
 
+    // User lifetime-value deciles: users ranked by total purchase value
+    // into ntile(10) bands, each band's population, exact-decimal value
+    // mass and share ppm — the targeting/LTV table product analytics
+    // builds first. One user-level aggregate; the decile window runs
+    // over users.
+    "q188_user_value_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val byVal = Window.orderBy(col("val").desc, col("user_id"))
+      val users = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast(DecimalType(30, 6))).as("val"))
+      val tot = users.agg(sum(col("val")).as("total"))
+      users
+        .withColumn("decile", ntile(10).over(byVal).cast("bigint"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("val")).as("band_val"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_users"),
+          col("band_val").cast("double").as("band_value"),
+          round(col("band_val").cast("double") / col("total").cast("double"), 6)
+            .as("share"))
+        .orderBy(col("decile"))
+    }),
+
     // Day-of-week × hour activity heatmap: event mass and distinct actives
     // per calendar cell, with integer-ppm share of total traffic — the
     // seasonality fingerprint behind load planning and anomaly baselines.
@@ -1361,6 +1386,18 @@ object Events {
         |      FROM sess GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM sp GROUP BY path
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q188_user_value_deciles" ->
+      """WITH u AS (SELECT user_id, sum(CAST(value AS DECIMAL(30,6))) AS val
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |tot AS (SELECT sum(val) AS total FROM u),
+        |d AS (SELECT user_id, val,
+        |    ntile(10) OVER (ORDER BY val DESC, user_id) AS decile FROM u),
+        |g AS (SELECT decile, count(*) AS n_users, sum(val) AS band_val
+        |      FROM d GROUP BY decile)
+        |SELECT decile, n_users, CAST(band_val AS DOUBLE) AS band_value,
+        |  round(CAST(band_val AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM g, tot ORDER BY decile""".stripMargin,
 
     "q184_session_conversion" ->
       """WITH l AS (

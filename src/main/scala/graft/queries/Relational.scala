@@ -541,6 +541,57 @@ object Relational {
         .limit(20)
     }),
 
+    // Revenue Pareto curve: customers ranked by exact-decimal order
+    // revenue, reporting how few cover 50/80/90% of total — the 80/20
+    // concentration readout (q162's coverage-knee machinery on money).
+    // Customer-level revenue is the only corpus-sized aggregate; the
+    // ordered window runs over customers.
+    "q186_revenue_pareto" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(30, 2))).as("rev"))
+      val tot = rev.agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("total"))
+      val ord = Window.orderBy(col("rev").desc, col("o_custkey"))
+      rev
+        .withColumn("rk", row_number().over(ord).cast("bigint"))
+        .withColumn("cum", sum(col("rev")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .agg(
+          max(col("n_cust")).as("n_cust"),
+          max(col("total").cast("double")).as("total_rev"),
+          min(when(col("cum") * 2 >= col("total"), col("rk"))).as("k50"),
+          min(when(col("cum") * 5 >= col("total") * 4, col("rk"))).as("k80"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("rk"))).as("k90"))
+    }),
+
+    // Exact per-group quartiles without percentile interpolation: p25,
+    // lower-median, p75 of part retail price per brand via rank
+    // cross-multiplication (rn·4 ≥ cnt ⇒ first rank at/after the
+    // quartile boundary) — the rank-math pattern q168/q183 use for
+    // medians, generalized to any quantile.
+    "q187_brand_price_quartiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byB = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+      val all = Window.partitionBy(col("p_brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "part")
+        .withColumn("rn", row_number().over(byB))
+        .withColumn("cnt", count(lit(1)).over(all))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          min(when(col("rn") * 4 >= col("cnt"), col("p_retailprice")))
+            .as("p25"),
+          min(when(col("rn") * 2 >= col("cnt"), col("p_retailprice")))
+            .as("p50"),
+          min(when(col("rn") * 4 >= col("cnt") * 3, col("p_retailprice")))
+            .as("p75"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Order-fulfillment lag by priority: days from order to each line's
     // ship date — count, mean (exact-integer div), exact lower-median via
     // a per-priority rank window, and max. The operational-SLA readout;
@@ -927,6 +978,34 @@ object Relational {
         |    AS n_risky_rows,
         |  CAST(coalesce(min(c), 0) AS BIGINT) AS min_group_size
         |FROM g""".stripMargin,
+
+    "q186_revenue_pareto" ->
+      """WITH rev AS (SELECT o_custkey,
+        |        sum(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+        |      FROM orders GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_cust, sum(rev) AS total FROM rev),
+        |r AS (SELECT o_custkey, rev,
+        |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+        |    sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev)
+        |SELECT max(n_cust) AS n_cust, CAST(max(total) AS DOUBLE) AS total_rev,
+        |  min(CASE WHEN cum * 2 >= total THEN rk END) AS k50,
+        |  min(CASE WHEN cum * 5 >= total * 4 THEN rk END) AS k80,
+        |  min(CASE WHEN cum * 10 >= total * 9 THEN rk END) AS k90
+        |FROM r, tot""".stripMargin,
+
+    "q187_brand_price_quartiles" ->
+      """WITH r AS (SELECT p_brand, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice, p_partkey) AS rn,
+        |    count(*) OVER (PARTITION BY p_brand) AS cnt
+        |  FROM part)
+        |SELECT p_brand, count(*) AS n_parts,
+        |  min(CASE WHEN rn * 4 >= cnt THEN p_retailprice END) AS p25,
+        |  min(CASE WHEN rn * 2 >= cnt THEN p_retailprice END) AS p50,
+        |  min(CASE WHEN rn * 4 >= cnt * 3 THEN p_retailprice END) AS p75
+        |FROM r GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q183_fulfillment_lag" ->
       """WITH l AS (SELECT o_orderpriority,

@@ -149,6 +149,33 @@ class Round5bSpec extends SparkSpec {
       .getAs[Double]("spearman") == 1.0)
   }
 
+  // ---- streaming Misra-Gries: the buffer IS streaming-aggregation state
+
+  test("freq_items as a streaming aggregate: drained candidates ⊇ heavy items") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.functions.GraftFunctions.freq_items
+    val rnd = new scala.util.Random(5)
+    val stream = Seq.fill(600)(math.min(rnd.nextInt(3) match {
+      case 0 => rnd.nextInt(2)
+      case _ => rnd.nextInt(40)
+    }, 39).toString)
+    val mem = MemoryStream[String](spark)
+    val q = mem.toDS().toDF("w")
+      .agg(freq_items(col("w"), 9).as("cand"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("mg").start()
+    stream.grouped(100).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val last = spark.table("mg").collect().last.getSeq[String](0).toSet
+    val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+    val thresh = stream.size / 10.0 // cap 9 ⇒ guarantee freq > N/(cap+1)
+    exact.foreach { case (w, c) =>
+      if (c > thresh) assert(last.contains(w), s"heavy item $w freq=$c missing")
+    }
+  }
+
   // ---- session PMI lift (via the declared query on testdata) -----------
 
   test("q169 lift is exact-integer and marginals are consistent") {

@@ -89,6 +89,10 @@ class PlanHygieneSpec extends SparkSpec {
                                // set × corpus), the q143 shape
     "q175_market_basket",      // 1-row order total attached to the
                                // support-bounded pair table
+    "q186_revenue_pareto",     // 1-row (n_cust, total) attached to the
+                               // customer-sized coverage window
+    "q188_user_value_deciles", // 1-row value total attached to the
+                               // 10-row decile table
   )
 
   private def executedPlan(name: String): String = {
