@@ -747,6 +747,24 @@ object Events {
         .orderBy(col("depth_bucket"))
     }),
 
+    // Multi-aggregate pivot: per user, click/view columns carrying BOTH
+    // an event count and an exact-decimal value sum — the narrow→wide
+    // reshape (q12) generalized to several measures per pivot cell.
+    "q191_multi_pivot" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(30, 6))).cast("double").as("val"))
+        // pivot yields null (not 0) for an absent (user, type) cell;
+        // normalize counts so both engines agree on empty cells
+        .select(col("user_id"),
+          coalesce(col("click_n"), lit(0L)).as("click_n"), col("click_val"),
+          coalesce(col("view_n"), lit(0L)).as("view_n"), col("view_val"))
+        .orderBy(col("user_id"))
+    }),
+
     // User lifetime-value deciles: users ranked by total purchase value
     // into ntile(10) bands, each band's population, exact-decimal value
     // mass and share ppm — the targeting/LTV table product analytics
@@ -1386,6 +1404,16 @@ object Events {
         |      FROM sess GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM sp GROUP BY path
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q191_multi_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click_n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6)))
+        |    FILTER (event_type = 'click') AS DOUBLE) AS click_val,
+        |  count(*) FILTER (event_type = 'view') AS view_n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6)))
+        |    FILTER (event_type = 'view') AS DOUBLE) AS view_val
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q188_user_value_deciles" ->
       """WITH u AS (SELECT user_id, sum(CAST(value AS DECIMAL(30,6))) AS val

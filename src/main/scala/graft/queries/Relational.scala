@@ -541,6 +541,41 @@ object Relational {
         .limit(20)
     }),
 
+    // FULL OUTER reconciliation of two independent monthly summaries
+    // (order revenue vs event purchase value): months present in either
+    // side survive with the other side null — the ledger-reconciliation
+    // join shape (left/inner would silently drop unmatched periods).
+    // Month keys export as strings (engine-neutral, unlike raw dates).
+    "q189_full_outer_reconcile" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val o = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(30, 2)))
+          .cast("double").as("order_rev"))
+      val e = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(sum(col("value").cast(DecimalType(30, 6)))
+          .cast("double").as("purchase_val"))
+      o.join(e, Seq("month"), "full_outer")
+        .select(col("month"), col("order_rev"), col("purchase_val"))
+        .orderBy(col("month"))
+    }),
+
+    // Multiset (bag) difference — EXCEPT ALL: returned-part occurrences
+    // minus accepted-part occurrences with MULTIPLICITY preserved (the
+    // set-op q90 can't express: a part returned 3× and accepted 1×
+    // keeps 2 rows). Folded to per-part surviving counts for a stable
+    // scalar output.
+    "q190_except_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+        .exceptAll(
+          li.filter(col("l_returnflag") === "A").select(col("l_partkey")))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_surviving"))
+        .orderBy(col("l_partkey"))
+    }),
+
     // Revenue Pareto curve: customers ranked by exact-decimal order
     // revenue, reporting how few cover 50/80/90% of total — the 80/20
     // concentration readout (q162's coverage-knee machinery on money).
@@ -978,6 +1013,27 @@ object Relational {
         |    AS n_risky_rows,
         |  CAST(coalesce(min(c), 0) AS BIGINT) AS min_group_size
         |FROM g""".stripMargin,
+
+    "q189_full_outer_reconcile" ->
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |      AS order_rev
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT strftime(ts, '%Y-%m') AS month,
+        |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS purchase_val
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(o.month, e.month) AS month, order_rev, purchase_val
+        |FROM o FULL OUTER JOIN e ON o.month = e.month
+        |ORDER BY month""".stripMargin,
+
+    "q190_except_all" ->
+      """WITH d AS (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+        |SELECT l_partkey, count(*) AS n_surviving FROM d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q186_revenue_pareto" ->
       """WITH rev AS (SELECT o_custkey,
