@@ -747,6 +747,21 @@ object Events {
         .orderBy(col("depth_bucket"))
     }),
 
+    // Cold-start integrity check: users whose FIRST event is already a
+    // purchase (no preceding view/click/signup) — upstream-loss or bot
+    // signal. One per-user min-struct aggregate, no window.
+    "q193_cold_start_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(struct(unix_micros(col("ts")).as("us"),
+          col("event_id").as("eid"), col("event_type").as("et"))).as("f"),
+          count(lit(1)).as("n_events"))
+        .filter(col("f.et") === "purchase")
+        .select(col("user_id"), col("f.us").as("first_us"),
+          col("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // Multi-aggregate pivot: per user, click/view columns carrying BOTH
     // an event count and an exact-decimal value sum — the narrow→wide
     // reshape (q12) generalized to several measures per pivot cell.
@@ -1404,6 +1419,18 @@ object Events {
         |      FROM sess GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM sp GROUP BY path
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q193_cold_start_users" ->
+      """WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT user_id, count(*) AS n_events FROM events
+        |      GROUP BY user_id)
+        |SELECT r.user_id, us AS first_us, n_events
+        |FROM r JOIN c USING (user_id)
+        |WHERE rn = 1 AND event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
 
     "q191_multi_pivot" ->
       """SELECT user_id,

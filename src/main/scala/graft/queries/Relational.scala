@@ -541,6 +541,24 @@ object Relational {
         .limit(20)
     }),
 
+    // Supplier concentration per brand (Herfindahl-Hirschman index):
+    // Σ share² of shipped quantity across suppliers, exact-integer ppm
+    // (quantities are integral; hhi = Σq_s²·10⁶ div (Σq_s)²) — the
+    // supply-chain-risk readout. Two keyed aggregates, no window.
+    "q194_supplier_hhi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+          Seq("l_partkey"))
+        .groupBy(col("p_brand"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("q"))
+      li.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("q")).as("total_qty"),
+          expr("sum(q * q) * 1000000 div (sum(q) * sum(q))").as("hhi_ppm"))
+        .orderBy(col("p_brand"))
+    }),
+
     // FULL OUTER reconciliation of two independent monthly summaries
     // (order revenue vs event purchase value): months present in either
     // side survive with the other side null — the ledger-reconciliation
@@ -1013,6 +1031,16 @@ object Relational {
         |    AS n_risky_rows,
         |  CAST(coalesce(min(c), 0) AS BIGINT) AS min_group_size
         |FROM g""".stripMargin,
+
+    "q194_supplier_hhi" ->
+      """WITH s AS (SELECT p_brand, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1, 2)
+        |SELECT p_brand, count(*) AS n_suppliers,
+        |  CAST(sum(q) AS BIGINT) AS total_qty,
+        |  (CAST(sum(q * q) AS BIGINT) * 1000000) //
+        |    (CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT)) AS hhi_ppm
+        |FROM s GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q189_full_outer_reconcile" ->
       """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,

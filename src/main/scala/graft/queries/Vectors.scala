@@ -234,6 +234,25 @@ object Vectors {
         .orderBy(col("vec_id"))
     }),
 
+    // Embedding-norm health audit: per-label count, min/max and
+    // decimal-exact mean of L2 norms — the "are these vectors normalized
+    // / did a batch come in at the wrong scale" pre-flight check. Norms
+    // come from the codegen'd l2_norm expression (6dp-rounded so both
+    // engines see identical values); the mean is one double division of
+    // an exact decimal sum.
+    "q192_norm_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          round(l2_norm(col("embedding")), 6).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"),
+          round(sum(col("nrm").cast(DecimalType(30, 6))).cast("double") /
+            count(lit(1)), 6).as("mean_norm"))
+        .orderBy(col("label"))
+    }),
+
     // Embedding-space drift monitor: per-label centroid of the even-id
     // half vs the odd-id half, compared by cosine — the train-vs-serve
     // distribution shift test in embedding space (a label whose halves
@@ -544,6 +563,18 @@ object Vectors {
         |  CAST(list_max(codes) AS BIGINT) AS code_max,
         |  list_reduce(list_prepend(0.0, terms), (a, x) -> a + x) / n_dims AS mse
         |FROM t ORDER BY vec_id""".stripMargin,
+
+    "q192_norm_audit" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |n AS (SELECT label, round(sqrt(list_reduce(
+        |        list_prepend(0.0, list_transform(v, x -> x * x)),
+        |        (a, x) -> a + x)), 6) AS nrm
+        |      FROM e)
+        |SELECT label, count(*) AS n, min(nrm) AS min_norm,
+        |  max(nrm) AS max_norm,
+        |  round(CAST(sum(CAST(nrm AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6)
+        |    AS mean_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
     "q173_centroid_drift" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
