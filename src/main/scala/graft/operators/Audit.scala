@@ -155,4 +155,61 @@ object Audit {
         sum(col("_h").cast("decimal(38,0)")).as("checksum"))
       .select(col("n_rows"), col("checksum").cast("decimal(38,0)").as("checksum"))
   }
+
+  /** Functional-dependency audit: for each candidate FD `lhs → rhs`, how
+    * many lhs groups map to more than one distinct rhs value, and how
+    * many rows sit in those ambiguous groups. The schema-discovery /
+    * denormalization-safety check: an FD that holds licenses collapsing
+    * rhs into a dimension keyed by lhs; a "should-hold" FD that fails is
+    * a data-integrity incident.
+    *
+    * Scale shape per FD: one map-side-combinable groupBy on lhs with a
+    * distinct-count of rhs (Spark plans it as two partial aggregates —
+    * no row ever leaves its lhs hash partition twice), folded to a
+    * single summary row. FDs are audited independently; the union is
+    * fd-count sized. */
+  def fdAudit(df: DataFrame, table: String,
+      fds: Seq[(String, Seq[String], String)]): DataFrame = {
+    require(fds.nonEmpty, "at least one candidate FD")
+    fds.map { case (name, lhs, rhs) =>
+      df.groupBy(lhs.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col(rhs)).as("nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+          sum(when(col("nd") > 1, col("n_rows")).otherwise(0L))
+            .as("n_ambiguous_rows"))
+        .select(lit(s"$table.$name").as("fd"), col("n_groups"),
+          col("n_violating_groups"),
+          coalesce(col("n_ambiguous_rows"), lit(0L)).as("n_ambiguous_rows"),
+          (col("n_violating_groups") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** First-significant-digit profile vs Benford's law over a positive
+    * integer column (pass money as exact cents): per digit, the observed
+    * share and its deviation from log10(1+1/d), both in ppm. The
+    * fabricated-data / corruption screen auditors run on financial
+    * columns — naturally-grown magnitudes follow Benford, injected or
+    * truncated ones don't.
+    *
+    * The expected shares are fixed integer constants (no runtime libm —
+    * engines disagree in the last ulp of log10), and the observed side is
+    * one conditional-count aggregate over a digit extracted from the
+    * integer's decimal string: portable, scan-shaped, 9 rows out. */
+  def benford(df: DataFrame, intCol: Column): DataFrame = {
+    val expected = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val digit = substring(intCol.cast("string"), 1, 1).cast("bigint")
+    val aggs = count(lit(1)).as("n") +: (1 to 9).map(d =>
+      sum(when(digit === d, 1L).otherwise(0L)).as(s"n_$d"))
+    val counts = df.filter(intCol > 0).agg(aggs.head, aggs.tail: _*)
+    val rows = (1 to 9).map { d =>
+      struct(lit(d.toLong).as("digit"), col(s"n_$d").as("n"),
+        expr(s"n_$d * 1000000 div n").as("share_ppm"),
+        lit(expected(d)).as("expected_ppm"),
+        abs(expr(s"n_$d * 1000000 div n") - expected(d)).as("dev_ppm"))
+    }
+    counts.select(inline(array(rows: _*))).orderBy(col("digit"))
+  }
 }

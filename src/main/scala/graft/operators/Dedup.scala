@@ -954,4 +954,161 @@ object Dedup {
       // Spark and DuckDB) — no float at the readout either
       .withColumn("containment_ppm", expr("ni * 1000000 div na"))
   }
+
+  /** MinHash estimator calibration: for every LSH candidate pair, compare
+    * the signature-agreement estimate of Jaccard (matching slots / k, an
+    * unbiased estimator) against the EXACT shingle Jaccard, grouped by
+    * agreement level. The sketch-accuracy audit a pipeline runs before
+    * trusting banding thresholds at full scale: if `mean_exact_ppm` at a
+    * given `n_match` drifts far from `est_ppm`, the signature width or
+    * band shape is wrong for this corpus.
+    *
+    * Scale shape: identical to [[nearDupPairs]] (narrow signatures, band
+    * equi-join, candidate-only rescoring) plus one bounded aggregate over
+    * the candidate set — numHashes+1 output rows.
+    *
+    * All arithmetic is integer ppm (estimates are k/numHashes exactly;
+    * exact Jaccard is an integer cross-division), so the DuckDB oracle
+    * reproduces every cell bit-for-bit.
+    */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sigs = shared(shingleSetSigs(docs, idCol, textCol, numHashes))
+    val cand = minhashCandidates(sigs.drop("hs"), numHashes, rowsPerBand)
+    def side(suffix: String, id: String) = {
+      val cols = Seq(col("doc_id").as(id), col("hs").as(s"h$suffix"),
+        col("ns").as(s"n$suffix")) ++
+        (0 until numHashes).map(i => col(s"sig$i").as(s"sig${i}$suffix"))
+      sigs.select(cols: _*)
+    }
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"sig${i}a") === col(s"sig${i}b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val pairs = cand
+      .join(side("a", "id_a").hint("shuffle_hash"), Seq("id_a"))
+      .join(side("b", "id_b").hint("shuffle_hash"), Seq("id_b"))
+      .select(
+        matches.as("n_match"),
+        size(array_intersect(col("ha"), col("hb"))).cast("bigint").as("ni"),
+        col("na"), col("nb"))
+      .select(col("n_match"),
+        expr("ni * 1000000 div (na + nb - ni)").as("ex_ppm"))
+    pairs
+      .groupBy(col("n_match"),
+        (col("n_match") * (1000000L / numHashes)).as("est_ppm"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(ex_ppm) div count(1)").as("mean_exact_ppm"),
+        min(col("ex_ppm")).as("min_exact_ppm"),
+        max(col("ex_ppm")).as("max_exact_ppm"),
+        expr("sum(abs(n_match * " + (1000000L / numHashes) +
+          " - ex_ppm)) div count(1)").as("mean_abs_err_ppm"))
+      .orderBy(col("n_match"))
+  }
+
+  /** Near-dup threshold sweep: how many verified candidate pairs survive
+    * each Jaccard cut — the tuning table read before committing a dedup
+    * threshold corpus-wide (one banding pass prices every candidate
+    * threshold at once; re-running the pipeline per threshold pays the
+    * corpus scan k times). Counts use integer cross-multiplication
+    * (ni·10 >= union·t10), so no float comparison can disagree between
+    * engines. One row out.
+    */
+  def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+      tenths: Seq[Int] = Seq(3, 5, 7, 8, 9)): DataFrame = {
+    require(tenths.nonEmpty && tenths.forall(t => t >= 1 && t <= 10),
+      "thresholds are Jaccard tenths in [1, 10]")
+    val sigs = shared(shingleSetSigs(docs, idCol, textCol, 8))
+    val cand = minhashCandidates(sigs.drop("hs"), 8, 2)
+    val pairs = cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+        col("ns").as("na")).hint("shuffle_hash"), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("hs").as("hb"),
+        col("ns").as("nb")).hint("shuffle_hash"), Seq("id_b"))
+      .select(
+        size(array_intersect(col("ha"), col("hb"))).cast("bigint").as("ni"),
+        (col("na") + col("nb")).as("nab"))
+    val aggs = count(lit(1)).as("n_candidates") +: tenths.map(t =>
+      sum(when(col("ni") * 10 >= (col("nab") - col("ni")) * t, 1L)
+        .otherwise(0L)).as(s"n_ge_${t}0"))
+    pairs.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Golden-record survivorship merge: per near-dup component (>= 2
+    * members by construction), the merged record an entity-resolution
+    * stage emits — majority vote per categorical field (deterministic
+    * tie-break: smallest value), longest-text member as the content
+    * survivor, additive fields summed. The step AFTER matching (q31) and
+    * clustering (q38): what to actually keep.
+    *
+    * Scale shape: component labels join the corpus once on doc_id; each
+    * field's vote is a (comp, value)-keyed count followed by a bounded
+    * min_by argmax — no windows, everything map-side combinable. */
+  def goldenRecord(docs: DataFrame, idCol: String, textCol: String,
+      voteCols: Seq[String], lenCol: String): DataFrame = {
+    val comps = nearDupGroups(nearDupPairs(docs, idCol, textCol))
+      .select(col("doc_id"), col("keep_id").as("comp"))
+    val mem = shared(docs.select(
+      Seq(col(idCol).as("doc_id"), col(lenCol).cast("bigint").as("_len"),
+        size(tokens(col(textCol))).cast("bigint").as("_tok")) ++
+        voteCols.map(col): _*)
+      .join(comps, Seq("doc_id")))
+    val base = mem.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        // longest member, tie-break lowest id: minimize (-len, id)
+        min_by(col("doc_id"), struct((-col("_len")).as("a"),
+          col("doc_id").as("b"))).as("longest_doc_id"),
+        max(col("_len")).as("max_len"),
+        sum(col("_tok")).as("total_tokens"))
+    val votes = voteCols.map { vc =>
+      mem.groupBy(col("comp"), col(vc))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("comp"))
+        // most frequent value, tie-break smallest: minimize (-count, value)
+        .agg(min_by(col(vc), struct((-col("c")).as("a"), col(vc).as("b")))
+          .as(vc))
+    }
+    votes.foldLeft(base)((acc, v) => acc.join(v, Seq("comp")))
+      .orderBy(col("comp"))
+  }
+
+  /** Dedup savings accounting: per source, the token mass before dedup,
+    * after exact dedup (keep the lowest doc id per canonical text), and
+    * after near-dup dedup on top (keep only component representatives of
+    * the MinHash+LSH similarity graph). The cost/benefit readout that
+    * decides whether a 100 TB crawl re-dedup is worth the compute: saved
+    * ppm per source, per stage.
+    *
+    * Exact-dup pairs are also near-dup pairs (identical text ⇒ identical
+    * signatures ⇒ banded together at Jaccard 1.0) for docs long enough to
+    * shingle, so `tokens_after_near <= tokens_after_exact` by
+    * construction; sub-shingle-width docs are only ever caught by the
+    * exact stage. */
+  def dedupSavings(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      size(tokens(col(textCol))).cast("bigint").as("n_tok"),
+      md5(normText(col(textCol))).as("ck"))
+    val exKeep = toks.groupBy(col("ck")).agg(min(col("doc_id")).as("ex_keep"))
+    val comp = nearDupGroups(nearDupPairs(docs, idCol, textCol))
+    val flags = toks
+      .join(exKeep, Seq("ck"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("source"), col("n_tok"),
+        (col("ex_keep") === col("doc_id")).as("is_ex"),
+        (coalesce(col("keep_id"), col("doc_id")) === col("doc_id")).as("is_nd"))
+    flags.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("is_ex"), col("n_tok")).otherwise(0L))
+          .as("tokens_after_exact"),
+        sum(when(col("is_ex") && col("is_nd"), col("n_tok")).otherwise(0L))
+          .as("tokens_after_near"))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        col("tokens_after_exact"), col("tokens_after_near"),
+        expr("(tokens_total - tokens_after_exact) * 1000000 div tokens_total")
+          .as("saved_exact_ppm"),
+        expr("(tokens_total - tokens_after_near) * 1000000 div tokens_total")
+          .as("saved_near_ppm"))
+      .orderBy(col("source"))
+  }
 }

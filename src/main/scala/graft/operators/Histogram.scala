@@ -74,6 +74,37 @@ object Histogram {
     cum.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
   }
 
+  /** Exact per-group percentiles over an INTEGER value column, with the
+    * same rank convention as [[binPercentiles]] (value at 1-based rank
+    * ceil(n·p/1e6)) — the ground truth [[binPercentiles]] approximates,
+    * and the other half of the sketch-accuracy audit (q200): run both,
+    * difference the answers, and the observed error validates (or
+    * rejects) the chosen bin width before anyone trusts the cheap path
+    * on the full corpus.
+    *
+    * Scale shape: the pre-aggregation to (group, value, count) bounds the
+    * windowed stage by the DOMAIN size per group, not the row count —
+    * exact-but-cheap whenever values are discretized (cents, token
+    * counts). For genuinely continuous domains use [[binPercentiles]]. */
+  def exactPercentiles(
+      df: DataFrame, groupCol: String, valCol: String,
+      ppms: Seq[Int]): DataFrame = {
+    require(ppms.nonEmpty && ppms.forall(p => p > 0 && p <= 1000000),
+      "percentile ranks must be ppm values in (0, 1e6]")
+    val vc = df
+      .groupBy(col(groupCol), col(valCol).cast("bigint").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byV = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+    val whole = Window.partitionBy(col(groupCol))
+    val cum = vc
+      .withColumn("cum", sum(col("c")).over(byV))
+      .withColumn("n", sum(col("c")).over(whole))
+    val picks: Seq[Column] = ppms.map { p =>
+      min(when(col("cum") * 1000000L >= col("n") * p, col("v"))).as(s"p_$p")
+    }
+    cum.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
+  }
+
   /** Distribution drift between two row populations, per group: the
     * total-variation distance of their binned value histograms, in ppm.
     * `isA` partitions rows into the A side (true) and B side (false).

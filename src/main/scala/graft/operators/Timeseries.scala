@@ -261,4 +261,41 @@ object Timeseries {
         col("_old.v").as("old_value"), col("_new.v").as("new_value"))
       .filter(col("status") =!= "unchanged")
   }
+
+  /** Seasonal-baseline residuals: each observed hour's event count vs the
+    * mean of its (day-of-week, hour-of-day) slot across the whole series
+    * — the traffic-anomaly readout that survives weekly seasonality
+    * (q172's heatmap is the baseline; this is each hour's deviation from
+    * it). A Monday-03:00 burst that looks normal against the global mean
+    * but is 5x the Monday-03:00 baseline surfaces here.
+    *
+    * Determinism: the residual is the exact integer cross-difference
+    * n·n_slots − total (comparing n against total/n_slots without the
+    * division), surfaced as sign·(|diff|·1e6 div total) so the integer
+    * division always sees non-negative operands — truncation direction
+    * for negative operands differs between engines.
+    *
+    * Scale shape: one groupBy to hours (corpus-sized, map-combined), one
+    * tiny 168-row baseline aggregate joined back by broadcast, one
+    * bounded top-N sort. */
+  def seasonalResiduals(events: DataFrame, tsCol: Column, topN: Int): DataFrame = {
+    val slots = events
+      .groupBy(date_trunc("hour", tsCol).as("slot"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("slot"), col("n_events"),
+        dayofweek(col("slot")).cast("bigint").as("dow"),
+        hour(col("slot")).cast("bigint").as("hr"))
+    val base = slots.groupBy(col("dow"), col("hr"))
+      .agg(sum(col("n_events")).as("total"), count(lit(1)).as("n_slots"))
+    slots.join(broadcast(base), Seq("dow", "hr"))
+      .select(
+        date_format(col("slot"), "yyyy-MM-dd HH").as("slot"),
+        col("dow"), col("hr"), col("n_events"),
+        expr("total div n_slots").as("baseline_floor"),
+        (signum(col("n_events") * col("n_slots") - col("total")).cast("bigint") *
+          expr("abs(n_events * n_slots - total) * 1000000 div total"))
+          .as("residual_ppm"))
+      .orderBy(abs(col("residual_ppm")).desc, col("slot"))
+      .limit(topN)
+  }
 }

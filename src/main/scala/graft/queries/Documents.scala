@@ -15,6 +15,73 @@ import Q._
 object Documents {
 
   val queries: Map[String, QueryFn] = Map(
+    // MinHash estimator calibration: per signature-agreement level, how
+    // far the k/8 Jaccard estimate sits from the exact shingle Jaccard on
+    // the LSH candidate set — the sketch-accuracy audit run before
+    // trusting banding thresholds at full scale. Same banded plan as q31
+    // plus one 9-row aggregate; everything in exact integer ppm.
+    "q195_minhash_error" -> ((s, dir) => {
+      Dedup.minhashCalibration(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2)
+    }),
+
+    // Near-dup threshold sweep: surviving verified-pair counts at Jaccard
+    // 0.3/0.5/0.7/0.8/0.9 from ONE banding pass — the threshold-tuning
+    // table that prices a dedup cut before running it corpus-wide.
+    "q206_dedup_threshold_sweep" -> ((s, dir) => {
+      Dedup.thresholdSweep(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Golden-record survivorship: per near-dup component, the merged
+    // record — majority lang/source (deterministic tie-break), longest
+    // member as content survivor, token mass summed. The keep-what step
+    // of entity resolution, after q31's matching and q38's clustering.
+    "q208_golden_record" -> ((s, dir) => {
+      Dedup.goldenRecord(t(s, dir, "documents"), "doc_id", "text",
+        voteCols = Seq("lang", "source"), lenCol = "n_chars")
+    }),
+
+    // Dedup savings accounting: per source, token mass before dedup,
+    // after exact dedup, and after near-dup (component-representative)
+    // dedup — the readout that prices a full-corpus re-dedup. Near stage
+    // reuses the q31 banding + q38 components.
+    "q198_dedup_savings" -> ((s, dir) => {
+      Dedup.dedupSavings(t(s, dir, "documents"), "doc_id", "text", "source")
+    }),
+
+    // Reciprocal-rank fusion (the hybrid-search staple): BM25 ranking and
+    // a raw term-frequency ranking for the same query, fused with the
+    // integer RRF weight 1e6 div (60+rank) — rank-only fusion needs no
+    // score normalization across retrievers, which is exactly why serving
+    // stacks use it. Both input rankings are bounded top-30 lists, so the
+    // fusion join is constant-sized whatever the corpus.
+    "q204_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.tokens
+      val docs = t(s, dir, "documents")
+      val a = TextAnalysis.bm25TopK(docs, "doc_id", "text", bm25Terms, k = 30)
+        .withColumn("rank_bm25", row_number().over(
+          Window.orderBy(col("score_ppm").desc, col("doc_id"))).cast("bigint"))
+        .select(col("doc_id"), col("rank_bm25"))
+      val tf = bm25Terms
+        .map(tm => size(filter(col("tok"), x => x === lit(tm))).cast("bigint"))
+        .reduce(_ + _)
+      val b = docs.select(col("doc_id"), tokens(col("text")).as("tok"))
+        .withColumn("tf", tf).drop("tok")
+        .filter(col("tf") > 0)
+        .orderBy(col("tf").desc, col("doc_id")).limit(30)
+        .withColumn("rank_tf", row_number().over(
+          Window.orderBy(col("tf").desc, col("doc_id"))).cast("bigint"))
+        .select(col("doc_id"), col("rank_tf"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rank_bm25"), lit(0L)).as("rank_bm25"),
+          coalesce(col("rank_tf"), lit(0L)).as("rank_tf"),
+          (coalesce(expr("1000000 div (60 + rank_bm25)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + rank_tf)"), lit(0L))).as("rrf_ppm"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(10)
+    }),
+
     // Token-diversity (unbiased Simpson) concentration per document —
     // the no-libm entropy stand-in: exact rational ppm, one narrow
     // two-level aggregate (token counts → two moments), no count vector
@@ -760,6 +827,37 @@ object Documents {
 
   private val bm25Terms = Seq("dup", "spark", "vector", "merge")
 
+  /** q113's BM25 scoring chain (same ppm fixed-point formula as
+    * TextAnalysis.bm25TopK; DuckDB's `//` is floor division == Spark
+    * `div` on the all-positive operands), ending in `sc(doc_id, dl,
+    * score_ppm)` with `d` carrying per-term counts f0..fN. Shared by the
+    * q113 ranking and the q204 fusion oracle. */
+  private lazy val bm25ScoredCtes: String = {
+    val fCols = bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"len(list_filter(tok, x -> x = '$term')) AS f$i"
+    }.mkString(",\n  ")
+    val dfCols = bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN f$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val scoreTerms = bm25Terms.indices.map(i =>
+      s"""CASE WHEN f$i > 0 THEN
+         |  (((n_docs * 1000000) // df$i) *
+         |   ((f$i * (1000000 + 1200000) * 1000000) //
+         |    (f$i * 1000000 + (1200000 * norm_ppm) // 1000000))) // 1000000
+         |  ELSE 0 END""".stripMargin).mkString(" +\n")
+    s"""d AS (SELECT doc_id, len(tok) AS dl,
+       |  $fCols
+       |FROM t),
+       |s AS (SELECT count(*) AS n_docs, sum(dl) AS tot, $dfCols FROM d),
+       |n AS (SELECT d.*, s.*,
+       |  (dl * 1000000 * 1000000) // ((tot * 1000000) // n_docs) AS len_ppm
+       |FROM d CROSS JOIN s),
+       |m AS (SELECT *,
+       |  1000000 - 750000 + (750000 * len_ppm) // 1000000 AS norm_ppm FROM n),
+       |sc AS (SELECT doc_id, dl,
+       |  $scoreTerms AS score_ppm
+       |FROM m)""".stripMargin
+  }
+
   // ---- shared SQL fragments -------------------------------------------
 
   private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -880,6 +978,143 @@ object Documents {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Reproduces Dedup.minhashCalibration: q31's banding chain, plus a
+    // per-pair signature-agreement count and exact-Jaccard ppm, grouped
+    // by agreement level.
+    "q195_minhash_error" -> {
+      import graft.functions.TextFunctions.minhashPermSql
+      val sigCols = (0 until 8)
+        .map(i => s"min(${minhashPermSql(h32("s", 0), i)}) AS sig$i")
+        .mkString(",\n  ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
+      }.mkString("\n UNION ALL ")
+      val matchSum = (0 until 8)
+        .map(i => s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
+         |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS ni
+         |          FROM cand JOIN dsh a ON a.doc_id = id_a
+         |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
+         |          GROUP BY id_a, id_b),
+         |pair AS (SELECT c.id_a, c.id_b,
+         |    CAST($matchSum AS BIGINT) AS n_match,
+         |    CAST(coalesce(ni, 0) AS BIGINT) * 1000000 //
+         |      (na.ns + nb.ns - CAST(coalesce(ni, 0) AS BIGINT)) AS ex_ppm
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+         |  JOIN cnt na ON na.doc_id = c.id_a JOIN cnt nb ON nb.doc_id = c.id_b
+         |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b)
+         |SELECT n_match, n_match * 125000 AS est_ppm, count(*) AS n_pairs,
+         |  CAST(sum(ex_ppm) AS BIGINT) // count(*) AS mean_exact_ppm,
+         |  min(ex_ppm) AS min_exact_ppm, max(ex_ppm) AS max_exact_ppm,
+         |  CAST(sum(abs(n_match * 125000 - ex_ppm)) AS BIGINT) // count(*)
+         |    AS mean_abs_err_ppm
+         |FROM pair GROUP BY n_match ORDER BY n_match""".stripMargin
+    },
+
+    // Reproduces Dedup.thresholdSweep: q31's banding chain, conditional
+    // cross-multiplied counts per Jaccard tenth.
+    "q206_dedup_threshold_sweep" -> {
+      import graft.functions.TextFunctions.minhashPermSql
+      val sigCols = (0 until 8)
+        .map(i => s"min(${minhashPermSql(h32("s", 0), i)}) AS sig$i")
+        .mkString(",\n  ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
+      }.mkString("\n UNION ALL ")
+      val sweeps = Seq(3, 5, 7, 8, 9).map(t =>
+        s"""CAST(sum(CASE WHEN ni * 10 >= (nab - ni) * $t THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_ge_${t}0""".stripMargin).mkString(",\n  ")
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
+         |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS ni
+         |          FROM cand JOIN dsh a ON a.doc_id = id_a
+         |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
+         |          GROUP BY id_a, id_b),
+         |pair AS (SELECT CAST(coalesce(ni, 0) AS BIGINT) AS ni,
+         |    na.ns + nb.ns AS nab
+         |  FROM cand c
+         |  JOIN cnt na ON na.doc_id = c.id_a JOIN cnt nb ON nb.doc_id = c.id_b
+         |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b)
+         |SELECT count(*) AS n_candidates,
+         |  $sweeps
+         |FROM pair""".stripMargin
+    },
+
+    // Reproduces Dedup.goldenRecord: q38's component closure + per-field
+    // majority votes (row_number argmax) + longest-member survivor.
+    "q208_golden_record" ->
+      s"""$componentsCtes,
+         |tl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tok FROM t),
+         |mem AS (SELECT c.doc_id, c.keep_id AS comp, d.lang, d.source,
+         |          CAST(d.n_chars AS BIGINT) AS len, tl.n_tok
+         |        FROM comp0 c JOIN documents d USING (doc_id)
+         |        JOIN tl ON tl.doc_id = c.doc_id),
+         |base AS (SELECT comp, count(*) AS n_members, max(len) AS max_len,
+         |           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+         |         FROM mem GROUP BY comp),
+         |lid AS (SELECT comp, doc_id AS longest_doc_id FROM
+         |         (SELECT comp, doc_id, row_number() OVER
+         |            (PARTITION BY comp ORDER BY len DESC, doc_id) AS rn
+         |          FROM mem) WHERE rn = 1),
+         |lc AS (SELECT comp, lang, count(*) AS c FROM mem GROUP BY 1, 2),
+         |lv AS (SELECT comp, lang FROM
+         |         (SELECT comp, lang, row_number() OVER
+         |            (PARTITION BY comp ORDER BY c DESC, lang) AS rn FROM lc)
+         |       WHERE rn = 1),
+         |sc2 AS (SELECT comp, source, count(*) AS c FROM mem GROUP BY 1, 2),
+         |sv AS (SELECT comp, source FROM
+         |         (SELECT comp, source, row_number() OVER
+         |            (PARTITION BY comp ORDER BY c DESC, source) AS rn FROM sc2)
+         |       WHERE rn = 1)
+         |SELECT base.comp, n_members, longest_doc_id, max_len, total_tokens,
+         |       lv.lang, sv.source
+         |FROM base JOIN lid USING (comp) JOIN lv USING (comp)
+         |     JOIN sv USING (comp)
+         |ORDER BY comp""".stripMargin,
+
+    // Reproduces Dedup.dedupSavings: exact keepers by canonical-text md5,
+    // near-dup survivors from q38's recursive component closure, token
+    // masses folded per source.
+    "q198_dedup_savings" ->
+      s"""$componentsCtes,
+         |tl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tok FROM t),
+         |ex AS (SELECT doc_id, source, md5($normSql) AS ck FROM documents),
+         |exk AS (SELECT ck, min(doc_id) AS ex_keep FROM ex GROUP BY ck),
+         |fl AS (SELECT e.source, tl.n_tok,
+         |         (e.doc_id = exk.ex_keep) AS is_ex,
+         |         (coalesce(c.keep_id, e.doc_id) = e.doc_id) AS is_nd
+         |       FROM ex e JOIN exk USING (ck)
+         |       JOIN tl ON tl.doc_id = e.doc_id
+         |       LEFT JOIN comp0 c ON c.doc_id = e.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN is_ex THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tokens_after_exact,
+         |  CAST(sum(CASE WHEN is_ex AND is_nd THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tokens_after_near,
+         |  (CAST(sum(n_tok) AS BIGINT)
+         |    - CAST(sum(CASE WHEN is_ex THEN n_tok ELSE 0 END) AS BIGINT))
+         |    * 1000000 // CAST(sum(n_tok) AS BIGINT) AS saved_exact_ppm,
+         |  (CAST(sum(n_tok) AS BIGINT)
+         |    - CAST(sum(CASE WHEN is_ex AND is_nd THEN n_tok ELSE 0 END) AS BIGINT))
+         |    * 1000000 // CAST(sum(n_tok) AS BIGINT) AS saved_near_ppm
+         |FROM fl GROUP BY source ORDER BY source""".stripMargin,
+
     // Mirrors TextAnalysis.simpsonDiversity: per-type counts, then the
     // exact integer Simpson ppm Σc(c−1)·10^6 div n(n−1).
     "q144_token_diversity" ->
@@ -1372,38 +1607,38 @@ object Documents {
          |ORDER BY doc_id""".stripMargin
     },
 
-    "q113_bm25_topk" -> {
-      // same ppm fixed-point formula as TextAnalysis.bm25TopK; DuckDB's
-      // `//` is floor division == Spark `div` on the all-positive operands
-      val fCols = bm25Terms.zipWithIndex.map { case (term, i) =>
-        s"len(list_filter(tok, x -> x = '$term')) AS f$i"
-      }.mkString(",\n  ")
-      val dfCols = bm25Terms.indices.map(i =>
-        s"sum(CASE WHEN f$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
-      val scoreTerms = bm25Terms.indices.map(i =>
-        s"""CASE WHEN f$i > 0 THEN
-           |  (((n_docs * 1000000) // df$i) *
-           |   ((f$i * (1000000 + 1200000) * 1000000) //
-           |    (f$i * 1000000 + (1200000 * norm_ppm) // 1000000))) // 1000000
-           |  ELSE 0 END""".stripMargin).mkString(" +\n")
+    "q113_bm25_topk" ->
       s"""WITH $tokCte,
-         |d AS (SELECT doc_id, len(tok) AS dl,
-         |  $fCols
-         |FROM t),
-         |s AS (SELECT count(*) AS n_docs, sum(dl) AS tot, $dfCols FROM d),
-         |n AS (SELECT d.*, s.*,
-         |  (dl * 1000000 * 1000000) // ((tot * 1000000) // n_docs) AS len_ppm
-         |FROM d CROSS JOIN s),
-         |m AS (SELECT *,
-         |  1000000 - 750000 + (750000 * len_ppm) // 1000000 AS norm_ppm FROM n),
-         |sc AS (SELECT doc_id, dl,
-         |  $scoreTerms AS score_ppm
-         |FROM m)
+         |$bm25ScoredCtes
          |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
          |       CAST(score_ppm AS BIGINT) AS score_ppm
          |FROM sc WHERE score_ppm > 0
-         |ORDER BY score_ppm DESC, doc_id LIMIT 15""".stripMargin
-    },
+         |ORDER BY score_ppm DESC, doc_id LIMIT 15""".stripMargin,
+
+    // Reciprocal-rank fusion of two independent retrieval rankings (BM25
+    // and raw query-term frequency) with the precomputed 1e6//(60+rank)
+    // integer weight — no libm on either engine.
+    "q204_rrf_fusion" ->
+      s"""WITH $tokCte,
+         |$bm25ScoredCtes,
+         |ra AS (SELECT doc_id, row_number() OVER
+         |         (ORDER BY score_ppm DESC, doc_id) AS rank_bm25
+         |       FROM sc WHERE score_ppm > 0
+         |       ORDER BY score_ppm DESC, doc_id LIMIT 30),
+         |tfs AS (SELECT doc_id, ${bm25Terms.indices.map(i => s"f$i").mkString(" + ")} AS tf
+         |        FROM d),
+         |rb AS (SELECT doc_id, row_number() OVER
+         |         (ORDER BY tf DESC, doc_id) AS rank_tf
+         |       FROM tfs WHERE tf > 0
+         |       ORDER BY tf DESC, doc_id LIMIT 30),
+         |fused AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         |    CAST(coalesce(ra.rank_bm25, 0) AS BIGINT) AS rank_bm25,
+         |    CAST(coalesce(rb.rank_tf, 0) AS BIGINT) AS rank_tf,
+         |    coalesce(1000000 // (60 + ra.rank_bm25), 0)
+         |      + coalesce(1000000 // (60 + rb.rank_tf), 0) AS rrf_ppm
+         |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+         |SELECT doc_id, rank_bm25, rank_tf, CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+         |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin,
 
     "q114_textrank_keywords" -> {
       // 10 fixed power iterations as chained CTEs; `//` == Spark `div`

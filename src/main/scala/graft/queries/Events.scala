@@ -16,6 +16,34 @@ import Q._
 object Events {
 
   val queries: Map[String, QueryFn] = Map(
+    // Per-event-type dwell time: seconds until the user's NEXT in-session
+    // event (q46's 1800 s gap rule bounds a dwell) — which screens hold
+    // attention and which bounce. One per-user lead window, exact integer
+    // micros folded per type.
+    "q207_session_dwell" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", lead(col("us"), 1).over(byUser) - col("us"))
+        .filter(col("gap_us").isNotNull && col("gap_us") <= 1800L * 1000000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_dwells"),
+          expr("(sum(gap_us) div count(1)) div 1000").as("mean_dwell_ms"),
+          expr("max(gap_us) div 1000").as("max_dwell_ms"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Seasonal-baseline residuals: each observed hour's traffic vs its
+    // (day-of-week, hour) baseline mean — the weekly-seasonality-aware
+    // burst/dip detector (q172's heatmap is the baseline; this ranks the
+    // hours that break it). Exact integer cross-difference, top 20.
+    "q201_seasonal_residual" -> ((s, dir) => {
+      graft.operators.Timeseries.seasonalResiduals(
+        t(s, dir, "events"), col("ts"), topN = 20)
+    }),
+
     // SCD2 dimension build from the event change log: per user, each
     // maximal run of equal event_type becomes one validity interval
     // (valid_from, valid_to, is_current) — the warehouse point-in-time
@@ -834,6 +862,38 @@ object Events {
        |FROM events GROUP BY event_type)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors the q207 dwell chain: same lead window (ts, event_id
+    // tie-break), same 1800 s bound, same truncating integer readouts.
+    "q207_session_dwell" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |d AS (SELECT event_type, nxt - us AS gap FROM e
+        |      WHERE nxt IS NOT NULL AND nxt - us <= 1800 * 1000000)
+        |SELECT event_type, count(*) AS n_dwells,
+        |  (CAST(sum(gap) AS BIGINT) // count(*)) // 1000 AS mean_dwell_ms,
+        |  CAST(max(gap) AS BIGINT) // 1000 AS max_dwell_ms
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors Timeseries.seasonalResiduals: hourly counts, 168-slot
+    // baseline, sign·(|n·slots − total|·1e6 // total) residual.
+    "q201_seasonal_residual" ->
+      """WITH s AS (SELECT date_trunc('hour', ts) AS slot, count(*) AS n_events
+        |           FROM events GROUP BY 1),
+        |k AS (SELECT slot, n_events,
+        |        CAST(dayofweek(slot) + 1 AS BIGINT) AS dow,
+        |        CAST(hour(slot) AS BIGINT) AS hr FROM s),
+        |b AS (SELECT dow, hr, CAST(sum(n_events) AS BIGINT) AS total,
+        |        count(*) AS n_slots FROM k GROUP BY 1, 2)
+        |SELECT strftime(k.slot, '%Y-%m-%d %H') AS slot, k.dow, k.hr,
+        |  k.n_events, total // n_slots AS baseline_floor,
+        |  (CASE WHEN k.n_events * n_slots < total THEN -1 ELSE 1 END)
+        |    * (abs(k.n_events * n_slots - total) * 1000000 // total)
+        |    AS residual_ppm
+        |FROM k JOIN b USING (dow, hr)
+        |ORDER BY abs(residual_ppm) DESC, slot LIMIT 20""".stripMargin,
+
     // Mirrors Timeseries.scd2Intervals: change-flag → run numbering →
     // per-run interval, closing edge by lead over run starts.
     "q145_scd2_intervals" ->

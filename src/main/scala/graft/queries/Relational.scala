@@ -13,7 +13,165 @@ import Q._
   */
 object Relational {
 
+  /** Co-purchase graph: canonical (pa < pb) part pairs ordered together
+    * in >= 2 distinct orders. Pair expansion is per order (bounded by
+    * order width², never catalog²); shared by the graph-analytics
+    * queries q199/q202/q203/q205. */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+  }
+
+  /** DuckDB spelling of [[copurchaseEdges]] → `e(a, b)`. */
+  private val copurchaseCte =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                         AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    // Functional-dependency audit: candidate FDs checked as
+    // distinct-rhs-per-lhs-group counts — the schema-discovery /
+    // denormalization-safety gate. One map-combined groupBy per FD,
+    // one summary row each.
+    "q196_fd_audit" -> ((s, dir) => {
+      import graft.operators.Audit
+      Audit.fdAudit(t(s, dir, "part"), "part", Seq(
+          ("p_partkey_name", Seq("p_partkey"), "p_name"),
+          ("p_brand_type", Seq("p_brand"), "p_type")))
+        .unionByName(Audit.fdAudit(t(s, dir, "orders"), "orders", Seq(
+          ("o_orderkey_custkey", Seq("o_orderkey"), "o_custkey"),
+          ("o_custkey_priority", Seq("o_custkey"), "o_orderpriority"))))
+        .unionByName(Audit.fdAudit(t(s, dir, "lineitem"), "lineitem", Seq(
+          ("l_partkey_suppkey", Seq("l_partkey"), "l_suppkey"))))
+        .orderBy(col("fd"))
+    }),
+
+    // Benford first-digit audit on order totals (exact cents): observed
+    // digit shares vs the log10(1+1/d) expectation, deviations in ppm —
+    // the fabricated-data screen. One conditional-count scan, 9 rows out.
+    "q197_benford" -> ((s, dir) => {
+      graft.operators.Audit.benford(t(s, dir, "orders"),
+        round(col("o_totalprice") * 100).cast("bigint"))
+    }),
+
+    // Triangle census of the co-purchase graph (parts co-ordered >= 2
+    // times): degree-ordered orientation bounds the wedge join at
+    // O(m^1.5) regardless of hub parts — the community-structure /
+    // affinity-quality readout on a graph the engine itself mined.
+    "q199_copurchase_triangles" -> ((s, dir) => {
+      graft.operators.Graph.triangleStats(copurchaseEdges(s, dir), "pa", "pb")
+    }),
+
+    // Item-item collaborative-filtering neighbors: cosine over co-order
+    // co-occurrence counts (n_ab / sqrt(n_a·n_b)), top-3 per item — the
+    // "customers also bought" primitive. Co-occurrence counts come from
+    // per-order pair expansion; marginals attach by broadcast (catalog ≪
+    // interactions); the per-item rank is a bounded top-k window.
+    "q202_item_item_sim" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val marg = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("item"), col("b.l_partkey").as("neighbor"))
+        .agg(count(lit(1)).as("n_ab"))
+      val sim = pairs
+        .join(broadcast(marg.select(col("l_partkey").as("item"),
+          col("n_i").as("n_a"))), Seq("item"))
+        .join(broadcast(marg.select(col("l_partkey").as("neighbor"),
+          col("n_i").as("n_b"))), Seq("neighbor"))
+        .withColumn("sim",
+          col("n_ab") / sqrt((col("n_a") * col("n_b")).cast("double")))
+      val w = Window.partitionBy(col("item"))
+        .orderBy(col("sim").desc, col("neighbor"))
+      sim.withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select(col("item"), col("rk"), col("neighbor"), col("n_ab"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("item"), col("rk"))
+    }),
+
+    // 3-core of the co-purchase graph: iterative peel of sub-3-degree
+    // vertices to the fixpoint — the dense-cluster vs stringy-periphery
+    // separator. Summary row: full vs core sizes.
+    "q203_copurchase_kcore" -> ((s, dir) => {
+      val edges = copurchaseEdges(s, dir)
+      val core = graft.operators.Graph.kCore(edges, "pa", "pb", k = 3)
+      def census(df: org.apache.spark.sql.DataFrame, a: String, b: String,
+          en: String, vn: String) =
+        df.select(col(a).as("v")).unionAll(df.select(col(b).as("v")))
+          .agg((count(lit(1)) / 2).cast("bigint").as(en),
+            countDistinct(col("v")).as(vn))
+      census(edges, "pa", "pb", "n_edges_full", "n_nodes_full")
+        .crossJoin(census(core, "a", "b", "n_edges_core", "n_nodes_core"))
+    }),
+
+    // Degree assortativity of the co-purchase graph: Pearson correlation
+    // of endpoint degrees over directed edge ends — do hubs link to hubs
+    // (r>0) or to the periphery (r<0)? All moments are exact integer sums
+    // (symmetric by the both-directions expansion, so no sqrt is needed:
+    // r = (m·Σxy − Σx²ᵐᵉᵃⁿ)/(m·Σx² − (Σx)²)); one double division at the
+    // readout. At 100 TB the only caveat is Σx² staying under int64 —
+    // lift to decimal(38,0) past ~10^9 edge-ends.
+    "q205_degree_assortativity" -> ((s, dir) => {
+      val e = copurchaseEdges(s, dir)
+        .select(col("pa").as("a"), col("pb").as("b"))
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val ends = e
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      val both = ends.select(col("da").as("x"), col("db").as("y"))
+        .unionAll(ends.select(col("db").as("x"), col("da").as("y")))
+      both.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("m"), col("sx"), col("sxy"), col("sxx"),
+          round((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("assortativity"))
+    }),
+
+    // Percentile-sketch error audit: exact per-flag price percentiles
+    // (value-count cumulative rank) vs the q88 fixed-bin estimate at the
+    // same ranks — the measured-error gate that validates a bin width
+    // before the cheap path runs corpus-wide. Integer cents throughout.
+    "q200_percentile_error" -> ((s, dir) => {
+      import graft.operators.Histogram
+      val cents = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
+      val exact = Histogram.exactPercentiles(cents, "l_returnflag", "cents",
+          Seq(500000, 900000))
+        .select(col("l_returnflag"), col("p_500000").as("exact_p50"),
+          col("p_900000").as("exact_p90"))
+      val est = Histogram.binPercentiles(cents, "l_returnflag", "cents",
+          binWidth = 10000.0, Seq(500000, 900000))
+        .select(col("l_returnflag"),
+          col("p_500000").cast("bigint").as("est_p50"),
+          col("p_900000").cast("bigint").as("est_p90"))
+      exact.join(est, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          col("exact_p50"), col("est_p50"),
+          (col("exact_p50") - col("est_p50")).as("err_p50"),
+          col("exact_p90"), col("est_p90"),
+          (col("exact_p90") - col("est_p90")).as("err_p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Pricing summary (TPC-H Q1 shape): scan + filter + groupBy aggregate.
     // Covers SURVEY §2.2 P2 (range predicate pushed to parquet) + §2.4 A5/A6.
     "q01_pricing_summary" -> ((s, dir) => {
@@ -697,6 +855,164 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q196_fd_audit" -> {
+      def fd(table: String, name: String, lhs: String, rhs: String) =
+        s"""SELECT '$table.$name' AS fd, count(*) AS n_groups,
+           |  CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |    AS n_violating_groups,
+           |  CAST(coalesce(sum(CASE WHEN nd > 1 THEN n_rows ELSE 0 END), 0) AS BIGINT)
+           |    AS n_ambiguous_rows,
+           |  (CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) = 0)
+           |    AS holds
+           |FROM (SELECT $lhs, count(*) AS n_rows, count(DISTINCT $rhs) AS nd
+           |      FROM $table GROUP BY $lhs)""".stripMargin
+      Seq(
+        fd("part", "p_partkey_name", "p_partkey", "p_name"),
+        fd("part", "p_brand_type", "p_brand", "p_type"),
+        fd("orders", "o_orderkey_custkey", "o_orderkey", "o_custkey"),
+        fd("orders", "o_custkey_priority", "o_custkey", "o_orderpriority"),
+        fd("lineitem", "l_partkey_suppkey", "l_partkey", "l_suppkey"),
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    },
+
+    "q197_benford" ->
+      """WITH p AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |pos AS (SELECT cents FROM p WHERE cents > 0),
+        |t AS (SELECT count(*) AS n FROM pos),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |        AS digit, count(*) AS cnt
+        |      FROM pos GROUP BY 1),
+        |e AS (SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(301030 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(176091 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(124939 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(96910 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(79181 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), CAST(66947 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), CAST(57992 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), CAST(51153 AS BIGINT)),
+        |  (CAST(9 AS BIGINT), CAST(45757 AS BIGINT))) AS v(digit, expected_ppm))
+        |SELECT e.digit, CAST(coalesce(cnt, 0) AS BIGINT) AS n,
+        |  CAST(coalesce(cnt, 0) AS BIGINT) * 1000000 // n AS share_ppm,
+        |  e.expected_ppm,
+        |  abs(CAST(coalesce(cnt, 0) AS BIGINT) * 1000000 // n
+        |      - e.expected_ppm) AS dev_ppm
+        |FROM e LEFT JOIN d USING (digit), t ORDER BY e.digit""".stripMargin,
+
+    "q199_copurchase_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n_ab
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, count(*) AS deg FROM
+        |          (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY v),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
+        |    AS n_wedges,
+        |  n_triangles,
+        |  CASE WHEN (SELECT sum(deg * (deg - 1) // 2) FROM deg) > 0
+        |       THEN n_triangles * 3 * 1000000 //
+        |            (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
+        |       ELSE 0 END AS global_cc_ppm
+        |FROM tri""".stripMargin,
+
+    "q202_item_item_sim" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |m AS (SELECT l_partkey, count(*) AS n_i FROM li GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS item, b.l_partkey AS neighbor,
+        |        count(*) AS n_ab
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                         AND a.l_partkey <> b.l_partkey
+        |      GROUP BY 1, 2),
+        |s AS (SELECT item, neighbor, n_ab,
+        |        CAST(n_ab AS DOUBLE) / sqrt(CAST(ma.n_i * mb.n_i AS DOUBLE))
+        |          AS sim
+        |      FROM p JOIN m ma ON ma.l_partkey = item
+        |             JOIN m mb ON mb.l_partkey = neighbor),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY item ORDER BY sim DESC, neighbor) AS rk FROM s)
+        |SELECT item, rk, neighbor, n_ab, round(sim, 6) AS sim
+        |FROM r WHERE rk <= 3 ORDER BY item, rk""".stripMargin,
+
+    "q203_copurchase_kcore" -> {
+      // 10 unrolled peel rounds; Round5cSpec asserts the fixpoint is
+      // reached well inside that (the Spark side loops to convergence).
+      // MATERIALIZED keeps DuckDB from inlining each round into an
+      // exponential re-read of the base parquet (file-handle blow-up).
+      val rounds = (1 to 10).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT v, count(*) AS deg FROM
+           |  (SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+           |  GROUP BY v),
+           |e$i AS MATERIALIZED (SELECT e${i - 1}.a, e${i - 1}.b FROM e${i - 1}
+           |  JOIN d$i da ON da.v = e${i - 1}.a
+           |  JOIN d$i db ON db.v = e${i - 1}.b
+           |  WHERE da.deg >= 3 AND db.deg >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $copurchaseCte,
+         |e0 AS MATERIALIZED (SELECT a, b FROM e),
+         |$rounds
+         |SELECT
+         |  (SELECT count(*) FROM e0) AS n_edges_full,
+         |  (SELECT count(DISTINCT v) FROM
+         |    (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)) AS n_nodes_full,
+         |  (SELECT count(*) FROM e10) AS n_edges_core,
+         |  (SELECT count(DISTINCT v) FROM
+         |    (SELECT a AS v FROM e10 UNION ALL SELECT b FROM e10)) AS n_nodes_core""".stripMargin
+    },
+
+    "q205_degree_assortativity" ->
+      s"""WITH $copurchaseCte,
+         |deg AS (SELECT v, count(*) AS deg FROM
+         |          (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+         |        GROUP BY v),
+         |ends AS (SELECT da.deg AS x, db.deg AS y
+         |         FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+         |de AS (SELECT x, y FROM ends UNION ALL SELECT y, x FROM ends)
+         |SELECT count(*) AS m, CAST(sum(x) AS BIGINT) AS sx,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  round(CAST(count(*) * CAST(sum(x * y) AS BIGINT)
+         |          - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS DOUBLE)
+         |      / CAST(count(*) * CAST(sum(x * x) AS BIGINT)
+         |          - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS DOUBLE), 6)
+         |    AS assortativity
+         |FROM de""".stripMargin,
+
+    "q200_percentile_error" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |vc AS (SELECT g, v, count(*) AS c FROM c GROUP BY 1, 2),
+        |cum AS (SELECT g, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM vc),
+        |ex AS (SELECT g,
+        |    min(CASE WHEN cum * 1000000 >= n * 500000 THEN v END) AS exact_p50,
+        |    min(CASE WHEN cum * 1000000 >= n * 900000 THEN v END) AS exact_p90
+        |  FROM cum GROUP BY g),
+        |b AS (SELECT g, v // 10000 AS bin, count(*) AS c FROM c GROUP BY 1, 2),
+        |bc AS (SELECT g, bin,
+        |    sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM b),
+        |es AS (SELECT g,
+        |    min(CASE WHEN cum * 1000000 >= n * 500000 THEN bin END) * 10000
+        |      AS est_p50,
+        |    min(CASE WHEN cum * 1000000 >= n * 900000 THEN bin END) * 10000
+        |      AS est_p90
+        |  FROM bc GROUP BY g)
+        |SELECT ex.g AS l_returnflag,
+        |  exact_p50, CAST(est_p50 AS BIGINT) AS est_p50,
+        |  exact_p50 - est_p50 AS err_p50,
+        |  exact_p90, CAST(est_p90 AS BIGINT) AS est_p90,
+        |  exact_p90 - est_p90 AS err_p90
+        |FROM ex JOIN es ON ex.g = es.g ORDER BY l_returnflag""".stripMargin,
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity", 2)} AS sum_qty,

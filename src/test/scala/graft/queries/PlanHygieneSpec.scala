@@ -41,6 +41,11 @@ class PlanHygieneSpec extends SparkSpec {
     "q96_idle_rich_customers", // 1-row scalar average attached to customers
     "q99_funnel",             // three 1-row stage aggregates crossed into one row
     "q103_ann_recall",        // exact-kNN ground truth: broadcast query set × corpus
+    "q199_copurchase_triangles", // three 1-row census aggregates (edge,
+                              // degree, triangle counts) crossed into the
+                              // single summary row
+    "q203_copurchase_kcore",  // full-graph and core-graph 1-row censuses
+                              // crossed into the summary row
     "q106_token_cooccurrence", // 1-row corpus count attached to pair supports
     "q50_iot_detect_pipeline", // simulator: tick sequence × broadcast metric
                                // spec table (generator fan-out, not a corpus)
@@ -48,6 +53,9 @@ class PlanHygieneSpec extends SparkSpec {
                                // (feeds bucketing + min-max/z-score readouts)
     "q113_bm25_topk",          // 1-row corpus stats (N, Σdl, df) broadcast
                                // back onto the narrow per-doc tf/dl scan
+    "q204_rrf_fusion",         // composes q113's BM25 chain — same 1-row
+                               // stats cross; the fusion join itself is a
+                               // 30-row × 30-row equi full-outer
     "q118_chi2_independence",  // 1-row grand total attached to the
                                // category-sized contingency cell table
     "q121_lang_kappa",         // 1-row chance-agreement aggregate attached
