@@ -172,6 +172,55 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Skyline / Pareto frontier (the multi-criteria shortlist operator):
+    // parts no other part beats on BOTH price (lower) and size (higher).
+    // 2-D needs no pairwise stage: distinct value pairs, best-per-price,
+    // one cumulative-max sweep over the price DOMAIN.
+    "q209_skyline_parts" -> ((s, dir) => {
+      graft.operators.Skyline.skyline2d(
+        t(s, dir, "part").select(
+          round(col("p_retailprice") * 100).cast("bigint").as("price_cents"),
+          col("p_size").cast("bigint").as("size")),
+        "price_cents", "size")
+        .withColumnRenamed("x", "price_cents")
+        .withColumnRenamed("y", "size")
+        .withColumnRenamed("n_rows", "n_parts")
+    }),
+
+    // Blocking-quality audit for fuzzy linkage: on a bounded probe subset,
+    // the EXACT edit-distance pair set vs the same pairs restricted to
+    // q105's blocking key (p_brand) — pair completeness (recall the key
+    // gives up across blocks) and the comparison reduction it buys. The
+    // measured trade-off that justifies a blocking key before linking a
+    // full catalog. The all-pairs stage exists ONLY on the ~400-row audit
+    // subset (by design; the corpus-scale path stays banded q105).
+    "q210_blocking_quality" -> ((s, dir) => {
+      val sub = t(s, dir, "part").filter(col("p_partkey") < 400)
+        .select(col("p_partkey").as("id"), col("p_name").as("nm"),
+          col("p_brand").as("blk"))
+      val pairs = sub.as("a").join(sub.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          (col("a.blk") === col("b.blk")).as("same_block"),
+          levenshtein(col("a.nm"), col("b.nm"), 3).as("d"))
+        .withColumn("is_true", col("d") >= 0 && col("d") <= 3)
+      val blockSizes = sub.groupBy(col("blk")).agg(count(lit(1)).as("c"))
+      val cmp = blockSizes
+        .agg(sum(expr("c * (c - 1) div 2")).as("n_comparisons_blocked"))
+      pairs.agg(
+          count(lit(1)).as("n_comparisons_full"),
+          sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true_pairs"),
+          sum(when(col("is_true") && col("same_block"), 1L).otherwise(0L))
+            .as("n_blocked_true"))
+        .crossJoin(broadcast(cmp))
+        .select(col("n_comparisons_full"), col("n_comparisons_blocked"),
+          expr("(n_comparisons_full - n_comparisons_blocked) * 1000000" +
+            " div n_comparisons_full").as("reduction_ppm"),
+          col("n_true_pairs"), col("n_blocked_true"),
+          when(col("n_true_pairs") > 0,
+            expr("n_blocked_true * 1000000 div n_true_pairs")).otherwise(0L)
+            .as("pair_completeness_ppm"))
+    }),
+
     // Pricing summary (TPC-H Q1 shape): scan + filter + groupBy aggregate.
     // Covers SURVEY §2.2 P2 (range predicate pushed to parquet) + §2.4 A5/A6.
     "q01_pricing_summary" -> ((s, dir) => {
@@ -922,6 +971,46 @@ object Relational {
         |            (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
         |       ELSE 0 END AS global_cc_ppm
         |FROM tri""".stripMargin,
+
+    "q209_skyline_parts" ->
+      """WITH pts AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT)
+        |    AS price_cents, CAST(p_size AS BIGINT) AS size FROM part),
+        |vc AS (SELECT price_cents, size, count(*) AS n_parts
+        |       FROM pts GROUP BY 1, 2),
+        |pm AS (SELECT vc.price_cents, vc.size, vc.n_parts FROM vc
+        |       JOIN (SELECT price_cents, max(size) AS size FROM vc GROUP BY 1)
+        |         mx USING (price_cents, size)),
+        |sk AS (SELECT *, max(size) OVER (ORDER BY price_cents
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         AS best_before FROM pm)
+        |SELECT price_cents, size, n_parts FROM sk
+        |WHERE best_before IS NULL OR size > best_before
+        |ORDER BY price_cents""".stripMargin,
+
+    "q210_blocking_quality" ->
+      """WITH sub AS (SELECT p_partkey AS id, p_name AS nm, p_brand AS blk
+        |             FROM part WHERE p_partkey < 400),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+        |         (a.blk = b.blk) AS same_block,
+        |         (levenshtein(a.nm, b.nm) <= 3) AS is_true
+        |       FROM sub a JOIN sub b ON a.id < b.id),
+        |bs AS (SELECT blk, count(*) AS c FROM sub GROUP BY 1),
+        |cmp AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT)
+        |          AS n_comparisons_blocked FROM bs),
+        |agg AS (SELECT count(*) AS n_comparisons_full,
+        |          CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_true_pairs,
+        |          CAST(sum(CASE WHEN is_true AND same_block THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_blocked_true
+        |        FROM pr)
+        |SELECT n_comparisons_full, n_comparisons_blocked,
+        |  (n_comparisons_full - n_comparisons_blocked) * 1000000
+        |    // n_comparisons_full AS reduction_ppm,
+        |  n_true_pairs, n_blocked_true,
+        |  CASE WHEN n_true_pairs > 0
+        |       THEN n_blocked_true * 1000000 // n_true_pairs
+        |       ELSE 0 END AS pair_completeness_ppm
+        |FROM agg, cmp""".stripMargin,
 
     "q202_item_item_sim" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -29,6 +29,26 @@ object Vectors {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    // The SQL front door under the oracle gate: a plain spark.sql text
+    // query over registered temp views, using the SparkSessionExtensions-
+    // injected functions (cosine_sim, l2_norm) — proving a reference user
+    // can drive this engine from SQL alone and still hash-match DuckDB.
+    // The custom expressions' left-fold order is the portability contract
+    // (q20/q192 pin it); the ORDER BY sorts the ROUNDED similarity with a
+    // vec_id tie-break so the LIMIT cut is engine-stable.
+    "q211_sql_surface" -> ((s, dir) => {
+      graft.sources.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT v.vec_id, v.label,
+          round(cosine_sim(v.embedding, q.embedding), 6) AS sim,
+          round(l2_norm(v.embedding), 6) AS norm
+        FROM embeddings v
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE v.vec_id <> 0
+        ORDER BY sim DESC, v.vec_id LIMIT 10
+      """)
+    }),
+
     // Hard-negative mining for contrastive training: per anchor, the
     // top-5 most-similar DIFFERENT-label vectors (the closest wrong
     // answers). Same bounded top-k plan as q22; the label inequality is
@@ -313,6 +333,22 @@ object Vectors {
       |c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM g GROUP BY label)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors q211's SQL text: DuckDB's list_cosine_similarity agrees
+    // with the codegen'd CosineSimilarity fold (q20 pins that), and the
+    // norm is the explicit left list_reduce q192 pins.
+    "q211_sql_surface" ->
+      """SELECT v.vec_id, v.label,
+        |  round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |                               CAST(q.embedding AS DOUBLE[])), 6) AS sim,
+        |  round(sqrt(list_reduce(
+        |    list_prepend(0.0, list_transform(CAST(v.embedding AS DOUBLE[]),
+        |                                     x -> x * x)),
+        |    (a, x) -> a + x)), 6) AS norm
+        |FROM embeddings v
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE v.vec_id <> 0
+        |ORDER BY sim DESC, v.vec_id LIMIT 10""".stripMargin,
+
     // Mirrors Knn.hardNegatives: per-anchor ranking restricted to rows
     // with a DIFFERENT label, ties broken by lower neighbor id.
     "q142_hard_negatives" ->

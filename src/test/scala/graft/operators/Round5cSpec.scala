@@ -288,6 +288,40 @@ class Round5cSpec extends SparkSpec {
     }
   }
 
+  // ---- Skyline ----------------------------------------------------------
+
+  test("skyline2d equals the naive dominance filter and is a strict staircase") {
+    val rnd = new Random(23)
+    val pts = (1 to 2000).map(_ => (rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+    val out = Skyline.skyline2d(pts.toDF("x", "y"), "x", "y").collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Long]("n_rows")))
+    val naive = pts.distinct.filter { case (x, y) =>
+      !pts.exists { case (x2, y2) => x2 <= x && y2 >= y && (x2 < x || y2 > y) }
+    }
+    assert(out.map(p => (p._1, p._2)).toSet === naive.toSet)
+    out.foreach { case (x, y, n) =>
+      assert(n === pts.count(_ == ((x, y))).toLong)
+    }
+    val sorted = out.sortBy(_._1)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) =>
+      a._1 < b._1 && a._2 < b._2
+    })
+  }
+
+  // ---- blocking quality --------------------------------------------------
+
+  test("blocking-quality audit invariants hold on sf0.001 parts") {
+    val r = graft.SparkEntry.queries("q210_blocking_quality")(spark, sf("sf0.001"))
+      .head()
+    val (full, blocked) = (r.getAs[Long]("n_comparisons_full"),
+      r.getAs[Long]("n_comparisons_blocked"))
+    assert(blocked <= full && full > 0)
+    assert(r.getAs[Long]("n_blocked_true") <= r.getAs[Long]("n_true_pairs"))
+    assert(r.getAs[Long]("reduction_ppm") === (full - blocked) * 1000000 / full)
+    val pc = r.getAs[Long]("pair_completeness_ppm")
+    assert(pc >= 0 && pc <= 1000000)
+  }
+
   // ---- session dwell ----------------------------------------------------
 
   test("session dwell excludes cross-session gaps and folds exact micros") {

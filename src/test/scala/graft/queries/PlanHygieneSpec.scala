@@ -46,6 +46,11 @@ class PlanHygieneSpec extends SparkSpec {
                               // single summary row
     "q203_copurchase_kcore",  // full-graph and core-graph 1-row censuses
                               // crossed into the summary row
+    "q210_blocking_quality",  // exact ground-truth pair set on a bounded
+                              // ~400-row audit subset (the corpus-scale
+                              // linkage path stays the banded q105)
+    "q211_sql_surface",       // 1-row query vector crossed onto the scan
+                              // (q20's shape, written in SQL text)
     "q106_token_cooccurrence", // 1-row corpus count attached to pair supports
     "q50_iot_detect_pipeline", // simulator: tick sequence × broadcast metric
                                // spec table (generator fan-out, not a corpus)
