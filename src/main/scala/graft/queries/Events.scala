@@ -16,6 +16,18 @@ import Q._
 object Events {
 
   val queries: Map[String, QueryFn] = Map(
+    // The STREAMING seasonal monitor run in batch mode — same code path,
+    // same integer arithmetic as its stream form (stream-static broadcast
+    // baseline join + windowed counts), so the online operator itself
+    // sits under the DuckDB hash gate (q107/q147/q157 discipline).
+    "q212_streaming_seasonal_batch" -> ((s, dir) => {
+      import graft.streaming.StreamingSeasonal
+      val ev = t(s, dir, "events")
+      StreamingSeasonal.residuals(ev,
+          StreamingSeasonal.baseline(ev, col("ts")), "ts")
+        .orderBy(col("slot"))
+    }),
+
     // Per-event-type dwell time: seconds until the user's NEXT in-session
     // event (q46's 1800 s gap rule bounds a dwell) — which screens hold
     // attention and which bounce. One per-user lead window, exact integer
@@ -862,6 +874,24 @@ object Events {
        |FROM events GROUP BY event_type)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q201's chain, every closed hour, ordered by slot (no top-N): the
+    // batch run of the streaming seasonal monitor.
+    "q212_streaming_seasonal_batch" ->
+      """WITH s AS (SELECT date_trunc('hour', ts) AS slot, count(*) AS n_events
+        |           FROM events GROUP BY 1),
+        |k AS (SELECT slot, n_events,
+        |        CAST(dayofweek(slot) + 1 AS BIGINT) AS dow,
+        |        CAST(hour(slot) AS BIGINT) AS hr FROM s),
+        |b AS (SELECT dow, hr, CAST(sum(n_events) AS BIGINT) AS total,
+        |        count(*) AS n_slots FROM k GROUP BY 1, 2)
+        |SELECT strftime(k.slot, '%Y-%m-%d %H') AS slot, k.dow, k.hr,
+        |  k.n_events, total // n_slots AS baseline_floor,
+        |  (CASE WHEN k.n_events * n_slots < total THEN -1 ELSE 1 END)
+        |    * (abs(k.n_events * n_slots - total) * 1000000 // total)
+        |    AS residual_ppm
+        |FROM k JOIN b USING (dow, hr)
+        |ORDER BY slot""".stripMargin,
+
     // Mirrors the q207 dwell chain: same lead window (ts, event_id
     // tie-break), same 1800 s bound, same truncating integer readouts.
     "q207_session_dwell" ->

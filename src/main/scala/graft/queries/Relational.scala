@@ -221,6 +221,65 @@ object Relational {
             .as("pair_completeness_ppm"))
     }),
 
+    // Prefix autocomplete build: top-3 completions per 3-char name prefix
+    // by frequency — the search-suggest index as a batch artifact. The
+    // per-prefix rank is a bounded top-k (integral sort key, so the
+    // grouped-top-k rewrite applies); output is prefix-domain-sized.
+    "q213_prefix_autocomplete" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "part")
+        .select(lower(col("p_name")).as("nm"))
+        .withColumn("prefix", substring(col("nm"), 1, 3))
+        .groupBy(col("prefix"), col("nm")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("prefix"))
+        .orderBy(col("n").desc, col("nm"))
+      counts.withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select(col("prefix"), col("rk"), col("nm").as("suggestion"), col("n"))
+        .orderBy(col("prefix"), col("rk"))
+    }),
+
+    // ABC/XYZ inventory classification: revenue Pareto class (A ≤ 80%,
+    // B ≤ 95% cumulative) × demand-variability class from monthly
+    // quantity CV (X: CV < 0.5, Y: CV < 1) — the supply-chain planning
+    // matrix. CV classes come from the exact integer identity
+    // CV² = (n·Σq² − T²)/T², so no float ever decides a class; the only
+    // ordered window runs over the PART domain.
+    "q214_abc_xyz" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val rev = li.groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("rev"))
+      val ordR = Window.orderBy(col("rev").desc, col("l_partkey"))
+      val abc = rev
+        .withColumn("cum", sum(col("rev")).over(
+          ordR.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(rev.agg(sum(col("rev")).as("total"))))
+        .select(col("l_partkey"), col("rev"),
+          when(col("cum") * 10 <= col("total") * 8, "A")
+            .when(col("cum") * 20 <= col("total") * 19, "B")
+            .otherwise("C").as("abc"))
+      val monthly = li.groupBy(col("l_partkey"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("q"))
+      val xyz = monthly.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("t"),
+          sum(col("q") * col("q")).as("s2"))
+        .select(col("l_partkey"),
+          when((col("n") * col("s2") - col("t") * col("t")) * 4 <
+            col("t") * col("t"), "X")
+            .when(col("n") * col("s2") - col("t") * col("t") <
+              col("t") * col("t"), "Y")
+            .otherwise("Z").as("xyz"))
+      abc.join(xyz, Seq("l_partkey"))
+        .groupBy(col("abc"), col("xyz"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cents"))
+        .crossJoin(broadcast(rev.agg(sum(col("rev")).as("total"))))
+        .select(col("abc"), col("xyz"), col("n_parts"), col("rev_cents"),
+          expr("rev_cents * 1000000 div total").as("rev_share_ppm"))
+        .orderBy(col("abc"), col("xyz"))
+    }),
+
     // Pricing summary (TPC-H Q1 shape): scan + filter + groupBy aggregate.
     // Covers SURVEY §2.2 P2 (range predicate pushed to parquet) + §2.4 A5/A6.
     "q01_pricing_summary" -> ((s, dir) => {
@@ -971,6 +1030,48 @@ object Relational {
         |            (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
         |       ELSE 0 END AS global_cc_ppm
         |FROM tri""".stripMargin,
+
+    "q213_prefix_autocomplete" ->
+      """WITH c AS (SELECT substr(lower(p_name), 1, 3) AS prefix,
+        |        lower(p_name) AS nm, count(*) AS n
+        |      FROM part GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY prefix ORDER BY n DESC, nm) AS rk FROM c)
+        |SELECT prefix, rk, nm AS suggestion, n FROM r WHERE rk <= 3
+        |ORDER BY prefix, rk""".stripMargin,
+
+    "q214_abc_xyz" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM rev),
+        |abc AS (SELECT l_partkey, rev,
+        |    CASE WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10
+        |           <= total * 8 THEN 'A'
+        |         WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 20
+        |           <= total * 19 THEN 'B'
+        |         ELSE 'C' END AS abc
+        |  FROM rev, tot),
+        |m AS (SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+        |        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |      FROM lineitem GROUP BY 1, 2),
+        |xyz AS (SELECT l_partkey,
+        |    CASE WHEN (count(*) * CAST(sum(q * q) AS BIGINT)
+        |               - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT)) * 4
+        |             < CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) THEN 'X'
+        |         WHEN count(*) * CAST(sum(q * q) AS BIGINT)
+        |               - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT)
+        |             < CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) THEN 'Y'
+        |         ELSE 'Z' END AS xyz
+        |  FROM m GROUP BY l_partkey)
+        |SELECT abc, xyz, count(*) AS n_parts,
+        |  CAST(sum(rev) AS BIGINT) AS rev_cents,
+        |  CAST(sum(rev) AS BIGINT) * 1000000 // total AS rev_share_ppm
+        |FROM abc JOIN xyz USING (l_partkey), tot
+        |GROUP BY abc, xyz, total ORDER BY abc, xyz""".stripMargin,
 
     "q209_skyline_parts" ->
       """WITH pts AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT)

@@ -51,6 +51,8 @@ class PlanHygieneSpec extends SparkSpec {
                               // linkage path stays the banded q105)
     "q211_sql_surface",       // 1-row query vector crossed onto the scan
                               // (q20's shape, written in SQL text)
+    "q214_abc_xyz",           // 1-row revenue total crossed onto the
+                              // part-domain Pareto/CV frames (twice)
     "q106_token_cooccurrence", // 1-row corpus count attached to pair supports
     "q50_iot_detect_pipeline", // simulator: tick sequence × broadcast metric
                                // spec table (generator fan-out, not a corpus)
