@@ -25,6 +25,55 @@ object Documents {
         numHashes = 8, rowsPerBand = 2)
     }),
 
+    // Source-level novelty: per source, its distinct shingle mass and the
+    // share of it OWNED by that source under a fixed alphabetical union
+    // order — "which dump still adds content if we ingest A, then B, …".
+    // The source-granular complement of q153's crawl-order novelty; the
+    // first-owner is a min aggregate on the shingle hash (df-table shape,
+    // one shuffle on the hash).
+    "q216_source_novelty" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{hash32, shingles, tokens}
+      val sh = t(s, dir, "documents")
+        .select(col("source"),
+          explode(array_distinct(transform(
+            shingles(tokens(col("text")), 3), x => hash32(x, 0)))).as("h"))
+        .distinct()
+      val owner = sh.groupBy(col("h")).agg(min(col("source")).as("owner"))
+      val own = sh.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_distinct_shingles"))
+      val novel = owner.groupBy(col("owner").as("source"))
+        .agg(count(lit(1)).as("n_novel"))
+      own.join(novel, Seq("source"), "left")
+        .select(col("source"), col("n_distinct_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          expr("coalesce(n_novel, 0) * 1000000 div n_distinct_shingles")
+            .as("novel_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // Quality-band duplication rate: per fixed 0.1-wide quality band, the
+    // share of docs appearing in a verified near-dup pair — the
+    // data-centric diagnosis of whether low-quality content is also the
+    // duplicated content (if so, the quality cut buys dedup for free).
+    // Fixed score bands, not population deciles: zero global windows.
+    "q215_quality_dup_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_ppm"))
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text")
+      val dups = pairs.select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
+        .withColumn("is_dup", lit(1L))
+      scored.join(dups, Seq("doc_id"), "left")
+        .select(least(expr("quality_ppm div 100000"), lit(9L)).as("band"),
+          coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup"))
+        .select(col("band"), col("n_docs"), col("n_dup"),
+          expr("n_dup * 1000000 div n_docs").as("dup_ppm"))
+        .orderBy(col("band"))
+    }),
+
     // Near-dup threshold sweep: surviving verified-pair counts at Jaccard
     // 0.3/0.5/0.7/0.8/0.9 from ONE banding pass — the threshold-tuning
     // table that prices a dedup cut before running it corpus-wide.
@@ -1018,6 +1067,74 @@ object Documents {
          |  CAST(sum(abs(n_match * 125000 - ex_ppm)) AS BIGINT) // count(*)
          |    AS mean_abs_err_ppm
          |FROM pair GROUP BY n_match ORDER BY n_match""".stripMargin
+    },
+
+    // Reproduces q216: distinct (source, shingle-hash) set, min-source
+    // owner, per-source totals vs owned mass.
+    "q216_source_novelty" ->
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |ss AS (SELECT DISTINCT d.source, ${h32("s", 0)} AS h
+         |       FROM sh JOIN documents d USING (doc_id)),
+         |own AS (SELECT source, count(*) AS n_distinct_shingles
+         |        FROM ss GROUP BY 1),
+         |fo AS (SELECT h, min(source) AS owner FROM ss GROUP BY h),
+         |nv AS (SELECT owner AS source, count(*) AS n_novel FROM fo GROUP BY 1)
+         |SELECT own.source, n_distinct_shingles,
+         |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+         |  CAST(coalesce(n_novel, 0) AS BIGINT) * 1000000
+         |    // n_distinct_shingles AS novel_ppm
+         |FROM own LEFT JOIN nv ON nv.source = own.source
+         |ORDER BY own.source""".stripMargin,
+
+    // Reproduces q215: q31's verified-pair chain for the dup set, q41's
+    // integer quality chain for the bands.
+    "q215_quality_dup_rate" -> {
+      import graft.functions.TextFunctions.minhashPermSql
+      val sigCols = (0 until 8)
+        .map(i => s"min(${minhashPermSql(h32("s", 0), i)}) AS sig$i")
+        .mkString(",\n  ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS b, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS v FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""WITH $tokCte,
+         |${shingleCte(3)},
+         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM band x JOIN band y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, ${h32("s", 0)} AS s FROM sh),
+         |cnt AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS ni
+         |          FROM cand JOIN dsh a ON a.doc_id = id_a
+         |                    JOIN dsh b ON b.doc_id = id_b AND a.s = b.s
+         |          GROUP BY id_a, id_b),
+         |vp AS (SELECT id_a, id_b FROM inter
+         |  JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+         |  WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= 0.5),
+         |dup AS (SELECT DISTINCT doc_id FROM
+         |         (SELECT id_a AS doc_id FROM vp
+         |          UNION ALL SELECT id_b FROM vp)),
+         |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |g AS (SELECT doc_id, count(*) AS n_tokens,
+         |        count(*) FILTER (w IN ('a', 'the')) AS n_stop,
+         |        CAST(sum(length(w)) AS BIGINT) AS sum_len
+         |      FROM tk GROUP BY doc_id),
+         |pq AS (SELECT doc_id,
+         |        (n_stop * 1000000) // n_tokens AS stop_ppm,
+         |        least((sum_len * 1000000) // (8 * n_tokens), 1000000) AS len_ppm,
+         |        least(n_tokens * 10000, 1000000) AS tok_ppm
+         |      FROM g),
+         |qq AS (SELECT doc_id,
+         |        (tok_ppm * 3 + (1000000 - stop_ppm) * 4 + len_ppm * 3) // 10 AS sc
+         |      FROM pq),
+         |j AS (SELECT qq.doc_id, least(sc // 100000, 9) AS band,
+         |        CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+         |      FROM qq LEFT JOIN dup ON dup.doc_id = qq.doc_id)
+         |SELECT band, count(*) AS n_docs,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+         |  CAST(sum(is_dup) AS BIGINT) * 1000000 // count(*) AS dup_ppm
+         |FROM j GROUP BY band ORDER BY band""".stripMargin
     },
 
     // Reproduces Dedup.thresholdSweep: q31's banding chain, conditional

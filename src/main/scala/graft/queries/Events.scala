@@ -16,6 +16,36 @@ import Q._
 object Events {
 
   val queries: Map[String, QueryFn] = Map(
+    // Last-touch attribution: each purchase credited to the user's most
+    // recent preceding view within 7 days, with the view→purchase lag
+    // bucketed — the marketing conversion-window readout. One per-user
+    // ignore-nulls `last` window; no self-join.
+    "q217_last_touch_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .withColumn("last_view_us",
+          last(when(col("event_type") === "view", unix_micros(col("ts"))),
+            ignoreNulls = true).over(byUser))
+        .filter(col("event_type") === "purchase" &&
+          col("last_view_us").isNotNull)
+        .withColumn("lag_s",
+          expr("(unix_micros(ts) - last_view_us) div 1000000"))
+        .filter(col("lag_s") <= 7L * 24 * 3600)
+        .withColumn("bucket",
+          when(col("lag_s") < 60, "0_under_1m")
+            .when(col("lag_s") < 600, "1_under_10m")
+            .when(col("lag_s") < 3600, "2_under_1h")
+            .when(col("lag_s") < 86400, "3_under_1d")
+            .otherwise("4_under_7d"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_purchases"),
+          expr("sum(lag_s) div count(1)").as("mean_lag_s"))
+        .orderBy(col("bucket"))
+    }),
+
     // The STREAMING seasonal monitor run in batch mode — same code path,
     // same integer arithmetic as its stream form (stream-static broadcast
     // baseline join + windowed counts), so the online operator itself
@@ -874,6 +904,27 @@ object Events {
        |FROM events GROUP BY event_type)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors q217: DuckDB's IGNORE NULLS last_value over the same
+    // (ts, event_id)-ordered preceding frame.
+    "q217_last_touch_attribution" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |    last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+        |               IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+        |  FROM events),
+        |p AS (SELECT (us - lv) // 1000000 AS lag_s FROM e
+        |      WHERE event_type = 'purchase' AND lv IS NOT NULL
+        |        AND (us - lv) // 1000000 <= 7 * 24 * 3600),
+        |b AS (SELECT CASE WHEN lag_s < 60 THEN '0_under_1m'
+        |                  WHEN lag_s < 600 THEN '1_under_10m'
+        |                  WHEN lag_s < 3600 THEN '2_under_1h'
+        |                  WHEN lag_s < 86400 THEN '3_under_1d'
+        |                  ELSE '4_under_7d' END AS bucket, lag_s FROM p)
+        |SELECT bucket, count(*) AS n_purchases,
+        |  CAST(sum(lag_s) AS BIGINT) // count(*) AS mean_lag_s
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q201's chain, every closed hour, ordered by slot (no top-N): the
     // batch run of the streaming seasonal monitor.
     "q212_streaming_seasonal_batch" ->
