@@ -11,6 +11,33 @@ import org.apache.spark.sql.SparkSession
 object PlanDump {
 
   private val commentary: Seq[(String, String)] = Seq(
+    "q199_copurchase_triangles" ->
+      ("Triangle census with degree-ordered orientation: every edge is " +
+        "directed from its lower (degree, id) endpoint, so the wedge self-join " +
+        "— the only super-linear stage — is bounded by Σ outdeg² = O(m^1.5) " +
+        "even on power-law co-purchase graphs where a naive adjacency join " +
+        "explodes on hub parts. All three joins are equi-joins on vertex ids " +
+        "(shuffle or broadcast per AQE); the BNLJ at the top crosses three " +
+        "1-row census aggregates, nothing else."),
+    "q209_skyline_parts" ->
+      ("Skyline/Pareto frontier without a pairwise stage: the corpus shrinks " +
+        "to DISTINCT (price, size) pairs in one map-combined aggregate, " +
+        "same-price domination collapses to a max-per-price, and the " +
+        "cross-price sweep is a cumulative-max window over the PRICE DOMAIN — " +
+        "the window's input is value-range-bounded, never row-count-bounded, " +
+        "so a 100 TB fact table costs one aggregate plus a tiny sort."),
+    "q195_minhash_error" ->
+      ("Sketch-accuracy audit sharing q31's exact plan shape: narrow " +
+        "signature projection (zero-shuffle), band-key equi-join for " +
+        "candidates, candidate-only exact rescoring. The only addition is a " +
+        "9-row aggregate keyed on the signature-agreement count — auditing " +
+        "the estimator costs the same as running it."),
+    "q203_copurchase_kcore" ->
+      ("Iterative peel: each round is one map-combined degree aggregate and " +
+        "two anti-joins against the sub-k vertex set, on an edge set that " +
+        "only shrinks; localCheckpoint truncates lineage and its count is the " +
+        "loop condition (no extra job). Rounds are bounded by degeneracy " +
+        "depth — single digits on real graphs."),
     "q01_pricing_summary" ->
       ("Scan → partial HashAggregate → exchange → final aggregate. The shipdate " +
         "predicate reaches the parquet scan (PushedFilters) and only the six " +

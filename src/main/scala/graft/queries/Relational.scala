@@ -280,6 +280,28 @@ object Relational {
         .orderBy(col("abc"), col("xyz"))
     }),
 
+    // Incremental materialized-view maintenance under the hash gate: the
+    // monthly revenue rollup computed as base-partition aggregate ⊎
+    // delta-partition aggregate, re-merged — the daily-refresh discipline
+    // a 100 TB warehouse lives by (re-aggregate the delta, merge the
+    // mergeable summaries; never rescan history). The cut date straddles
+    // a month on purpose, so the merge step is load-bearing; the oracle
+    // is the FULL recompute, certifying base ⊎ delta ≡ full.
+    "q218_incremental_rollup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cut = lit("1996-07-15").cast("timestamp")
+      def roll(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_cents"))
+      roll(o.filter(col("o_orderdate") < cut))
+        .unionByName(roll(o.filter(col("o_orderdate") >= cut)))
+        .groupBy(col("month"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("rev_cents")).as("rev_cents"))
+        .orderBy(col("month"))
+    }),
+
     // Pricing summary (TPC-H Q1 shape): scan + filter + groupBy aggregate.
     // Covers SURVEY §2.2 P2 (range predicate pushed to parquet) + §2.4 A5/A6.
     "q01_pricing_summary" -> ((s, dir) => {
@@ -1030,6 +1052,14 @@ object Relational {
         |            (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
         |       ELSE 0 END AS global_cc_ppm
         |FROM tri""".stripMargin,
+
+    // The FULL recompute — hash-matching it certifies the merge identity.
+    "q218_incremental_rollup" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q213_prefix_autocomplete" ->
       """WITH c AS (SELECT substr(lower(p_name), 1, 3) AS prefix,
