@@ -16,6 +16,52 @@ import Q._
 object Events {
 
   val queries: Map[String, QueryFn] = Map(
+    // Activity inequality (Gini) over events-per-user, exactly, with NO
+    // per-user rank window: users collapse to (activity count → user
+    // count) value groups, tied-rank blocks contribute in closed form
+    // (Σ rank·x over a tie block = c·(m·cum_before + m(m+1)/2)), and the
+    // Gini is one integer fraction (2Σrx − (n+1)Σx)·1e6 div (n·Σx) — the
+    // ordered window runs over the COUNT DOMAIN, never the user set. The
+    // concentration readout beside q194's HHI and q186's Pareto knees.
+    "q220_activity_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val vc = per.groupBy(col("c")).agg(count(lit(1)).as("m"))
+      val byC = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      vc.withColumn("cum_before",
+          coalesce(sum(col("m")).over(byC), lit(0L)))
+        .agg(
+          sum(col("m")).as("n_users"),
+          sum(col("c") * col("m")).as("total_events"),
+          sum(col("c") * (col("m") * col("cum_before") * 2 +
+            col("m") * (col("m") + 1))).as("rx2"))
+        .select(col("n_users"), col("total_events"),
+          expr("(rx2 - (n_users + 1) * total_events) * 1000000" +
+            " div (n_users * total_events)").as("gini_ppm"))
+    }),
+
+    // Exact DAU + rolling 7-day WAU per day. Sliding-window DISTINCT is
+    // the classic trap (a range self-join degenerates to a nested loop);
+    // here each (user, day) row EXPANDS to the ≤7 window days it serves
+    // (bounded fan-out, equi-join shape end to end), then one distinct
+    // count per day — day-domain-sized output, no non-equi join anywhere.
+    "q219_rolling_wau" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = ud.select(col("day")).distinct()
+      val contrib = ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      val wau = contrib.join(days, Seq("day"), "left_semi")
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      dau.join(wau, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"))
+        .orderBy(col("day"))
+    }),
+
     // Last-touch attribution: each purchase credited to the user's most
     // recent preceding view within 7 days, with the view→purchase lag
     // bucketed — the marketing conversion-window readout. One per-user
@@ -904,6 +950,37 @@ object Events {
        |FROM events GROUP BY event_type)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors q220's closed-form tie blocks over the count domain.
+    "q220_activity_gini" ->
+      """WITH per AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |vc AS (SELECT c, count(*) AS m FROM per GROUP BY 1),
+        |cb AS (SELECT c, m, coalesce(sum(m) OVER (ORDER BY c
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS cum_before FROM vc),
+        |agg AS (SELECT CAST(sum(m) AS BIGINT) AS n_users,
+        |          CAST(sum(c * m) AS BIGINT) AS total_events,
+        |          CAST(sum(c * (m * cum_before * 2 + m * (m + 1))) AS BIGINT)
+        |            AS rx2
+        |        FROM cb)
+        |SELECT n_users, total_events,
+        |  (rx2 - (n_users + 1) * total_events) * 1000000
+        |    // (n_users * total_events) AS gini_ppm
+        |FROM agg""".stripMargin,
+
+    // Mirrors q219: (user, day) set expanded to its 7 served days,
+    // distinct-counted per observed day.
+    "q219_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |c AS (SELECT user_id, ud.day + CAST(i AS INTEGER) AS day
+        |      FROM ud, (SELECT unnest(range(7)) AS i)),
+        |w AS (SELECT c.day, count(DISTINCT user_id) AS wau
+        |      FROM c JOIN days ON days.day = c.day GROUP BY 1),
+        |d AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, dau, wau
+        |FROM d JOIN w ON w.day = d.day ORDER BY day""".stripMargin,
+
     // Mirrors q217: DuckDB's IGNORE NULLS last_value over the same
     // (ts, event_id)-ordered preceding frame.
     "q217_last_touch_attribution" ->

@@ -348,6 +348,28 @@ class Round5cSpec extends SparkSpec {
     assert(out("view").getAs[Long]("max_dwell_ms") === 90000L)
   }
 
+  // ---- activity Gini (q220 algebra) ------------------------------------
+
+  test("Gini closed-form tie blocks equal the naive sorted-rank formula") {
+    val rnd = new Random(31)
+    val counts = (1 to 500).map(_ => 1L + rnd.nextInt(20))
+    val xs = counts.sorted
+    val (n, tot) = (xs.size.toLong, xs.sum)
+    val rx = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    val want = (2 * rx - (n + 1) * tot) * 1000000 / (n * tot)
+    // same computation as q220, over the value-count table
+    import org.apache.spark.sql.expressions.Window
+    val vc = counts.toDF("c").groupBy($"c").agg(count(lit(1)).as("m"))
+    val byC = Window.orderBy($"c").rowsBetween(Window.unboundedPreceding, -1)
+    val got = vc.withColumn("cum_before",
+        coalesce(sum($"m").over(byC), lit(0L)))
+      .agg(sum($"m").as("n"), sum($"c" * $"m").as("t"),
+        sum($"c" * ($"m" * $"cum_before" * 2 + $"m" * ($"m" + 1))).as("rx2"))
+      .select(expr("(rx2 - (n + 1) * t) * 1000000 div (n * t)"))
+      .head().getLong(0)
+    assert(got === want)
+  }
+
   // ---- Timeseries.seasonalResiduals -----------------------------------
 
   test("seasonalResiduals surfaces an injected burst with the exact ppm") {
