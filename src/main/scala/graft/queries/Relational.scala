@@ -250,10 +250,9 @@ object Relational {
       val li = t(s, dir, "lineitem")
       val rev = li.groupBy(col("l_partkey"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("rev"))
-      val ordR = Window.orderBy(col("rev").desc, col("l_partkey"))
-      val abc = rev
-        .withColumn("cum", sum(col("rev")).over(
-          ordR.rowsBetween(Window.unboundedPreceding, 0)))
+      // distributed prefix sum over the part domain (see q186)
+      val abc = graft.operators.PrefixSum.withRunningTotals(rev,
+          Seq(col("rev").desc, col("l_partkey")), Seq((col("rev"), "cum")))
         .crossJoin(broadcast(rev.agg(sum(col("rev")).as("total"))))
         .select(col("l_partkey"), col("rev"),
           when(col("cum") * 10 <= col("total") * 8, "A")
@@ -888,17 +887,16 @@ object Relational {
     // Customer-level revenue is the only corpus-sized aggregate; the
     // ordered window runs over customers.
     "q186_revenue_pareto" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val rev = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast(DecimalType(30, 2))).as("rev"))
       val tot = rev.agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("total"))
-      val ord = Window.orderBy(col("rev").desc, col("o_custkey"))
-      rev
-        .withColumn("rk", row_number().over(ord).cast("bigint"))
-        .withColumn("cum", sum(col("rev")).over(
-          ord.rowsBetween(Window.unboundedPreceding, 0)))
+      // distributed prefix sums — no single-partition window even though
+      // the frame is customer-domain-sized (billions at 100 TB)
+      graft.operators.PrefixSum.withRunningTotals(rev,
+          Seq(col("rev").desc, col("o_custkey")),
+          Seq((col("rev"), "cum"), (lit(1L), "rk")))
         .crossJoin(broadcast(tot))
         .agg(
           max(col("n_cust")).as("n_cust"),
