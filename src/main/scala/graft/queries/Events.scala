@@ -903,14 +903,25 @@ object Events {
     // over users.
     "q188_user_value_deciles" -> ((s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val byVal = Window.orderBy(col("val").desc, col("user_id"))
       val users = t(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(sum(col("value").cast(DecimalType(30, 6))).as("val"))
-      val tot = users.agg(sum(col("val")).as("total"))
-      users
-        .withColumn("decile", ntile(10).over(byVal).cast("bigint"))
+      val tot = users.agg(count(lit(1)).as("n"), sum(col("val")).as("total"))
+      // distributed rank (PrefixSum — no single-partition window over the
+      // user domain) + the SQL-standard ntile formula on (rk, n): the
+      // first n%10 buckets get ceil(n/10) rows, the rest floor(n/10) —
+      // identical to ntile(10) (PrefixSumSpec) and to DuckDB's.
+      graft.operators.PrefixSum.withRunningTotals(users,
+          Seq(col("val").desc, col("user_id")), Seq((lit(1L), "rk")))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile",
+          when(col("rk") <= (col("n") % 10) * (expr("n div 10") + 1),
+            expr("(rk - 1) div (n div 10 + 1) + 1"))
+            .otherwise(expr(
+              "n % 10 + (rk - n % 10 * (n div 10 + 1) - 1) div (n div 10) + 1"))
+            .cast("bigint"))
+        .drop("n", "total")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_users"), sum(col("val")).as("band_val"))
         .crossJoin(broadcast(tot))

@@ -33,6 +33,27 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("the explicit ntile formula on PrefixSum ranks equals Spark's ntile") {
+    val rnd = new Random(9)
+    for (n <- Seq(7, 100, 1003)) {
+      val df = (1 to n).map(i => (i.toLong, rnd.nextInt(500).toLong)).toDF("id", "v")
+      val w = Window.orderBy($"v".desc, $"id")
+      val want = df.withColumn("d", ntile(10).over(w).cast("bigint"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("d")).toMap
+      val got = PrefixSum.withRunningTotals(df, Seq($"v".desc, $"id"),
+          Seq((lit(1L), "rk")), nParts = 5)
+        .crossJoin(df.agg(count(lit(1)).as("n")))
+        .withColumn("d",
+          when($"rk" <= ($"n" % 10) * (expr("n div 10") + 1),
+            expr("(rk - 1) div (n div 10 + 1) + 1"))
+            .otherwise(expr(
+              "n % 10 + (rk - n % 10 * (n div 10 + 1) - 1) div (n div 10) + 1"))
+            .cast("bigint"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("d")).toMap
+      assert(got === want, s"n=$n")
+    }
+  }
+
   test("decimal values and more partitions than rows") {
     val df = Seq((1L, BigDecimal("10.25")), (2L, BigDecimal("0.75")),
       (3L, BigDecimal("5.00"))).toDF("id", "v")
