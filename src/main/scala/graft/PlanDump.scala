@@ -38,6 +38,13 @@ object PlanDump {
         "only shrinks; localCheckpoint truncates lineage and its count is the " +
         "loop condition (no extra job). Rounds are bounded by degeneracy " +
         "depth — single digits on real graphs."),
+    "q186_revenue_pareto" ->
+      ("Pareto knees without a single-partition window: PrefixSum's two-pass " +
+        "shape — a RANGE exchange on (rev desc, custkey), per-partition " +
+        "running sums partitioned by spark_partition_id, and a " +
+        "partition-count-sized offset frame broadcast back. The plan shows " +
+        "parallel Window operators instead of WindowExec's all-rows-to-one-" +
+        "task warning; at a billion customers every stage stays partitioned."),
     "q01_pricing_summary" ->
       ("Scan → partial HashAggregate → exchange → final aggregate. The shipdate " +
         "predicate reaches the parquet scan (PushedFilters) and only the six " +

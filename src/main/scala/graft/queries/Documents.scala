@@ -25,6 +25,27 @@ object Documents {
         numHashes = 8, rowsPerBand = 2)
     }),
 
+    // KWIC concordance (keyword in context): every occurrence of a query
+    // term with its ±3-token context window — the corpus-linguistics /
+    // search-snippet primitive a positional index serves. Positions come
+    // from posexplode with the token array riding the row (narrow,
+    // zero-shuffle until the bounded top-50 cut).
+    "q221_kwic" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tok"))
+        .select(col("doc_id"), col("tok"),
+          posexplode(col("tok")).as(Seq("pos", "w")))
+        .filter(col("w") === "vector")
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          concat_ws(" ", slice(col("tok"),
+            greatest(col("pos") - 2, lit(1)),
+            col("pos") - greatest(col("pos") - 3, lit(0)))).as("left_ctx"),
+          concat_ws(" ", slice(col("tok"), col("pos") + 2, lit(3))).as("right_ctx"))
+        .orderBy(col("doc_id"), col("pos"))
+        .limit(50)
+    }),
+
     // Source-level novelty: per source, its distinct shingle mass and the
     // share of it OWNED by that source under a fixed alphabetical union
     // order — "which dump still adds content if we ingest A, then B, …".
@@ -1068,6 +1089,19 @@ object Documents {
          |    AS mean_abs_err_ppm
          |FROM pair GROUP BY n_match ORDER BY n_match""".stripMargin
     },
+
+    // Mirrors q221: 1-based subscripts, clamped inclusive list slices.
+    "q221_kwic" ->
+      s"""WITH $tokCte,
+         |u AS (SELECT doc_id, tok, unnest(tok) AS w,
+         |        generate_subscripts(tok, 1) AS p1 FROM t),
+         |h AS (SELECT doc_id, p1, tok FROM u WHERE w = 'vector')
+         |SELECT doc_id, CAST(p1 - 1 AS BIGINT) AS pos,
+         |  CASE WHEN p1 = 1 THEN ''
+         |       ELSE coalesce(array_to_string(tok[GREATEST(p1 - 3, 1):p1 - 1], ' '), '')
+         |  END AS left_ctx,
+         |  coalesce(array_to_string(tok[p1 + 1:p1 + 3], ' '), '') AS right_ctx
+         |FROM h ORDER BY doc_id, pos LIMIT 50""".stripMargin,
 
     // Reproduces q216: distinct (source, shingle-hash) set, min-source
     // owner, per-source totals vs owned mass.
