@@ -301,6 +301,37 @@ object Relational {
         .orderBy(col("month"))
     }),
 
+    // Winsorization audit: per return flag, the exact p1/p99 price cut
+    // points (value-domain rank percentiles, q200's machinery), how many
+    // rows each tail clamps, and the exact winsorized mean — computed
+    // WITHOUT materializing clamped rows: Σ clamped = Σ mid-mass +
+    // n_below·p1 + n_above·p99, all integer cents. The
+    // feature-preprocessing step (cap outliers before training) as a
+    // verifiable aggregate.
+    "q222_winsorize" -> ((s, dir) => {
+      import graft.operators.Histogram
+      val cents = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("v"))
+      val cuts = Histogram.exactPercentiles(cents, "l_returnflag", "v",
+          Seq(10000, 990000))
+        .select(col("l_returnflag"), col("p_10000").as("p01"),
+          col("p_990000").as("p99"))
+      cents.join(broadcast(cuts), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          max(col("p01")).as("p01_cents"), max(col("p99")).as("p99_cents"),
+          sum(when(col("v") < col("p01"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("v") > col("p99"), 1L).otherwise(0L)).as("n_above"),
+          sum(when(col("v").between(col("p01"), col("p99")), col("v"))
+            .otherwise(0L)).as("mid_mass"))
+        .select(col("l_returnflag"), col("n"), col("p01_cents"),
+          col("p99_cents"), col("n_below"), col("n_above"),
+          expr("(mid_mass + n_below * p01_cents + n_above * p99_cents)" +
+            " div n").as("winsorized_mean_cents"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Pricing summary (TPC-H Q1 shape): scan + filter + groupBy aggregate.
     // Covers SURVEY §2.2 P2 (range predicate pushed to parquet) + §2.4 A5/A6.
     "q01_pricing_summary" -> ((s, dir) => {
@@ -1050,6 +1081,29 @@ object Relational {
         |            (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
         |       ELSE 0 END AS global_cc_ppm
         |FROM tri""".stripMargin,
+
+    "q222_winsorize" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |vc AS (SELECT g, v, count(*) AS c FROM c GROUP BY 1, 2),
+        |cum AS (SELECT g, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM vc),
+        |cuts AS (SELECT g,
+        |    min(CASE WHEN cum * 1000000 >= n * 10000 THEN v END) AS p01,
+        |    min(CASE WHEN cum * 1000000 >= n * 990000 THEN v END) AS p99
+        |  FROM cum GROUP BY g)
+        |SELECT c.g AS l_returnflag, count(*) AS n,
+        |  CAST(max(p01) AS BIGINT) AS p01_cents,
+        |  CAST(max(p99) AS BIGINT) AS p99_cents,
+        |  CAST(sum(CASE WHEN v < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  (CAST(sum(CASE WHEN v BETWEEN p01 AND p99 THEN v ELSE 0 END) AS BIGINT)
+        |    + CAST(sum(CASE WHEN v < p01 THEN 1 ELSE 0 END) AS BIGINT) * CAST(max(p01) AS BIGINT)
+        |    + CAST(sum(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS BIGINT) * CAST(max(p99) AS BIGINT))
+        |    // count(*) AS winsorized_mean_cents
+        |FROM c JOIN cuts ON cuts.g = c.g
+        |GROUP BY c.g ORDER BY l_returnflag""".stripMargin,
 
     // The FULL recompute — hash-matching it certifies the merge identity.
     "q218_incremental_rollup" ->
