@@ -92,6 +92,36 @@ class Round5cPropertiesSpec extends SparkSpec {
     assert(gini(xs) === gini(xs.map(_ * 10)))
   }
 
+  // ---- q201 / q212 cross-consistency -----------------------------------
+
+  test("the streaming seasonal monitor's batch rows contain q201's top-20 exactly") {
+    val dir = sf("sf0.001")
+    val all = graft.SparkEntry.queries("q212_streaming_seasonal_batch")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val top = graft.SparkEntry.queries("q201_seasonal_residual")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(top.subsetOf(all))
+    assert(top.size === math.min(20, all.size))
+  }
+
+  // ---- golden-record determinism ---------------------------------------
+
+  test("goldenRecord majority tie-break picks the smallest value deterministically") {
+    // two near-identical docs (same shingles) with different lang values:
+    // a 1-1 vote tie must resolve to the lexicographically smaller lang
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, text, "zz", "s1", 60L),
+      (2L, text + " extra", "aa", "s2", 66L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.goldenRecord(docs, "doc_id", "text",
+      Seq("lang", "source"), "n_chars").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("lang") === "aa")
+    assert(out.head.getAs[String]("source") === "s1")
+    assert(out.head.getAs[Long]("longest_doc_id") === 2L)
+  }
+
   // ---- seasonal residuals ----------------------------------------------
 
   test("per-(dow, hr) weighted residual mass is exactly zero") {
