@@ -459,6 +459,29 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // PII leak rate by source: per-source totals of each detector's hits
+    // and the share of documents touched — "which dump leaks emails" is
+    // the first question a scrub report answers (q109 is the per-doc
+    // transform; this is its governance rollup). One scan, one keyed
+    // aggregate.
+    "q223_pii_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seeded = Scrub.seedSyntheticPii(docs)
+      Scrub.redactPii(seeded, "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email").cast("long")).as("n_email"),
+          sum(col("n_phone").cast("long")).as("n_phone"),
+          sum(col("n_ipv4").cast("long")).as("n_ipv4"),
+          sum(when(col("n_email") + col("n_phone") + col("n_ipv4") > 0, 1L)
+            .otherwise(0L)).as("n_docs_touched"))
+        .select(col("source"), col("n_docs"), col("n_email"), col("n_phone"),
+          col("n_ipv4"), col("n_docs_touched"),
+          expr("n_docs_touched * 1000000 div n_docs").as("touched_ppm"))
+        .orderBy(col("source"))
+    }),
+
     // BM25 top-15 retrieval for a fixed query (one rare term for idf
     // contrast). Narrow per-row tf/dl, ONE 1-row corpus-stats aggregate
     // broadcast back, TakeOrdered top-k — no token explode, no full sort.
@@ -1756,6 +1779,25 @@ object Documents {
          |SELECT * FROM scrubbed
          |WHERE n_email + n_phone + n_ipv4 > 0
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q223_pii_by_source" -> {
+      import graft.operators.Scrub
+      val counts = Scrub.defaultPatterns
+        .map(p => s"CAST(${Scrub.countSql("text", p)} AS BIGINT) AS n_${p.name}")
+        .mkString(",\n  ")
+      s"""WITH seeded AS (SELECT doc_id, source, ${Scrub.seedSql} AS text
+         |               FROM documents),
+         |c AS (SELECT source, $counts FROM seeded)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_email) AS BIGINT) AS n_email,
+         |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+         |  CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+         |  CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_touched,
+         |  CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000 // count(*) AS touched_ppm
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
     },
 
     "q113_bm25_topk" ->
