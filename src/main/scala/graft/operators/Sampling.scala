@@ -206,6 +206,63 @@ object Sampling {
       .select(col("anchor_id"), col("slot"), col("_m.cand_id").as("neg_id"))
   }
 
+  /** Inverse-CDF thresholds of Poisson(1) on the 32-bit hash domain:
+    * floor(P(X <= k)·2^32) for k = 0..6 (the tail >= 7 is ~8·10^-5 and
+    * collapses into weight 7). Integer constants, so both engines draw
+    * the identical weight from the identical hash. */
+  private val PoissonThresholds: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L,
+    4279248373L, 4292415291L, 4294609777L)
+
+  /** Pseudo-Poisson(1) weight of a 32-bit hash column (0..7). */
+  def poissonWeight(h: Column): Column =
+    PoissonThresholds.zipWithIndex.foldRight(lit(PoissonThresholds.size): Column) {
+      case ((t, k), els) => when(h < t, lit(k)).otherwise(els)
+    }.cast("long")
+
+  /** Poisson bootstrap: per-group mean with a percentile confidence
+    * interval from `b` deterministic resamples. The classic bootstrap
+    * indexes n draws into an n-row array — impossible to shard; the
+    * Poisson bootstrap (the planet-scale standard) instead gives every
+    * row an independent Poisson(1) multiplicity per replicate, which is a
+    * pure per-row computation: explode `b` replicate ids, draw the weight
+    * from the portable row-hash, and partially aggregate — the shuffle
+    * carries |groups|·b cells, never the data. Replicate means are exact
+    * integer cents (decimal sums, floor division); the CI is order
+    * statistics over each group's `b` sorted means (rank floor(0.05b)+1
+    * and ceil(0.95b) for 90%). Deterministic end-to-end: reruns, retried
+    * tasks and the DuckDB oracle draw identical resamples.
+    *
+    * Returns (groupCol, n_rows, mean_cents, ci_lo_cents, ci_hi_cents). */
+  def poissonBootstrapCi(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, b: Int = 100, seed: Int = 33): DataFrame = {
+    require(b >= 20, "need enough replicates for 5th/95th percentiles")
+    val base = df.select(col(groupCol).as("g"),
+      col(idCol).cast("string").as("k"),
+      col(valueCol).cast(org.apache.spark.sql.types.DecimalType(30, 2)).as("p"))
+    val rep = base
+      .select(col("g"), col("p"), col("k"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("rb"))
+      .withColumn("w",
+        poissonWeight(hash32(concat_ws("@", col("k"), col("rb")), seed)))
+    val means = rep.groupBy(col("g"), col("rb"))
+      .agg(sum(col("w") * col("p")).as("tot"), sum(col("w")).as("n"))
+      .select(col("g"),
+        expr("CAST(tot * 100 AS BIGINT) div n").as("mean_b"))
+    val ci = means.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("mean_b"))).as("ms"))
+      .select(col("g"),
+        element_at(col("ms"), b / 20 + 1).as("ci_lo_cents"),
+        element_at(col("ms"), b - b / 20).as("ci_hi_cents"))
+    val pt = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("p")).as("tot"))
+      .select(col("g"), col("n_rows"),
+        expr("CAST(tot * 100 AS BIGINT) div n_rows").as("mean_cents"))
+    pt.join(ci, Seq("g"))
+      .select(col("g").as(groupCol), col("n_rows"), col("mean_cents"),
+        col("ci_lo_cents"), col("ci_hi_cents"))
+  }
+
   /** Per-group token-budget selection: inside each group (source/domain),
     * rank rows quality-first (`scoreCol` desc, `idCol` asc) and keep the
     * prefix whose cumulative `weightCol` (token count) stays within

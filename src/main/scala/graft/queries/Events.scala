@@ -42,6 +42,16 @@ object Events {
             " div (n_users * total_events)").as("gini_ppm"))
     }),
 
+    // Kaplan-Meier survival over user lifetimes: censoring done right
+    // (users active near the corpus edge leave the risk set without
+    // counting as churn), exact integer ppm via a sequential rounded
+    // product over the lifetime DOMAIN — the corpus pays one
+    // groupBy(user); the ordered recurrence runs over <= hours-of-history
+    // rows inside one aggregate HOF.
+    "q224_survival_km" -> ((s, dir) =>
+      graft.operators.Survival.kaplanMeier(
+        t(s, dir, "events"), "user_id", "ts", quietHours = 24)),
+
     // Exact DAU + rolling 7-day WAU per day. Sliding-window DISTINCT is
     // the classic trap (a range self-join degenerates to a nested loop);
     // here each (user, day) row EXPANDS to the ≤7 window days it serves
@@ -977,6 +987,38 @@ object Events {
         |  (rx2 - (n_users + 1) * total_events) * 1000000
         |    // (n_users * total_events) AS gini_ppm
         |FROM agg""".stripMargin,
+
+    // Mirrors q224: same at-risk accounting (cum events+censored strictly
+    // before t), same floor-rounded sequential product via recursive CTE.
+    "q224_survival_km" ->
+      """WITH RECURSIVE per AS (
+        |  SELECT user_id, min(epoch_us(ts) // 3600000000) AS f,
+        |    max(epoch_us(ts) // 3600000000) AS l
+        |  FROM events GROUP BY user_id),
+        |e AS (SELECT max(l) AS endd FROM per),
+        |u AS (SELECT l - f AS t,
+        |        CASE WHEN endd - l >= 24 THEN 1 ELSE 0 END AS ev
+        |      FROM per, e),
+        |grp AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+        |          CAST(count(*) - sum(ev) AS BIGINT) AS c
+        |        FROM u GROUP BY t),
+        |r AS (SELECT t, d, c,
+        |        CAST((SELECT count(*) FROM u) - coalesce(sum(d + c) OVER (
+        |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0) AS BIGINT) AS n,
+        |        row_number() OVER (ORDER BY t) AS rn
+        |      FROM grp),
+        |km AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST(1000000 AS BIGINT) AS s
+        |  UNION ALL
+        |  SELECT r.rn, CASE WHEN r.d > 0
+        |      THEN (km.s * (r.n - r.d)) // r.n ELSE km.s END
+        |  FROM km JOIN r ON r.rn = km.rn + 1)
+        |SELECT CAST(r.t AS BIGINT) AS t_hours, r.n AS n_risk, r.d AS n_events,
+        |  CAST(r.d * 1000000 // r.n AS BIGINT) AS hazard_ppm,
+        |  km.s AS s_ppm
+        |FROM r JOIN km ON km.rn = r.rn WHERE r.d > 0
+        |ORDER BY t_hours""".stripMargin,
 
     // Mirrors q219: (user, day) set expanded to its 7 served days,
     // distinct-counted per observed day.

@@ -39,6 +39,18 @@ object Relational {
       |      GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
+    // Poisson-bootstrap 90% CI on mean order value per priority: the
+    // planet-scale bootstrap (per-row Poisson(1) multiplicities from the
+    // portable hash — no row indexing, shuffle carries |groups|·B cells)
+    // with exact integer-cents replicate means and order-statistic CI
+    // bounds. Deterministic: reruns and the oracle draw identical
+    // resamples.
+    "q225_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.Sampling.poissonBootstrapCi(
+          t(s, dir, "orders"), "o_orderkey", "o_orderpriority",
+          "o_totalprice", b = 100, seed = 33)
+        .orderBy(col("o_orderpriority"))),
+
     // Functional-dependency audit: candidate FDs checked as
     // distinct-rhs-per-lhs-group counts — the schema-discovery /
     // denormalization-safety gate. One map-combined groupBy per FD,
@@ -1014,6 +1026,40 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors q225: same hash → Poisson(1) inverse-CDF thresholds, same
+    // integer-cents floor-divided replicate means, same rank-6/rank-95
+    // order statistics over the 100 sorted means.
+    "q225_bootstrap_ci" ->
+      """WITH o AS (SELECT o_orderpriority AS g,
+        |    CAST(o_orderkey AS VARCHAR) AS k,
+        |    CAST(o_totalprice AS DECIMAL(30,2)) AS p FROM orders),
+        |rep AS (SELECT g, p, k, unnest(range(100)) AS rb FROM o),
+        |h AS (SELECT g, rb, p,
+        |        CAST('0x' || substr(md5(k || '@' || CAST(rb AS VARCHAR)
+        |          || '#33'), 1, 8) AS BIGINT) AS u
+        |      FROM rep),
+        |w AS (SELECT g, rb, p,
+        |        CASE WHEN u < 1580030168 THEN 0
+        |             WHEN u < 3160060337 THEN 1
+        |             WHEN u < 3950075421 THEN 2
+        |             WHEN u < 4213413783 THEN 3
+        |             WHEN u < 4279248373 THEN 4
+        |             WHEN u < 4292415291 THEN 5
+        |             WHEN u < 4294609777 THEN 6
+        |             ELSE 7 END AS wt
+        |      FROM h),
+        |m AS (SELECT g, rb,
+        |        CAST(sum(wt * p) * 100 AS BIGINT) // CAST(sum(wt) AS BIGINT)
+        |          AS mean_b
+        |      FROM w GROUP BY g, rb),
+        |ci AS (SELECT g, list(mean_b ORDER BY mean_b) AS ms FROM m GROUP BY g),
+        |pt AS (SELECT g, count(*) AS n_rows,
+        |         CAST(sum(p) * 100 AS BIGINT) // count(*) AS mean_cents
+        |       FROM o GROUP BY g)
+        |SELECT pt.g AS o_orderpriority, pt.n_rows, pt.mean_cents,
+        |  ms[6] AS ci_lo_cents, ms[95] AS ci_hi_cents
+        |FROM pt JOIN ci USING (g) ORDER BY o_orderpriority""".stripMargin,
+
     "q196_fd_audit" -> {
       def fd(table: String, name: String, lhs: String, rhs: String) =
         s"""SELECT '$table.$name' AS fd, count(*) AS n_groups,

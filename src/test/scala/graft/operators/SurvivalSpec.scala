@@ -1,0 +1,103 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions.hash32
+
+/** Kaplan-Meier survival + Poisson-bootstrap CI. */
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(user: Long, hour: Long): (Long, Timestamp) =
+    (user, new Timestamp(hour * 3600L * 1000L))
+
+  test("kaplanMeier matches a hand-computed KM table") {
+    // corpus end hour = 100 (user 9). quietHours = 24.
+    //   u1: hours 0..10  -> t=10, quiet 90 -> death
+    //   u2: hours 0..10  -> t=10, quiet 90 -> death
+    //   u3: hours 5..25  -> t=20, quiet 75 -> death
+    //   u4: hours 50..90 -> t=40, quiet 10 -> censored
+    //   u9: hours 40..100-> t=60, quiet 0  -> censored
+    val events = Seq(
+      ev(1, 0), ev(1, 10), ev(2, 0), ev(2, 10), ev(3, 5), ev(3, 25),
+      ev(4, 50), ev(4, 90), ev(9, 40), ev(9, 100)
+    ).toDF("user_id", "ts")
+    val km = Survival.kaplanMeier(events, "user_id", "ts", quietHours = 24)
+      .collect()
+    // death times: t=10 (d=2, n=5) and t=20 (d=1, n=3)
+    assert(km.map(_.getAs[Long]("t_hours")).toSeq === Seq(10L, 20L))
+    val r10 = km(0); val r20 = km(1)
+    assert(r10.getAs[Long]("n_risk") === 5L)
+    assert(r10.getAs[Long]("n_events") === 2L)
+    assert(r10.getAs[Long]("s_ppm") === 1000000L * 3 / 5) // 600000
+    assert(r20.getAs[Long]("n_risk") === 3L)
+    assert(r20.getAs[Long]("n_events") === 1L)
+    // 600000 * (3-1)/3 floor-rounded
+    assert(r20.getAs[Long]("s_ppm") === 600000L * 2 / 3)
+    assert(r20.getAs[Long]("hazard_ppm") === 1000000L / 3)
+  }
+
+  test("kaplanMeier risk accounting and monotonicity on real events") {
+    val events = spark.read.parquet(sf("sf0.01") + "/events.parquet")
+    val km = Survival.kaplanMeier(events, "user_id", "ts", quietHours = 24)
+      .collect()
+    assert(km.nonEmpty)
+    // survival is non-increasing; risk set strictly decreasing in t
+    km.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("s_ppm") >= b.getAs[Long]("s_ppm"))
+      assert(a.getAs[Long]("n_risk") > b.getAs[Long]("n_risk"))
+    case _ => ()
+    }
+    // n_risk at t = |users with lifetime >= t| (independent recomputation)
+    val hours = events
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .groupBy("user_id").agg(min($"h").as("f"), max($"h").as("l"))
+      .select(($"l" - $"f").as("t")).as[Long].collect()
+    km.foreach { r =>
+      val t = r.getAs[Long]("t_hours")
+      assert(r.getAs[Long]("n_risk") === hours.count(_ >= t))
+    }
+  }
+
+  test("poissonWeight reproduces the inverse CDF at the thresholds") {
+    val df = Seq(0L, 1580030167L, 1580030168L, 3160060336L, 3160060337L,
+      4294609777L, 4294967295L).toDF("h")
+    val w = df.select(Sampling.poissonWeight(col("h")).as("w"))
+      .as[Long].collect().toSeq
+    assert(w === Seq(0L, 0L, 1L, 1L, 2L, 7L, 7L))
+  }
+
+  test("poisson weights average ~1 over the hash family") {
+    val n = 20000
+    val df = (1 to n).map(_.toString).toDF("k")
+    val mean = df.select(
+        Sampling.poissonWeight(hash32(col("k"), 33)).cast("double").as("w"))
+      .agg(avg($"w")).as[Double].head()
+    assert(math.abs(mean - 1.0) < 0.02, s"mean Poisson weight $mean")
+  }
+
+  test("poissonBootstrapCi is deterministic and brackets the point mean") {
+    val orders = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+    val a = Sampling.poissonBootstrapCi(orders, "o_orderkey",
+      "o_orderpriority", "o_totalprice", b = 100, seed = 33)
+      .orderBy("o_orderpriority").collect()
+    val b = Sampling.poissonBootstrapCi(orders, "o_orderkey",
+      "o_orderpriority", "o_totalprice", b = 100, seed = 33)
+      .orderBy("o_orderpriority").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      val lo = r.getAs[Long]("ci_lo_cents"); val hi = r.getAs[Long]("ci_hi_cents")
+      val m = r.getAs[Long]("mean_cents")
+      assert(lo <= hi)
+      // 90% CI of the mean over ~3k orders: the point mean sits inside
+      assert(lo <= m && m <= hi, s"mean $m outside [$lo, $hi]")
+      // and the interval is tight relative to the mean (sanity: the
+      // bootstrap spread of a 3k-row mean is a few percent at most)
+      assert(hi - lo < m / 5, s"CI [$lo, $hi] implausibly wide")
+    }
+  }
+}
