@@ -106,6 +106,8 @@ class PlanHygieneSpec extends SparkSpec {
                                // support-bounded pair table
     "q186_revenue_pareto",     // 1-row (n_cust, total) attached to the
                                // customer-sized coverage window
+    "q224_survival_km",        // 1-row corpus-end-hour attached to the
+                               // per-user lifetime table (censoring cut)
     "q188_user_value_deciles", // 1-row value total attached to the
                                // 10-row decile table
   )
