@@ -432,4 +432,67 @@ object Evaluate {
             sqrt(col("_dx").cast("double") * col("_dy").cast("double")), 6))
           .as("spearman"))
   }
+
+  /** Split-conformal prediction intervals with empirical coverage — the
+    * distribution-free uncertainty audit: a deterministic 60/20/20
+    * train/calibration/test split (portable id-hash folds), a per-group
+    * point predictor (integer-cents train mean), the conformal quantile
+    * q-hat = the ceil((n_cal+1)·(1−α))-th smallest absolute calibration
+    * residual, and the guaranteed-≥(1−α) coverage CHECKED on the held-out
+    * test fold. q117's calibration bins ask "is the score honest?"; this
+    * asks "is the interval honest?" — the eval a prediction-serving
+    * pipeline runs before shipping intervals.
+    *
+    * Exactness: values in integer cents, residuals integer, q-hat an
+    * order statistic (no interpolation — the conformal definition), the
+    * one division per group at readout in ppm. k clamps to n_cal (the
+    * degenerate tiny-calibration case where conformal demands an infinite
+    * interval).
+    *
+    * Scale shape: folds are a narrow hash predicate (no shuffle); the
+    * predictor and residual tables are |groups|-sized broadcasts; q-hat
+    * comes from a window over each group's DISTINCT residual values
+    * (value-compressed, the AUC/KS discipline), never a per-row rank.
+    * Returns one row per group: (group, n_train, n_cal, n_test,
+    * pred_cents, qhat_cents, coverage_ppm). */
+  def splitConformal(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, alphaPct: Int = 10, seed: Int = 41): DataFrame = {
+    require(alphaPct > 0 && alphaPct < 100)
+    import graft.functions.TextFunctions.hash32
+    val base = df.select(col(groupCol).as("g"),
+      round(col(valueCol) * 100).cast("bigint").as("cents"),
+      (hash32(col(idCol).cast("string"), seed) % 10).as("fold"))
+    val preds = base.filter(col("fold") <= 5).groupBy(col("g"))
+      .agg(count(lit(1)).as("n_train"), sum(col("cents")).as("_s"))
+      .select(col("g"), col("n_train"), expr("_s div n_train").as("pred_cents"))
+    val resid = base.filter(col("fold").isin(6, 7))
+      .join(broadcast(preds), Seq("g"))
+      .groupBy(col("g"), abs(col("cents") - col("pred_cents")).as("r"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(col("g")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val qhat = resid
+      .withColumn("_cum", sum(col("c")).over(cum))
+      .withColumn("n_cal", sum(col("c")).over(whole))
+      .withColumn("_k", least(
+        expr(s"((n_cal + 1) * ${100 - alphaPct} + 99) div 100"), col("n_cal")))
+      .filter(col("_cum") >= col("_k"))
+      .groupBy(col("g"))
+      .agg(min(col("r")).as("qhat_cents"), min(col("n_cal")).as("n_cal"))
+    base.filter(col("fold") >= 8)
+      .join(broadcast(preds), Seq("g"))
+      .join(broadcast(qhat), Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("cents") - col("pred_cents")) <= col("qhat_cents"),
+          1L).otherwise(0L)).as("_cov"),
+        min(col("n_train")).as("n_train"), min(col("n_cal")).as("n_cal"),
+        min(col("pred_cents")).as("pred_cents"),
+        min(col("qhat_cents")).as("qhat_cents"))
+      .select(col("g").as(groupCol), col("n_train"), col("n_cal"),
+        col("n_test"), col("pred_cents"), col("qhat_cents"),
+        expr("_cov * 1000000 div n_test").as("coverage_ppm"))
+  }
 }

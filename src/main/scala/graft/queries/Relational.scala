@@ -51,6 +51,18 @@ object Relational {
           "o_totalprice", b = 100, seed = 33)
         .orderBy(col("o_orderpriority"))),
 
+    // Split-conformal prediction intervals on order value per priority:
+    // hash-fold 60/20/20 split, integer-cents train-mean predictor,
+    // conformal q-hat as an exact order statistic over the calibration
+    // residuals, coverage VERIFIED on the held-out test fold (expect
+    // >= 900000 ppm at alpha = 10%). The interval-honesty eval beside
+    // q117's score-honesty calibration.
+    "q226_conformal" -> ((s, dir) =>
+      graft.operators.Evaluate.splitConformal(
+          t(s, dir, "orders"), "o_orderkey", "o_orderpriority",
+          "o_totalprice", alphaPct = 10, seed = 41)
+        .orderBy(col("o_orderpriority"))),
+
     // Functional-dependency audit: candidate FDs checked as
     // distinct-rhs-per-lhs-group counts — the schema-discovery /
     // denormalization-safety gate. One map-combined groupBy per FD,
@@ -1026,6 +1038,35 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors q226: same folds, same floor-divided train mean, q-hat as
+    // the identical multiset order statistic (list[k], 1-indexed).
+    "q226_conformal" ->
+      """WITH base AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#41'),
+        |      1, 8) AS BIGINT) % 10 AS fold
+        |  FROM orders),
+        |tr AS (SELECT g, count(*) AS n_train,
+        |         CAST(sum(cents) AS BIGINT) // count(*) AS pred_cents
+        |       FROM base WHERE fold <= 5 GROUP BY g),
+        |cal AS (SELECT b.g, abs(cents - pred_cents) AS r
+        |        FROM base b JOIN tr USING (g) WHERE fold IN (6, 7)),
+        |q AS (SELECT g, count(*) AS n_cal,
+        |        list(r ORDER BY r)[
+        |          least(((count(*) + 1) * 90 + 99) // 100, count(*))]
+        |          AS qhat_cents
+        |      FROM cal GROUP BY g),
+        |te AS (SELECT b.g, count(*) AS n_test,
+        |         sum(CASE WHEN abs(cents - pred_cents) <= qhat_cents
+        |             THEN 1 ELSE 0 END) AS cov
+        |       FROM base b JOIN tr USING (g) JOIN q USING (g)
+        |       WHERE fold >= 8 GROUP BY b.g)
+        |SELECT tr.g AS o_orderpriority, tr.n_train, q.n_cal, te.n_test,
+        |  tr.pred_cents, q.qhat_cents,
+        |  CAST(cov * 1000000 // n_test AS BIGINT) AS coverage_ppm
+        |FROM tr JOIN q USING (g) JOIN te USING (g)
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // Mirrors q225: same hash → Poisson(1) inverse-CDF thresholds, same
     // integer-cents floor-divided replicate means, same rank-6/rank-95
     // order statistics over the 100 sorted means.

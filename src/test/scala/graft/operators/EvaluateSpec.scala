@@ -227,4 +227,45 @@ class EvaluateSpec extends SparkSpec {
     assert(out(3L) == ((0L, cum(3), Some(0L))))
     assert(out(4L) == ((0L, 0L, None))) // n_rel = 0: undefined nDCG
   }
+
+  test("splitConformal: fold accounting and the conformal coverage guarantee") {
+    val orders = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+    val out = Evaluate.splitConformal(orders, "o_orderkey",
+      "o_orderpriority", "o_totalprice", alphaPct = 10, seed = 41).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      val (ntr, nca, nte) = (r.getAs[Long]("n_train"),
+        r.getAs[Long]("n_cal"), r.getAs[Long]("n_test"))
+      // 60/20/20 hash folds (train:cal = 3:1), within generous slack
+      assert(ntr > 3 * nca - nca && ntr < 3 * nca + nca)
+      assert(math.abs(nca - nte) < (nca + nte) / 4)
+      // marginal coverage >= 1 - alpha minus finite-sample slack: the
+      // guarantee is over random splits, a FIXED split wobbles ~1.2%
+      // (sigma of a Bernoulli(0.9) mean over ~600 test rows); allow 5σ
+      val cov = r.getAs[Long]("coverage_ppm")
+      assert(cov >= 840000L, s"coverage $cov ppm under the conformal bound")
+      assert(r.getAs[Long]("qhat_cents") > 0)
+    }
+  }
+
+  test("splitConformal q-hat is the exact order statistic on a hand fixture") {
+    // one group, ids chosen so folds are known only after hashing — use
+    // alphaPct=20 over a tiny calibration set and recompute naively
+    val df = (1 to 200).map(i => (i.toLong, "g", i * 1.0)).toDF("id", "g", "v")
+    val r = Evaluate.splitConformal(df, "id", "g", "v", alphaPct = 20, seed = 7)
+      .head()
+    // recompute: same hash folds via the operator's own building blocks
+    import graft.functions.TextFunctions.hash32
+    val folds = df.select(col("id"), col("v"),
+        (hash32(col("id").cast("string"), 7) % 10).as("f"))
+      .as[(Long, Double, Long)].collect()
+    val cents = folds.map { case (id, v, f) => (id, math.round(v * 100), f) }
+    val tr = cents.filter(_._3 <= 5).map(_._2)
+    val pred = tr.sum / tr.length // floor division on longs
+    val resid = cents.filter(c => c._3 == 6 || c._3 == 7)
+      .map(c => math.abs(c._2 - pred)).sorted
+    val k = math.min((((resid.length + 1) * 80) + 99) / 100, resid.length)
+    assert(r.getAs[Long]("pred_cents") === pred)
+    assert(r.getAs[Long]("qhat_cents") === resid(k - 1))
+  }
 }
