@@ -116,4 +116,51 @@ object Scrub {
     patterns.foldLeft(textExpr) { (e, p) =>
       s"regexp_replace($e, '${p.regex}', '${p.replacement}', 'g')"
     }
+
+  /** Inverse-CDF cut points of the two-sided geometric distribution at
+    * α = 1/2 (ε = ln 2) on the 32-bit hash domain, tails clamped to ±8.
+    * α = 1/2 makes every CDF value an exact dyadic·(1/3) rational, so the
+    * thresholds are exact integers and any engine draws the identical
+    * noise from the identical hash. Entry k = floor(P(Z <= z_k)·2^32) for
+    * z = −8..7 (u past the last → +8). */
+  private val GeomThresholds: Seq[(Int, Long)] = Seq(
+    -8 -> 11184810L, -7 -> 22369621L, -6 -> 44739242L, -5 -> 89478485L,
+    -4 -> 178956970L, -3 -> 357913941L, -2 -> 715827882L,
+    -1 -> 1431655765L, 0 -> 2863311530L, 1 -> 3579139413L,
+    2 -> 3937053354L, 3 -> 4116010325L, 4 -> 4205488810L,
+    5 -> 4250228053L, 6 -> 4272597674L, 7 -> 4283782485L)
+
+  /** Two-sided geometric noise (ε = ln 2, clamped to ±8) drawn from a
+    * 32-bit hash column. */
+  def geometricNoise(u: Column): Column =
+    GeomThresholds.foldRight(lit(8): Column) { case ((z, t), els) =>
+      when(u < t, lit(z)).otherwise(els)
+    }.cast("long")
+
+  /** DuckDB spelling of [[geometricNoise]] over a hash SQL expression. */
+  def geometricNoiseSql(u: String): String =
+    GeomThresholds.map { case (z, t) => s"WHEN $u < $t THEN ($z)" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
+  /** Differentially private count release: per-group counts with
+    * two-sided geometric noise at ε = ln 2 — the geometric mechanism,
+    * the discrete counterpart of Laplace and exactly ε-DP for
+    * sensitivity-1 counting queries (only COUNTS are released; sums have
+    * unbounded per-row sensitivity and need clamping first). The noise
+    * draw is keyed on the GROUP value (one draw per released cell) via
+    * the portable hash, so a release is reproducible run-to-run and
+    * engine-to-engine for a fixed seed — rotate the seed per release, or
+    * the reproducibility that makes it testable becomes a privacy leak
+    * across releases. Negative noised counts clamp to 0 (post-processing
+    * keeps DP). Scale shape: one map-combined groupBy; noise is a narrow
+    * expression over the |groups|-row aggregate. */
+  def dpNoisedCounts(df: DataFrame, groupCol: String, seed: Int): DataFrame = {
+    import graft.functions.TextFunctions.hash32
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"))
+      .select(col(groupCol),
+        greatest(col("_n") +
+          geometricNoise(hash32(col(groupCol).cast("string"), seed)),
+          lit(0L)).as("noised_count"))
+  }
 }

@@ -459,6 +459,15 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Differentially private release of per-source doc counts: the
+    // geometric mechanism at ε = ln 2 (dyadic-exact inverse-CDF
+    // thresholds on the portable hash — identical noise in any engine
+    // for a fixed seed), negative results clamped. The stats-release
+    // gate beside q133's k-anonymity and q223's leak report.
+    "q227_dp_counts" -> ((s, dir) =>
+      Scrub.dpNoisedCounts(t(s, dir, "documents"), "source", seed = 55)
+        .orderBy(col("source"))),
+
     // PII leak rate by source: per-source totals of each detector's hits
     // and the share of documents touched — "which dump leaks emails" is
     // the first question a scrub report answers (q109 is the per-doc
@@ -1779,6 +1788,14 @@ object Documents {
          |SELECT * FROM scrubbed
          |WHERE n_email + n_phone + n_ipv4 > 0
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors q227: same hash, same dyadic geometric thresholds.
+    "q227_dp_counts" -> {
+      val noise = graft.operators.Scrub.geometricNoiseSql(h32("source", 55))
+      s"""SELECT source,
+         |  greatest(CAST(count(*) AS BIGINT) + ($noise), 0) AS noised_count
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
     },
 
     "q223_pii_by_source" -> {

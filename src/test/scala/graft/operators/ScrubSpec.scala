@@ -62,4 +62,39 @@ class ScrubSpec extends SparkSpec {
     val plan = Scrub.redactPii(docs, "text").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("geometric noise: inverse CDF at the cut points, symmetry, mass") {
+    import org.apache.spark.sql.functions.col
+    // exact boundary behavior at the first/middle/last thresholds
+    val cuts = Seq(0L -> -8L, 11184809L -> -8L, 11184810L -> -7L,
+      1431655764L -> -1L, 1431655765L -> 0L, 2863311529L -> 0L,
+      2863311530L -> 1L, 4283782484L -> 7L, 4283782485L -> 8L,
+      4294967295L -> 8L)
+    val got = cuts.map(_._1).toDF("u")
+      .select(Scrub.geometricNoise(col("u")).as("z")).as[Long].collect().toSeq
+    assert(got === cuts.map(_._2))
+    // over the uniform hash family: mean ~0, ~1/3 of draws exactly 0
+    val n = 30000
+    val zs = (1 to n).map(_.toString).toDF("k")
+      .select(Scrub.geometricNoise(
+        graft.functions.TextFunctions.hash32(col("k"), 55)).as("z"))
+      .as[Long].collect()
+    assert(zs.forall(z => z >= -8 && z <= 8))
+    assert(math.abs(zs.sum.toDouble / n) < 0.05)
+    val zeroShare = zs.count(_ == 0).toDouble / n
+    assert(math.abs(zeroShare - 1.0 / 3) < 0.02, s"P(Z=0) $zeroShare")
+  }
+
+  test("dpNoisedCounts: deterministic, clamped at zero, count plus noise") {
+    val df = (1 to 100).map(i => (i.toLong, if (i <= 98) "big" else "tiny"))
+      .toDF("id", "g")
+    val a = Scrub.dpNoisedCounts(df, "g", seed = 55).orderBy("g").collect()
+    val b = Scrub.dpNoisedCounts(df, "g", seed = 55).orderBy("g").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      val n = if (r.getString(0) == "big") 98L else 2L
+      val z = r.getAs[Long]("noised_count")
+      assert(z >= math.max(0L, n - 8) && z <= n + 8)
+    }
+  }
 }
