@@ -263,6 +263,44 @@ object Sampling {
         col("ci_lo_cents"), col("ci_hi_cents"))
   }
 
+  /** Neyman-optimal stratified-sample allocation: split a fixed label /
+    * annotation budget across strata proportional to N_h·σ_h — the
+    * sample-DESIGN step before [[stratifiedHashSample]] draws it. High
+    * variance earns more labels; a perfectly homogeneous stratum earns
+    * (correctly) almost none; `prop_n` (∝ N_h) rides along as the naive
+    * baseline the design beats.
+    *
+    * Exactness: N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) — the sqrt of an EXACT
+    * integer (population-σ identity), computed once per stratum and
+    * floored to bigint; every other step is integer arithmetic
+    * (allocations are floor divisions of `budget·w_h` by Σw, so the
+    * total never exceeds the budget). The one sqrt is IEEE
+    * correctly-rounded in every engine (the [[sqrtRebalance]] contract).
+    *
+    * Scale shape: one map-combined groupBy over the corpus; everything
+    * after runs on the |strata|-row table (the single-partition window
+    * sorts strata, not data). Returns
+    * (groupCol, n_h, w_h, alloc_n, prop_n). */
+  def neymanAllocation(df: DataFrame, groupCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1)
+    val d = col(valueCol).cast("decimal(38,0)")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_h"), sum(d).as("_s"), sum(d * d).as("_ss"))
+      .select(col(groupCol), col("n_h"),
+        expr("CAST(n_h AS DECIMAL(38,0)) * _ss - _s * _s").as("_varnum"))
+      .withColumn("w_h",
+        floor(sqrt(col("_varnum").cast("double"))).cast("long"))
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("_tw", sum(col("w_h")).over(whole))
+      .withColumn("_tn", sum(col("n_h")).over(whole))
+      .select(col(groupCol), col("n_h"), col("w_h"),
+        expr(s"$budget * w_h div _tw").as("alloc_n"),
+        expr(s"$budget * n_h div _tn").as("prop_n"))
+  }
+
   /** Per-group token-budget selection: inside each group (source/domain),
     * rank rows quality-first (`scoreCol` desc, `idCol` asc) and keep the
     * prefix whose cumulative `weightCol` (token count) stays within

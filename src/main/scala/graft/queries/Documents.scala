@@ -459,6 +459,21 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Neyman-optimal annotation-budget allocation: split 10,000 human
+    // eval labels across sources by N_h·σ_h of the quality score —
+    // high-variance dumps earn labels, homogeneous ones don't; the
+    // proportional allocation rides along as the baseline. The
+    // sample-DESIGN step ahead of q47's stratified draw.
+    "q228_neyman_alloc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_ppm"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      graft.operators.Sampling.neymanAllocation(
+          scored, "source", "quality_ppm", budget = 10000L)
+        .orderBy(col("source"))
+    }),
+
     // Differentially private release of per-source doc counts: the
     // geometric mechanism at ε = ln 2 (dyadic-exact inverse-CDF
     // thresholds on the portable hash — identical noise in any engine
@@ -1789,6 +1804,36 @@ object Documents {
          |WHERE n_email + n_phone + n_ipv4 > 0
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Mirrors q228: q41's quality CTEs, the exact N·Σx²−(Σx)² integer
+    // under one IEEE sqrt, floor-divided integer allocations.
+    "q228_neyman_alloc" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |gg AS (SELECT doc_id, count(*) AS n_tokens,
+         |        count(*) FILTER (w IN ('a', 'the')) AS n_stop,
+         |        CAST(sum(length(w)) AS BIGINT) AS sum_len
+         |      FROM tk GROUP BY doc_id),
+         |p AS (SELECT doc_id,
+         |        (n_stop * 1000000) // n_tokens AS stop_ppm,
+         |        least((sum_len * 1000000) // (8 * n_tokens), 1000000) AS len_ppm,
+         |        least(n_tokens * 10000, 1000000) AS tok_ppm
+         |      FROM gg),
+         |q AS (SELECT p.doc_id, d.source,
+         |        CAST((tok_ppm * 3 + (1000000 - stop_ppm) * 4 + len_ppm * 3)
+         |          // 10 AS DECIMAL(38,0)) AS x
+         |      FROM p JOIN documents d USING (doc_id)),
+         |g AS (SELECT source, count(*) AS n_h, sum(x) AS s, sum(x * x) AS ss
+         |      FROM q GROUP BY source),
+         |v AS (SELECT source, n_h,
+         |        CAST(n_h AS DECIMAL(38,0)) * ss - s * s AS varnum FROM g),
+         |w AS (SELECT source, CAST(n_h AS BIGINT) AS n_h,
+         |        CAST(floor(sqrt(CAST(varnum AS DOUBLE))) AS BIGINT) AS w_h
+         |      FROM v)
+         |SELECT source, n_h, w_h,
+         |  CAST(10000 * w_h // (SELECT sum(w_h) FROM w) AS BIGINT) AS alloc_n,
+         |  CAST(10000 * n_h // (SELECT sum(n_h) FROM w) AS BIGINT) AS prop_n
+         |FROM w ORDER BY source""".stripMargin,
 
     // Mirrors q227: same hash, same dyadic geometric thresholds.
     "q227_dp_counts" -> {

@@ -195,4 +195,23 @@ class SamplingSpec extends SparkSpec {
         s"anchor $a slot $slot: $n is not the bucket argmin")
     }
   }
+
+  test("neymanAllocation: hand-checked weights, zero-variance stratum, budget cap") {
+    // stratum a: values 0,0,10,10 (n=4, nΣx²−(Σx)² = 4·200−400 = 400, w=20)
+    // stratum b: constant 7s (σ=0 → w=0 → alloc 0)
+    // stratum c: 0,6 (n=2, 2·36−36 = 36, w=6)
+    val df = Seq(("a", 0L), ("a", 0L), ("a", 10L), ("a", 10L),
+      ("b", 7L), ("b", 7L), ("b", 7L), ("b", 7L),
+      ("c", 0L), ("c", 6L)).toDF("g", "v")
+    val out = Sampling.neymanAllocation(df, "g", "v", budget = 130L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_h"), r.getAs[Long]("w_h"),
+         r.getAs[Long]("alloc_n"), r.getAs[Long]("prop_n"))).toMap
+    assert(out("a") === ((4L, 20L, 130L * 20 / 26, 130L * 4 / 10)))
+    assert(out("b") === ((4L, 0L, 0L, 130L * 4 / 10)))
+    assert(out("c") === ((2L, 6L, 130L * 6 / 26, 130L * 2 / 10)))
+    // floor divisions never overspend
+    assert(out.values.map(_._3).sum <= 130L)
+    assert(out.values.map(_._4).sum <= 130L)
+  }
 }
