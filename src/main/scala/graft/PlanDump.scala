@@ -11,6 +11,20 @@ import org.apache.spark.sql.SparkSession
 object PlanDump {
 
   private val commentary: Seq[(String, String)] = Seq(
+    "q224_survival_km" ->
+      ("Kaplan-Meier survival: the corpus pays exactly one groupBy(user) " +
+        "shuffle; the 1-row corpus-end aggregate broadcasts onto the " +
+        "per-user table (the designed scalar BNLJ), and the ordered " +
+        "survival recurrence — the part that looks like it needs a global " +
+        "sorted window — runs as a linear aggregate HOF over the " +
+        "collected lifetime DOMAIN (hundreds of rows), never the corpus."),
+    "q226_conformal" ->
+      ("Split conformal: folds are a narrow hash predicate fused into the " +
+        "scan (no split shuffle); the per-group predictor and q-hat " +
+        "tables are |groups|-row broadcasts; the conformal quantile is a " +
+        "window over DISTINCT residual values (value-compressed, the " +
+        "AUC/KS discipline). Three passes over the fact, zero wide " +
+        "shuffles beyond the group aggregates."),
     "q199_copurchase_triangles" ->
       ("Triangle census with degree-ordered orientation: every edge is " +
         "directed from its lower (degree, id) endpoint, so the wedge self-join " +

@@ -415,6 +415,41 @@ object TextAnalysis {
           expr("_rep2 * 1000000 div (n_tokens * (n_tokens - 1))"))
           .otherwise(lit(0L)).as("simpson_ppm"))
 
+  /** Token burstiness (Church-Gale overdispersion): per token, the
+    * variance-to-mean ratio of its per-document count ACROSS ALL docs —
+    * zero-occurrence docs included, which is what separates bursty
+    * topical words (VMR >> 1: absent almost everywhere, repeated where
+    * present) from Poisson-ish function words (VMR ~ 1). The zeros never
+    * materialize: over N docs with per-doc counts c,
+    *
+    *   VMR = ((N·Σc² − (Σc)²)·10^6) div (N·Σc)
+    *
+    * needs only the nonzero (token, doc) rows plus the 1-row corpus doc
+    * count. Top-`k` tokens by total occurrences (ties by token) keep the
+    * output bounded.
+    *
+    * Scale shape: one (token, doc) groupBy (map-combined), one
+    * vocabulary-sized token rollup, a broadcast 1-row N attach, and a
+    * TakeOrderedAndProject for the top-k — never a corpus-wide sort.
+    * Magnitudes: N·Σc² fits int64 to ~10^9 docs of ~10^5-occurrence
+    * tokens; past that lift to decimal(38,0). */
+  def tokenBurstiness(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val perToken = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("_ss"))
+    val n = docs.agg(countDistinct(col(idCol)).as("_n"))
+    perToken.crossJoin(broadcast(n))
+      .select(col("w"), col("n_docs"), col("total"),
+        expr("(_n * _ss - total * total) * 1000000 div (_n * total)")
+          .as("vmr_ppm"))
+      .orderBy(col("total").desc, col("w"))
+      .limit(k)
+  }
+
   /** BM25 batch retrieval: top-`k` documents for a fixed query-term set,
     * Okapi scoring with the repo's engine-exact integer discipline. The
     * true Okapi idf is `ln((N-df+0.5)/(df+0.5))` — a libm float that

@@ -459,6 +459,15 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Token burstiness: variance-to-mean of per-doc counts across ALL
+    // docs (zeros contribute via the 1-row N attach, never materialized)
+    // — separates bursty topical words from Poisson-ish function words;
+    // the overdispersion readout beside q144's within-doc diversity and
+    // q162's corpus-wide Zipf shape.
+    "q229_token_burstiness" -> ((s, dir) =>
+      TextAnalysis.tokenBurstiness(t(s, dir, "documents"), "doc_id", "text",
+        k = 20)),
+
     // Neyman-optimal annotation-budget allocation: split 10,000 human
     // eval labels across sources by N_h·σ_h of the quality score —
     // high-variance dumps earn labels, homogeneous ones don't; the
@@ -1804,6 +1813,21 @@ object Documents {
          |WHERE n_email + n_phone + n_ipv4 > 0
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Mirrors q229: zeros enter through N only; same integer VMR.
+    "q229_token_burstiness" ->
+      s"""WITH $tokCte,
+         |tf AS (SELECT doc_id, unnest(tok) AS w FROM t),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM tf GROUP BY doc_id, w),
+         |pt AS (SELECT w, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(c) AS BIGINT) AS total,
+         |         CAST(sum(c * c) AS BIGINT) AS ss
+         |       FROM c GROUP BY w),
+         |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+         |SELECT w, n_docs, total,
+         |  CAST((nd * ss - total * total) * 1000000 // (nd * total) AS BIGINT)
+         |    AS vmr_ppm
+         |FROM pt, n ORDER BY total DESC, w LIMIT 20""".stripMargin,
 
     // Mirrors q228: q41's quality CTEs, the exact N·Σx²−(Σx)² integer
     // under one IEEE sqrt, floor-divided integer allocations.

@@ -343,4 +343,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq(
       (0L, 3L, 3L, 1000000L), (1L, 3L, 0L, 0L), (2L, 3L, 2L, 666666L)))
   }
+
+  test("tokenBurstiness: zeros-included VMR, hand-computed") {
+    // N = 3 docs. "x": counts (3,0,0) -> mean 1, var 2 -> VMR 2.0
+    //             "y": counts (1,1,1) -> var 0   -> VMR 0
+    //             "z": counts (2,1,0) -> Σc=3, Σc²=5 -> (15−9)/(9) = 2/3
+    val docs = Seq(
+      (0L, "x x x y z z"),
+      (1L, "y z"),
+      (2L, "y")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenBurstiness(docs, "doc_id", "text", k = 3)
+      .select($"w", $"n_docs", $"total", $"vmr_ppm")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // order: total desc (x:3, y:3, z:3) -> ties by token
+    assert(out == Seq(
+      ("x", 1L, 3L, 2000000L), ("y", 3L, 3L, 0L), ("z", 2L, 3L, 666666L)))
+  }
 }

@@ -108,6 +108,8 @@ class PlanHygieneSpec extends SparkSpec {
                                // customer-sized coverage window
     "q224_survival_km",        // 1-row corpus-end-hour attached to the
                                // per-user lifetime table (censoring cut)
+    "q229_token_burstiness",   // 1-row corpus doc count attached to the
+                               // vocabulary-sized VMR table
     "q188_user_value_deciles", // 1-row value total attached to the
                                // 10-row decile table
   )
