@@ -298,4 +298,52 @@ object Timeseries {
       .orderBy(abs(col("residual_ppm")).desc, col("slot"))
       .limit(topN)
   }
+
+  /** Exact single-changepoint detection (binary segmentation, first
+    * split) per key over an hourly count series: the split position
+    * maximizing the between-segment sum-of-squares reduction,
+    *
+    *   score(i) = (s1·n2 − s2·n1)² div (n1·n2)      (∝ n1·n2·(μ1−μ2)²)
+    *
+    * — pure int64 (counts ≤ ~10^5/hour over ≤ ~10^4 hours before diff²
+    * needs decimal), so the argmax is bit-identical in any engine; ties
+    * break to the EARLIEST split. q139's CUSUM answers "did the level
+    * shift?" online; this answers "where, exactly?" in batch.
+    *
+    * Scale shape: one corpus groupBy to the (key, hour) grid, then all
+    * windows run per key over the bounded TIME DOMAIN (hours of history,
+    * never event rows); candidate splits are the same domain-sized table
+    * and the argmax is one max_by aggregate per key. Returns
+    * (key, split_t, n_obs, left_mean_milli, right_mean_milli, score). */
+  def changepoint(events: DataFrame, keyCol: String, tsCol: String,
+      minSeg: Int = 24): DataFrame = {
+    val series = events
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 3600000000").as("t"))
+      .groupBy(col("k"), col("t")).agg(count(lit(1)).as("x"))
+    val byT = Window.partitionBy(col("k")).orderBy(col("t"))
+    val whole = Window.partitionBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    series
+      .withColumn("i", row_number().over(byT).cast("long"))
+      .withColumn("s1", sum(col("x")).over(
+        byT.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("s", sum(col("x")).over(whole))
+      .filter(col("i") >= minSeg && col("i") <= col("n") - minSeg)
+      .select(col("k"), col("t"), col("i"), col("s1"), col("n"), col("s"),
+        ((col("s1") * (col("n") - col("i")) -
+          (col("s") - col("s1")) * col("i")).as("_d")))
+      .withColumn("score",
+        expr("_d * _d div (i * (n - i))"))
+      .groupBy(col("k"))
+      // max_by on (score, -t): highest score, earliest split on ties
+      .agg(max(struct(col("score"), -col("t"), col("t"), col("i"),
+        col("s1"), col("n"), col("s"))).as("_m"))
+      .select(col("k").as(keyCol), col("_m.t").as("split_t"),
+        col("_m.n").as("n_obs"),
+        expr("_m.s1 * 1000 div _m.i").as("left_mean_milli"),
+        expr("(_m.s - _m.s1) * 1000 div (_m.n - _m.i)").as("right_mean_milli"),
+        col("_m.score").as("score"))
+  }
 }

@@ -42,6 +42,15 @@ object Events {
             " div (n_users * total_events)").as("gini_ppm"))
     }),
 
+    // Exact single-changepoint per event type: the split of the hourly
+    // count series maximizing between-segment SSE reduction, pure-int64
+    // score algebra so the argmax is engine-exact (ties to the earliest
+    // split). q139's CUSUM says "a shift happened"; this pins down WHERE.
+    "q230_changepoint" -> ((s, dir) =>
+      graft.operators.Timeseries.changepoint(
+          t(s, dir, "events"), "event_type", "ts", minSeg = 24)
+        .orderBy(col("event_type"))),
+
     // Kaplan-Meier survival over user lifetimes: censoring done right
     // (users active near the corpus edge leave the risk set without
     // counting as churn), exact integer ppm via a sequential rounded
@@ -987,6 +996,34 @@ object Events {
         |  (rx2 - (n_users + 1) * total_events) * 1000000
         |    // (n_users * total_events) AS gini_ppm
         |FROM agg""".stripMargin,
+
+    // Mirrors q230: same prefix-sum score algebra, same earliest-split
+    // tie break (rank over score desc, t asc).
+    "q230_changepoint" ->
+      """WITH series AS (SELECT event_type AS k,
+        |    epoch_us(ts) // 3600000000 AS t, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT k, t,
+        |        CAST(row_number() OVER (PARTITION BY k ORDER BY t)
+        |          AS BIGINT) AS i,
+        |        CAST(sum(x) OVER (PARTITION BY k ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS s1,
+        |        CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |        CAST(sum(x) OVER (PARTITION BY k) AS BIGINT) AS s
+        |      FROM series),
+        |c AS (SELECT k, t, i, s1, n, s, s1 * (n - i) - (s - s1) * i AS d
+        |      FROM w WHERE i >= 24 AND i <= n - 24),
+        |sc AS (SELECT k, t, i, s1, n, s,
+        |         CAST(d * d // (i * (n - i)) AS BIGINT) AS score,
+        |         row_number() OVER (PARTITION BY k
+        |           ORDER BY d * d // (i * (n - i)) DESC, t) AS rk
+        |       FROM c)
+        |SELECT k AS event_type, t AS split_t, n AS n_obs,
+        |  CAST(s1 * 1000 // i AS BIGINT) AS left_mean_milli,
+        |  CAST((s - s1) * 1000 // (n - i) AS BIGINT) AS right_mean_milli,
+        |  score
+        |FROM sc WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     // Mirrors q224: same at-risk accounting (cum events+censored strictly
     // before t), same floor-rounded sequential product via recursive CTE.

@@ -80,6 +80,30 @@ class SurvivalSpec extends SparkSpec {
     assert(math.abs(mean - 1.0) < 0.02, s"mean Poisson weight $mean")
   }
 
+  test("changepoint finds an exact level shift and breaks ties earliest") {
+    // key "a": 2 events/hour for hours 0..49, then 5/hour for 50..99
+    val shifted = (0 until 100).flatMap { h =>
+      val c = if (h < 50) 2 else 5
+      Seq.fill(c)(("a", new Timestamp(h * 3600L * 1000L)))
+    }
+    // key "b": perfectly uniform -> all scores 0 -> earliest candidate
+    val flat = (0 until 100).map(h =>
+      ("b", new Timestamp(h * 3600L * 1000L)))
+    val events = (shifted ++ flat).toDF("event_type", "ts")
+    val out = Timeseries.changepoint(events, "event_type", "ts", minSeg = 24)
+      .orderBy("event_type").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getAs[Long]("split_t") === 49L)
+    assert(a.getAs[Long]("left_mean_milli") === 2000L)
+    assert(a.getAs[Long]("right_mean_milli") === 5000L)
+    // exact score at the true split: d = s1·n2 − s2·n1 = 100·50−250·50
+    assert(a.getAs[Long]("score") === {
+      val d = 100L * 50 - 250L * 50; d * d / (50L * 50)
+    })
+    assert(b.getAs[Long]("split_t") === 23L) // i = minSeg, earliest tie
+    assert(b.getAs[Long]("score") === 0L)
+  }
+
   test("poissonBootstrapCi is deterministic and brackets the point mean") {
     val orders = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
     val a = Sampling.poissonBootstrapCi(orders, "o_orderkey",
