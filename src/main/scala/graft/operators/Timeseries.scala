@@ -299,6 +299,33 @@ object Timeseries {
       .limit(topN)
   }
 
+  /** Step-decayed popularity — the feature-store recency weighting with
+    * an EXACT decay: each occurrence contributes `10^6 div 2^age_weeks`
+    * ppm (a halving per week), so every weight is a dyadic integer and
+    * the rollup is engine-exact — no exp()/pow() float drift, while
+    * keeping the half-life semantics (the continuous-decay limit of
+    * q138's EWMA, frozen to `halfLifeDays` steps). Ages ≥ 20 half-lives
+    * contribute 0 (2^20 > 10^6), so the shift is capped there.
+    *
+    * Scale shape: the age weight is a narrow per-row expression fused
+    * into the scan; one map-combined groupBy(key); the 1-row as-of date
+    * attaches by broadcast. Returns (key, n_rows, decayed_ppm). */
+  def stepDecayedCounts(df: DataFrame, keyCol: String, tsCol: String,
+      halfLifeDays: Int = 28): DataFrame = {
+    require(halfLifeDays >= 1)
+    val day = to_date(col(tsCol))
+    val end = df.agg(max(day).as("_end"))
+    df.select(col(keyCol).as("k"), day.as("_d"))
+      .crossJoin(broadcast(end))
+      .select(col("k"),
+        expr("1000000L div shiftleft(1L, " +
+          s"CAST(least(datediff(_end, _d) div $halfLifeDays, 20) AS INT))")
+          .as("_w"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("_w")).as("decayed_ppm"))
+      .select(col("k").as(keyCol), col("n_rows"), col("decayed_ppm"))
+  }
+
   /** Exact single-changepoint detection (binary segmentation, first
     * split) per key over an hourly count series: the split position
     * maximizing the between-segment sum-of-squares reduction,

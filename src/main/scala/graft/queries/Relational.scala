@@ -51,6 +51,26 @@ object Relational {
           "o_totalprice", b = 100, seed = 33)
         .orderBy(col("o_orderpriority"))),
 
+    // Recency-weighted part demand: each lineitem contributes an EXACT
+    // dyadic weight 10^6 div 2^(age div 28d) — half-life decay with zero
+    // float drift (the feature-store freshness feature beside q177's
+    // unweighted weekly trend). Narrow per-row weight fused into the
+    // scan, one keyed rollup, TakeOrdered top-25.
+    "q231_decayed_popularity" -> ((s, dir) => {
+      val j = t(s, dir, "lineitem").select(col("l_partkey"), col("l_orderkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+      graft.operators.Timeseries
+        .stepDecayedCounts(j, "l_partkey", "o_orderdate", halfLifeDays = 28)
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("p_name"), col("n_rows"),
+          col("decayed_ppm"))
+        .orderBy(col("decayed_ppm").desc, col("l_partkey"))
+        .limit(25)
+    }),
+
     // Split-conformal prediction intervals on order value per priority:
     // hash-fold 60/20/20 split, integer-cents train-mean predictor,
     // conformal q-hat as an exact order statistic over the calibration
@@ -1038,6 +1058,22 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors q231: same dyadic step weights, same as-of date.
+    "q231_decayed_popularity" ->
+      """WITH j AS (SELECT l_partkey, CAST(o_orderdate AS DATE) AS d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT max(d) AS endd FROM j),
+        |w AS (SELECT l_partkey,
+        |        1000000 // (CAST(1 AS BIGINT) <<
+        |          least(date_diff('day', d, endd) // 28, 20)) AS w
+        |      FROM j, e),
+        |g AS (SELECT l_partkey, count(*) AS n_rows,
+        |        CAST(sum(w) AS BIGINT) AS decayed_ppm
+        |      FROM w GROUP BY 1)
+        |SELECT g.l_partkey, p.p_name, g.n_rows, g.decayed_ppm
+        |FROM g JOIN part p ON p.p_partkey = g.l_partkey
+        |ORDER BY decayed_ppm DESC, l_partkey LIMIT 25""".stripMargin,
+
     // Mirrors q226: same folds, same floor-divided train mean, q-hat as
     // the identical multiset order statistic (list[k], 1-indexed).
     "q226_conformal" ->

@@ -183,4 +183,18 @@ class TimeseriesSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 0L, 5000000L), (5L, 4L, 0L)))
   }
+
+  test("stepDecayedCounts: dyadic half-life weights, cap, exact rollup") {
+    def day(d: Int): Timestamp = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(d.toLong))
+    val events = Seq(
+      ("a", 600), ("a", 600),     // as-of day: weight 1_000_000 each
+      ("a", 600 - 56),            // 2 half-lives (28d): 250_000
+      ("a", 0),                   // 600 days old -> 21 half-lives, cap 20 -> 0
+      ("b", 600 - 28)             // 1 half-life: 500_000
+    ).map { case (k, d) => (k, day(d)) }.toDF("k", "ts")
+    val out = Timeseries.stepDecayedCounts(events, "k", "ts", halfLifeDays = 28)
+      .orderBy($"k").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 4L, 2250000L), ("b", 1L, 500000L)))
+  }
 }

@@ -110,6 +110,8 @@ class PlanHygieneSpec extends SparkSpec {
                                // per-user lifetime table (censoring cut)
     "q229_token_burstiness",   // 1-row corpus doc count attached to the
                                // vocabulary-sized VMR table
+    "q231_decayed_popularity", // 1-row as-of date attached to the fact
+                               // scan (per-row dyadic age weight)
     "q188_user_value_deciles", // 1-row value total attached to the
                                // 10-row decile table
   )
