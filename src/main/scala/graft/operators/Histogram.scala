@@ -137,6 +137,41 @@ object Histogram {
         sum(when(isA, 0L).otherwise(1L)).as("cb"))
   }
 
+  /** RFM segmentation — the canonical customer triage: quintile scores
+    * for Recency (days since last activity; 5 = most recent), Frequency
+    * (row count; 5 = most active) and Monetary (exact-cents total;
+    * 5 = highest), rolled up to the (r, f, m) segment grid with customer
+    * counts and value. Quintiles are `ntile(5)` over a TOTAL order
+    * (metric, then entity id), so bucket boundaries — including the
+    * SQL-standard distribution of the n mod 5 remainder — are
+    * deterministic and engine-identical; all inputs are integers
+    * (days / counts / cents), nothing floats.
+    *
+    * Scale shape: one corpus groupBy to the entity table, then the three
+    * ranking windows run over the ENTITY DIMENSION, never the fact rows.
+    * (Past ~10^8 entities, swap ntile for threshold scoring off
+    * [[binPercentiles]] — the segment semantics are unchanged.) Returns
+    * (r_score, f_score, m_score, n_customers, total_cents). */
+  def rfmSegments(df: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val per = df.groupBy(col(entityCol).as("e"))
+      .agg(max(to_date(col(tsCol))).as("_last"),
+        count(lit(1)).as("_f"),
+        sum(round(col(valueCol) * 100).cast("bigint")).as("_m"))
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = per
+      .withColumn("_rec", datediff(max(col("_last")).over(whole), col("_last")))
+      .withColumn("r_score",
+        lit(6) - ntile(5).over(Window.orderBy(col("_rec"), col("e"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("_f"), col("e"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("_m"), col("e"))))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("_m")).as("total_cents"))
+  }
+
   /** TVD readout over a bin table (bounded: runs on bins, not rows). */
   def tvFromBins(bins: DataFrame, groupCol: String): DataFrame = {
     val whole = Window.partitionBy(col(groupCol))

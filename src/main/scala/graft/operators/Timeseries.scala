@@ -326,6 +326,55 @@ object Timeseries {
       .select(col("k").as(keyCol), col("n_rows"), col("decayed_ppm"))
   }
 
+  /** Forecast backtest over the hourly count grid: evaluate the three
+    * standard baselines — naive (last value), seasonal-naive (24 rows
+    * back), 24-row moving average — on the last `holdout` observations
+    * per key, reporting integer-milli MAE each and the winner (ties
+    * prefer the simpler model: naive > snaive > ma24). The
+    * model-selection readout that belongs BEFORE any fancier
+    * forecaster: if nothing beats seasonal-naive, ship seasonal-naive.
+    * Lags are ROW-based over the observed grid (missing hours skip, the
+    * same sequence in every engine); rows without a full 24-row history
+    * are excluded from evaluation.
+    *
+    * Scale shape: one corpus groupBy to the (key, hour) grid; every
+    * window runs per key over the bounded time domain. Returns
+    * (key, n_eval, mae_naive_milli, mae_snaive_milli, mae_ma24_milli,
+    * best). */
+  def forecastBacktest(events: DataFrame, keyCol: String, tsCol: String,
+      holdout: Int = 168): DataFrame = {
+    val series = events
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 3600000000").as("t"))
+      .groupBy(col("k"), col("t")).agg(count(lit(1)).as("x"))
+    val byT = Window.partitionBy(col("k")).orderBy(col("t"))
+    val whole = Window.partitionBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    series
+      .withColumn("i", row_number().over(byT).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("p_naive", lag(col("x"), 1).over(byT))
+      .withColumn("p_snaive", lag(col("x"), 24).over(byT))
+      .withColumn("_ws", sum(col("x")).over(byT.rowsBetween(-24, -1)))
+      .withColumn("_wc", count(lit(1)).over(byT.rowsBetween(-24, -1)))
+      .filter(col("i") > col("n") - holdout && col("_wc") === 24)
+      .withColumn("p_ma", expr("_ws div 24"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("x") - col("p_naive"))).as("_en"),
+        sum(abs(col("x") - col("p_snaive"))).as("_es"),
+        sum(abs(col("x") - col("p_ma"))).as("_em"))
+      .select(col("k").as(keyCol), col("n_eval"),
+        expr("_en * 1000 div n_eval").as("mae_naive_milli"),
+        expr("_es * 1000 div n_eval").as("mae_snaive_milli"),
+        expr("_em * 1000 div n_eval").as("mae_ma24_milli"))
+      .withColumn("best",
+        when(col("mae_naive_milli") <= col("mae_snaive_milli") &&
+          col("mae_naive_milli") <= col("mae_ma24_milli"), "naive")
+          .when(col("mae_snaive_milli") <= col("mae_ma24_milli"), "snaive")
+          .otherwise("ma24"))
+  }
+
   /** Exact single-changepoint detection (binary segmentation, first
     * split) per key over an hourly count series: the split position
     * maximizing the between-segment sum-of-squares reduction,

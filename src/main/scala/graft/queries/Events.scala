@@ -42,6 +42,16 @@ object Events {
             " div (n_users * total_events)").as("gini_ppm"))
     }),
 
+    // Forecast backtest per event type: naive vs seasonal-naive vs
+    // 24-hour moving average on the last week of the hourly grid,
+    // integer-milli MAE and the winner (ties prefer simpler). The
+    // ship-a-baseline-first model-selection readout beside q201's
+    // decomposition and q149's ACF.
+    "q233_forecast_backtest" -> ((s, dir) =>
+      graft.operators.Timeseries.forecastBacktest(
+          t(s, dir, "events"), "event_type", "ts", holdout = 168)
+        .orderBy(col("event_type"))),
+
     // Exact single-changepoint per event type: the split of the hourly
     // count series maximizing between-segment SSE reduction, pure-int64
     // score algebra so the argmax is engine-exact (ties to the earliest
@@ -996,6 +1006,39 @@ object Events {
         |  (rx2 - (n_users + 1) * total_events) * 1000000
         |    // (n_users * total_events) AS gini_ppm
         |FROM agg""".stripMargin,
+
+    // Mirrors q233: same row-based lags/frames over the observed grid,
+    // same full-24-row eligibility, same tie preference.
+    "q233_forecast_backtest" ->
+      """WITH series AS (SELECT event_type AS k,
+        |    epoch_us(ts) // 3600000000 AS t, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT k, t, x,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY t) AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    lag(x, 1) OVER (PARTITION BY k ORDER BY t) AS p_naive,
+        |    lag(x, 24) OVER (PARTITION BY k ORDER BY t) AS p_snaive,
+        |    CAST(sum(x) OVER (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS ws,
+        |    count(*) OVER (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS wc
+        |  FROM series),
+        |ev AS (SELECT k, x, p_naive, p_snaive, ws // 24 AS p_ma FROM w
+        |       WHERE i > n - 168 AND wc = 24),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS n_eval,
+        |        CAST(sum(abs(x - p_naive)) AS BIGINT) AS en,
+        |        CAST(sum(abs(x - p_snaive)) AS BIGINT) AS es,
+        |        CAST(sum(abs(x - p_ma)) AS BIGINT) AS em
+        |      FROM ev GROUP BY k)
+        |SELECT k AS event_type, n_eval,
+        |  en * 1000 // n_eval AS mae_naive_milli,
+        |  es * 1000 // n_eval AS mae_snaive_milli,
+        |  em * 1000 // n_eval AS mae_ma24_milli,
+        |  CASE WHEN en * 1000 // n_eval <= es * 1000 // n_eval
+        |        AND en * 1000 // n_eval <= em * 1000 // n_eval THEN 'naive'
+        |       WHEN es * 1000 // n_eval <= em * 1000 // n_eval THEN 'snaive'
+        |       ELSE 'ma24' END AS best
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // Mirrors q230: same prefix-sum score algebra, same earliest-split
     // tie break (rank over score desc, t asc).

@@ -51,6 +51,16 @@ object Relational {
           "o_totalprice", b = 100, seed = 33)
         .orderBy(col("o_orderpriority"))),
 
+    // RFM segmentation: quintile scores for recency/frequency/monetary
+    // per customer (ntile over a TOTAL order — engine-identical bucket
+    // boundaries), rolled up to the segment grid. The classic customer
+    // triage beside q188's monetary-only deciles and q214's part-side
+    // ABC/XYZ.
+    "q232_rfm_segments" -> ((s, dir) =>
+      graft.operators.Histogram.rfmSegments(
+          t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))),
+
     // Recency-weighted part demand: each lineitem contributes an EXACT
     // dyadic weight 10^6 div 2^(age div 28d) — half-life decay with zero
     // float drift (the feature-store freshness feature beside q177's
@@ -1058,6 +1068,26 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors q232: same total orders under ntile, same remainder rule.
+    "q232_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey AS e,
+        |    max(CAST(o_orderdate AS DATE)) AS last, count(*) AS f,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS m
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT e, f, m,
+        |        date_diff('day', last, (SELECT max(last) FROM per)) AS rec
+        |      FROM per),
+        |sc AS (SELECT
+        |    CAST(6 - ntile(5) OVER (ORDER BY rec, e) AS INTEGER) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY f, e) AS INTEGER) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY m, e) AS INTEGER) AS m_score, m
+        |  FROM s)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(m) AS BIGINT) AS total_cents
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     // Mirrors q231: same dyadic step weights, same as-of date.
     "q231_decayed_popularity" ->
       """WITH j AS (SELECT l_partkey, CAST(o_orderdate AS DATE) AS d

@@ -85,4 +85,23 @@ class HistogramSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(merged == sharded)
   }
+
+  test("rfmSegments: aligned quintiles on a 5-customer fixture") {
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(d.toLong))
+    // customer c: c orders of value 100·c, last order on day c
+    //   -> recency, frequency and monetary ranks all align: scores (c,c,c)
+    val orders = (1 to 5).flatMap { c =>
+      (1 to c).map(i => (c.toLong, day(if (i == c) c else 0), 100.0 * c))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Histogram.rfmSegments(orders, "o_custkey", "o_orderdate",
+        "o_totalprice")
+      .orderBy($"r_score")
+      .select($"r_score", $"f_score", $"m_score", $"n_customers",
+        $"total_cents")
+      .as[(Int, Int, Int, Long, Long)].collect().toSeq
+    assert(out == (1 to 5).map(c =>
+      (c, c, c, 1L, c.toLong * c * 100 * 100)))
+  }
 }

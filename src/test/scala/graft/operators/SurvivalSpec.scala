@@ -63,6 +63,20 @@ class SurvivalSpec extends SparkSpec {
     }
   }
 
+  test("edge cases: empty inputs and too-short series degrade to empty") {
+    val noEvents = Seq.empty[(Long, Timestamp)].toDF("user_id", "ts")
+    assert(Survival.kaplanMeier(noEvents, "user_id", "ts").count() === 0L)
+    // series shorter than 2*minSeg: no candidate split -> key drops out
+    val short = (0 until 10).map(h => ("a", ev(1, h)._2)).toDF("event_type", "ts")
+    assert(Timeseries.changepoint(short, "event_type", "ts", minSeg = 24)
+      .count() === 0L)
+    // all-censored corpus (every user active at the edge): no death rows
+    val active = Seq(ev(1, 0), ev(1, 100), ev(2, 50), ev(2, 100))
+      .toDF("user_id", "ts")
+    assert(Survival.kaplanMeier(active, "user_id", "ts", quietHours = 24)
+      .count() === 0L)
+  }
+
   test("poissonWeight reproduces the inverse CDF at the thresholds") {
     val df = Seq(0L, 1580030167L, 1580030168L, 3160060336L, 3160060337L,
       4294609777L, 4294967295L).toDF("h")

@@ -184,6 +184,33 @@ class TimeseriesSpec extends SparkSpec {
     assert(out == Set((1L, 0L, 5000000L), (5L, 4L, 0L)))
   }
 
+  test("forecastBacktest: period-2 series -> seasonal-naive wins exactly") {
+    def at(h: Int): Timestamp = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(h.toLong))
+    // x(h) = 2 + h%2: lag24 exact (24 even), lag1 off by 1, ma24 = 2 (floor)
+    val events = (0 until 300).flatMap { h =>
+      Seq.fill(2 + h % 2)(("a", at(h)))
+    }.toDF("event_type", "ts")
+    val r = Timeseries.forecastBacktest(events, "event_type", "ts",
+      holdout = 168).head()
+    assert(r.getAs[Long]("n_eval") === 168L)
+    assert(r.getAs[Long]("mae_snaive_milli") === 0L)
+    assert(r.getAs[Long]("mae_naive_milli") === 1000L)
+    // |x - 2| averages 0.5 over alternating parity
+    assert(r.getAs[Long]("mae_ma24_milli") === 500L)
+    assert(r.getAs[String]("best") === "snaive")
+  }
+
+  test("forecastBacktest: constant series ties -> simplest model wins") {
+    def at(h: Int): Timestamp = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(h.toLong))
+    val events = (0 until 250).map(h => ("b", at(h))).toDF("event_type", "ts")
+    val r = Timeseries.forecastBacktest(events, "event_type", "ts",
+      holdout = 168).head()
+    assert(r.getAs[Long]("mae_naive_milli") === 0L)
+    assert(r.getAs[String]("best") === "naive")
+  }
+
   test("stepDecayedCounts: dyadic half-life weights, cap, exact rollup") {
     def day(d: Int): Timestamp = Timestamp.valueOf(
       java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(d.toLong))
