@@ -42,6 +42,17 @@ object Events {
             " div (n_users * total_events)").as("gini_ppm"))
     }),
 
+    // Multi-touch attribution model comparison: last vs linear vs
+    // U-shaped (40/20/40) credit of each purchase's cents across its <=
+    // 10 preceding touches, per channel — exact milli splits that
+    // conserve revenue under every model. The which-rule-changes-the-
+    // answer table beside q217's last-touch lag histogram.
+    "q234_attribution_models" -> ((s, dir) =>
+      graft.operators.Attribution.modelComparison(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+          "value", conversionType = "purchase", maxTouches = 10)
+        .orderBy(col("channel"))),
+
     // Forecast backtest per event type: naive vs seasonal-naive vs
     // 24-hour moving average on the last week of the hourly grid,
     // integer-milli MAE and the winner (ties prefer simpler). The
@@ -1006,6 +1017,39 @@ object Events {
         |  (rx2 - (n_users + 1) * total_events) * 1000000
         |    // (n_users * total_events) AS gini_ppm
         |FROM agg""".stripMargin,
+
+    // Mirrors q234: same sequence index, same band join, same milli
+    // splits with remainder-to-latest.
+    "q234_attribution_models" ->
+      """WITH seq AS (SELECT user_id AS u, event_type AS ch,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS i
+        |  FROM events),
+        |conv AS (SELECT u, i AS pi, cents FROM seq WHERE ch = 'purchase'),
+        |touch AS (SELECT u, i AS ti, ch FROM seq WHERE ch <> 'purchase'),
+        |j AS (SELECT c.u, c.pi, c.cents, t.ti, t.ch
+        |      FROM conv c JOIN touch t ON c.u = t.u
+        |        AND t.ti >= c.pi - 10 AND t.ti <= c.pi - 1),
+        |g AS (SELECT u, pi, count(*) AS k, min(ti) AS first_ti,
+        |        max(ti) AS last_ti
+        |      FROM j GROUP BY u, pi),
+        |w AS (SELECT j.ch, j.cents,
+        |    CASE WHEN j.ti = g.last_ti THEN 1000 ELSE 0 END AS w_last,
+        |    1000 // k + CASE WHEN j.ti = g.last_ti
+        |      THEN 1000 - k * (1000 // k) ELSE 0 END AS w_linear,
+        |    CASE WHEN k = 1 THEN 1000
+        |         WHEN k = 2 THEN 500
+        |         WHEN j.ti = g.first_ti THEN 400
+        |         WHEN j.ti = g.last_ti
+        |           THEN 400 + 200 - (k - 2) * (200 // (k - 2))
+        |         ELSE 200 // (k - 2) END AS w_ushape
+        |  FROM j JOIN g ON j.u = g.u AND j.pi = g.pi)
+        |SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(cents * w_last) // 1000 AS BIGINT) AS last_cents,
+        |  CAST(sum(cents * w_linear) // 1000 AS BIGINT) AS linear_cents,
+        |  CAST(sum(cents * w_ushape) // 1000 AS BIGINT) AS ushape_cents
+        |FROM w GROUP BY ch ORDER BY channel""".stripMargin,
 
     // Mirrors q233: same row-based lags/frames over the observed grid,
     // same full-24-row eligibility, same tie preference.

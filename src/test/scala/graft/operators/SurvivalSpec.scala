@@ -63,6 +63,32 @@ class SurvivalSpec extends SparkSpec {
     }
   }
 
+  test("attribution models: hand-computed splits conserve revenue") {
+    def e(u: Long, s: Int, id: Long, t: String, v: Double) =
+      (u, new Timestamp(s * 1000L), id, t, v)
+    val events = Seq(
+      // user 1: view, click, signup -> purchase 10.00 (k = 3)
+      e(1, 1, 1, "view", 0), e(1, 2, 2, "click", 0), e(1, 3, 3, "signup", 0),
+      e(1, 4, 4, "purchase", 10.0),
+      // user 2: view -> purchase 5.00 (k = 1: all models give all credit)
+      e(2, 1, 5, "view", 0), e(2, 2, 6, "purchase", 5.0),
+      // user 3: bare purchase -> unattributable, dropped
+      e(3, 1, 7, "purchase", 99.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Attribution.modelComparison(events, "user_id", "ts",
+        "event_id", "event_type", "value").orderBy("channel")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_touches"), r.getAs[Long]("last_cents"),
+         r.getAs[Long]("linear_cents"), r.getAs[Long]("ushape_cents"))).toMap
+    // k=3: linear 333/333/334 (remainder to latest), ushape 400/200/400
+    assert(out("view") === ((2L, 500L, 833L, 900L)))
+    assert(out("click") === ((1L, 0L, 333L, 200L)))
+    assert(out("signup") === ((1L, 1000L, 334L, 400L)))
+    // every model conserves the 1500 attributable cents
+    Seq(out.values.map(_._2).sum, out.values.map(_._3).sum,
+      out.values.map(_._4).sum).foreach(s => assert(s === 1500L))
+  }
+
   test("edge cases: empty inputs and too-short series degrade to empty") {
     val noEvents = Seq.empty[(Long, Timestamp)].toDF("user_id", "ts")
     assert(Survival.kaplanMeier(noEvents, "user_id", "ts").count() === 0L)
