@@ -158,4 +158,42 @@ object Normalize {
        |            / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n), $scale) END AS zscore,
        |  CASE WHEN n > 1 THEN (rk - 1) * 1000000 // (n - 1) ELSE NULL END AS quantile_ppm
        |FROM r, s""".stripMargin
+
+  /** Leakage-free K-fold target encoding — the out-of-fold mean that
+    * replaces a high-cardinality categorical with its target statistic
+    * WITHOUT letting a row see its own label: rows land in `folds`
+    * deterministic hash folds, and fold f's encoding for category c is
+    * the mean over c's rows in every OTHER fold,
+    * `(s_c − s_{c,f}) div (n_c − n_{c,f})` in exact integer cents. A
+    * category living entirely in one fold has no out-of-fold evidence
+    * and falls back to the GLOBAL out-of-fold mean (same
+    * leave-own-fold-out discipline at corpus level).
+    *
+    * Scale shape: one map-combined groupBy(category, fold) over the
+    * corpus; category totals ride a window over the (|categories|·folds)
+    * aggregate, never the fact. Returns
+    * (category, fold, n_rows, enc_cents). */
+  def targetEncode(df: DataFrame, idCol: String, catCol: String,
+      targetCol: String, folds: Int = 5, seed: Int = 17): DataFrame = {
+    import graft.functions.TextFunctions.hash32
+    require(folds >= 2)
+    val base = df.select(col(catCol).as("c"),
+      (hash32(col(idCol).cast("string"), seed) % folds).as("f"),
+      round(col(targetCol) * 100).cast("bigint").as("cents"))
+    val cf = base.groupBy(col("c"), col("f"))
+      .agg(count(lit(1)).as("n_cf"), sum(col("cents")).as("s_cf"))
+    val byCat = Window.partitionBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cf.withColumn("n_c", sum(col("n_cf")).over(byCat))
+      .withColumn("s_c", sum(col("s_cf")).over(byCat))
+      .withColumn("n_g", sum(col("n_cf")).over(whole))
+      .withColumn("s_g", sum(col("s_cf")).over(whole))
+      .select(col("c").as(catCol), col("f").as("fold"),
+        col("n_cf").as("n_rows"),
+        when(col("n_c") > col("n_cf"),
+          expr("(s_c - s_cf) div (n_c - n_cf)"))
+          .otherwise(expr("(s_g - s_cf) div (n_g - n_cf)")).as("enc_cents"))
+  }
 }

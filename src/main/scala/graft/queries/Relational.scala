@@ -51,6 +51,23 @@ object Relational {
           "o_totalprice", b = 100, seed = 33)
         .orderBy(col("o_orderpriority"))),
 
+    // Leakage-free K-fold target encoding of customer nation by order
+    // value: fold f's encoding is the exact integer-cents mean over
+    // every OTHER fold — the out-of-fold discipline that makes target
+    // statistics safe as model features (own-fold leakage is the classic
+    // silent overfit). One (nation, fold) aggregate; totals ride a
+    // 125-row window.
+    "q235_target_encode" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_orderkey"), col("n_name"), col("o_totalprice"))
+      graft.operators.Normalize.targetEncode(
+          base, "o_orderkey", "n_name", "o_totalprice", folds = 5, seed = 17)
+        .orderBy(col("n_name"), col("fold"))
+    }),
+
     // RFM segmentation: quintile scores for recency/frequency/monetary
     // per customer (ntile over a TOTAL order — engine-identical bucket
     // boundaries), rolled up to the segment grid. The classic customer
@@ -1068,6 +1085,29 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors q235: same hash folds, same out-of-fold integer means.
+    "q235_target_encode" ->
+      """WITH base AS (SELECT n_name AS c,
+        |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#17'),
+        |      1, 8) AS BIGINT) % 5 AS f,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |cf AS (SELECT c, f, CAST(count(*) AS BIGINT) AS n_cf,
+        |         CAST(sum(cents) AS BIGINT) AS s_cf
+        |       FROM base GROUP BY c, f),
+        |w AS (SELECT c, f, n_cf, s_cf,
+        |        CAST(sum(n_cf) OVER (PARTITION BY c) AS BIGINT) AS n_c,
+        |        CAST(sum(s_cf) OVER (PARTITION BY c) AS BIGINT) AS s_c,
+        |        CAST(sum(n_cf) OVER () AS BIGINT) AS n_g,
+        |        CAST(sum(s_cf) OVER () AS BIGINT) AS s_g
+        |      FROM cf)
+        |SELECT c AS n_name, f AS fold, n_cf AS n_rows,
+        |  CASE WHEN n_c > n_cf THEN (s_c - s_cf) // (n_c - n_cf)
+        |       ELSE (s_g - s_cf) // (n_g - n_cf) END AS enc_cents
+        |FROM w ORDER BY n_name, fold""".stripMargin,
+
     // Mirrors q232: same total orders under ntile, same remainder rule.
     "q232_rfm_segments" ->
       """WITH per AS (SELECT o_custkey AS e,

@@ -97,4 +97,34 @@ class NormalizeSpec extends SparkSpec {
     val sortedVals = rows.sortBy(r => (r._3, r._1)).map(_._3)
     assert(med == sortedVals((rows.size + 1) / 2 - 1))
   }
+
+  test("targetEncode: out-of-fold means match a naive recomputation; no leakage") {
+    import graft.functions.TextFunctions.hash32
+    val rows = (1 to 200).map(i => (i.toLong, s"c${i % 3}", i * 1.0))
+    val df = rows.toDF("id", "cat", "v")
+    val out = Normalize.targetEncode(df, "id", "cat", "v", folds = 4, seed = 17)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("fold")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("enc_cents"))).toMap
+    // recompute with the operator's own fold hash, naively in Scala
+    val folds = df.select($"id", (hash32($"id".cast("string"), 17) % 4).as("f"))
+      .as[(Long, Long)].collect().toMap
+    val data = rows.map { case (id, c, v) =>
+      (c, folds(id), math.round(v * 100)) }
+    for (((c, f), (n, enc)) <- out) {
+      val others = data.filter(d => d._1 == c && d._2 != f)
+      assert(n === data.count(d => d._1 == c && d._2 == f))
+      assert(others.nonEmpty)
+      assert(enc === others.map(_._3).sum / others.length,
+        s"category $c fold $f")
+    }
+    // and the encoding NEVER equals the own-fold mean when they differ
+    // (the leakage a naive mean join would introduce)
+    for (((c, f), (_, enc)) <- out) {
+      val own = data.filter(d => d._1 == c && d._2 == f).map(_._3)
+      val ownMean = own.sum / own.length
+      val all = data.filter(_._1 == c).map(_._3)
+      if (ownMean != all.sum / all.length) assert(enc !== ownMean)
+    }
+  }
 }
