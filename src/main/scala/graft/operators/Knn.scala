@@ -142,4 +142,50 @@ object Knn {
         (col("_r") + 1).as("rk"),
         col("_p.id").as("neighbor_id"),
         col("_p.score").as("sim"))
+
+  /** k-center greedy coreset — diversity selection over an embedding
+    * column: start from the lowest id, then `k−1` times pick the point
+    * FARTHEST (cosine distance, ties to the lowest id) from everything
+    * chosen so far. The classic 2-approximation to the k-center cover,
+    * and the diversity-sampling step of data-pruning pipelines (pick
+    * prototypes that span the space, not a hash sample that mirrors its
+    * density).
+    *
+    * Scale shape: each of the k rounds is ONE narrow pass — the chosen
+    * vectors are broadcast as literals into a `least(...)` of codegen'd
+    * cosine expressions, so there is no join at all; the argmax is a
+    * TakeOrdered(1). The k driver-side `head()` pulls are 1-row by
+    * construction (the [[Ivf]] discipline). Input vectors must be
+    * `array<float>`. Returns (step, vec_id, dist) with `dist` the
+    * min-distance to the prior picks, rounded to 6 dp (step 1 → 0.0). */
+  def kCenterCoreset(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val e = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = e.orderBy(col("id")).limit(1).head()
+      var ids = Vector(first.getLong(0))
+      var vecs = Vector(first.getSeq[Float](1))
+      var out = Vector((1L, first.getLong(0), 0.0))
+      for (step <- 2 to k) {
+        val md = vecs
+          .map(cv => lit(1.0) - cosine_sim(col("v"),
+            array(cv.map(x => lit(x)): _*)))
+          .reduce((a, b) => least(a, b))
+        val next = e.filter(!col("id").isInCollection(ids))
+          .select(col("id"), col("v"), md.as("md"))
+          .orderBy(col("md").desc, col("id")).limit(1).head()
+        ids :+= next.getLong(0)
+        vecs :+= next.getSeq[Float](1)
+        // exactly Spark's round(col, 6): shortest-repr decimal, HALF_UP
+        out :+= ((step.toLong, next.getLong(0),
+          java.math.BigDecimal.valueOf(next.getDouble(2))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+      }
+      out.toDF("step", "vec_id", "dist")
+    } finally e.unpersist(blocking = false)
+  }
 }

@@ -122,6 +122,15 @@ object Vectors {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // k-center greedy coreset: 8 diversity prototypes spanning the
+    // embedding space — each round one narrow scan (chosen vectors as
+    // broadcast literals under least(), no join) + TakeOrdered(1). The
+    // data-pruning pick-prototypes step beside q85's semantic dedup.
+    "q236_kcenter_coreset" -> ((s, dir) =>
+      Knn.kCenterCoreset(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8)
+        .orderBy(col("step"))),
+
     // Exact k-NN top-k for a small query set against the whole corpus
     // (reference W1: ORDER BY embedding ANN OF ? LIMIT k) — broadcast
     // queries + bounded map-side top-k aggregation.
@@ -333,6 +342,29 @@ object Vectors {
       |c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM g GROUP BY label)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors q236: the greedy unrolled — c_i picks the farthest point
+    // (ties to lowest id), d_i folds its distance into the running min.
+    "q236_kcenter_coreset" -> {
+      val k = 8
+      val sb = new StringBuilder
+      sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),\n"
+      sb ++= "c1 AS (SELECT vec_id, v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),\n"
+      sb ++= "d1 AS (SELECT e.vec_id, e.v, 1 - list_cosine_similarity(e.v, c1.v) AS md " +
+        "FROM e, c1 WHERE e.vec_id <> c1.vec_id)"
+      for (i <- 2 to k) {
+        sb ++= s",\nc$i AS (SELECT vec_id, v, md FROM d${i - 1} ORDER BY md DESC, vec_id LIMIT 1)"
+        if (i < k)
+          sb ++= s",\nd$i AS (SELECT d.vec_id, d.v, " +
+            s"least(d.md, 1 - list_cosine_similarity(d.v, c.v)) AS md " +
+            s"FROM d${i - 1} d, c$i c WHERE d.vec_id <> c.vec_id)"
+      }
+      sb ++= "\nSELECT CAST(1 AS BIGINT) AS step, vec_id, 0.0 AS dist FROM c1"
+      for (i <- 2 to k)
+        sb ++= s"\nUNION ALL SELECT CAST($i AS BIGINT), vec_id, round(md, 6) FROM c$i"
+      sb ++= "\nORDER BY step"
+      sb.toString
+    },
+
     // Mirrors q211's SQL text: DuckDB's list_cosine_similarity agrees
     // with the codegen'd CosineSimilarity fold (q20 pins that), and the
     // norm is the explicit left list_reduce q192 pins.

@@ -99,4 +99,23 @@ class KnnSpec extends SparkSpec {
       .select($"neighbor_id").as[Long].collect().toSeq
     assert(ours == brute)
   }
+
+  test("kCenterCoreset: greedy invariants and determinism") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val a = Knn.kCenterCoreset(e, "vec_id", "embedding", k = 6)
+      .orderBy($"step").collect()
+    val b = Knn.kCenterCoreset(e, "vec_id", "embedding", k = 6)
+      .orderBy($"step").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    val ids = a.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === 6)
+    // seed is the lowest id; coverage radius never grows (greedy invariant)
+    assert(ids.head === e.agg(org.apache.spark.sql.functions.min($"vec_id"))
+      .head().getLong(0))
+    val dists = a.drop(1).map(_.getAs[Double]("dist"))
+    dists.sliding(2).foreach {
+      case Array(x, y) => assert(x >= y, s"radius grew: $x -> $y")
+      case _ => ()
+    }
+  }
 }
