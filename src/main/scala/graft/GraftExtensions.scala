@@ -49,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "hash_featurize(metrics_map, dim) - deterministic feature-hashing embedding") { es =>
       HashFeaturize(es(0), intLit(es(1), "hash_featurize dim"))
     }
+    inject("md5_hash32",
+      "md5_hash32(s, seed[, slot]) - portable 32-bit hash (slot-th big-endian " +
+        "word of md5(s || '#' || seed), as bigint); the primitive behind " +
+        "deterministic splits, samples, minhash and noise draws") { es =>
+      Md5Hash32(es(0), intLit(es(1), "md5_hash32 seed"),
+        if (es.length > 2) intLit(es(2), "md5_hash32 slot") else 0)
+    }
     inject("rhp_signature",
       "rhp_signature(vec, nbits, dim, seed[, portable]) - sign-random-projection " +
         "LSH signature; portable=true uses md5-derived ±1 planes any engine can reproduce") { es =>

@@ -67,5 +67,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("hamming_dist", es => HammingDistance(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_hash32", es => es(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(seed: Int, _) =>
+        Md5Hash32(es(0), seed)
+      case _ => throw new IllegalArgumentException("md5_hash32 seed must be an integer literal")
+    }, "scala_udf")
   }
 }

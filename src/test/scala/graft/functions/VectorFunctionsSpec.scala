@@ -75,4 +75,14 @@ class VectorFunctionsSpec extends SparkSpec {
     val r = spark.sql("SELECT cosine_sim(a, b) c, l2_norm(a) n FROM vecs").head()
     assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 1.0)
   }
+
+  test("md5_hash32 is callable from SQL (extensions + register) and matches the column form") {
+    GraftFunctions.register(spark)
+    Seq("x", "y", "z").toDF("s").createOrReplaceTempView("hs")
+    val viaSql = spark.sql("SELECT md5_hash32(s, 9) FROM hs").as[Long].collect().toSeq
+    val viaCol = Seq("x", "y", "z").toDF("s")
+      .select(graft.functions.TextFunctions.hash32($"s", 9)).as[Long].collect().toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.forall(h => h >= 0L && h < (1L << 32)))
+  }
 }
