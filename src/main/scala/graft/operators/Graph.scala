@@ -110,4 +110,43 @@ object Graph {
     }
     e
   }
+
+  /** Synchronous label propagation communities — DENSITY structure where
+    * connected components give only connectivity: every node starts as
+    * its own label; each round it adopts the most frequent label among
+    * its neighbors PLUS its own current label (the self-vote that damps
+    * the classic bipartite flip-flop), ties to the smallest label. A
+    * FIXED `iters` rounds (no convergence job) keeps the output a pure
+    * function of the graph — deterministic and engine-reproducible, so
+    * the oracle unrolls the identical rounds in SQL.
+    *
+    * Scale shape: per round, one equi-join of the symmetric edge list
+    * against the label table (shuffle on node id) and two keyed
+    * aggregations; `localCheckpoint` truncates the growing lineage.
+    * Returns (v, community). */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1)
+    val e = edges
+      .select(col(aCol).cast("bigint").as("a"), col(bCol).cast("bigint").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = e.select(col("a").as("s"), col("b").as("d"))
+      .unionAll(e.select(col("b").as("s"), col("a").as("d")))
+      .localCheckpoint(true)
+    var lbl = sym.select(col("s").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = sym.join(lbl.withColumnRenamed("v", "s"), Seq("s"))
+        .select(col("d").as("v"), col("lbl"))
+        .unionAll(lbl)
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        // argmax votes, ties to the SMALLEST label (max of (c, -lbl))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+      lbl = next
+    }
+    lbl.select(col("v"), col("lbl").as("community"))
+  }
 }

@@ -51,6 +51,20 @@ object Relational {
           "o_totalprice", b = 100, seed = 33)
         .orderBy(col("o_orderpriority"))),
 
+    // Label-propagation communities on the co-purchase graph: density
+    // structure (product families) where q38/q79's components give only
+    // connectivity — 4 fixed synchronous rounds with self-vote and
+    // min-label ties, so the partition is a pure function of the graph
+    // and the oracle replays it. Top communities by size.
+    "q237_copurchase_communities" -> ((s, dir) => {
+      val lbl = graft.operators.Graph.labelPropagation(
+        copurchaseEdges(s, dir), "pa", "pb", iters = 4)
+      lbl.groupBy(col("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(25)
+    }),
+
     // Leakage-free K-fold target encoding of customer nation by order
     // value: fold f's encoding is the exact integer-cents mean over
     // every OTHER fold — the out-of-fold discipline that makes target
@@ -1085,6 +1099,31 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors q237: the same 4 synchronous rounds unrolled — neighbor
+    // votes + self-vote, argmax with min-label ties.
+    "q237_copurchase_communities" -> {
+      val iters = 4
+      val sb = new StringBuilder
+      sb ++= s"WITH $copurchaseCte,\n"
+      sb ++= "sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),\n"
+      sb ++= "l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM sym)"
+      for (i <- 1 to iters) {
+        sb ++= s""",
+          |v$i AS (SELECT x.v, x.lbl, count(*) AS c FROM (
+          |    SELECT s.d AS v, l.lbl FROM sym s JOIN l${i - 1} l ON l.v = s.s
+          |    UNION ALL SELECT v, lbl FROM l${i - 1}) x
+          |  GROUP BY x.v, x.lbl),
+          |l$i AS (SELECT v, lbl FROM (
+          |    SELECT v, lbl, row_number() OVER (PARTITION BY v
+          |      ORDER BY c DESC, lbl) AS rk FROM v$i) WHERE rk = 1)""".stripMargin
+      }
+      sb ++= s"""
+        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM l$iters GROUP BY lbl
+        |ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin
+      sb.toString
+    },
+
     // Mirrors q235: same hash folds, same out-of-fold integer means.
     "q235_target_encode" ->
       """WITH base AS (SELECT n_name AS c,

@@ -47,6 +47,22 @@ class Round5cSpec extends SparkSpec {
     assert(fast === naive)
   }
 
+  test("labelPropagation separates two bridged cliques deterministically") {
+    // K4 {1..4} + K4 {5..8} joined by the single bridge 4-5
+    def k4(off: Long) = for { a <- 0L to 3L; b <- (a + 1) to 3L }
+      yield (off + a, off + b)
+    val edges = (k4(1) ++ k4(5) :+ (4L, 5L)).toDF("a", "b")
+    val out = Graph.labelPropagation(edges, "a", "b", iters = 4)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    // clique A converges to min-id 1; clique B to min-id 5 (the bridge
+    // pull of label 1/4 into node 5 is outvoted by its clique, rounds 2+)
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
+    val again = Graph.labelPropagation(edges, "a", "b", iters = 4)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    assert(again == out)
+  }
+
   // ---- Audit.benford --------------------------------------------------
 
   test("benford emits all 9 digits with exact counts and shares") {
