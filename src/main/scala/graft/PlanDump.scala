@@ -25,6 +25,14 @@ object PlanDump {
         "window over DISTINCT residual values (value-compressed, the " +
         "AUC/KS discipline). Three passes over the fact, zero wide " +
         "shuffles beyond the group aggregates."),
+    "q234_attribution_models" ->
+      ("Multi-touch attribution: one per-user sequence window over the " +
+        "fact (its natural partitioning), then conversions join touches " +
+        "on user with a row-index band — fanout bounded at maxTouches " +
+        "per conversion by construction, so the join never explodes. " +
+        "The per-conversion (k, first, last) rollup and the channel " +
+        "rollup are ordinary keyed hash aggregates; every credit split " +
+        "is integer milli, no UDFs anywhere."),
     "q199_copurchase_triangles" ->
       ("Triangle census with degree-ordered orientation: every edge is " +
         "directed from its lower (degree, id) endpoint, so the wedge self-join " +
