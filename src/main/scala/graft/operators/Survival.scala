@@ -32,6 +32,51 @@ import org.apache.spark.sql.functions._
   */
 object Survival {
 
+  /** Cohort-grouped KM: one survival curve per signup-day cohort (the
+    * day index of a user's FIRST event hour), sharing one global
+    * observation cutoff — the did-retention-improve comparison across
+    * product changes. Same accounting and integer recurrence as
+    * [[kaplanMeier]], with the lifetime-domain fold running per cohort
+    * (cohort curves are independent, so the rollup parallelizes on the
+    * cohort key). Returns (cohort_day, t_hours, n_risk, n_events,
+    * s_ppm), ordered by (cohort_day, t_hours). */
+  def kaplanMeierByCohort(
+      events: DataFrame, userCol: String, tsCol: String,
+      quietHours: Int = 24): DataFrame = {
+    val hour = expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 3600000000")
+    val per = events.groupBy(col(userCol))
+      .agg(min(hour).as("first_h"), max(hour).as("last_h"))
+    val end = per.agg(max(col("last_h")).as("end_h"))
+    val u = per.crossJoin(broadcast(end))
+      .select(expr("first_h div 24").as("cohort_day"),
+        (col("last_h") - col("first_h")).as("t"),
+        (col("end_h") - col("last_h") >= quietHours).cast("long").as("ev"))
+    val grp = u.groupBy(col("cohort_day"), col("t"))
+      .agg(sum(col("ev")).as("d"),
+        (count(lit(1)) - sum(col("ev"))).as("c"))
+    val one = grp.groupBy(col("cohort_day")).agg(
+      sort_array(collect_list(struct(col("t"), col("d"), col("c")))).as("arr"),
+      sum(col("d") + col("c")).as("total"))
+    one.select(col("cohort_day"), explode(expr(
+        """aggregate(arr,
+          |  named_struct('rem', total, 's', CAST(1000000 AS BIGINT),
+          |    'out', CAST(array() AS array<struct<t:bigint,n:bigint,d:bigint,s:bigint>>)),
+          |  (acc, x) -> named_struct(
+          |    'rem', acc.rem - x.d - x.c,
+          |    's', CASE WHEN x.d > 0
+          |      THEN (acc.s * (acc.rem - x.d)) div acc.rem ELSE acc.s END,
+          |    'out', CASE WHEN x.d > 0
+          |      THEN array_append(acc.out, named_struct(
+          |        't', x.t, 'n', acc.rem, 'd', x.d,
+          |        's', (acc.s * (acc.rem - x.d)) div acc.rem))
+          |      ELSE acc.out END),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("cohort_day"), col("r.t").as("t_hours"),
+        col("r.n").as("n_risk"), col("r.d").as("n_events"),
+        col("r.s").as("s_ppm"))
+      .orderBy(col("cohort_day"), col("t_hours"))
+  }
+
   /** KM table: one row per death time — (t_hours, n_risk, n_events,
     * hazard_ppm, s_ppm), ordered by t_hours. */
   def kaplanMeier(

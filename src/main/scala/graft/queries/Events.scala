@@ -42,6 +42,14 @@ object Events {
             " div (n_users * total_events)").as("gini_ppm"))
     }),
 
+    // Cohort survival comparison: one KM curve per signup-day cohort
+    // under a shared observation cutoff — "did retention improve for
+    // later signups?" beside q87's return-rate grid. Same exact integer
+    // recurrence as q224, folded per cohort.
+    "q238_cohort_survival" -> ((s, dir) =>
+      graft.operators.Survival.kaplanMeierByCohort(
+        t(s, dir, "events"), "user_id", "ts", quietHours = 24)),
+
     // Multi-touch attribution model comparison: last vs linear vs
     // U-shaped (40/20/40) credit of each purchase's cents across its <=
     // 10 preceding touches, per channel — exact milli splits that
@@ -1017,6 +1025,39 @@ object Events {
         |  (rx2 - (n_users + 1) * total_events) * 1000000
         |    // (n_users * total_events) AS gini_ppm
         |FROM agg""".stripMargin,
+
+    // Mirrors q238: q224's recurrence keyed by cohort in the recursive
+    // CTE (join on cohort AND rn).
+    "q238_cohort_survival" ->
+      """WITH RECURSIVE per AS (
+        |  SELECT user_id, min(epoch_us(ts) // 3600000000) AS f,
+        |    max(epoch_us(ts) // 3600000000) AS l
+        |  FROM events GROUP BY user_id),
+        |e AS (SELECT max(l) AS endd FROM per),
+        |u AS (SELECT f // 24 AS cw, l - f AS t,
+        |        CASE WHEN endd - l >= 24 THEN 1 ELSE 0 END AS ev
+        |      FROM per, e),
+        |grp AS (SELECT cw, t, CAST(sum(ev) AS BIGINT) AS d,
+        |          CAST(count(*) - sum(ev) AS BIGINT) AS c
+        |        FROM u GROUP BY cw, t),
+        |tot AS (SELECT cw, count(*) AS n FROM u GROUP BY cw),
+        |r AS (SELECT g.cw, g.t, g.d, g.c,
+        |        CAST(tot.n - coalesce(sum(g.d + g.c) OVER (PARTITION BY g.cw
+        |          ORDER BY g.t ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+        |          PRECEDING), 0) AS BIGINT) AS n,
+        |        row_number() OVER (PARTITION BY g.cw ORDER BY g.t) AS rn
+        |      FROM grp g JOIN tot ON tot.cw = g.cw),
+        |km AS (
+        |  SELECT cw, CAST(0 AS BIGINT) AS rn, CAST(1000000 AS BIGINT) AS s
+        |  FROM tot
+        |  UNION ALL
+        |  SELECT r.cw, r.rn, CASE WHEN r.d > 0
+        |      THEN (km.s * (r.n - r.d)) // r.n ELSE km.s END
+        |  FROM km JOIN r ON r.cw = km.cw AND r.rn = km.rn + 1)
+        |SELECT r.cw AS cohort_day, CAST(r.t AS BIGINT) AS t_hours,
+        |  r.n AS n_risk, r.d AS n_events, km.s AS s_ppm
+        |FROM r JOIN km ON km.cw = r.cw AND km.rn = r.rn WHERE r.d > 0
+        |ORDER BY cohort_day, t_hours""".stripMargin,
 
     // Mirrors q234: same sequence index, same band join, same milli
     // splits with remainder-to-latest.

@@ -103,6 +103,39 @@ class SurvivalSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("cohort KM curves equal per-cohort runs of the ungrouped operator") {
+    val events = spark.read.parquet(sf("sf0.01") + "/events.parquet")
+    val byCohort = Survival.kaplanMeierByCohort(events, "user_id", "ts",
+      quietHours = 24).collect()
+    assert(byCohort.map(_.getAs[Long]("cohort_day")).distinct.length >= 2)
+    // users of each cohort, re-run through the ungrouped KM, must match
+    val firstDay = events
+      .select($"user_id", expr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .groupBy($"user_id").agg(min($"h").as("f"))
+      .select($"user_id", expr("f div 24").as("cd"))
+    for (cd <- byCohort.map(_.getAs[Long]("cohort_day")).distinct) {
+      val cohortUsers = firstDay.filter($"cd" === cd).select($"user_id")
+      val solo = Survival.kaplanMeier(
+          events.join(cohortUsers, Seq("user_id"), "left_semi"),
+          "user_id", "ts", quietHours = 24)
+        .select($"t_hours", $"n_risk", $"n_events", $"s_ppm")
+        .collect().map(_.toSeq).toSeq
+      val grouped = byCohort.filter(_.getAs[Long]("cohort_day") == cd)
+        .map(r => Seq(r.getAs[Long]("t_hours"), r.getAs[Long]("n_risk"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("s_ppm"))).toSeq
+      // NOTE: the solo run's censor cutoff is the cohort's own max hour,
+      // which can differ from the corpus cutoff only if the cohort dies
+      // out early — tolerate by comparing only when cutoffs agree
+      val corpusEnd = events.agg(max(expr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"))).head().getLong(0)
+      val cohortEnd = events.join(cohortUsers, Seq("user_id"), "left_semi")
+        .agg(max(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")))
+        .head().getLong(0)
+      if (cohortEnd == corpusEnd) assert(solo === grouped, s"cohort $cd")
+    }
+  }
+
   test("poissonWeight reproduces the inverse CDF at the thresholds") {
     val df = Seq(0L, 1580030167L, 1580030168L, 3160060336L, 3160060337L,
       4294609777L, 4294967295L).toDF("h")
