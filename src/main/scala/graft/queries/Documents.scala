@@ -459,6 +459,30 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Pairwise source-vocabulary overlap: Jaccard of the distinct-token
+    // sets of every source pair — the corpus-comparison readout ("are
+    // these two dumps the same register?") beside q89's doc-level
+    // overlap and q180's language confusion. One distinct (source,
+    // token) pass; the pair join is bounded by sources² per token,
+    // never doc-pairs.
+    "q239_source_vocab_overlap" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val sv = t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .distinct()
+      val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("v"))
+      sv.as("a").join(sv.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("s1"), col("v").as("v1"))), Seq("s1"))
+        .join(broadcast(sizes.select(col("source").as("s2"), col("v").as("v2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("inter"),
+          expr("inter * 1000000 div (v1 + v2 - inter)").as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("s1"), col("s2"))
+        .limit(25)
+    }),
+
     // Token burstiness: variance-to-mean of per-doc counts across ALL
     // docs (zeros contribute via the 1-row N attach, never materialized)
     // — separates bursty topical words from Poisson-ish function words;
@@ -1813,6 +1837,24 @@ object Documents {
          |WHERE n_email + n_phone + n_ipv4 > 0
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Mirrors q239: same distinct (source, token) sets, same integer
+    // Jaccard, same (ppm desc, pair) cut.
+    "q239_source_vocab_overlap" ->
+      s"""WITH $tokCte,
+         |sv AS (SELECT DISTINCT d.source, u.w
+         |       FROM t JOIN documents d USING (doc_id),
+         |            unnest(t.tok) AS u(w)),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+         |       FROM sv GROUP BY source),
+         |p AS (SELECT a.source AS s1, b.source AS s2,
+         |        CAST(count(*) AS BIGINT) AS inter
+         |      FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT s1, s2, inter,
+         |  inter * 1000000 // (za.v + zb.v - inter) AS jaccard_ppm
+         |FROM p JOIN sz za ON za.source = s1 JOIN sz zb ON zb.source = s2
+         |ORDER BY jaccard_ppm DESC, s1, s2 LIMIT 25""".stripMargin,
 
     // Mirrors q229: zeros enter through N only; same integer VMR.
     "q229_token_burstiness" ->
