@@ -92,6 +92,18 @@ class SurvivalSpec extends SparkSpec {
   test("edge cases: empty inputs and too-short series degrade to empty") {
     val noEvents = Seq.empty[(Long, Timestamp)].toDF("user_id", "ts")
     assert(Survival.kaplanMeier(noEvents, "user_id", "ts").count() === 0L)
+    // no conversions -> no attributed rows, not an error
+    val noConv = Seq((1L, new Timestamp(1000L), 1L, "view", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    assert(Attribution.modelComparison(noConv, "user_id", "ts",
+      "event_id", "event_type", "value").count() === 0L)
+    // single-customer RFM: every quintile collapses to one bucket
+    val one = Seq((7L, new Timestamp(1000L), 12.5))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r = Histogram.rfmSegments(one, "o_custkey", "o_orderdate",
+      "o_totalprice").head()
+    assert(r.getAs[Long]("n_customers") === 1L)
+    assert(r.getAs[Long]("total_cents") === 1250L)
     // series shorter than 2*minSeg: no candidate split -> key drops out
     val short = (0 until 10).map(h => ("a", ev(1, h)._2)).toDF("event_type", "ts")
     assert(Timeseries.changepoint(short, "event_type", "ts", minSeg = 24)
