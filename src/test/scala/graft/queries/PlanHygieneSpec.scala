@@ -112,6 +112,8 @@ class PlanHygieneSpec extends SparkSpec {
                                // vocabulary-sized VMR table
     "q231_decayed_popularity", // 1-row as-of date attached to the fact
                                // scan (per-row dyadic age weight)
+    "q238_cohort_survival",    // q224's 1-row corpus-end-hour attach,
+                               // cohort-grouped
     "q188_user_value_deciles", // 1-row value total attached to the
                                // 10-row decile table
   )
