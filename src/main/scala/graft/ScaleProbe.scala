@@ -1,0 +1,127 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe harness: measures how the heaviest queries behave at ~10×
+  * sf0.1 — turning the "would this plan survive a scale-up" argument into
+  * a t(10×)/t(1×) ratio table (published in SCALE.md).
+  *
+  * Input synthesis replicates each sf0.1 parquet table k× with disjoint
+  * key spaces (every id/key column shifted by `replica · 10^9`, applied
+  * consistently across fact/dim tables so joins stay intact), EXCEPT:
+  *  - `region`/`nation` stay fixed — genuinely constant-size dimensions
+  *    at any scale (the TPC-H convention);
+  *  - `documents.text` gets a per-replica token suffix (replica 0 is the
+  *    original) so shingle/minhash spaces of different replicas are
+  *    DISJOINT: each replica reproduces the original corpus's internal
+  *    duplicate structure and nothing duplicates across replicas —
+  *    near-dup pairs/components scale exactly k×, the way a k× crawl
+  *    with the same dup-rate would. Plain text copies would instead make
+  *    every doc a member of a k-clique of exact dups (pair count k²×) —
+  *    a different, artificial workload;
+  *  - `embeddings.embedding` vectors are copied unchanged: brute-force,
+  *    IVF and PQ costs depend on corpus size and cell occupancy, not
+  *    vector values, so identical copies give honest k× scan/probe
+  *    costs (pair-join operators over embeddings are NOT probed here).
+  *
+  * Timing mirrors graft.Bench's steady-state protocol: clean cache state
+  * before every execution, one warm-up, best of two measured runs.
+  */
+object ScaleProbe {
+
+  /** The heavy tail from BENCH_r05 — the queries whose 100 TB behavior
+    * was argued, not measured, in rounds ≤ 5. */
+  val DefaultQueries: Seq[String] = Seq(
+    "q161_corpus_curate", "q203_copurchase_kcore",
+    "q237_copurchase_communities", "q208_golden_record",
+    "q198_dedup_savings", "q185_component_size_dist",
+    "q152_dedup_weights", "q110_feature_corr",
+    "q199_copurchase_triangles", "q148_containment_pairs",
+    "q29_ivf_trained", "q94_kmv_distinct", "q202_item_item_sim",
+    "q151_quantile_normalize", "q68_pq_adc", "q31_minhash_neardup",
+    "q38_neardup_components", "q126_bpe_merges", "q153_ngram_novelty",
+    "q165_phrase_hits")
+
+  private val Base = 1000000000L // per-replica key offset; ids at sf0.1 ≪ 1e9
+
+  /** Key columns to shift per table (consistent across tables ⇒ joins
+    * land in the same replica). */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def synthesize(spark: SparkSession, srcDir: String, dstDir: String,
+      k: Int): Unit = {
+    new java.io.File(dstDir).mkdirs()
+    graft.sources.Tables.names.foreach { name =>
+      val src = spark.read.parquet(s"$srcDir/$name.parquet")
+      val out =
+        if (name == "region" || name == "nation") src
+        else {
+          val keys = keyCols(name)
+          (0 until k).map { i =>
+            val shifted = keys.foldLeft(src)((df, kc) =>
+              df.withColumn(kc, col(kc) + lit(i * Base)))
+            if (name == "documents" && i > 0)
+              // per-replica token suffix: disjoint shingle space, same
+              // internal duplicate structure (see object scaladoc)
+              shifted.withColumn("text",
+                array_join(transform(split(col("text"), " "),
+                  x => concat(x, lit(s"~$i"))), " "))
+            else shifted
+          }.reduce(_ unionByName _)
+        }
+      // many splits so the scan side parallelizes like a real multi-file
+      // table (Tables' single-split spread is a small-fixture artifact)
+      out.repartition(32).write.mode("overwrite")
+        .parquet(s"$dstDir/$name.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dstDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"/tmp/scaleprobe/x$k")
+    val names = if (args.nonEmpty) args.toSeq else DefaultQueries
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (!new java.io.File(s"$dstDir/lineitem.parquet").exists()) {
+      println(s"SCALE synthesizing ${k}x inputs at $dstDir")
+      synthesize(spark, srcDir, dstDir, k)
+    }
+    def clean(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache(); System.gc()
+    }
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      clean()
+      try { fn(spark, dir).count() } catch { case _: Throwable => return -1.0 }
+      (1 to 2).map { _ =>
+        clean()
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    names.foreach { name =>
+      val t1 = time(name, srcDir)
+      val tk = time(name, dstDir)
+      val ratio = if (t1 > 0 && tk > 0) tk / t1 else -1.0
+      println(f"""SCALE {"query":"$name","t1":$t1%.2f,"t$k":$tk%.2f,"ratio":$ratio%.2f}""")
+    }
+    spark.stop()
+  }
+}

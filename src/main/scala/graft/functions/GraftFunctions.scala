@@ -67,10 +67,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("hamming_dist", es => HammingDistance(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("md5_hash32", es => es(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(seed: Int, _) =>
-        Md5Hash32(es(0), seed)
-      case _ => throw new IllegalArgumentException("md5_hash32 seed must be an integer literal")
-    }, "scala_udf")
+    // Mirrors the GraftExtensions injection exactly, INCLUDING the
+    // optional third slot argument — the two registration paths must
+    // never give the same SQL call different results.
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+    }
+    reg.createOrReplaceTempFunction("md5_hash32", es =>
+      Md5Hash32(es(0), intLit(es(1), "md5_hash32 seed"),
+        if (es.length > 2) intLit(es(2), "md5_hash32 slot") else 0), "scala_udf")
   }
 }

@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * the revenue?" under each rule, side by side.
   *
   * Semantics: per user, events form one (ts, event_id)-ordered sequence;
-  * a conversion's touch window is the `maxTouches` immediately preceding
-  * non-conversion events (row-based — the bounded-fanout discipline: the
-  * join can never explode past maxTouches rows per conversion).
+  * a conversion's touch window is the non-conversion events AMONG the
+  * `maxTouches` immediately preceding events of any type (row-based —
+  * the bounded-fanout discipline: the join can never explode past
+  * maxTouches rows per conversion; an interleaved conversion consumes a
+  * window slot, shrinking that window's effective touch set).
   * Conversions with no touch in window are dropped (unattributable).
   * Credit is split in integer MILLI of each conversion's cents:
   *   - last:   1000 to the latest touch;

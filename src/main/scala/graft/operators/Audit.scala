@@ -178,10 +178,13 @@ object Audit {
           sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
           sum(when(col("nd") > 1, col("n_rows")).otherwise(0L))
             .as("n_ambiguous_rows"))
+        // empty input: the sums are NULL — coalesce to 0 so the degenerate
+        // answer is a deterministic (0 groups, 0 violations, holds=true)
+        // rather than NULLs (matches the q196 oracle's coalesce)
         .select(lit(s"$table.$name").as("fd"), col("n_groups"),
-          col("n_violating_groups"),
+          coalesce(col("n_violating_groups"), lit(0L)).as("n_violating_groups"),
           coalesce(col("n_ambiguous_rows"), lit(0L)).as("n_ambiguous_rows"),
-          (col("n_violating_groups") === 0).as("holds"))
+          (coalesce(col("n_violating_groups"), lit(0L)) === 0).as("holds"))
     }.reduce(_ unionByName _)
   }
 
@@ -205,10 +208,14 @@ object Audit {
       sum(when(digit === d, 1L).otherwise(0L)).as(s"n_$d"))
     val counts = df.filter(intCol > 0).agg(aggs.head, aggs.tail: _*)
     val rows = (1 to 9).map { d =>
+      // n = 0 (no positive values at all): emit share 0 and deviation =
+      // the full expected share, not a NULL div-by-zero readout
+      val share = when(col("n") > 0, expr(s"n_$d * 1000000 div n"))
+        .otherwise(0L)
       struct(lit(d.toLong).as("digit"), col(s"n_$d").as("n"),
-        expr(s"n_$d * 1000000 div n").as("share_ppm"),
+        share.as("share_ppm"),
         lit(expected(d)).as("expected_ppm"),
-        abs(expr(s"n_$d * 1000000 div n") - expected(d)).as("dev_ppm"))
+        abs(share - expected(d)).as("dev_ppm"))
     }
     counts.select(inline(array(rows: _*))).orderBy(col("digit"))
   }

@@ -208,6 +208,13 @@ object Dedup {
       .select(col("doc_id"), col("hs"),
         size(col("hs")).cast("bigint").as("ns"))
 
+  /** The minhash signature projection over a materialized `hs` column —
+    * shared by every variant that derives sig0..sig{n-1} from a shingle
+    * set. */
+  private def minhashSigCols(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i =>
+      array_min(transform(col("hs"), h => minhashPerm(h, i))).as(s"sig$i"))
+
   /** [[nearDupPairs]] over a PRE-BUILT (ideally persisted) shingle-set
     * table. `ns > 0` replaces the public path's rlike pre-filter — safe
     * here because the caller materialized `hs`, so the predicate cannot
@@ -216,8 +223,7 @@ object Dedup {
       numHashes: Int = 8, rowsPerBand: Int = 2,
       minJaccard: Double = 0.5): DataFrame = {
     val sigCols = Seq(col("doc_id"), col("hs"), col("ns")) ++
-      (0 until numHashes).map(i =>
-        array_min(transform(col("hs"), h => minhashPerm(h, i))).as(s"sig$i"))
+      minhashSigCols(numHashes)
     // NOT re-persisted: the caller's cached set table already holds the
     // arrays, and re-deriving the signature projection from memory is
     // cheaper than caching `hs` a second time (array columns re-cache
@@ -1042,7 +1048,19 @@ object Dedup {
     *
     * Scale shape: component labels join the corpus once on doc_id; each
     * field's vote is a (comp, value)-keyed count followed by a bounded
-    * min_by argmax — no windows, everything map-side combinable. */
+    * min_by argmax — no windows, everything map-side combinable.
+    *
+    * The token-count projection deliberately re-tokenizes instead of
+    * reading a shared persisted set table: A/B-measured at sf0.1
+    * (interleaved in one JVM, clean-cache protocol), the share-one-pass
+    * variant — persist (doc_id, n_tok, hs, ns, sig0..7) once, feed both
+    * the near-dup stage and the readout — ran ~30% SLOWER (median 4.2 s
+    * vs 3.2 s for q198's twin): materializing array+string columns
+    * through the columnar cache for the whole corpus costs more than the
+    * second narrow tokenize, which fuses into the downstream aggregate
+    * and reads only parquet. `Corpus.curate` shares ITS pass because
+    * FOUR dedup stages consume the same sets; two consumers sit below
+    * the break-even. */
   def goldenRecord(docs: DataFrame, idCol: String, textCol: String,
       voteCols: Seq[String], lenCol: String): DataFrame = {
     val comps = nearDupGroups(nearDupPairs(docs, idCol, textCol))
@@ -1085,6 +1103,11 @@ object Dedup {
     * exact stage. */
   def dedupSavings(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String): DataFrame = {
+    // toks deliberately re-tokenizes rather than sharing a persisted set
+    // table with the near-dup stage — see goldenRecord's scaladoc for the
+    // A/B measurement (share-one-pass ran ~30% slower at sf0.1: columnar
+    // caching of array+string columns costs more than this narrow
+    // projection, which fuses into the groupBys and reads only parquet).
     val toks = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
       size(tokens(col(textCol))).cast("bigint").as("n_tok"),
       md5(normText(col(textCol))).as("ck"))

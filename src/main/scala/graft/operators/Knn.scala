@@ -151,41 +151,75 @@ object Knn {
     * prototypes that span the space, not a hash sample that mirrors its
     * density).
     *
-    * Scale shape: each of the k rounds is ONE narrow pass — the chosen
-    * vectors are broadcast as literals into a `least(...)` of codegen'd
-    * cosine expressions, so there is no join at all; the argmax is a
-    * TakeOrdered(1). The k driver-side `head()` pulls are 1-row by
-    * construction (the [[Ivf]] discipline). Input vectors must be
-    * `array<float>`. Returns (step, vec_id, dist) with `dist` the
-    * min-distance to the prior picks, rounded to 6 dp (step 1 → 0.0). */
+    * Scale shape: a RUNNING-MIN frame — the candidate set rides forward
+    * as `(id, v, md)` where `md` is the min cosine-distance to every
+    * center picked so far, so round r costs exactly ONE codegen'd cosine
+    * per row (against only the newest center, `least`-folded into the
+    * carried `md`) instead of r−1 of them; total work is O(k·n) cosines,
+    * flat per round, with a constant-depth expression tree (no codegen
+    * fallback at large k). Each round's frame is `localCheckpoint`ed so
+    * the lineage stays one cosine deep regardless of k (the q38/BPE
+    * discipline), and the argmax is a TakeOrdered(1). The k driver-side
+    * 1-row pulls are bounded by construction (the [[Ivf]] discipline).
+    *
+    * Numerically identical to the naive form: min of incrementally
+    * `least`-folded doubles == min over all pairwise distances, each
+    * computed by the same codegen'd expression — KnnSpec asserts pick
+    * parity against an in-spec naive recompute.
+    *
+    * Input vectors must be `array<float>`. Returns (step, vec_id, dist)
+    * with `dist` the min-distance to the prior picks, rounded to 6 dp
+    * (step 1 → 0.0). If k exceeds the number of input vectors the loop
+    * stops early and returns the picks made (n rows); an empty input
+    * returns an empty frame. */
   def kCenterCoreset(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    require(k >= 1)
+    require(k >= 1, s"kCenterCoreset needs k >= 1, got $k")
     val spark = vectors.sparkSession
     import spark.implicits._
     val e = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frame: DataFrame = null // surviving candidates with running min-dist
     try {
-      val first = e.orderBy(col("id")).limit(1).head()
-      var ids = Vector(first.getLong(0))
-      var vecs = Vector(first.getSeq[Float](1))
-      var out = Vector((1L, first.getLong(0), 0.0))
-      for (step <- 2 to k) {
-        val md = vecs
-          .map(cv => lit(1.0) - cosine_sim(col("v"),
-            array(cv.map(x => lit(x)): _*)))
-          .reduce((a, b) => least(a, b))
-        val next = e.filter(!col("id").isInCollection(ids))
-          .select(col("id"), col("v"), md.as("md"))
-          .orderBy(col("md").desc, col("id")).limit(1).head()
-        ids :+= next.getLong(0)
-        vecs :+= next.getSeq[Float](1)
-        // exactly Spark's round(col, 6): shortest-repr decimal, HALF_UP
-        out :+= ((step.toLong, next.getLong(0),
-          java.math.BigDecimal.valueOf(next.getDouble(2))
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+      val first = e.orderBy(col("id")).limit(1).take(1)
+      if (first.isEmpty) Seq.empty[(Long, Long, Double)].toDF("step", "vec_id", "dist")
+      else {
+        var centerId = first(0).getLong(0)
+        var centerVec = first(0).getSeq[Float](1)
+        var out = Vector((1L, centerId, 0.0))
+        var step = 2
+        var exhausted = false
+        while (step <= k && !exhausted) {
+          val dNew = lit(1.0) - cosine_sim(col("v"),
+            array(centerVec.map(x => lit(x)): _*))
+          val rolled =
+            (if (frame == null) e.select(col("id"), col("v"), dNew.as("md"))
+             else frame.select(col("id"), col("v"),
+               least(col("md"), dNew).as("md")))
+              .filter(col("id") =!= centerId)
+          val prev = frame
+          // eager localCheckpoint: materializes the rolled min-frame and
+          // truncates lineage; blocks are reclaimed by the context
+          // cleaner as each round's frame goes out of scope.
+          frame = rolled.localCheckpoint(true)
+          if (prev != null) prev.unpersist(blocking = false)
+          val picked = frame.orderBy(col("md").desc, col("id")).limit(1).take(1)
+          if (picked.isEmpty) exhausted = true // k > n: return picks so far
+          else {
+            centerId = picked(0).getLong(0)
+            centerVec = picked(0).getSeq[Float](1)
+            // exactly Spark's round(col, 6): shortest-repr decimal, HALF_UP
+            out :+= ((step.toLong, centerId,
+              java.math.BigDecimal.valueOf(picked(0).getDouble(2))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+            step += 1
+          }
+        }
+        out.toDF("step", "vec_id", "dist")
       }
-      out.toDF("step", "vec_id", "dist")
-    } finally e.unpersist(blocking = false)
+    } finally {
+      e.unpersist(blocking = false)
+      if (frame != null) frame.unpersist(blocking = false)
+    }
   }
 }

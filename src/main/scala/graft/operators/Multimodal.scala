@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * luminance-grid features from decoded pixels. AUDIO decode is REAL for
   * PCM WAV: [[WavCodec]] is a dependency-free RIFF parser (the container
   * has no codec libraries, but WAV needs none) — true sample rate, frame
-  * count, and per-time-bin RMS energy features. Video decode is STUBBED
-  * ([[StubDecoder]] byte histograms); swapping in a real one is a
-  * one-class change (implement [[MediaDecoder]]).
+  * count, and per-time-bin RMS energy features. VIDEO decode is REAL for
+  * AVI: [[AviCodec]] walks the RIFF `hdrl`/`movi` lists (the same
+  * chunk-parser discipline as [[WavCodec]]) and decodes frames —
+  * uncompressed BI_RGB DIB frames by direct pixel parse, MJPEG frames
+  * through the JDK JPEG reader — into true dimensions, frame count and
+  * per-time-bin mean-luminance features.
   */
 object Multimodal {
 
@@ -180,11 +183,174 @@ object Multimodal {
     }
   }
 
+  /** Minimal AVI (RIFF 'AVI ') parser — pure JDK, the [[WavCodec]] chunk
+    * discipline extended to NESTED lists: `LIST hdrl` holds the `avih`
+    * main header (frame timing, total frames, dimensions) and per-stream
+    * `LIST strl` (`strh` stream header + `strf` format — BITMAPINFOHEADER
+    * for the `vids` stream gives bit depth and compression); `LIST movi`
+    * holds the frame chunks (`..db` uncompressed DIB / `..dc` compressed,
+    * e.g. MJPEG). Bounds-checked walk, word-aligned chunks, no seeking
+    * past the buffer — a malformed payload yields None, never a throw. */
+  object AviCodec {
+    /** Parsed stream: true dimensions, frame timing, the vids stream's
+      * bit depth + biCompression (0 = BI_RGB), and the raw frame chunks
+      * (fourcc, bytes) in stream order. */
+    final case class Avi(width: Int, height: Int, usPerFrame: Int,
+        bitCount: Int, compression: Int,
+        frames: Vector[(String, Array[Byte])])
+
+    def parse(bytes: Array[Byte]): Option[Avi] = {
+      def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def tag(o: Int): String = new String(bytes, o, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+      var width = 0; var height = 0; var usPerFrame = 0
+      var bitCount = -1; var compression = 0
+      var inVidsStream = false
+      val frames = Vector.newBuilder[(String, Array[Byte])]
+      def walk(start: Int, end: Int): Boolean = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = tag(off); val size = le32(off + 4)
+          if (size < 0 || off + 8 + size > end) return false
+          if (id == "LIST" && size >= 4) {
+            val sub = tag(off + 8)
+            if (sub == "hdrl" || sub == "strl" || sub == "movi" || sub == "rec ")
+              if (!walk(off + 12, off + 8 + size)) return false
+          } else if (id == "avih" && size >= 40) {
+            usPerFrame = le32(off + 8)
+            width = le32(off + 8 + 32); height = le32(off + 8 + 36)
+          } else if (id == "strh" && size >= 4) {
+            inVidsStream = tag(off + 8) == "vids"
+          } else if (id == "strf" && size >= 20 && inVidsStream && bitCount < 0) {
+            bitCount = le16(off + 8 + 14); compression = le32(off + 8 + 16)
+          } else if (id.length == 4 && (id.endsWith("db") || id.endsWith("dc"))) {
+            frames += ((id, java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)))
+          }
+          off += 8 + size + (size & 1) // chunks are word-aligned
+        }
+        true
+      }
+      if (!walk(12, bytes.length)) None
+      else if (width <= 0 || height <= 0) None
+      else Some(Avi(width, height, usPerFrame,
+        if (bitCount < 0) 24 else bitCount, compression, frames.result()))
+    }
+
+    /** Integer mean luminance (0..255) of one frame: `..db` BI_RGB 24-bit
+      * DIB frames by direct pixel walk (bottom-up rows, 4-byte-aligned
+      * stride, BGR — the mean is row-order-independent, so the bottom-up
+      * storage needs no flip), `..dc` frames through `javax.imageio`
+      * (MJPEG). None if the frame doesn't decode. */
+    def frameMeanLuma(avi: Avi, fourcc: String, frame: Array[Byte]): Option[Long] = {
+      if (fourcc.endsWith("db") && avi.compression == 0 && avi.bitCount == 24) {
+        val stride = ((avi.width * 3 + 3) / 4) * 4
+        if (frame.length < stride * avi.height) None
+        else {
+          var sum = 0L; var y = 0
+          while (y < avi.height) {
+            var x = 0
+            while (x < avi.width) {
+              val o = y * stride + x * 3
+              val luma = ((frame(o + 2) & 0xff) * 299 + (frame(o + 1) & 0xff) * 587 +
+                (frame(o) & 0xff) * 114) / 1000
+              sum += luma
+              x += 1
+            }
+            y += 1
+          }
+          Some(sum / (avi.width.toLong * avi.height))
+        }
+      } else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+          catch { case _: java.io.IOException => null }
+        if (img == null) None
+        else {
+          var sum = 0L; var y = 0
+          val w = img.getWidth; val h = img.getHeight
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          Some(sum / (w.toLong * h))
+        }
+      }
+    }
+
+    /** Deterministic uncompressed-DIB AVI (8×8 BI_RGB, `nFrames` frames at
+      * 10 fps) whose pixels derive from the text bytes with a per-frame
+      * offset — a REAL video payload that is a pure function of the text,
+      * so the demo media table exercises the true AVI parse + DIB decode
+      * path end-to-end (the [[Multimodal.pngFromText]] discipline). */
+    def aviFromText(text: String, nFrames: Int = 4): Array[Byte] = {
+      val src = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val w = 8; val h = 8
+      val stride = ((w * 3 + 3) / 4) * 4
+      val frameLen = stride * h
+      val strlLen = 4 + 8 + 56 + 8 + 40 // 'strl' + strh + strf
+      val hdrlLen = 4 + 8 + 56 + 8 + strlLen // 'hdrl' + avih + LIST strl
+      val moviLen = 4 + nFrames * (8 + frameLen)
+      val riffLen = 4 + 8 + hdrlLen + 8 + moviLen
+      val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      fourcc("RIFF"); bb.putInt(riffLen); fourcc("AVI ")
+      fourcc("LIST"); bb.putInt(hdrlLen); fourcc("hdrl")
+      fourcc("avih"); bb.putInt(56)
+      bb.putInt(100000).putInt(0).putInt(0).putInt(0) // usPerFrame=10fps
+        .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); bb.putInt(strlLen); fourcc("strl")
+      fourcc("strh"); bb.putInt(56)
+      fourcc("vids"); fourcc("DIB ")
+      bb.putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(10) // scale 1, rate 10
+        .putInt(0).putInt(nFrames).putInt(frameLen).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      fourcc("strf"); bb.putInt(40)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(frameLen).putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); bb.putInt(moviLen); fourcc("movi")
+      var f = 0
+      while (f < nFrames) {
+        fourcc("00db"); bb.putInt(frameLen)
+        var ys = 0
+        while (ys < h) {
+          val y = h - 1 - ys // DIB rows are stored bottom-up
+          var x = 0
+          while (x < w) {
+            val g = if (src.isEmpty) 0
+              else src((f * w * h + y * w + x) % src.length) & 0xff
+            bb.put(g.toByte).put(g.toByte).put(g.toByte) // B G R, gray
+            x += 1
+          }
+          var pad = w * 3
+          while (pad < stride) { bb.put(0.toByte); pad += 1 }
+          ys += 1
+        }
+        f += 1
+      }
+      bb.array()
+    }
+  }
+
   /** Full JDK decoder: REAL image decode (imageio), REAL PCM-WAV audio
     * decode ([[WavCodec]] → per-time-bin RMS energy in [0,1], true sample
-    * rate as `meta_width`, frame count as `meta_height`), stub for video.
-    * Payloads that fail their decoder report `decode_ok = false` over stub
-    * features so the row stays alive for triage. */
+    * rate as `meta_width`, frame count as `meta_height`), REAL AVI video
+    * decode ([[AviCodec]] → per-time-bin mean luminance in [0,1], true
+    * pixel dimensions as `meta_width`/`meta_height`; DIB frames by direct
+    * parse, MJPEG via the JDK JPEG reader). Payloads that fail their
+    * decoder — or any single frame that fails — report `decode_ok = false`
+    * over stub features so the row stays alive for triage. */
   final class JdkAvDecoder(dim: Int = 16) extends MediaDecoder {
     private val image = new ImageIoDecoder(dim)
     @transient private lazy val stub = new StubDecoder(dim)
@@ -214,6 +380,36 @@ object Multimodal {
               else (math.sqrt(sumsq(i) / counts(i)) / 32768.0).toFloat)
             MediaFeatures(row.media_id, row.kind, row.payload.length.toLong,
               feats.toSeq, rate, frames, decode_ok = true)
+        }
+      case "video" =>
+        AviCodec.parse(row.payload) match {
+          case None => stub.features(row).copy(decode_ok = false)
+          case Some(avi) =>
+            val n = avi.frames.length
+            val sums = new Array[Long](dim)
+            val counts = new Array[Long](dim)
+            var ok = n > 0
+            var f = 0
+            while (ok && f < n) {
+              val (fourcc, frame) = avi.frames(f)
+              AviCodec.frameMeanLuma(avi, fourcc, frame) match {
+                case None => ok = false // one bad frame fails the row
+                case Some(luma) =>
+                  // integer bin index — deterministic on any JVM (the
+                  // WAV time-bin discipline)
+                  val bin = math.min(dim - 1, (f.toLong * dim / n).toInt)
+                  sums(bin) += luma; counts(bin) += 1
+              }
+              f += 1
+            }
+            if (!ok) stub.features(row).copy(decode_ok = false)
+            else {
+              val feats = Array.tabulate(dim)(i =>
+                if (counts(i) == 0) 0.0f
+                else (sums(i).toDouble / counts(i) / 255.0).toFloat)
+              MediaFeatures(row.media_id, row.kind, row.payload.length.toLong,
+                feats.toSeq, avi.width, avi.height, decode_ok = true)
+            }
         }
       case _ => stub.features(row)
     }
@@ -310,8 +506,9 @@ object Multimodal {
 
   /** Demo/test media table derived from documents: image rows carry a real
     * PNG rendered from the text ([[pngFromText]]), audio rows a real PCM
-    * WAV ([[WavCodec.wavFromText]]); video rows carry raw text bytes
-    * (their decode is the declared stub). */
+    * WAV ([[WavCodec.wavFromText]]), video rows a real uncompressed-DIB
+    * AVI ([[AviCodec.aviFromText]]) — every kind exercises its true
+    * parse/decode path end-to-end. */
   def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text"), col("source"))
@@ -323,7 +520,7 @@ object Multimodal {
         val payload = kind match {
           case "image" => pngFromText(text)
           case "audio" => WavCodec.wavFromText(text)
-          case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case _ => AviCodec.aviFromText(text)
         }
         MediaRow(id, kind, payload, source)
       }

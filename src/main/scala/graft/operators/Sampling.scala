@@ -245,15 +245,26 @@ object Sampling {
         explode(expr(s"sequence(0, ${b - 1})")).as("rb"))
       .withColumn("w",
         poissonWeight(hash32(concat_ws("@", col("k"), col("rb")), seed)))
+    // A replicate whose Poisson draws total weight 0 (probability ~e^-n
+    // per replicate — material only for 1-2-row groups) has NO resample
+    // mean: it is DROPPED, not NULL-ed, because engines disagree on NULL
+    // sort position (Spark sort_array: NULLs first; DuckDB list(... ORDER
+    // BY): NULLs last) and a NULL would skew the order-statistic ranks.
+    // The CI ranks are taken over the m <= b SURVIVING replicate means
+    // (rank floor(m/20)+1 and m - floor(m/20)); for groups of >= ~5 rows
+    // all b replicates survive in practice and the ranks are the classic
+    // 6/95 of b=100. Callers should treat CIs on groups of 1-2 rows as
+    // advisory — the bootstrap itself is degenerate there.
     val means = rep.groupBy(col("g"), col("rb"))
       .agg(sum(col("w") * col("p")).as("tot"), sum(col("w")).as("n"))
+      .filter(col("n") > 0)
       .select(col("g"),
         expr("CAST(tot * 100 AS BIGINT) div n").as("mean_b"))
     val ci = means.groupBy(col("g"))
       .agg(sort_array(collect_list(col("mean_b"))).as("ms"))
       .select(col("g"),
-        element_at(col("ms"), b / 20 + 1).as("ci_lo_cents"),
-        element_at(col("ms"), b - b / 20).as("ci_hi_cents"))
+        expr("element_at(ms, CAST(size(ms) div 20 + 1 AS INT))").as("ci_lo_cents"),
+        expr("element_at(ms, CAST(size(ms) - size(ms) div 20 AS INT))").as("ci_hi_cents"))
     val pt = base.groupBy(col("g"))
       .agg(count(lit(1)).as("n_rows"), sum(col("p")).as("tot"))
       .select(col("g"), col("n_rows"),

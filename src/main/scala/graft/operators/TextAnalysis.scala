@@ -590,7 +590,13 @@ object TextAnalysis {
     * pair_count)` — the ordered merge-rule artifact a tokenizer ships. */
   def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int = 10): DataFrame = {
-    require(nMerges >= 1, s"nMerges=$nMerges")
+    // The per-iteration argmax is a 1-row pull and the learned-rule table
+    // is nMerges rows — the ONLY driver loop in the codebase, provably
+    // bounded by this cap (production BPE vocabularies are trained
+    // offline; this operator is the in-pipeline merge-rule learner for
+    // tokenizer COST measurement, where a handful of merges suffices).
+    require(nMerges >= 1 && nMerges <= 64,
+      s"nMerges must be in [1, 64] (driver-loop bound), got $nMerges")
     val words = docs
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))

@@ -1213,8 +1213,10 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin,
 
     // Mirrors q225: same hash → Poisson(1) inverse-CDF thresholds, same
-    // integer-cents floor-divided replicate means, same rank-6/rank-95
-    // order statistics over the 100 sorted means.
+    // integer-cents floor-divided replicate means, same drop of
+    // zero-total-weight replicates (HAVING sum(wt) > 0 ≡ Spark's
+    // filter(n > 0) — NULL means sort differently across engines), same
+    // size-relative order-statistic ranks (= 6/95 when all 100 survive).
     "q225_bootstrap_ci" ->
       """WITH o AS (SELECT o_orderpriority AS g,
         |    CAST(o_orderkey AS VARCHAR) AS k,
@@ -1237,13 +1239,15 @@ object Relational {
         |m AS (SELECT g, rb,
         |        CAST(sum(wt * p) * 100 AS BIGINT) // CAST(sum(wt) AS BIGINT)
         |          AS mean_b
-        |      FROM w GROUP BY g, rb),
+        |      FROM w GROUP BY g, rb
+        |      HAVING sum(wt) > 0),
         |ci AS (SELECT g, list(mean_b ORDER BY mean_b) AS ms FROM m GROUP BY g),
         |pt AS (SELECT g, count(*) AS n_rows,
         |         CAST(sum(p) * 100 AS BIGINT) // count(*) AS mean_cents
         |       FROM o GROUP BY g)
         |SELECT pt.g AS o_orderpriority, pt.n_rows, pt.mean_cents,
-        |  ms[6] AS ci_lo_cents, ms[95] AS ci_hi_cents
+        |  ms[len(ms) // 20 + 1] AS ci_lo_cents,
+        |  ms[len(ms) - len(ms) // 20] AS ci_hi_cents
         |FROM pt JOIN ci USING (g) ORDER BY o_orderpriority""".stripMargin,
 
     "q196_fd_audit" -> {

@@ -85,4 +85,42 @@ object KafkaFrontDoor {
       .writeStream.format("kafka")
       .options(sinkOptions(bootstrapServers, topic))
       .option("checkpointLocation", checkpointLocation)
+
+  /** One micro-batch of the exactly-once parquet landing: the batch's
+    * rows land under `_batch_id=<id>` with DYNAMIC partition overwrite,
+    * so only that batch's partition is replaced — earlier batches are
+    * untouched, and a REPLAYED trigger (at-least-once delivery after a
+    * crash before the checkpoint commit) rewrites its own partition with
+    * the same deterministic rows, leaving the table content-identical.
+    * This is the reference's at-least-once + idempotent-PK-insert
+    * discipline (`kafka_consumer.py:100-106,464-468` — `INSERT` into a
+    * primary-keyed table, where a replayed message overwrites itself)
+    * re-expressed as a partition-overwrite contract the storage layer
+    * enforces. Factored out of the stream wiring so the replay
+    * idempotence is directly testable (StreamingSinkSpec re-fires a
+    * batch and gates on [[graft.operators.Audit.tableChecksum]]). */
+  def landBatch(batch: DataFrame, batchId: Long, outPath: String): Unit =
+    batch
+      .withColumn("_batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(outPath)
+
+  /** Exactly-once-in-effect parquet landing zone for the front door:
+    * `foreachBatch` + [[landBatch]]. Spark's micro-batch replay after a
+    * crash re-fires the SAME batch id with the SAME source offsets (the
+    * checkpoint contract), so the overwrite is a byte-for-byte no-op and
+    * end-to-end delivery is exactly-once in effect — without a
+    * transactional table format. Downstream batch readers should drop
+    * the `_batch_id` bookkeeping column (or prune on it for incremental
+    * consumption — it is monotonically increasing). */
+  def landToParquet(stream: DataFrame, outPath: String,
+      checkpointLocation: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(batch, batchId, outPath)
+      }
 }

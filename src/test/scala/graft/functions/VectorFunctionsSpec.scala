@@ -85,4 +85,25 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(viaSql == viaCol)
     assert(viaSql.forall(h => h >= 0L && h < (1L << 32)))
   }
+
+  test("md5_hash32 3-arg slot form agrees between register() and the Md5Hash32 column") {
+    GraftFunctions.register(spark)
+    Seq("x", "y", "z").toDF("s").createOrReplaceTempView("hs3")
+    // the temp-function registration must honor the slot argument exactly
+    // like the GraftExtensions injection (the two paths once diverged)
+    (0 to 3).foreach { slot =>
+      val viaSql = spark.sql(s"SELECT md5_hash32(s, 9, $slot) FROM hs3")
+        .as[Long].collect().toSeq
+      val viaCol = Seq("x", "y", "z").toDF("s")
+        .select(graft.internal.Bridge.column(
+          graft.functions.Md5Hash32(
+            graft.internal.Bridge.expression($"s"), 9, slot)))
+        .as[Long].collect().toSeq
+      assert(viaSql == viaCol, s"slot $slot diverged")
+    }
+    // distinct slots give independent words of the digest
+    val s0 = spark.sql("SELECT md5_hash32(s, 9, 0) FROM hs3").as[Long].collect().toSeq
+    val s1 = spark.sql("SELECT md5_hash32(s, 9, 1) FROM hs3").as[Long].collect().toSeq
+    assert(s0 != s1)
+  }
 }

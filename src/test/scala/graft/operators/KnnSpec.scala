@@ -100,6 +100,48 @@ class KnnSpec extends SparkSpec {
     assert(ours == brute)
   }
 
+  test("kCenterCoreset: running-min frame matches the naive per-round recompute") {
+    import graft.functions.GraftFunctions.cosine_sim
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val k = 8
+    val got = Knn.kCenterCoreset(e, "vec_id", "embedding", k = k)
+      .orderBy($"step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // reference: the pre-round-6 O(k²) form — round r evaluates
+    // least(...) over ALL r−1 centers; picks AND rounded dists must be
+    // identical (min of least-folded doubles == min over all distances)
+    val base = e.select($"vec_id".cast("long").as("id"), $"embedding".as("v"))
+    val first = base.orderBy($"id").limit(1).head()
+    var ids = Vector(first.getLong(0))
+    var vecs = Vector(first.getSeq[Float](1))
+    var ref = Vector((1L, first.getLong(0), 0.0))
+    for (step <- 2 to k) {
+      val md = vecs
+        .map(cv => lit(1.0) - cosine_sim($"v", array(cv.map(x => lit(x)): _*)))
+        .reduce((a, b) => least(a, b))
+      val next = base.filter(!$"id".isInCollection(ids))
+        .select($"id", $"v", md.as("md"))
+        .orderBy($"md".desc, $"id").limit(1).head()
+      ids :+= next.getLong(0)
+      vecs :+= next.getSeq[Float](1)
+      ref :+= ((step.toLong, next.getLong(0),
+        java.math.BigDecimal.valueOf(next.getDouble(2))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+    }
+    assert(got === ref)
+  }
+
+  test("kCenterCoreset: k > n early-stops with the picks so far; empty input is empty") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .orderBy($"vec_id").limit(3)
+    val got = Knn.kCenterCoreset(e, "vec_id", "embedding", k = 10)
+    assert(got.count() === 3)
+    assert(got.select($"vec_id").distinct().count() === 3)
+    val empty = Knn.kCenterCoreset(e.filter(lit(false)), "vec_id", "embedding", k = 2)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("step", "vec_id", "dist"))
+  }
+
   test("kCenterCoreset: greedy invariants and determinism") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val a = Knn.kCenterCoreset(e, "vec_id", "embedding", k = 6)

@@ -41,10 +41,15 @@ class MultimodalSpec extends SparkSpec {
       assert(r.n_bytes == 44 + 2 * r.meta_height, "header + 16-bit frames")
       assert(r.features.forall(f => f >= 0.0f && f <= 1.0f))
     }
-    // video keeps the declared stub: byte histogram summing to ~1
-    val others = rows.filter(_.kind == "video")
-    others.foreach(r => assert(math.abs(r.features.sum - 1.0f) < 1e-3,
-      s"stub histogram must sum to ~1 for ${r.media_id}"))
+    // video rows went through the REAL AVI parse + DIB frame decode:
+    // true 8x8 pixel dimensions, per-time-bin mean luminance in [0,1]
+    val videos = rows.filter(_.kind == "video")
+    assert(videos.nonEmpty)
+    videos.foreach { r =>
+      assert(r.decode_ok, s"media ${r.media_id}: AVI must decode")
+      assert(r.meta_width == 8 && r.meta_height == 8)
+      assert(r.features.forall(f => f >= 0.0f && f <= 1.0f))
+    }
     rows.foreach(r => assert(r.n_bytes > 0))
     // deterministic across runs
     val f2 = Multimodal.extractFeatures(media)
@@ -104,6 +109,72 @@ class MultimodalSpec extends SparkSpec {
     val bad = new Multimodal.JdkAvDecoder(16)
       .features(Multimodal.MediaRow(2L, "audio", Array[Byte](1, 2, 3), "fixture"))
     assert(!bad.decode_ok && bad.features.length == 16)
+  }
+
+  test("AviCodec: known-frame DIB AVI decodes to exact dimensions and luminance bins") {
+    // aviFromText("A"): every pixel of every frame is byte 'A' = 65, so
+    // every frame's integer mean luma is exactly 65; 4 frames into 16
+    // bins -> bins {0,4,8,12} hold 65/255, the rest are empty (0)
+    val avi = Multimodal.AviCodec.aviFromText("A")
+    val Some(parsed) = Multimodal.AviCodec.parse(avi)
+    assert(parsed.width == 8 && parsed.height == 8)
+    assert(parsed.usPerFrame == 100000 && parsed.frames.length == 4)
+    assert(parsed.bitCount == 24 && parsed.compression == 0)
+    parsed.frames.foreach { case (fourcc, frame) =>
+      assert(fourcc == "00db")
+      assert(Multimodal.AviCodec.frameMeanLuma(parsed, fourcc, frame) === Some(65L))
+    }
+    val f = new Multimodal.JdkAvDecoder(16)
+      .features(Multimodal.MediaRow(1L, "video", avi, "fixture"))
+    assert(f.decode_ok && f.meta_width == 8 && f.meta_height == 8)
+    val hot = (65.0 / 255.0).toFloat
+    assert(Seq(0, 4, 8, 12).forall(f.features(_) == hot), f.features)
+    assert((0 until 16).filterNot(Seq(0, 4, 8, 12).contains)
+      .forall(f.features(_) == 0.0f), f.features)
+
+    // malformed payloads: decode_ok = false, stub features keep the row
+    val bad = new Multimodal.JdkAvDecoder(16)
+      .features(Multimodal.MediaRow(2L, "video", Array[Byte](1, 2, 3), "fixture"))
+    assert(!bad.decode_ok && bad.features.length == 16)
+    val truncated = new Multimodal.JdkAvDecoder(16)
+      .features(Multimodal.MediaRow(3L, "video",
+        java.util.Arrays.copyOfRange(avi, 0, avi.length - 50), "fixture"))
+    assert(!truncated.decode_ok)
+  }
+
+  test("AviCodec: MJPEG ('00dc') frames decode through the JDK JPEG reader") {
+    // one uniform-gray 16x16 JPEG frame: DC-only blocks survive JPEG
+    // quantization nearly exactly -> mean luma within a few counts of 128
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, (128 << 16) | (128 << 8) | 128)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val jpeg = jbos.toByteArray
+    // minimal AVI: RIFF('AVI ') { LIST hdrl { avih }, LIST movi { 00dc } }
+    val jlen = jpeg.length + (jpeg.length & 1)
+    val hdrlLen = 4 + 8 + 56
+    val moviLen = 4 + 8 + jlen
+    val riffLen = 4 + 8 + hdrlLen + 8 + moviLen
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    fourcc("RIFF"); bb.putInt(riffLen); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlLen); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(40000).putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(0).putInt(1).putInt(0)
+      .putInt(16).putInt(16).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviLen); fourcc("movi")
+    fourcc("00dc"); bb.putInt(jpeg.length); bb.put(jpeg)
+    if ((jpeg.length & 1) == 1) bb.put(0.toByte)
+    val f = new Multimodal.JdkAvDecoder(16)
+      .features(Multimodal.MediaRow(4L, "video", bb.array(), "fixture"))
+    assert(f.decode_ok && f.meta_width == 16 && f.meta_height == 16)
+    // single frame lands in bin 0
+    assert(math.abs(f.features(0) - 128.0f / 255.0f) < 3.0f / 255.0f, f.features)
+    assert((1 until 16).forall(f.features(_) == 0.0f))
   }
 
   test("chunk sampling keeps every stride-th chunk") {

@@ -82,7 +82,28 @@ class Round5cSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("expected_ppm")).sum === 1000000L)
   }
 
+  test("benford on an input with no positive values yields deterministic zeros, not NULLs") {
+    val df = Seq(-5L, 0L, -1L).toDF("v")
+    val rows = Audit.benford(df, col("v")).collect()
+    assert(rows.length === 9)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("share_ppm")))
+      assert(!r.isNullAt(r.fieldIndex("dev_ppm")))
+      assert(r.getAs[Long]("share_ppm") === 0L)
+      assert(r.getAs[Long]("dev_ppm") === r.getAs[Long]("expected_ppm"))
+    }
+  }
+
   // ---- Audit.fdAudit --------------------------------------------------
+
+  test("fdAudit on an empty table yields (0, 0, 0, holds=true), not NULLs") {
+    val df = Seq.empty[(String, String)].toDF("k", "v")
+    val r = Audit.fdAudit(df, "t", Seq(("k_v", Seq("k"), "v"))).head()
+    assert(r.getAs[Long]("n_groups") === 0)
+    assert(r.getAs[Long]("n_violating_groups") === 0)
+    assert(r.getAs[Long]("n_ambiguous_rows") === 0)
+    assert(r.getAs[Boolean]("holds"))
+  }
 
   test("fdAudit separates holding from violated FDs with exact counts") {
     val df = Seq(

@@ -209,4 +209,24 @@ class SurvivalSpec extends SparkSpec {
       assert(hi - lo < m / 5, s"CI [$lo, $hi] implausibly wide")
     }
   }
+
+  test("poissonBootstrapCi on 1-row groups drops zero-weight replicates and stays NULL-free") {
+    // a 1-row group loses ~37% of replicates to total-weight 0; those are
+    // DROPPED (never NULL — engines sort NULLs differently) and the CI
+    // ranks adapt to the surviving count. The single value is every
+    // surviving replicate's mean, so the CI collapses onto it.
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("b", 3L, 50.0))
+      .toDF("g", "id", "v")
+    val out = Sampling.poissonBootstrapCi(df, "id", "g", "v", b = 100, seed = 7)
+      .orderBy("g").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      Seq("mean_cents", "ci_lo_cents", "ci_hi_cents").foreach(c =>
+        assert(!r.isNullAt(r.fieldIndex(c)), s"$c NULL for ${r.getString(0)}"))
+    }
+    val b = out(1)
+    assert(b.getAs[Long]("mean_cents") === 5000L)
+    assert(b.getAs[Long]("ci_lo_cents") === 5000L)
+    assert(b.getAs[Long]("ci_hi_cents") === 5000L)
+  }
 }
