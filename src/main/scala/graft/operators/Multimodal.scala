@@ -239,52 +239,74 @@ object Multimodal {
         if (bitCount < 0) 24 else bitCount, compression, frames.result()))
     }
 
-    /** Integer mean luminance (0..255) of one frame: `..db` BI_RGB 24-bit
-      * DIB frames by direct pixel walk (bottom-up rows, 4-byte-aligned
-      * stride, BGR — the mean is row-order-independent, so the bottom-up
-      * storage needs no flip), `..dc` frames through `javax.imageio`
-      * (MJPEG). None if the frame doesn't decode. */
-    def frameMeanLuma(avi: Avi, fourcc: String, frame: Array[Byte]): Option[Long] = {
-      if (fourcc.endsWith("db") && avi.compression == 0 && avi.bitCount == 24) {
-        val stride = ((avi.width * 3 + 3) / 4) * 4
-        if (frame.length < stride * avi.height) None
-        else {
-          var sum = 0L; var y = 0
-          while (y < avi.height) {
-            var x = 0
-            while (x < avi.width) {
-              val o = y * stride + x * 3
-              val luma = ((frame(o + 2) & 0xff) * 299 + (frame(o + 1) & 0xff) * 587 +
-                (frame(o) & 0xff) * 114) / 1000
-              sum += luma
-              x += 1
+    /** `grid × grid` integer mean-luminance cells (row-major TOP-DOWN
+      * image order, 0..255) of one frame — the shared primitive behind
+      * the frame mean and the per-frame perceptual hash. `..db` BI_RGB
+      * 24-bit DIB frames by direct pixel walk (bottom-up rows flipped
+      * into image order, 4-byte-aligned stride, BGR), `..dc` frames
+      * through `javax.imageio` (MJPEG). Integer ITU-R 601 luma and
+      * integer cell assignment — deterministic on any JVM. None if the
+      * frame doesn't decode. */
+    def frameLumaGrid(avi: Avi, fourcc: String, frame: Array[Byte],
+        grid: Int): Option[Array[Long]] = {
+      val sums = new Array[Long](grid * grid)
+      val counts = new Array[Long](grid * grid)
+      def cell(x: Int, y: Int, w: Int, h: Int): Int =
+        math.min(grid - 1, y * grid / h) * grid + math.min(grid - 1, x * grid / w)
+      val ok: Boolean =
+        if (fourcc.endsWith("db") && avi.compression == 0 && avi.bitCount == 24) {
+          val w = avi.width; val h = avi.height
+          val stride = ((w * 3 + 3) / 4) * 4
+          if (frame.length < stride * h) false
+          else {
+            var ys = 0
+            while (ys < h) {
+              val y = h - 1 - ys // DIB rows are stored bottom-up
+              var x = 0
+              while (x < w) {
+                val o = ys * stride + x * 3
+                val luma = ((frame(o + 2) & 0xff) * 299 + (frame(o + 1) & 0xff) * 587 +
+                  (frame(o) & 0xff) * 114) / 1000
+                val c = cell(x, y, w, h)
+                sums(c) += luma; counts(c) += 1
+                x += 1
+              }
+              ys += 1
             }
-            y += 1
+            true
           }
-          Some(sum / (avi.width.toLong * avi.height))
-        }
-      } else {
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
-          catch { case _: java.io.IOException => null }
-        if (img == null) None
-        else {
-          var sum = 0L; var y = 0
-          val w = img.getWidth; val h = img.getHeight
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-                (rgb & 0xff) * 114) / 1000
-              x += 1
+        } else {
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+            catch { case _: java.io.IOException => null }
+          if (img == null) false
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val c = cell(x, y, w, h)
+                sums(c) += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                counts(c) += 1
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            true
           }
-          Some(sum / (w.toLong * h))
         }
-      }
+      if (!ok) None
+      else Some(Array.tabulate(grid * grid)(i =>
+        if (counts(i) == 0) 0L else sums(i) / counts(i)))
     }
+
+    /** Integer mean luminance (0..255) of one frame — [[frameLumaGrid]]
+      * at grid 1. */
+    def frameMeanLuma(avi: Avi, fourcc: String, frame: Array[Byte]): Option[Long] =
+      frameLumaGrid(avi, fourcc, frame, 1).map(_(0))
 
     /** Deterministic uncompressed-DIB AVI (8×8 BI_RGB, `nFrames` frames at
       * 10 fps) whose pixels derive from the text bytes with a per-frame
@@ -427,9 +449,10 @@ object Multimodal {
     }
   }
 
-  /** Frame/chunk sampling on the opaque payload: every `stride`-th chunk of
-    * `chunkBytes` (deterministic; stands in for video frame sampling —
-    * real impl would seek keyframes). */
+  /** Byte-level chunk sampling on the OPAQUE payload: every `stride`-th
+    * chunk of `chunkBytes` — for formats without a parser. Video rows
+    * have a real container-aware alternative: [[sampleFrames]] emits
+    * actual decoded-boundary frames. */
   def sampleChunks(media: DataFrame, chunkBytes: Int, stride: Int): DataFrame =
     media.select(
       col("media_id"), col("kind"),
@@ -479,6 +502,102 @@ object Multimodal {
           "CAST(0 AS BIGINT), (acc, j) -> acc | shiftleft(CAST(1 AS BIGINT), j))").as("sim_lo"),
         expr("aggregate(filter(transform(features, (x, j) -> IF(x > _m AND j >= 32, j - 32, -1)), j -> j >= 0), " +
           "CAST(0 AS BIGINT), (acc, j) -> acc | shiftleft(CAST(1 AS BIGINT), j))").as("sim_hi"))
+  }
+
+  /** REAL video frame sampling: every `stride`-th decoded frame chunk of
+    * each AVI payload, with its container fourcc — the keyframe-seek
+    * pattern [[sampleChunks]]' byte-level stand-in approximated before
+    * [[AviCodec]] existed. `mapPartitions` so the container parse runs
+    * once per row; frames explode inside the task (fan-out bounded by
+    * frames-per-video / stride). Rows that fail to parse drop out —
+    * route them through [[extractFeatures]]' `decode_ok = false` leg for
+    * triage. Returns (media_id, frame_idx, fourcc, n_bytes, frame). */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(stride >= 1)
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        AviCodec.parse(r.payload).iterator.flatMap { avi =>
+          avi.frames.iterator.zipWithIndex.collect {
+            case ((fcc, fb), i) if i % stride == 0 =>
+              (r.media_id, i.toLong, fcc, fb.length.toLong, fb)
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "fourcc", "n_bytes", "frame")
+  }
+
+  /** Per-frame 64-bit perceptual average-hash over REALLY-decoded AVI
+    * frames: the 8×8 [[AviCodec.frameLumaGrid]] cells, bit j set iff
+    * cell j's luminance exceeds the frame's cell mean — the video analog
+    * of [[imageAHash64]], emitted in the same two-32-bit-half shape so
+    * [[Dedup.hammingPairs64]] can band frames directly. Returns
+    * (media_id, frame_idx, sim_lo, sim_hi); unparseable videos and
+    * undecodable frames drop out. */
+  def videoFrameHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        AviCodec.parse(r.payload).iterator.flatMap { avi =>
+          avi.frames.iterator.zipWithIndex.flatMap { case ((fcc, fb), i) =>
+            AviCodec.frameLumaGrid(avi, fcc, fb, 8).map { cells =>
+              val mean = cells.sum.toDouble / cells.length
+              var lo = 0L; var hi = 0L
+              var j = 0
+              while (j < 64) {
+                if (cells(j) > mean) {
+                  if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+                }
+                j += 1
+              }
+              (r.media_id, i.toLong, lo, hi)
+            }
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "sim_lo", "sim_hi")
+  }
+
+  /** Video near-duplicate pairs by shared visually-near frames: frame
+    * aHashes band through [[Dedup.hammingPairs64]]'s exact pigeonhole
+    * blocks (never all-pairs — the image-dedup engine reused at the
+    * frame level), matched frames roll up per video pair, and a pair
+    * survives when either side has ≥ `minSharedPpm` of its frames
+    * matched. Catches re-encodes, watermark/metadata churn and
+    * trim-edits (a clip wholly inside a longer video still matches ALL
+    * of its own frames → ppm 10⁶ on its side). Frame ids pack as
+    * `media_id · 2²⁰ + frame_idx` (container frame counts are bounded
+    * far below 2²⁰), so banding keys stay single bigints.
+    *
+    * Returns (vid_a, vid_b, n_match_a, n_match_b, nf_a, nf_b,
+    * shared_ppm), vid_a < vid_b. */
+  def videoNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
+      minSharedPpm: Long = 500000L): DataFrame = {
+    val fh = videoFrameHashes(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    val sigs = fh.select(
+      (col("media_id") * (1L << 20) + col("frame_idx")).as("doc_id"),
+      col("sim_lo"), col("sim_hi"))
+    val framePairs = Dedup.hammingPairs64(sigs, maxHamming)
+      .select(expr(s"id_a div ${1L << 20}").as("vid_a"),
+        expr(s"id_b div ${1L << 20}").as("vid_b"),
+        expr(s"id_a % ${1L << 20}").as("fa"),
+        expr(s"id_b % ${1L << 20}").as("fb"))
+      .filter(col("vid_a") =!= col("vid_b")) // id_a<id_b ⇒ vid_a ≤ vid_b
+    framePairs.groupBy(col("vid_a"), col("vid_b"))
+      .agg(countDistinct(col("fa")).as("n_match_a"),
+        countDistinct(col("fb")).as("n_match_b"))
+      .join(counts.select(col("media_id").as("vid_a"), col("nf").as("nf_a")),
+        Seq("vid_a"))
+      .join(counts.select(col("media_id").as("vid_b"), col("nf").as("nf_b")),
+        Seq("vid_b"))
+      .withColumn("shared_ppm",
+        greatest(expr("n_match_a * 1000000 div nf_a"),
+          expr("n_match_b * 1000000 div nf_b")))
+      .filter(col("shared_ppm") >= minSharedPpm)
+      .select(col("vid_a"), col("vid_b"), col("n_match_a"), col("n_match_b"),
+        col("nf_a"), col("nf_b"), col("shared_ppm"))
   }
 
   /** Deterministic 8×8 grayscale PNG rendered from text bytes — a REAL

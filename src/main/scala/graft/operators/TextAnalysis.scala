@@ -402,6 +402,54 @@ object TextAnalysis {
       .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
   }
 
+  /** Gopher-style repetition quality rules, token-occurrence analogs of
+    * the char-fraction originals (Rae et al. 2021 §A1.1: a document is
+    * low-quality when one n-gram dominates or long n-grams repeat): per
+    * doc, the most-frequent token's share of token occurrences
+    * (`top1_ppm`), the most-frequent bigram's share of bigram positions
+    * (`top2_ppm`), the share of trigram positions whose trigram occurs
+    * more than once (`dup3_ppm`), and the combined pass verdict under
+    * the given thresholds. Integer ppm everywhere — engine-exact.
+    *
+    * Scale shape: ONE explode emits all three gram orders tagged (n, g)
+    * — grams travel as 32-bit hashes (the [[Dedup.shingleJaccard]]
+    * discipline: 8-byte shuffle keys, per-doc collisions negligible) —
+    * then one (doc, n, gram)-keyed count, one (doc, n) rollup, and a
+    * conditional-aggregate pivot to one row per doc. Two map-side-
+    * combinable shuffles total, both keyed by doc id; nothing corpus-
+    * global. Sub-bigram/trigram docs coalesce those stats to 0. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      maxTop1Ppm: Long = 200000L, maxTop2Ppm: Long = 180000L,
+      maxDup3Ppm: Long = 300000L): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+    val grams = toks.select(col("doc_id"), explode(concat(
+        transform(shingles(col("tok"), 1), g => struct(lit(1).as("n"), g.as("g"))),
+        transform(shingles(col("tok"), 2), g => struct(lit(2).as("n"), g.as("g"))),
+        transform(shingles(col("tok"), 3), g => struct(lit(3).as("n"), g.as("g")))))
+        .as("x"))
+      .select(col("doc_id"), col("x.n").as("ng"), hash32(col("x.g"), 0).as("g"))
+    val stats = grams
+      .groupBy(col("doc_id"), col("ng"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("ng"))
+      .agg(max(col("c")).as("mx"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"),
+        sum(col("c")).as("tot"))
+    stats.groupBy(col("doc_id")).agg(
+        max(when(col("ng") === 1, col("mx"))).as("max1"),
+        max(when(col("ng") === 1, col("tot"))).as("tot1"),
+        max(when(col("ng") === 2, col("mx"))).as("max2"),
+        max(when(col("ng") === 2, col("tot"))).as("tot2"),
+        max(when(col("ng") === 3, col("dup"))).as("dup3"),
+        max(when(col("ng") === 3, col("tot"))).as("tot3"))
+      .select(col("doc_id"), col("tot1").as("n_tokens"),
+        expr("max1 * 1000000 div tot1").as("top1_ppm"),
+        coalesce(expr("max2 * 1000000 div tot2"), lit(0L)).as("top2_ppm"),
+        coalesce(expr("dup3 * 1000000 div tot3"), lit(0L)).as("dup3_ppm"))
+      .withColumn("passes",
+        col("top1_ppm") <= maxTop1Ppm && col("top2_ppm") <= maxTop2Ppm &&
+          col("dup3_ppm") <= maxDup3Ppm)
+  }
+
   def simpsonDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))

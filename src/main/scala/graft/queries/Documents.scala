@@ -774,6 +774,15 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition quality rules (token-occurrence analogs of
+    // the char-fraction originals): top-unigram / top-bigram shares and
+    // the duplicated-trigram share, with the combined pass verdict —
+    // the repetition leg of the classic pre-training quality filter.
+    "q241_repetition_rules" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Round-5 curation capstone: exact-dedup winners, near-dup losers
     // and containment-dominated docs dropped, component loss weights,
     // quality cut on the cross-source quantile-normalized score, split
@@ -2380,6 +2389,48 @@ object Documents {
 
     // Mirrors TextAnalysis.ngramNovelty: distinct shingle hashes,
     // first-owner min aggregate, integer ppm readout.
+    // Mirrors TextAnalysis.repetitionStats: one unioned gram stream per
+    // order (token / bigram / trigram, hashed like the Spark side), the
+    // same (doc, order, gram) count → (doc, order) rollup → pivot, the
+    // same floor-div ppm and thresholds.
+    "q241_repetition_rules" ->
+      s"""WITH $tokCte,
+         |gr AS (
+         |  SELECT doc_id, 1 AS ng, ${h32("s", 0)} AS g
+         |  FROM (SELECT doc_id, unnest(tok) AS s FROM t)
+         |  UNION ALL
+         |  SELECT doc_id, 2, ${h32("s", 0)}
+         |  FROM (SELECT doc_id, unnest(CASE WHEN len(tok) >= 2 THEN
+         |    list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])
+         |    ELSE [] END) AS s FROM t)
+         |  UNION ALL
+         |  SELECT doc_id, 3, ${h32("s", 0)}
+         |  FROM (SELECT doc_id, unnest(CASE WHEN len(tok) >= 3 THEN
+         |    list_transform(range(1, len(tok) - 1),
+         |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+         |    ELSE [] END) AS s FROM t)),
+         |c AS (SELECT doc_id, ng, g, count(*) AS c FROM gr GROUP BY doc_id, ng, g),
+         |st AS (SELECT doc_id, ng, CAST(max(c) AS BIGINT) AS mx,
+         |         CAST(coalesce(sum(c) FILTER (c >= 2), 0) AS BIGINT) AS dup,
+         |         CAST(sum(c) AS BIGINT) AS tot
+         |       FROM c GROUP BY doc_id, ng),
+         |w AS (SELECT doc_id,
+         |   max(CASE WHEN ng = 1 THEN mx END) AS max1,
+         |   max(CASE WHEN ng = 1 THEN tot END) AS tot1,
+         |   max(CASE WHEN ng = 2 THEN mx END) AS max2,
+         |   max(CASE WHEN ng = 2 THEN tot END) AS tot2,
+         |   max(CASE WHEN ng = 3 THEN dup END) AS dup3,
+         |   max(CASE WHEN ng = 3 THEN tot END) AS tot3
+         | FROM st GROUP BY doc_id)
+         |SELECT doc_id, tot1 AS n_tokens,
+         |  max1 * 1000000 // tot1 AS top1_ppm,
+         |  CAST(coalesce(max2 * 1000000 // tot2, 0) AS BIGINT) AS top2_ppm,
+         |  CAST(coalesce(dup3 * 1000000 // tot3, 0) AS BIGINT) AS dup3_ppm,
+         |  (max1 * 1000000 // tot1 <= 200000
+         |   AND coalesce(max2 * 1000000 // tot2, 0) <= 180000
+         |   AND coalesce(dup3 * 1000000 // tot3, 0) <= 300000) AS passes
+         |FROM w ORDER BY doc_id""".stripMargin,
+
     "q153_ngram_novelty" ->
       s"""WITH $tokCte,
          |${shingleCte(3)},

@@ -28,6 +28,20 @@ object Extras {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Video near-dup by shared visually-near frames: per-frame 64-bit
+    // aHash over REALLY-decoded AVI frames (AviCodec DIB/MJPEG decode),
+    // frames banded through the exact pigeonhole blocks, matches rolled
+    // up per video pair with a coverage threshold — catches re-encodes
+    // and trim-edits (a clip inside a longer video matches all its own
+    // frames). Rows-only: DuckDB can't parse AVI; hash determinism,
+    // identical/distinct pairing and the trimmed-clip case are asserted
+    // in MultimodalSpec fixtures.
+    "q240_video_neardup" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+      Multimodal.videoNearDupPairs(media, maxHamming = 3)
+        .orderBy(col("vid_a"), col("vid_b"))
+    }),
+
     // Flagship IoT dataflow (reference §3.1-3.2 end-to-end): simulate a
     // fleet with an injected compressor failure, snapshot, profile on the
     // clean period, detect (paths 1+2), emit events. Rows-only: validated

@@ -177,6 +177,57 @@ class MultimodalSpec extends SparkSpec {
     assert((1 until 16).forall(f.features(_) == 0.0f))
   }
 
+  test("sampleFrames: real container-aware frame sampling keeps every stride-th frame") {
+    val avi = Multimodal.AviCodec.aviFromText("hello frames", nFrames = 6)
+    val m = Seq(Multimodal.MediaRow(7L, "video", avi, "fx"),
+      Multimodal.MediaRow(8L, "video", Array[Byte](1, 2, 3), "fx")).toDS()
+    val out = Multimodal.sampleFrames(m, stride = 2).collect()
+    // frames 0, 2, 4 of the parseable video; the corrupt row drops out
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((7L, 0L), (7L, 2L), (7L, 4L)))
+    assert(out.forall(_.getString(2) == "00db"))
+    assert(out.forall(_.getLong(3) == 192L)) // 8 rows × 24B aligned stride
+  }
+
+  test("videoNearDupPairs: identical and re-rendered videos pair, distinct content doesn't") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different pixel content from other words entirely xyz"
+    val m = Seq(
+      Multimodal.MediaRow(1L, "video", Multimodal.AviCodec.aviFromText(t1), "fx"),
+      Multimodal.MediaRow(2L, "video", Multimodal.AviCodec.aviFromText(t1), "fx"),
+      Multimodal.MediaRow(3L, "video", Multimodal.AviCodec.aviFromText(t2), "fx"),
+      Multimodal.MediaRow(4L, "image", Array[Byte](0), "fx")).toDS()
+    // frame hashes: per-frame 64-bit aHash; identical payloads → identical
+    val fh = Multimodal.videoFrameHashes(m).collect()
+    assert(fh.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    val h1 = fh.filter(_.getLong(0) == 1L).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val h2 = fh.filter(_.getLong(0) == 2L).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(h1 === h2)
+    val pairs = Multimodal.videoNearDupPairs(m, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"identical videos must pair: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"distinct content must not pair: $pairs")
+    val full = Multimodal.videoNearDupPairs(m, maxHamming = 3)
+      .filter($"vid_a" === 1 && $"vid_b" === 2).head()
+    assert(full.getAs[Long]("shared_ppm") === 1000000L)
+    assert(full.getAs[Long]("nf_a") === 4 && full.getAs[Long]("nf_b") === 4)
+  }
+
+  test("videoNearDupPairs: a trimmed clip matches all of its own frames") {
+    // clip = first 2 frames of the long video's 6: same per-frame pixels
+    // (aviFromText pixels depend only on absolute frame index)
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val long = Multimodal.AviCodec.aviFromText(text, nFrames = 6)
+    val clip = Multimodal.AviCodec.aviFromText(text, nFrames = 2)
+    val m = Seq(Multimodal.MediaRow(1L, "video", long, "fx"),
+      Multimodal.MediaRow(2L, "video", clip, "fx")).toDS()
+    val p = Multimodal.videoNearDupPairs(m, maxHamming = 0).head()
+    assert(p.getAs[Long]("vid_a") === 1L && p.getAs[Long]("vid_b") === 2L)
+    assert(p.getAs[Long]("n_match_b") === 2L && p.getAs[Long]("nf_b") === 2L)
+    assert(p.getAs[Long]("shared_ppm") === 1000000L) // clip side fully covered
+  }
+
   test("chunk sampling keeps every stride-th chunk") {
     val out = Multimodal.sampleChunks(media.toDF(), chunkBytes = 50, stride = 2)
     val one = out.filter($"media_id" === media.head().media_id)

@@ -360,4 +360,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq(
       ("x", 1L, 3L, 2000000L), ("y", 3L, 3L, 0L), ("z", 2L, 3L, 666666L)))
   }
+
+  test("repetitionStats: hand-computed top-gram and duplicate-trigram shares") {
+    val docs = Seq(
+      (1L, "a a a b"),       // top1 3/4; bigrams [a a, a a, a b] top 2/3;
+                             // trigrams [a a a, a a b] dup 0/2
+      (2L, "x y z w"),       // all distinct: top1 1/4, top2 1/3, dup3 0
+      (3L, "p q p q p q p q"), // top1 4/8; bigrams pq*4,qp*3 top 4/7;
+                             // trigrams pqp*3,qpq*3 dup 6/6
+      (4L, "solo"),          // 1 token: no bigrams/trigrams -> 0s
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"top1_ppm", $"top2_ppm", $"dup3_ppm",
+        $"passes")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 750000L, 666666L, 0L, false),
+      (2L, 4L, 250000L, 333333L, 0L, false), // tiny doc: top2 over threshold
+      (3L, 8L, 500000L, 571428L, 1000000L, false),
+      (4L, 1L, 1000000L, 0L, 0L, false))) // top1 = 100% of its 1 token
+  }
 }
