@@ -60,7 +60,9 @@ object ScaleProbe {
       k: Int): Unit = {
     new java.io.File(dstDir).mkdirs()
     graft.sources.Tables.names.foreach { name =>
-      val src = spark.read.parquet(s"$srcDir/$name.parquet")
+      // read through Tables: normalizes events.ts across fixture
+      // generations (nanos-as-long vs micros) before rewriting
+      val src = graft.sources.Tables(spark, srcDir, name)
       val out =
         if (name == "region" || name == "nation") src
         else {

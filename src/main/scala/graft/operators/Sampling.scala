@@ -237,9 +237,20 @@ object Sampling {
   def poissonBootstrapCi(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, b: Int = 100, seed: Int = 33): DataFrame = {
     require(b >= 20, "need enough replicates for 5th/95th percentiles")
-    val base = df.select(col(groupCol).as("g"),
+    val base0 = df.select(col(groupCol).as("g"),
       col(idCol).cast("string").as("k"),
       col(valueCol).cast(org.apache.spark.sql.types.DecimalType(30, 2)).as("p"))
+    // The explode below multiplies every input row ×b before the (cheap,
+    // map-combined) aggregate — the ONE heavy narrow phase of this
+    // operator. A source that arrives in fewer splits than the cluster
+    // has cores (the single-row-group fixture files; a small dimension
+    // at real scale) would run that ×b phase under-parallelized, so
+    // spread the pre-explosion rows first: shuffling 1× of the data to
+    // parallelize b× of the work is always the right trade. Keyed on the
+    // row id (not round-robin) so the exchange is deterministic.
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val base = if (base0.rdd.getNumPartitions < cores)
+      base0.repartition(cores, col("k")) else base0
     val rep = base
       .select(col("g"), col("p"), col("k"),
         explode(expr(s"sequence(0, ${b - 1})")).as("rb"))

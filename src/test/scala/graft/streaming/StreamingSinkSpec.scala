@@ -70,4 +70,44 @@ class StreamingSinkSpec extends SparkSpec {
     assert(table.select($"id").as[Long].collect().toSet === Set(1L, 2L, 3L))
     assert(table.select($"_batch_id").distinct().count() === 2)
   }
+
+  test("engine-level crash replay: batch dies AFTER the sink write, restart re-fires it; table unchanged") {
+    // THE crash window, induced for real: the foreachBatch body lands
+    // batch 1 and then throws BEFORE the checkpoint commit is recorded.
+    // On restart Spark re-fires batch 1 with the same offsets through
+    // the same sink — the dynamic partition overwrite must leave the
+    // landed table content-identical.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_replay").toString
+    val out = s"$dir/landing"
+    val ckpt = s"$dir/ckpt"
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(Ev(1, "a", 1.0), Ev(2, "b", 2.0))
+    val q1 = KafkaFrontDoor.landToParquet(ms.toDF(), out, ckpt).start()
+    q1.processAllAvailable(); q1.stop()
+
+    // crashing run: batch 1 lands, then the "process dies" pre-commit
+    ms.addData(Ev(3, "c", 3.0))
+    val q2 = ms.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        KafkaFrontDoor.landBatch(batch, batchId, out)
+        throw new RuntimeException("injected crash after sink write, before commit")
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    val afterCrash = checksum(out)
+    assert(afterCrash.getAs[Long]("n_rows") === 3, "batch 1 DID land before the crash")
+
+    // restart: the engine replays batch 1 (its commit never happened)
+    val q3 = KafkaFrontDoor.landToParquet(ms.toDF(), out, ckpt).start()
+    q3.processAllAvailable(); q3.stop()
+    assert(checksum(out) === afterCrash,
+      "engine-replayed batch must leave the landed table content-identical")
+    assert(spark.read.parquet(out).select($"id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L))
+  }
 }
