@@ -78,4 +78,41 @@ object Decontaminate {
       contaminated(train, test, idCol, textCol, n, fpp)
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** SPAN-level contamination: for every training doc, the maximal token
+    * spans whose word-`n`-grams collide with the test/eval corpus — the
+    * GPT-3/PaLM decontamination readout, where the unit excised is the
+    * overlapping SPAN, not the whole document ([[contaminated]] gives the
+    * doc-level verdict; this says how much of each doc, and in how many
+    * pieces). Output: one row per training doc (zero rows included) with
+    * `n_contam_spans`, `contam_tokens` (exact interval-union token mass,
+    * via [[Dedup.spanCoverage]]) and integer-ppm `contam_ppm`.
+    *
+    * Scale shape: test grams are a distinct hash set (small — eval sets
+    * are MBs at 100 TB train scale), so the position probe is an equi
+    * semi-join of train posting positions against it; everything after
+    * runs per-doc. One posexplode over train, one shuffle on the gram
+    * hash, one on doc_id — no pair stage anywhere. */
+  def spanContamination(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2)
+    val toks = train.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+    val lens = toks.select(col("doc_id"), size(col("tok")).cast("bigint").as("n_tokens"))
+    val trainPos = toks
+      .select(col("doc_id"), posexplode(shingles(col("tok"), n)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), hash32(col("s"), 0).as("h"))
+    val testH = test
+      .select(tokens(col(textCol)).as("tok"))
+      .select(explode(shingles(col("tok"), n)).as("s"))
+      .select(hash32(col("s"), 0).as("h")).distinct()
+    val hitPos = trainPos.join(testH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    lens.join(Dedup.spanCoverage(hitPos, n), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_contam_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("contam_tokens"))
+      .withColumn("contam_ppm",
+        when(col("n_tokens") > 0,
+          expr("contam_tokens * 1000000 div n_tokens")).otherwise(lit(0L)))
+  }
 }

@@ -1134,4 +1134,74 @@ object Dedup {
           .as("saved_near_ppm"))
       .orderBy(col("source"))
   }
+
+  /** Merge a set of duplicated k-gram START positions into maximal token
+    * spans and roll them up per doc. Two k-token intervals [p, p+k−1],
+    * [q, q+k−1] (p ≤ q) overlap or touch iff q − p ≤ k, so a new span
+    * starts exactly when the position gap exceeds k and each span's
+    * union length is last − first + k — an exact interval union, no
+    * double counting. `posDf` must be (doc_id, pos) with pos 0-based and
+    * unique per doc.
+    *
+    * Scale shape: one shuffle on doc_id; the window and both rollups are
+    * per-doc (bounded by doc length), parallel across docs. */
+  private[operators] def spanCoverage(posDf: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    posDf
+      .withColumn("_ni",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_ni")).over(run))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg((max(col("pos")) - min(col("pos")) + k).cast("bigint").as("_len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("_len")).as("dup_tokens"))
+  }
+
+  /** Per-document duplicated-SPAN coverage: the token-level readout of
+    * exact substring deduplication (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better") — for every doc, how many tokens
+    * sit inside a word-`k`-gram that also occurs in ≥ `minDocs` distinct
+    * documents, merged into maximal spans. Where [[nearDupPairs]] scores
+    * whole documents and [[longestSharedSpan]] scores one pair, this is
+    * the corpus-internal boilerplate meter: the mass you'd excise with
+    * span-level (not doc-level) dedup, per doc.
+    *
+    * Semantics: a k-gram is duplicated iff it appears in ≥ minDocs
+    * DISTINCT docs (within-doc repetition is q241's job); every start
+    * position of a duplicated gram is covered; positions merge into
+    * spans via the exact interval union of [[spanCoverage]]. All docs
+    * appear in the output (zero rows coalesced), `dup_ppm` is integer
+    * parts-per-million — bit-identical in any engine.
+    *
+    * Scale shape: one posexplode (linear in tokens), a distinct +
+    * count on (gram, doc) — map-combined, keyed on the gram hash — and
+    * one semi-join of positions against the duplicated-gram table (equi
+    * on the hash; postings × 1, never postings²). The gram frame is
+    * persisted across its two consumers so the corpus is tokenized and
+    * md5-hashed once (longs-only frame — cheap to cache, unlike the
+    * array/string tables goldenRecord's A/B rejected). */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2 && minDocs >= 2)
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+    val lens = toks.select(col("doc_id"), size(col("tok")).cast("bigint").as("n_tokens"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(shingles(col("tok"), k)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), hash32(col("s"), 0).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupG = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs).select(col("g"))
+    val dupPos = grams.join(dupG, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    lens.join(spanCoverage(dupPos, k), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ppm",
+        when(col("n_tokens") > 0,
+          expr("dup_tokens * 1000000 div n_tokens")).otherwise(lit(0L)))
+  }
 }

@@ -783,6 +783,29 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicated-span coverage per doc (exact substring-dedup readout,
+    // Lee et al.): tokens inside word-8-grams shared with >= 2 distinct
+    // docs, merged into maximal spans — the mass span-level dedup would
+    // excise, where q30/q31 only score whole documents.
+    "q242_repeated_spans" -> ((s, dir) => {
+      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Span-level decontamination (GPT-3/PaLM style): per training doc,
+    // the maximal spans whose 8-grams collide with the held-out 20%
+    // (q34's hash split), as span count / token mass / ppm — the excise
+    // report behind q35's doc-level verdict.
+    "q243_span_decontamination" -> ((s, dir) => {
+      import graft.functions.TextFunctions.hash32
+      val docs = t(s, dir, "documents")
+      val isTrain = hash32(col("doc_id").cast("string"), 9) % 100 < 80
+      graft.operators.Decontaminate.spanContamination(
+          docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Round-5 curation capstone: exact-dedup winners, near-dup losers
     // and containment-dominated docs dropped, component loss weights,
     // quality cut on the cross-source quantile-normalized score, split
@@ -1102,6 +1125,33 @@ object Documents {
     s"""sh AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= $n THEN
        |  list_transform(range(1, len(tok) - ${n - 2}), i -> $parts) ELSE [] END) AS s FROM t)""".stripMargin
   }
+
+  /** shingleCte with 0-based start positions (zipped unnest +
+    * generate_subscripts — the q221 idiom), mirroring Spark's
+    * posexplode(shingles(tok, n)). */
+  private def posShingleCte(n: Int): String = {
+    val parts = (0 until n).map(j => if (j == 0) "tok[i]" else s"tok[i+$j]").mkString(" || ' ' || ")
+    s"""shp AS (SELECT doc_id, unnest(shl) AS s,
+       |    generate_subscripts(shl, 1) - 1 AS pos
+       |  FROM (SELECT doc_id, CASE WHEN len(tok) >= $n THEN
+       |    list_transform(range(1, len(tok) - ${n - 2}), i -> $parts)
+       |    ELSE [] END AS shl FROM t))""".stripMargin
+  }
+
+  /** Mirrors Dedup.spanCoverage: duplicated k-gram start positions in
+    * `dp(doc_id, pos)` → maximal interval-union spans → per-doc
+    * `pd(doc_id, n_spans, dup_tokens)`. New span when the gap exceeds k;
+    * union length = last − first + k. */
+  private def spanRollupSql(k: Int): String =
+    s"""il AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+       |    PARTITION BY doc_id ORDER BY pos) > $k THEN 1 ELSE 0 END AS ni
+       |  FROM dp),
+       |i2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl FROM il),
+       |spn AS (SELECT doc_id, isl, max(pos) - min(pos) + $k AS sl
+       |  FROM i2 GROUP BY doc_id, isl),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(sl) AS BIGINT) AS dup_tokens FROM spn GROUP BY doc_id)""".stripMargin
 
   private def h32(expr: String, seed: Int): String =
     s"CAST('0x' || substr(md5($expr || '#$seed'), 1, 8) AS BIGINT)"
@@ -2430,6 +2480,49 @@ object Documents {
          |   AND coalesce(max2 * 1000000 // tot2, 0) <= 180000
          |   AND coalesce(dup3 * 1000000 // tot3, 0) <= 300000) AS passes
          |FROM w ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Dedup.repeatedSpans: positional 8-grams, duplicated =
+    // >= 2 distinct docs, spanRollupSql interval union, ppm readout.
+    "q242_repeated_spans" ->
+      s"""WITH $tokCte,
+         |${posShingleCte(8)},
+         |gh AS (SELECT doc_id, pos, ${h32("s", 0)} AS g FROM shp),
+         |dg AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM gh)
+         |  GROUP BY g HAVING count(*) >= 2),
+         |dp AS (SELECT doc_id, pos FROM gh JOIN dg USING (g)),
+         |${spanRollupSql(8)},
+         |ln AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens FROM t)
+         |SELECT ln.doc_id, n_tokens,
+         |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(CASE WHEN n_tokens > 0 THEN
+         |    coalesce(dup_tokens, 0) * 1000000 // n_tokens ELSE 0 END
+         |    AS BIGINT) AS dup_ppm
+         |FROM ln LEFT JOIN pd USING (doc_id) ORDER BY ln.doc_id""".stripMargin,
+
+    // Mirrors Decontaminate.spanContamination over q34's hash split:
+    // train positions probed against the distinct held-out 8-gram set,
+    // then the same spanRollupSql interval union.
+    "q243_span_decontamination" ->
+      s"""WITH $tokCte,
+         |${posShingleCte(8)},
+         |sp0 AS (SELECT doc_id,
+         |  ${h32("CAST(doc_id AS VARCHAR)", 9)} % 100 < 80 AS is_train
+         |  FROM documents),
+         |gh AS (SELECT shp.doc_id, pos, ${h32("s", 0)} AS h, is_train
+         |  FROM shp JOIN sp0 ON shp.doc_id = sp0.doc_id),
+         |th AS (SELECT DISTINCT h FROM gh WHERE NOT is_train),
+         |dp AS (SELECT doc_id, pos FROM gh JOIN th USING (h) WHERE is_train),
+         |${spanRollupSql(8)},
+         |ln AS (SELECT t.doc_id, CAST(len(tok) AS BIGINT) AS n_tokens
+         |  FROM t JOIN sp0 ON t.doc_id = sp0.doc_id WHERE is_train)
+         |SELECT ln.doc_id, n_tokens,
+         |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_contam_spans,
+         |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS contam_tokens,
+         |  CAST(CASE WHEN n_tokens > 0 THEN
+         |    coalesce(dup_tokens, 0) * 1000000 // n_tokens ELSE 0 END
+         |    AS BIGINT) AS contam_ppm
+         |FROM ln LEFT JOIN pd USING (doc_id) ORDER BY ln.doc_id""".stripMargin,
 
     "q153_ngram_novelty" ->
       s"""WITH $tokCte,

@@ -36,4 +36,19 @@ class DecontaminateSpec extends SparkSpec {
     val all = train.select($"doc_id").as[Long].collect().toSet
     assert(cleaned == all -- contaminatedIds)
   }
+
+  test("spanContamination reports the exact overlapping span, zero rows for clean docs") {
+    val tr = Seq(
+      (10L, "m n o p q r"),        // "m n o p" overlaps the eval doc
+      (11L, "f g h i j k"),        // clean
+    ).toDF("doc_id", "text")
+    val te = Seq((20L, "z z m n o p z")).toDF("doc_id", "text")
+    val out = Decontaminate.spanContamination(tr, te, "doc_id", "text", n = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // hits: "m n o"@0, "n o p"@1 -> one island, union len 1-0+3 = 4 tokens
+    assert(out == Seq(
+      (10L, 6L, 1L, 4L, 666666L),
+      (11L, 6L, 0L, 0L, 0L)))
+  }
 }

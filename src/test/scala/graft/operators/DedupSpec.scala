@@ -336,4 +336,31 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("spanCoverage: exact interval union (merge at gap <= k, split past it)") {
+    // k=3: positions 0 and 2 overlap ([0,2] vs [2,4]) -> one span of 5;
+    // position 9 is its own span of 3
+    val pos = Seq((1L, 0), (1L, 2), (1L, 9)).toDF("doc_id", "pos")
+    val out = Dedup.spanCoverage(pos, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 8L)))
+  }
+
+  test("repeatedSpans: cross-doc spans merge, within-doc-only repeats don't count") {
+    val d = Seq(
+      (0L, "a b c d e f g h"),                 // shares "a b c d e" with 1
+      (1L, "x x a b c d e y"),
+      (2L, "p q r s t u v w"),                 // nothing shared
+      (3L, "a b c z z z z a b c"),             // "a b c" twice (dup'd via 0/1);
+                                               // "z z z" repeats ONLY here -> not counted
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(d, "doc_id", "text", k = 3, minDocs = 2)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 8L, 1L, 5L, 625000L),   // one span "a b c d e"
+      (1L, 8L, 1L, 5L, 625000L),
+      (2L, 8L, 0L, 0L, 0L),
+      (3L, 10L, 2L, 6L, 600000L))) // two "a b c" islands, gap 7 > k
+  }
 }
