@@ -112,4 +112,28 @@ class OperatorPropertiesSpec extends SparkSpec {
       assert(out.map(_._4).sum <= 1000000L)
     }
   }
+
+  test("property: spanCoverage ≡ brute-force interval union on random position sets") {
+    val k = 3
+    val posGen: Gen[Seq[Int]] = Gen.choose(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(0, 30))).map(_.distinct.sorted)
+    val caseGen: Gen[Seq[(Long, Seq[Int])]] = Gen.choose(1, 4)
+      .flatMap(n => Gen.listOfN(n, posGen))
+      .map(_.zipWithIndex.map { case (ps, i) => (i.toLong, ps) })
+    samples(caseGen, 8).foreach { docs =>
+      val rows = docs.flatMap { case (id, ps) => ps.map(p => (id, p)) }
+      val got = Dedup.spanCoverage(rows.toDF("doc_id", "pos"), k)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      docs.filter(_._2.nonEmpty).foreach { case (id, ps) =>
+        // brute force: materialize the union of [p, p+k-1] token sets
+        val covered = ps.flatMap(p => p until p + k).toSet
+        val nSpans = covered.toSeq.sorted
+          .foldLeft((0L, Int.MinValue)) { case ((n, prev), t) =>
+            (if (t == prev + 1) n else n + 1, t)
+          }._1
+        assert(got(id) == ((nSpans, covered.size.toLong)),
+          s"doc=$id positions=$ps got=${got(id)}")
+      }
+    }
+  }
 }
