@@ -389,8 +389,11 @@ object TextAnalysis {
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val sh = docs
-      .select(col(idCol).as("doc_id"),
-        explode(shingles(tokens(col(textCol)), n)).as("s0"))
+      // materialize tok first: the shingles() lambda references it ~3n
+      // times and a Generate input is outside codegen CSE, so the inline
+      // form re-runs the regex split per reference (see shingles scaladoc)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      .select(col("doc_id"), explode(shingles(col("tok"), n)).as("s0"))
       .select(col("doc_id"), hash32(col("s0"), 0).as("s"))
       .distinct()
     val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
@@ -923,9 +926,12 @@ object TextAnalysis {
   def phraseHits(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     // two consumers (argmax + probe) — pin the shingle table so the
-    // corpus tokenizes once (same discipline as Dedup.shared)
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(tokens(col(textCol)), n)).as("s"))
+    // corpus tokenizes once (same discipline as Dedup.shared); tok is
+    // materialized before shingles() so the Generate input doesn't
+    // re-run the regex split per lambda reference (see shingles scaladoc)
+    val sh = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      .select(col("doc_id"), explode(shingles(col("tok"), n)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = sh.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
       .agg(max(struct(col("cnt"), col("s"))).as("m"))

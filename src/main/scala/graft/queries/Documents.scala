@@ -55,9 +55,10 @@ object Documents {
     "q216_source_novelty" -> ((s, dir) => {
       import graft.functions.TextFunctions.{hash32, shingles, tokens}
       val sh = t(s, dir, "documents")
+        .select(col("source"), tokens(col("text")).as("tok"))
         .select(col("source"),
           explode(array_distinct(transform(
-            shingles(tokens(col("text")), 3), x => hash32(x, 0)))).as("h"))
+            shingles(col("tok"), 3), x => hash32(x, 0)))).as("h"))
         .distinct()
       val owner = sh.groupBy(col("h")).agg(min(col("source")).as("owner"))
       val own = sh.groupBy(col("source"))
@@ -417,7 +418,8 @@ object Documents {
       import graft.functions.TextFunctions.{tokens, shingles, hash32}
       import graft.operators.Sketch
       val shs = t(s, dir, "documents")
-        .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+        .select(col("source"), tokens(col("text")).as("tok"))
+        .select(col("source"), explode(shingles(col("tok"), 3)).as("sh"))
       val est = Sketch.kmvDistinct(shs, "sh", "source", k = 64)
       val ex = shs.select(col("source"), hash32(col("sh"), 0).as("h")).distinct()
         .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
@@ -965,7 +967,8 @@ object Documents {
     "q182_token_spectrum" -> ((s, dir) => {
       import graft.functions.TextFunctions.{tokens, shingles}
       t(s, dir, "documents")
-        .select(explode(shingles(tokens(col("text")), 3)).as("w"))
+        .select(tokens(col("text")).as("tok"))
+        .select(explode(shingles(col("tok"), 3)).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         .groupBy(when(col("cnt") <= 10, col("cnt")).otherwise(11L).as("k"))
         .agg(count(lit(1)).as("n_grams_with_k"),
