@@ -67,6 +67,21 @@ object PlanDump {
         "partition-count-sized offset frame broadcast back. The plan shows " +
         "parallel Window operators instead of WindowExec's all-rows-to-one-" +
         "task warning; at a billion customers every stage stays partitioned."),
+    "q242_repeated_spans" ->
+      ("Span-level dedup readout: one posexplode (linear in tokens) into a " +
+        "persisted longs-only (doc, pos, gramhash) frame; the duplicated-gram " +
+        "table is a distinct + count keyed on the hash, positions re-join it " +
+        "LEFT SEMI (postings x 1, never postings squared), and the interval " +
+        "union runs as per-doc windows bounded by doc length. No pair stage " +
+        "anywhere — corpus size only widens the embarrassingly parallel map " +
+        "side and the two keyed shuffles."),
+    "q225_bootstrap_ci" ->
+      ("Poisson bootstrap: replicate draws are pure per-row hash math, so " +
+        "the plan is explode(x100) -> map-combined partial aggregate; the " +
+        "shuffle carries |groups| x replicates cells, never the data. The " +
+        "pre-explosion rows are re-spread when the source arrives in fewer " +
+        "splits than cores — shuffling 1x of the data to parallelize 100x " +
+        "of the work (13.8s -> 2.0s on the single-split fixture)."),
     "q01_pricing_summary" ->
       ("Scan → partial HashAggregate → exchange → final aggregate. The shipdate " +
         "predicate reaches the parquet scan (PushedFilters) and only the six " +
