@@ -1145,7 +1145,16 @@ object Dedup {
     *
     * Scale shape: one shuffle on doc_id; the window and both rollups are
     * per-doc (bounded by doc length), parallel across docs. */
-  private[operators] def spanCoverage(posDf: DataFrame, k: Int): DataFrame = {
+  private[operators] def spanCoverage(posDf: DataFrame, k: Int): DataFrame =
+    spanIntervals(posDf, k)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("lp") - col("fp") + 1).as("dup_tokens"))
+
+  /** The maximal spans themselves, as inclusive token-position intervals
+    * (doc_id, fp, lp) — the unit [[exciseRepeatedSpans]] removes and
+    * [[spanCoverage]] measures. */
+  private[operators] def spanIntervals(posDf: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1154,9 +1163,9 @@ object Dedup {
         when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1).otherwise(0))
       .withColumn("_isl", sum(col("_ni")).over(run))
       .groupBy(col("doc_id"), col("_isl"))
-      .agg((max(col("pos")) - min(col("pos")) + k).cast("bigint").as("_len"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"), sum(col("_len")).as("dup_tokens"))
+      .agg(min(col("pos")).cast("bigint").as("fp"),
+        (max(col("pos")) + k - 1).cast("bigint").as("lp"))
+      .select(col("doc_id"), col("fp"), col("lp"))
   }
 
   /** Per-document duplicated-SPAN coverage: the token-level readout of
@@ -1184,9 +1193,25 @@ object Dedup {
     * array/string tables goldenRecord's A/B rejected). */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val (toks, dupPos) = repeatedGramPositions(docs, idCol, textCol, k, minDocs)
+    val lens = toks.select(col("doc_id"), size(col("tok")).cast("bigint").as("n_tokens"))
+    lens.join(spanCoverage(dupPos, k), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ppm",
+        when(col("n_tokens") > 0,
+          expr("dup_tokens * 1000000 div n_tokens")).otherwise(lit(0L)))
+  }
+
+  /** Shared front half of [[repeatedSpans]]/[[exciseRepeatedSpans]]:
+    * the token arrays and the start positions of every k-gram occurring
+    * in ≥ minDocs distinct docs. The gram frame (longs only) is persisted
+    * across its two consumers so the corpus tokenizes and hashes once. */
+  private def repeatedGramPositions(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, minDocs: Int): (DataFrame, DataFrame) = {
     require(k >= 2 && minDocs >= 2)
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
-    val lens = toks.select(col("doc_id"), size(col("tok")).cast("bigint").as("n_tokens"))
     val grams = toks
       .select(col("doc_id"), posexplode(shingles(col("tok"), k)).as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos"), hash32(col("s"), 0).as("g"))
@@ -1196,12 +1221,38 @@ object Dedup {
       .filter(col("_nd") >= minDocs).select(col("g"))
     val dupPos = grams.join(dupG, Seq("g"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    lens.join(spanCoverage(dupPos, k), Seq("doc_id"), "left")
+    (toks, dupPos)
+  }
+
+  /** Span EXCISION: remove every duplicated span [[repeatedSpans]] reports
+    * and re-assemble the surviving tokens — the transform step of exact
+    * substring dedup (Lee et al. excise the repeated spans rather than
+    * drop documents). Returns one row per doc (including untouched and
+    * fully-excised ones): (doc_id, n_tokens, n_kept, cleaned_text).
+    *
+    * Scale shape: the front half is [[repeatedGramPositions]]; tokens
+    * then anti-join the span intervals equi on doc_id with the range
+    * test as a residual — fanout is tokens × spans WITHIN a doc, never
+    * across docs — and the reassembly is one per-doc sort_array over the
+    * survivors (bounded by doc length). Deterministic: struct sort on
+    * (position, token). */
+  def exciseRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val (toks, dupPos) = repeatedGramPositions(docs, idCol, textCol, k, minDocs)
+    val spans = spanIntervals(dupPos, k).withColumnRenamed("doc_id", "_sd")
+    val words = toks.select(col("doc_id"),
+      posexplode(col("tok")).as(Seq("p", "w")))
+    val kept = words.join(spans,
+      col("doc_id") === col("_sd") &&
+        col("p") >= col("fp") && col("p") <= col("lp"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("w")))),
+          x => x.getField("w")), " ").as("cleaned_text"))
+    toks.select(col("doc_id"), size(col("tok")).cast("bigint").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_spans"), lit(0L)).as("n_dup_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
-      .withColumn("dup_ppm",
-        when(col("n_tokens") > 0,
-          expr("dup_tokens * 1000000 div n_tokens")).otherwise(lit(0L)))
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 }

@@ -795,6 +795,15 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Span EXCISION (the transform after q242's report): duplicated
+    // spans removed, surviving tokens re-assembled in order — doc rows
+    // preserved even when fully excised.
+    "q244_span_excision" -> ((s, dir) => {
+      Dedup.exciseRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Span-level decontamination (GPT-3/PaLM style): per training doc,
     // the maximal spans whose 8-grams collide with the held-out 20%
     // (q34's hash split), as span count / token mass / ppm — the excise
@@ -1151,10 +1160,11 @@ object Documents {
        |  FROM dp),
        |i2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id
        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl FROM il),
-       |spn AS (SELECT doc_id, isl, max(pos) - min(pos) + $k AS sl
+       |spn AS (SELECT doc_id, isl, min(pos) AS fp, max(pos) + ${k - 1} AS lp
        |  FROM i2 GROUP BY doc_id, isl),
        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-       |    CAST(sum(sl) AS BIGINT) AS dup_tokens FROM spn GROUP BY doc_id)""".stripMargin
+       |    CAST(sum(lp - fp + 1) AS BIGINT) AS dup_tokens
+       |  FROM spn GROUP BY doc_id)""".stripMargin
 
   private def h32(expr: String, seed: Int): String =
     s"CAST('0x' || substr(md5($expr || '#$seed'), 1, 8) AS BIGINT)"
@@ -2502,6 +2512,29 @@ object Documents {
          |    coalesce(dup_tokens, 0) * 1000000 // n_tokens ELSE 0 END
          |    AS BIGINT) AS dup_ppm
          |FROM ln LEFT JOIN pd USING (doc_id) ORDER BY ln.doc_id""".stripMargin,
+
+    // Mirrors Dedup.exciseRepeatedSpans: q242's dp + spn interval CTEs,
+    // tokens kept iff no span covers their position, string_agg rebuild.
+    "q244_span_excision" ->
+      s"""WITH $tokCte,
+         |${posShingleCte(8)},
+         |gh AS (SELECT doc_id, pos, ${h32("s", 0)} AS g FROM shp),
+         |dg AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM gh)
+         |  GROUP BY g HAVING count(*) >= 2),
+         |dp AS (SELECT doc_id, pos FROM gh JOIN dg USING (g)),
+         |${spanRollupSql(8)},
+         |u AS (SELECT doc_id, generate_subscripts(tok, 1) - 1 AS p,
+         |  unnest(tok) AS w FROM t),
+         |kept AS (SELECT u.* FROM u WHERE NOT EXISTS (SELECT 1 FROM spn s
+         |  WHERE s.doc_id = u.doc_id AND u.p BETWEEN s.fp AND s.lp)),
+         |kc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(w, ' ' ORDER BY p) AS cleaned_text
+         |  FROM kept GROUP BY doc_id),
+         |ln AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens FROM t)
+         |SELECT ln.doc_id, n_tokens,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(cleaned_text, '') AS cleaned_text
+         |FROM ln LEFT JOIN kc USING (doc_id) ORDER BY ln.doc_id""".stripMargin,
 
     // Mirrors Decontaminate.spanContamination over q34's hash split:
     // train positions probed against the distinct held-out 8-gram set,

@@ -363,4 +363,21 @@ class DedupSpec extends SparkSpec {
       (2L, 8L, 0L, 0L, 0L),
       (3L, 10L, 2L, 6L, 600000L))) // two "a b c" islands, gap 7 > k
   }
+
+  test("exciseRepeatedSpans removes exactly the reported spans and rebuilds in order") {
+    val d = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "x x a b c d e y"),
+      (2L, "p q r s t u v w"),
+      (3L, "a b c z z z z a b c"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseRepeatedSpans(d, "doc_id", "text", k = 3, minDocs = 2)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 8L, 3L, "f g h"),       // span [0,4] excised
+      (1L, 8L, 3L, "x x y"),       // span [2,6] excised
+      (2L, 8L, 8L, "p q r s t u v w"),
+      (3L, 10L, 4L, "z z z z")))   // both "a b c" spans excised
+  }
 }
