@@ -52,4 +52,18 @@ class ScaleProbeSpec extends SparkSpec {
       .count()
     assert(cross === 0L)
   }
+
+  test("duplicated-span structure replicates exactly per replica (q242 family)") {
+    // replica-disjoint gram spaces ⇒ every replica reproduces the 1×
+    // span structure verbatim: the 2× output is two id-shifted copies
+    val base = Dedup.repeatedSpans(src("documents"), "doc_id", "text")
+      .select($"doc_id", $"n_dup_spans", $"dup_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    val scaled = Dedup.repeatedSpans(t("documents"), "doc_id", "text")
+      .select($"doc_id", $"n_dup_spans", $"dup_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = (0 until k).flatMap(i =>
+      base.map { case (id, s, d) => (id + i * 1000000000L, s, d) }).toSet
+    assert(scaled === expected)
+  }
 }
