@@ -34,32 +34,59 @@ object AnnProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nCells = sys.env.getOrElse("SPARK_GRAFT_ANN_CELLS", "16").toInt
+    // SPARK_GRAFT_ANN_DIM=768 switches to a synthesized production-dim
+    // corpus (the PQ regime: per-vector bytes dominate) — same clustered
+    // construction, 20k vectors, PQ at m = dim/8 subspaces
+    val dim = sys.env.getOrElse("SPARK_GRAFT_ANN_DIM", "64").toInt
+    val pqM = dim / 8
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val base = graft.sources.Tables(spark, sfDir, "embeddings")
+    import spark.implicits._
 
     // deterministic per-label unit centers (seeded Gaussian, normalized)
-    val dim = 64
     val centers: Seq[(Int, Seq[Double])] = (0 until 10).map { l =>
       val r = new scala.util.Random(1000L + l)
       val c = Seq.fill(dim)(r.nextGaussian())
       val n = math.sqrt(c.map(x => x * x).sum)
       l -> c.map(_ / n)
     }
-    val centerExpr = centers.tail.foldLeft(
-      array(centers.head._2.map(lit): _*)) { case (acc, (l, c)) =>
-      when(col("label") === l, array(c.map(lit): _*)).otherwise(acc)
-    }
-    val clustered = base.withColumn("embedding",
-      l2_normalize(zip_with(centerExpr,
-        col("embedding").cast("array<double>"),
-        (c, x) => c * lit(2.0) + x)).cast("array<float>"))
 
-    Seq("isotropic" -> base, "clustered" -> clustered).foreach {
+    val corpora: Seq[(String, DataFrame)] = if (dim == 64) {
+      val base = graft.sources.Tables(spark, sfDir, "embeddings")
+      val centerExpr = centers.tail.foldLeft(
+        array(centers.head._2.map(lit): _*)) { case (acc, (l, c)) =>
+        when(col("label") === l, array(c.map(lit): _*)).otherwise(acc)
+      }
+      val clustered = base.withColumn("embedding",
+        l2_normalize(zip_with(centerExpr,
+          col("embedding").cast("array<double>"),
+          (c, x) => c * lit(2.0) + x)).cast("array<float>"))
+      Seq("isotropic" -> base, "clustered" -> clustered)
+    } else {
+      // synthesized clustered corpus at production dims: unit noise +
+      // 2× unit center, renormalized — the same within-cluster cosine
+      // (~0.8) as the 64-dim clustered fixture, so the two sweeps
+      // isolate DIMENSION as the only changed variable
+      val centerArr = centers.map(_._2.toArray).toArray
+      val nVecs = 20000
+      val synth = spark.range(nVecs).map { i =>
+        val lbl = (i % 10).toInt
+        val r = new scala.util.Random(7777L + i)
+        val noise = Array.fill(dim)(r.nextGaussian())
+        val nn = math.sqrt(noise.map(x => x * x).sum)
+        val c = centerArr(lbl)
+        val v = Array.tabulate(dim)(j => c(j) * 2.0 + noise(j) / nn)
+        val vn = math.sqrt(v.map(x => x * x).sum)
+        (i, lbl, v.map(x => (x / vn).toFloat))
+      }.toDF("vec_id", "label", "embedding")
+      Seq(s"clustered_d$dim" -> synth)
+    }
+
+    corpora.foreach {
       case (corpusName, e0) =>
         val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         e.count()
@@ -69,7 +96,7 @@ object AnnProbe {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         gt.count()
 
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_annprobe_${corpusName}_c$nCells"
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_annprobe_${corpusName}_c${nCells}_d$dim"
         Ivf.writeIndex(Ivf.build(e, nCells = nCells), path)
         val stored = Ivf.readIndex(spark, path)
         stored.assigned.persist(
@@ -86,25 +113,31 @@ object AnnProbe {
         }
         val totalBytes = cellBytes.values.sum
 
-        /** Mean per-query bytes fraction (ppm) at `nprobe`: each query
-          * reads its own nprobe nearest cell partitions (same ranking as
-          * Ivf's probe — cosine vs centroid, ties to lower cell). */
-        def meanBytesFracPpm(nprobe: Int): Long = {
+        /** Per-query probed cell ids at `nprobe` — the RAW stored
+          * centroid, no cast, so the ranking replays Ivf.probeCells'
+          * exact cell choice (a float cast could flip near-tie cells and
+          * publish bytes for a probe set other than the one whose recall
+          * was measured). */
+        def probedCellsOf(nprobe: Int): Iterable[Seq[Int]] = {
           import org.apache.spark.sql.expressions.Window
           val w = Window.partitionBy(col("query_id"))
             .orderBy(col("_s").desc, col("cell_id"))
-          val perQuery = queries
+          queries
             .select(col("vec_id").as("query_id"), col("embedding"))
             .crossJoin(broadcast(stored.cells))
-            .withColumn("_s", cosine_sim(col("embedding"),
-              col("centroid").cast("array<float>")))
+            .withColumn("_s", cosine_sim(col("embedding"), col("centroid")))
             .withColumn("_r", row_number().over(w))
             .filter(col("_r") <= nprobe)
             .select(col("query_id"), col("cell_id"))
             .collect().groupBy(_.getLong(0))
-            .map { case (_, rows) =>
-              rows.map(r => cellBytes.getOrElse(r.getInt(1), 0L)).sum.toDouble / totalBytes
-            }
+            .map { case (_, rows) => rows.map(_.getInt(1)).toSeq }
+        }
+
+        /** Mean per-query bytes fraction (ppm) at `nprobe`: each query
+          * reads its own nprobe nearest cell partitions. */
+        def meanBytesFracPpm(nprobe: Int): Long = {
+          val perQuery = probedCellsOf(nprobe).map(
+            _.map(cellBytes.getOrElse(_, 0L)).sum.toDouble / totalBytes)
           math.round(perQuery.sum / perQuery.size * 1000000L)
         }
 
@@ -125,22 +158,46 @@ object AnnProbe {
           println(s"""ANN {"corpus":"$corpusName","variant":"ivf","ncells":$nCells,"nprobe":$nprobe,"recall_at10_ppm":$recall,"query_bytes_ppm":$frac,"sec":${f"$sec%.2f"}}""")
         }
 
-        // IVF-PQ with exact refine: ADC on 8-byte codes in probed cells,
-        // true-cosine rerank of the shortlist only
-        val cb = Pq.trainCodebook(e, "vec_id", "embedding", m = 8, dim = dim,
+        // IVF-PQ with exact refine: ADC on m-byte codes in probed cells,
+        // true-cosine rerank of the shortlist only. m = dim/8 (8 dims per
+        // subspace): 8 codes at 64 dims, 96 at 768.
+        val cb = Pq.trainCodebook(e, "vec_id", "embedding", m = pqM, dim = dim,
             k = 16)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val codes = Pq.encode(e, cb, "vec_id", "embedding", m = 8, dim = dim)
+        val codes = Pq.encode(e, cb, "vec_id", "embedding", m = pqM, dim = dim)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cb.count(); codes.count()
+        // per-cell row counts, for the PQ logical-bytes model
+        val cellRows: Map[Int, Long] = stored.assigned
+          .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val totalRows = cellRows.values.sum
+
+        /** PQ bytes model (ppm of full-corpus float bytes): a probed
+          * cell's candidates are read as m-byte codes, then only the
+          * rerank shortlist is read as full dim×4-byte vectors —
+          * (probed_rows · m + rerank · dim · 4) / (N · dim · 4). The
+          * IVF (non-PQ) column reads probed_rows · dim · 4 instead;
+          * this model is what makes the two variants comparable at any
+          * dim (parquet file sizes alone under-credit PQ because the
+          * fixture stores floats column-compressed). */
+        def pqBytesFracPpm(nprobe: Int, rerank: Int): Long = {
+          val perQuery = probedCellsOf(nprobe).map { cells =>
+            val rows = cells.map(cellRows.getOrElse(_, 0L)).sum
+            (rows.toDouble * pqM + rerank.toDouble * dim * 4) /
+              (totalRows.toDouble * dim * 4)
+          }
+          math.round(perQuery.sum / perQuery.size * 1000000L)
+        }
         for (nprobe <- Seq(2, 4); rerank <- Seq(20, 50, 100)) {
           val res = Ivf.searchPqPruned(stored, cb, codes, queries, k = k,
-            nprobe = nprobe, m = 8, dim = dim, rerank = rerank)
+            nprobe = nprobe, m = pqM, dim = dim, rerank = rerank)
           val recall = meanRecallPpm(res)
           val sec = timeIt(Ivf.searchPqPruned(stored, cb, codes, queries,
-            k = k, nprobe = nprobe, m = 8, dim = dim, rerank = rerank))
+            k = k, nprobe = nprobe, m = pqM, dim = dim, rerank = rerank))
           val frac = meanBytesFracPpm(nprobe)
-          println(s"""ANN {"corpus":"$corpusName","variant":"ivf_pq","ncells":$nCells,"nprobe":$nprobe,"rerank":$rerank,"recall_at10_ppm":$recall,"query_bytes_ppm":$frac,"sec":${f"$sec%.2f"}}""")
+          val pqFrac = pqBytesFracPpm(nprobe, rerank)
+          println(s"""ANN {"corpus":"$corpusName","variant":"ivf_pq","ncells":$nCells,"nprobe":$nprobe,"rerank":$rerank,"recall_at10_ppm":$recall,"query_bytes_ppm":$frac,"pq_model_bytes_ppm":$pqFrac,"sec":${f"$sec%.2f"}}""")
         }
         e.unpersist(); gt.unpersist()
         spark.catalog.clearCache()

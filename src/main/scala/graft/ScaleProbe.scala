@@ -124,6 +124,35 @@ object ScaleProbe {
       val ratio = if (t1 > 0 && tk > 0) tk / t1 else -1.0
       println(f"""SCALE {"query":"$name","t1":$t1%.2f,"t$k":$tk%.2f,"ratio":$ratio%.2f}""")
     }
+    // ROUND-COUNT probe for the iterative family (SPARK_GRAFT_ROUNDS=1):
+    // rounds, not seconds, are the cluster-portable number — each round
+    // is one Spark job and per-job latency is what a busy cluster
+    // multiplies (the round-6 finding: q38/q161 inflated 9-12× under box
+    // load, the median query 1.46×). q237's labelPropagation runs a FIXED
+    // 4 rounds by construction and needs no probe.
+    if (sys.env.get("SPARK_GRAFT_ROUNDS").contains("1")) {
+      def probe(tier: String, dir: String): Unit = {
+        clean()
+        var t0 = System.nanoTime()
+        val (comp, compRounds) = graft.operators.Dedup.nearDupGroupsCounted(
+          graft.operators.Dedup.nearDupPairs(
+            graft.sources.Tables(spark, dir, "documents"), "doc_id", "text"))
+        comp.count()
+        var sec = (System.nanoTime() - t0) / 1e9
+        // compRounds = post-contraction propagation rounds; the star
+        // contraction itself is a constant 3 jobs at any scale
+        println(f"""ROUNDS {"op":"neardup_components","tier":"$tier","prop_rounds":$compRounds,"sec":$sec%.2f}""")
+        clean()
+        t0 = System.nanoTime()
+        val (core, coreRounds) = graft.operators.Graph.kCoreCounted(
+          graft.queries.Relational.copurchaseEdges(spark, dir), "pa", "pb", k = 3)
+        core.count()
+        sec = (System.nanoTime() - t0) / 1e9
+        println(f"""ROUNDS {"op":"kcore_peel","tier":"$tier","peel_rounds":$coreRounds,"sec":$sec%.2f}""")
+      }
+      probe("1x", srcDir)
+      probe(s"${k}x", dstDir)
+    }
     spark.stop()
   }
 }

@@ -442,22 +442,48 @@ object Dedup {
     * keep_id is the component's lowest doc id (keep-first policy). Uses
     * DataFrame min-label propagation — O(diameter) rounds, and near-dup
     * graphs have tiny diameters. */
-  def nearDupGroups(pairs: DataFrame): DataFrame = {
-    // Min-label propagation on DataFrames: every vertex starts labeled
-    // with its own id; each round pushes labels across edges and keeps the
-    // minimum; converged when no label changed. O(component diameter)
-    // rounds — near-dup graphs are shallow — with localCheckpoint
-    // truncating the growing lineage each round.
+  def nearDupGroups(pairs: DataFrame): DataFrame =
+    nearDupGroupsCounted(pairs)._1
+
+  /** [[nearDupGroups]] plus its propagation round count — the
+    * cluster-portable cost number (each round is one Spark job; per-job
+    * latency is what a busy cluster multiplies). Published per scale
+    * tier in SCALE.md via [[graft.ScaleProbe]]. */
+  private[graft] def nearDupGroupsCounted(pairs: DataFrame): (DataFrame, Int) = {
+    // STAR CONTRACTION, then min-label propagation on the contracted
+    // graph, both on DataFrames.
     //
-    // Two scale refinements over the naive loop (each round was 2 jobs +
-    // a join in round 2 of this engine, the then-slowest bench query):
-    //  - ONE job per round: the old label rides the aggregation (marker
-    //    column), so "did anything change" is a narrow filter-count over
-    //    the just-checkpointed partitions — no second join.
-    //  - FRONTIER propagation: only vertices whose label improved last
-    //    round push labels (new information can only flow out of a change
-    //    — the BFS invariant), so late-round joins touch a shrinking
-    //    fraction of the edge set.
+    // Round latency, not data volume, is what made this operator the
+    // engine's one scale-killer: each propagation round is a full Spark
+    // job + a convergence probe, and under cluster-level per-job overhead
+    // (or a loaded box) the ROUND COUNT is the cost — round-6 bench data
+    // showed this query family inflating 9-12× under load while the
+    // median query inflated 1.46×. Near-dup graphs are near-cliques, so
+    // almost all of their structure collapses in ONE aggregation:
+    //
+    //  1. Star contraction (1 shuffle): every vertex v takes
+    //     l0(v) = min(v ∪ N(v)). Each clique collapses to its minimum
+    //     outright; chains halve. The component's global minimum m always
+    //     has l0(m) = m, so the true label survives contraction.
+    //  2. Contracted edges (1 join pass): original edges map through l0;
+    //     self-loops drop, duplicates collapse. Connectivity between
+    //     l0-representatives is preserved (any original path maps to a
+    //     contracted walk), so components of the contracted graph =
+    //     components of the original, under l0.
+    //  3. For the typical dup graph the contracted edge set is EMPTY —
+    //     zero propagation rounds, the whole labeling was 3 jobs flat.
+    //     Residual structure (long chains) runs the loop below on the
+    //     contracted graph with far fewer vertices.
+    //
+    // The propagation loop on the residual is POINTER-DOUBLING min-label:
+    // each round propagates labels one edge hop AND shortcuts through the
+    // label table (lbl := lbl(lbl)), so the distance a component-minimum
+    // has covered roughly doubles per round — O(log diameter) rounds,
+    // not O(diameter) (a 24-vertex path converges in 5 rounds where
+    // one-hop propagation took 23). The old label rides the aggregation
+    // as a marker column, so the convergence check stays a narrow filter
+    // over just-checkpointed partitions, and eager localCheckpoint
+    // truncates lineage each round.
     val sc = pairs.sparkSession.sparkContext
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
       val pre = sc.getPersistentRDDs.keySet
@@ -471,40 +497,78 @@ object Dedup {
     val edges = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
     val (sym, symIds) = checkpointed(
       edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
-    var (labels, labelIds) = checkpointed(
-      sym.select(col("a").as("id")).distinct().select(col("id"), col("id").as("lbl")))
-    var frontier = labels // round 1: every vertex is new information
-    var converged = false
-    var rounds = 0
-    val maxRounds = 50 // rounds needed = component diameter; dup graphs
-                       // are shallow (near-clique), 50 is a loose guard
-    while (!converged && rounds < maxRounds) {
-      val prop = sym.join(frontier.select(col("id"), col("lbl")), sym("a") === col("id"))
-        .select(col("b").as("id"), col("lbl"), lit(false).as("own"))
-      // one aggregation pass carries the old label along (exactly one
-      // `own` row per id), so new label AND change flag come out together
-      val (next, nextIds) = checkpointed(
-        labels.select(col("id"), col("lbl"), lit(true).as("own")).union(prop)
-          .groupBy(col("id"))
-          .agg(min(col("lbl")).as("lbl"), min(when(col("own"), col("lbl"))).as("old")))
-      // narrow scan of the checkpointed partitions — no join, no shuffle
-      val changedFrontier = next.filter(col("lbl") < col("old")).select(col("id"), col("lbl"))
-      converged = changedFrontier.limit(1).isEmpty
-      free(labelIds)
-      labels = next.select(col("id"), col("lbl"))
-      labelIds = nextIds
-      frontier = changedFrontier
-      rounds += 1
-    }
-    // fail loudly rather than silently returning non-converged components
-    // (a component whose diameter exceeds maxRounds would otherwise get a
-    // wrong answer with no signal)
-    if (!converged) throw new IllegalStateException(
-      s"nearDupGroups: label propagation not converged after $maxRounds rounds " +
-        "(a component diameter exceeds the guard; raise maxRounds)")
-    val out = labels.select(col("id").as("doc_id"), col("lbl").as("keep_id"))
+    // star contraction: l0 = min over self and neighbors (sym is
+    // symmetric, so grouping on `a` sees every vertex with all its
+    // neighbors as `b`)
+    val (l0, _) = checkpointed(
+      sym.groupBy(col("a")).agg(min(col("b")).as("_mb"))
+        .select(col("a").as("id"), least(col("a"), col("_mb")).as("l0")))
+    val (cSym, cSymIds) = checkpointed(
+      sym.join(l0.select(col("id"), col("l0").as("la")), sym("a") === col("id")).drop("id")
+        .join(l0.select(col("id"), col("l0").as("lb")), col("b") === col("id")).drop("id")
+        .filter(col("la") =!= col("lb"))
+        .select(col("la").as("a"), col("lb").as("b"))
+        .distinct())
     free(symIds)
-    out
+    var rounds = 0
+    // narrow probe of checkpointed partitions; skips the loop entirely
+    // when contraction already collapsed every component (the common case)
+    val cLabels: Option[DataFrame] = if (cSym.limit(1).isEmpty) None else {
+      var (labels, labelIds) = checkpointed(
+        cSym.select(col("a").as("id")).distinct().select(col("id"), col("id").as("lbl")))
+      var converged = false
+      val maxRounds = 50 // pointer-doubling covers ~2^rounds hops — 50 is
+                         // an astronomically loose guard, kept so a logic
+                         // bug fails loudly instead of looping forever
+      while (!converged && rounds < maxRounds) {
+        // hop: min label over self and neighbors; the old label rides as
+        // a marker column (exactly one `own` row per id) so the change
+        // flag comes out of the same aggregation
+        val prop = cSym.join(labels.select(col("id"), col("lbl")), cSym("a") === col("id"))
+          .select(col("b").as("id"), col("lbl"), lit(false).as("own"))
+        val hop = labels.select(col("id"), col("lbl"), lit(true).as("own")).union(prop)
+          .groupBy(col("id"))
+          .agg(min(col("lbl")).as("lbl"), min(when(col("own"), col("lbl"))).as("old"))
+        // shortcut: lbl := lbl(lbl). Labels are always vertex ids (inits
+        // are, and mins of vertex ids stay vertex ids), so every lbl
+        // resolves in the table; left join + coalesce guards regardless.
+        // Monotone (lbl(x) <= x), so least() only defends against ties.
+        val (next, nextIds) = checkpointed(
+          hop.join(hop.select(col("id").as("_rid"), col("lbl").as("_rlbl")),
+              col("lbl") === col("_rid"), "left")
+            .select(col("id"),
+              least(col("lbl"), coalesce(col("_rlbl"), col("lbl"))).as("lbl"),
+              col("old")))
+        // narrow scan of the checkpointed partitions — no join, no shuffle
+        converged = next.filter(col("lbl") < col("old")).limit(1).isEmpty
+        free(labelIds)
+        labels = next.select(col("id"), col("lbl"))
+        labelIds = nextIds
+        rounds += 1
+      }
+      // fail loudly rather than silently returning non-converged components
+      // (a component whose diameter exceeds maxRounds would otherwise get a
+      // wrong answer with no signal)
+      if (!converged) throw new IllegalStateException(
+        s"nearDupGroups: label propagation not converged after $maxRounds rounds " +
+          "(a component diameter exceeds the guard; raise maxRounds)")
+      free(cSymIds)
+      Some(labels)
+    }
+    // map back through the contraction: a vertex's component label is its
+    // representative's final label; representatives with no contracted
+    // edge (fully collapsed components) keep l0 itself
+    val out = cLabels match {
+      case None =>
+        free(cSymIds)
+        l0.select(col("id").as("doc_id"), col("l0").as("keep_id"))
+      case Some(lbls) =>
+        l0.join(lbls.withColumnRenamed("id", "_cid"),
+            col("l0") === col("_cid"), "left")
+          .select(col("id").as("doc_id"),
+            coalesce(col("lbl"), col("l0")).as("keep_id"))
+    }
+    (out, rounds)
   }
 
   /** Full transitive near-dup dedup: survivors = docs that are their own
@@ -1207,7 +1271,12 @@ object Dedup {
   /** Shared front half of [[repeatedSpans]]/[[exciseRepeatedSpans]]:
     * the token arrays and the start positions of every k-gram occurring
     * in ≥ minDocs distinct docs. The gram frame (longs only) is persisted
-    * across its two consumers so the corpus tokenizes and hashes once. */
+    * across its two consumers so the corpus tokenizes and hashes once.
+    * The persist deliberately OUTLIVES this call — the returned lazy
+    * DataFrames read it when the caller executes them, so it cannot be
+    * unpersisted here; in a long-lived multi-query JVM the block is
+    * evictable (MEMORY_AND_DISK) and Bench/Verify's between-query
+    * cache-drop reclaims it (same contract as [[shared]]). */
   private def repeatedGramPositions(docs: DataFrame, idCol: String,
       textCol: String, k: Int, minDocs: Int): (DataFrame, DataFrame) = {
     require(k >= 2 && minDocs >= 2)
@@ -1226,25 +1295,51 @@ object Dedup {
 
   /** Span EXCISION: remove every duplicated span [[repeatedSpans]] reports
     * and re-assemble the surviving tokens — the transform step of exact
-    * substring dedup (Lee et al. excise the repeated spans rather than
-    * drop documents). Returns one row per doc (including untouched and
-    * fully-excised ones): (doc_id, n_tokens, n_kept, cleaned_text).
+    * substring dedup after Lee et al. Returns one row per doc (including
+    * untouched and fully-excised ones):
+    * (doc_id, n_tokens, n_kept, cleaned_text).
+    *
+    * DIVERGENCE from Lee et al.'s ExactSubstr: ALL occurrences of a
+    * duplicated span are excised, including the last one — no canonical
+    * copy survives (Lee et al. keep one occurrence so the corpus retains
+    * the content). This engine's policy is deliberate: the REMOVE-ALL
+    * form is the deterministic, embarrassingly-parallel one (keeping a
+    * canonical copy requires electing an owner per span cluster — a
+    * cross-doc agreement step), and the excised mass is exactly what
+    * [[repeatedSpans]] reports, so the two operators reconcile row for
+    * row. Callers wanting keep-one semantics union the excised corpus
+    * with one [[repeatedSpans]]-selected exemplar per span family.
     *
     * Scale shape: the front half is [[repeatedGramPositions]]; tokens
-    * then anti-join the span intervals equi on doc_id with the range
-    * test as a residual — fanout is tokens × spans WITHIN a doc, never
-    * across docs — and the reassembly is one per-doc sort_array over the
+    * then anti-join the span intervals equi on (doc_id, position-bucket)
+    * — spans explode to the k-wide buckets they overlap, so a token
+    * meets only the spans near it and fanout is O(tokens + span
+    * coverage) per doc. (The previous doc_id-only equi key left the
+    * range test as a residual: a boilerplate-heavy doc with s disjoint
+    * spans and L tokens evaluated L·s predicates — quadratic on
+    * pathological docs; DedupSpec's 500-repetition fixture gates the
+    * bucketed form.) Reassembly is one per-doc sort_array over the
     * survivors (bounded by doc length). Deterministic: struct sort on
     * (position, token). */
   def exciseRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minDocs: Int = 2): DataFrame = {
     val (toks, dupPos) = repeatedGramPositions(docs, idCol, textCol, k, minDocs)
-    val spans = spanIntervals(dupPos, k).withColumnRenamed("doc_id", "_sd")
+    // explode each span to its overlapped position buckets (width k, the
+    // gram granularity): bucket count per span = coverage/k + O(1), and a
+    // position p can only fall in a span whose bucket range contains
+    // p div k — the bucket equi-key is exact, the range test only
+    // discriminates within the bucket
+    val spans = spanIntervals(dupPos, k)
+      .select(col("doc_id").as("_sd"), col("fp"), col("lp"),
+        explode(sequence(expr(s"fp div $k"), expr(s"lp div $k"))).as("_sb"))
     val words = toks.select(col("doc_id"),
       posexplode(col("tok")).as(Seq("p", "w")))
-    val kept = words.join(spans,
-      col("doc_id") === col("_sd") &&
-        col("p") >= col("fp") && col("p") <= col("lp"), "left_anti")
+    val kept = words
+      .withColumn("_pb", expr(s"cast(p as bigint) div $k"))
+      .join(spans,
+        col("doc_id") === col("_sd") && col("_pb") === col("_sb") &&
+          col("p") >= col("fp") && col("p") <= col("lp"), "left_anti")
+      .drop("_pb")
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("p"), col("w")))),

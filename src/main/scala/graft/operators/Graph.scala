@@ -81,7 +81,14 @@ object Graph {
     * truncates the growing lineage; the loop condition rides the
     * checkpoint's count, costing no extra job). */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30): DataFrame =
+    kCoreCounted(edges, aCol, bCol, k, maxRounds)._1
+
+  /** [[kCore]] plus its peeling round count — the cluster-portable cost
+    * number (each round is one job; per-job latency is what a busy
+    * cluster multiplies). Published per scale tier in SCALE.md. */
+  private[graft] def kCoreCounted(edges: DataFrame, aCol: String,
+      bCol: String, k: Int, maxRounds: Int = 30): (DataFrame, Int) = {
     require(k >= 1, "k must be >= 1")
     var e = edges
       .select(col(aCol).cast("bigint").as("a"), col(bCol).cast("bigint").as("b"))
@@ -108,7 +115,7 @@ object Graph {
       nEdges = n
       round += 1
     }
-    e
+    (e, round)
   }
 
   /** Synchronous label propagation communities — DENSITY structure where

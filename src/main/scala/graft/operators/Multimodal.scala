@@ -88,9 +88,11 @@ object Multimodal {
     override def features(row: MediaRow): MediaFeatures = {
       if (row.kind != "image") stub.features(row)
       else {
+        // NonFatal: JDK readers throw RuntimeExceptions on malformed
+        // payloads; every decode failure must yield decode_ok=false
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) stub.features(row).copy(decode_ok = false)
         else {
           val w = img.getWidth; val h = img.getHeight
@@ -276,9 +278,13 @@ object Multimodal {
             true
           }
         } else {
+          // NonFatal, not just IOException: JDK image readers throw
+          // RuntimeExceptions (ArrayIndexOutOfBounds, CMMException,
+          // IllegalArgument) on malformed frame bytes — any decode
+          // failure must take the frame-drop path, never kill the task
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) false
           else {
             val w = img.getWidth; val h = img.getHeight
@@ -566,18 +572,34 @@ object Multimodal {
     * matched. Catches re-encodes, watermark/metadata churn and
     * trim-edits (a clip wholly inside a longer video still matches ALL
     * of its own frames → ppm 10⁶ on its side). Frame ids pack as
-    * `media_id · 2²⁰ + frame_idx` (container frame counts are bounded
-    * far below 2²⁰), so banding keys stay single bigints.
+    * `media_id · 2²⁰ + frame_idx`, guarded by a hard require: a
+    * container with ≥ 2²⁰ frame chunks (or a media_id ≥ 2⁴³) would
+    * silently alias frames into the wrong video — fail loudly instead
+    * (≈ 29 h of 10-fps video per container; route longer assets through
+    * chunked ingestion).
     *
     * Returns (vid_a, vid_b, n_match_a, n_match_b, nf_a, nf_b,
     * shared_ppm), vid_a < vid_b. */
   def videoNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
       minSharedPpm: Long = 500000L): DataFrame = {
+    // persisted across its two consumers (per-video counts + frame sigs);
+    // deliberately outlives this call — the returned lazy frame reads it,
+    // so it cannot be unpersisted here. Evictable; Bench/Verify's
+    // between-query cache-drop reclaims it (the Dedup.shared contract).
     val fh = videoFrameHashes(media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    // assert_true is null when the predicate holds, so the guard adds 0
+    // to the packed id in the common path and raises on overflow
+    val packGuard = assert_true(
+      col("frame_idx") < (1L << 20) && col("media_id") >= 0 &&
+        col("media_id") < (1L << 43),
+      concat(lit("videoNearDupPairs: frame id pack overflow " +
+        "(frame_idx >= 2^20 or media_id >= 2^43) for media_id="),
+        col("media_id").cast("string")))
     val sigs = fh.select(
-      (col("media_id") * (1L << 20) + col("frame_idx")).as("doc_id"),
+      (col("media_id") * (1L << 20) + col("frame_idx") +
+        coalesce(packGuard.cast("bigint"), lit(0L))).as("doc_id"),
       col("sim_lo"), col("sim_hi"))
     val framePairs = Dedup.hammingPairs64(sigs, maxHamming)
       .select(expr(s"id_a div ${1L << 20}").as("vid_a"),

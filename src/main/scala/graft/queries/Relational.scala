@@ -17,7 +17,7 @@ object Relational {
     * in >= 2 distinct orders. Pair expansion is per order (bounded by
     * order width², never catalog²); shared by the graph-analytics
     * queries q199/q202/q203/q205. */
-  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()

@@ -73,6 +73,31 @@ class DedupSpec extends SparkSpec {
     assert(groups(21L) == 20L)
   }
 
+  test("nearDupGroups: long chain converges through the contracted graph") {
+    // a 24-vertex path is the adversarial residual for star contraction:
+    // cliques collapse in the contraction pass, chains only halve — this
+    // exercises the propagation loop over the contracted graph
+    val chain = (0 until 23).map(i => (100L + i, 101L + i))
+    val (groups, rounds) = Dedup.nearDupGroupsCounted(chain.toDF("id_a", "id_b"))
+    val m = groups.as[(Long, Long)].collect().toMap
+    assert((100 to 123).forall(i => m(i.toLong) == 100L), s"labels: $m")
+    // contraction halves the 23-edge diameter before any propagation round
+    assert(rounds > 0 && rounds <= 14, s"rounds: $rounds")
+  }
+
+  test("nearDupGroups: cliques and stars collapse with ZERO propagation rounds") {
+    // every component here is a star/clique — one contraction pass labels
+    // everything, the propagation loop must not run at all (the round
+    // count is the cluster-portable cost: each round is one Spark job)
+    val pairs = (Seq((1L, 2L), (1L, 3L), (2L, 3L)) ++          // clique
+      (10 to 15).map(i => (5L, i.toLong))).toDF("id_a", "id_b") // star
+    val (groups, rounds) = Dedup.nearDupGroupsCounted(pairs)
+    val m = groups.as[(Long, Long)].collect().toMap
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
+    assert((10 to 15).forall(i => m(i.toLong) == 5L) && m(5L) == 5L)
+    assert(rounds == 0, s"rounds: $rounds")
+  }
+
   test("nearDupSurvivors: one survivor per near-identical group, others untouched") {
     val base = (1 to 30).map(i => f"w$i%02d").mkString(" ")
     val v1 = base.replace("w30", "zzz")            // ~ base
@@ -379,5 +404,37 @@ class DedupSpec extends SparkSpec {
       (1L, 8L, 3L, "x x y"),       // span [2,6] excised
       (2L, 8L, 8L, "p q r s t u v w"),
       (3L, 10L, 4L, "z z z z")))   // both "a b c" spans excised
+  }
+
+  test("exciseRepeatedSpans: boilerplate-heavy doc (500 sentence repeats) stays linear") {
+    // adversarial shape for the span anti-join: one doc is 500 repetitions
+    // of a 6-token sentence (3000 tokens), duplicated in a second doc so
+    // every gram qualifies. The doc_id-only equi-join evaluated
+    // tokens × spans residual predicates per doc; the bucketed join keys
+    // on (doc_id, p div k) so fanout is O(tokens + coverage). Correctness:
+    // adjacent repeats merge into ONE maximal span covering the whole doc
+    // (gap between duplicated gram starts is 1 <= k), so both docs excise
+    // to empty, and the many-separate-spans doc excises exactly its spans.
+    val sentence = "alpha beta gamma delta epsilon zeta"
+    val boiler = Array.fill(500)(sentence).mkString(" ")
+    // doc 2: 50 DISJOINT duplicated spans ("s<i> …") separated by unique
+    // filler runs longer than k, so spans stay separate islands
+    val spiky = (0 until 50).flatMap(i =>
+      Seq("mark one two three four") ++ (0 until 5).map(j => s"u${i}_$j")).mkString(" ")
+    val spiky2 = (0 until 50).flatMap(i =>
+      Seq("mark one two three four") ++ (0 until 5).map(j => s"v${i}_$j")).mkString(" ")
+    val d = Seq((0L, boiler), (1L, boiler), (2L, spiky), (3L, spiky2)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = Dedup.exciseRepeatedSpans(d, "doc_id", "text", k = 3, minDocs = 2)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out(0) == ((0L, 3000L, 0L, "")) && out(1) == ((1L, 3000L, 0L, "")))
+    // spiky docs: each "mark one two three four" run is one 5-token span
+    assert(out(2)._2 == 500L && out(2)._3 == 250L && !out(2)._4.contains("mark"))
+    assert(out(3)._3 == 250L)
+    // generous wall guard (CI boxes are noisy); the quadratic form is
+    // categorically slower on this shape, not marginally
+    assert(sec < 30.0, s"excise took $sec s on the boilerplate fixture")
   }
 }
