@@ -199,6 +199,25 @@ object AnnProbe {
           val pqFrac = pqBytesFracPpm(nprobe, rerank)
           println(s"""ANN {"corpus":"$corpusName","variant":"ivf_pq","ncells":$nCells,"nprobe":$nprobe,"rerank":$rerank,"recall_at10_ppm":$recall,"query_bytes_ppm":$frac,"pq_model_bytes_ppm":$pqFrac,"sec":${f"$sec%.2f"}}""")
         }
+
+        // RESIDUAL PQ (IVFADC): same sweep with codes that encode each
+        // vector's residual to its assigned cell — the layout that keeps
+        // PQ discriminative once the probe restricted candidates to a
+        // cluster (raw-vector PQ quantizes away within-cell differences)
+        val (cbR0, codesR0) = Ivf.trainResidualPq(stored, m = pqM, dim = dim)
+        val cbR = cbR0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val codesR = codesR0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cbR.count(); codesR.count()
+        for (nprobe <- Seq(2, 4); rerank <- Seq(20, 50, 100)) {
+          val res = Ivf.searchPqResidual(stored, cbR, codesR, queries, k = k,
+            nprobe = nprobe, m = pqM, dim = dim, rerank = rerank)
+          val recall = meanRecallPpm(res)
+          val sec = timeIt(Ivf.searchPqResidual(stored, cbR, codesR, queries,
+            k = k, nprobe = nprobe, m = pqM, dim = dim, rerank = rerank))
+          val frac = meanBytesFracPpm(nprobe)
+          val pqFrac = pqBytesFracPpm(nprobe, rerank)
+          println(s"""ANN {"corpus":"$corpusName","variant":"ivf_pq_residual","ncells":$nCells,"nprobe":$nprobe,"rerank":$rerank,"recall_at10_ppm":$recall,"query_bytes_ppm":$frac,"pq_model_bytes_ppm":$pqFrac,"sec":${f"$sec%.2f"}}""")
+        }
         e.unpersist(); gt.unpersist()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

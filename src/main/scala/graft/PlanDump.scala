@@ -120,11 +120,14 @@ object PlanDump {
         "equi-join on (span, value) has EXACT recall with no all-pairs stage. " +
         "Cost is per-bucket occupancy², the standard simhash sharding scheme."),
     "q38_neardup_components" ->
-      ("Transitive components: frontier min-label propagation over the " +
-        "banded near-dup pair graph — one aggregation job per round (the old " +
-        "label rides the aggregate, convergence checked by a narrow scan of " +
-        "the checkpointed result), propagation only from labels that changed " +
-        "last round. O(component diameter) rounds; 22.4 s → 2.2 s vs round 2."),
+      ("Transitive components: one star-contraction shuffle (each vertex " +
+        "takes min over itself and its neighbors) collapses every " +
+        "min-centered star/clique — the typical dup-graph shape labels in " +
+        "3 jobs flat, zero propagation rounds — then pointer-doubling " +
+        "min-label propagation (lbl := lbl(lbl) each round) covers residual " +
+        "chains in O(log diameter) rounds. Round count, not bytes, is what " +
+        "a busy cluster multiplies: under a 24-core synthetic load q38 " +
+        "inflates 1.36x where the one-hop loop inflated 11.6x (BENCH_r06)."),
     "q49_tfidf_top_terms" ->
       ("TF-IDF top-3 terms: document-frequency table and corpus count " +
         "broadcast back onto the tf stream, then GroupedTopKRewrite turns the " +
@@ -207,8 +210,8 @@ object PlanDump {
         "hash partitioning serves the chain. The per-component argmax is a " +
         "rank-1 window bounded before the exchange (WindowGroupLimit / " +
         "GroupedTopKRewrite), and the member counts reuse the same " +
-        "comp-keyed shuffle. Label propagation cost is the q38 frontier " +
-        "loop; everything after it is linear."),
+        "comp-keyed shuffle. Label propagation cost is the q38 " +
+        "contraction+doubling labeling; everything after it is linear."),
     "q80_ivfpq" ->
       ("IVF-PQ with exact refine — three compounding bounds: the stored " +
         "cells turn the probe into a static PartitionFilter (bytes READ ~ " +
@@ -435,12 +438,12 @@ object PlanDump {
         "job; integer counts + binary-collated ties keep the learned " +
         "rules engine-exact."),
     "q127_bpe_encode" ->
-      ("BPE encode: the rule list is nMerges rows (driver-sized by " +
-        "construction), so rule application is a ZERO-SHUFFLE scan " +
-        "transform — ten codegen'd replaces per doc over the " +
-        "three-space-gap segmentation encoding (merges provably cannot " +
-        "cross word boundaries). Only the training half (q126's plan) " +
-        "shuffles; encoding any corpus size is embarrassingly parallel."),
+      ("BPE encode: merges provably cannot cross word boundaries, so the " +
+        "replace chain (nMerges rows, driver-sized) applies to the DISTINCT " +
+        "word table — string work is vocab-sized (~54k words at sf0.1), " +
+        "sub-linear in the corpus, while the corpus itself pays one " +
+        "map-combined (doc, word) count and a word-keyed join of integer " +
+        "per-word sizes (2.4x measured vs encoding every document)."),
     "q128_column_profile" ->
       ("Column profile: row/null/exact-distinct counts and native-ordered " +
         "min/max for ALL columns from ONE scan — the multiple exact " +

@@ -175,6 +175,97 @@ object Ivf {
     Knn.reduceTopK(exact, k)
   }
 
+  /** Per-vector residual against its ASSIGNED cell centroid, in the
+    * normalized space the cells were fit in: (idCol, _res array<double>).
+    * The IVFADC decomposition (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search" §IV): vector = centroid(cell) + residual. */
+  private def residuals(index: IvfIndex, idCol: String,
+      vecCol: String): DataFrame =
+    index.assigned
+      .join(broadcast(index.cells), Seq("cell_id"))
+      .select(col(idCol),
+        zip_with(
+          graft.functions.GraftFunctions.l2_normalize(col(vecCol))
+            .cast("array<double>"),
+          col("centroid"), (x, c) => x - c).as("_res"))
+
+  /** Train + encode RESIDUAL PQ over a built index — the IVFADC layout.
+    *
+    * Why residuals and not raw vectors: once the IVF probe has already
+    * restricted candidates to a cell, every candidate shares that cell's
+    * center component, so a codebook trained on raw vectors spends its
+    * entire code budget re-encoding the center and quantizes away the
+    * within-cell differences that actually rank neighbors. Measured at
+    * 768 dims on clustered embeddings (SCALE.md §ANN): raw-vector PQ
+    * recall@10 = 0.12 at rerank 100 — barely above random within the
+    * probed cells — where residual PQ recovers the ranking. Returns
+    * (codebook, codes) shaped exactly like [[Pq.trainCodebook]] /
+    * [[Pq.encode]], for [[searchPqResidual]]. */
+  def trainResidualPq(index: IvfIndex, m: Int, dim: Int, k: Int = 16,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val res = residuals(index, idCol, vecCol)
+    val cb = Pq.trainCodebook(res, idCol, "_res", m, dim, k, seed)
+    val codes = Pq.encode(res, cb, idCol, "_res", m, dim)
+    (cb, codes)
+  }
+
+  /** [[searchPqPruned]] over RESIDUAL codes (IVFADC): candidates come
+    * from the same pruned-cell probe, but ADC scores the query's
+    * PER-CELL residual (query − probed-cell centroid) against codes that
+    * encode each member's residual to its own cell — the decomposition
+    * that keeps PQ discriminative inside a cluster. The distance table
+    * keys on (query_id, cell_id) instead of query_id and stays
+    * broadcast-sized (|queries| × nprobe × m × k entries). */
+  def searchPqResidual(
+      index: IvfIndex, codebook: DataFrame, codes: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, m: Int, dim: Int,
+      rerank: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val probed = probeCells(index, queries, nprobe, idCol, vecCol)
+    val cellIds = probed.select(col("cell_id")).distinct()
+      .collect().map(_.get(0))
+    val pruned = index.assigned.filter(col("cell_id").isin(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cellIds): _*))
+    // per-(query, probed cell) residual — the query's residual differs in
+    // every probed cell, so the ADC table keys on the struct of both
+    val qres = probed
+      .join(broadcast(index.cells), Seq("cell_id"))
+      .select(struct(col("query_id"), col("cell_id")).as("_qc"),
+        zip_with(
+          graft.functions.GraftFunctions.l2_normalize(col("_qvec"))
+            .cast("array<double>"),
+          col("centroid"), (x, c) => x - c).as("_res"))
+    val dtable = Pq.distanceTable(qres, "_qc", "_res", codebook, m, dim)
+    // each member sits in exactly one cell, so (query, neighbor) pairs are
+    // unique and the fold sums exactly m table entries
+    val adc = probed.select(col("query_id"), col("cell_id"))
+      .join(pruned.select(col("cell_id"), col(idCol).as("neighbor_id")),
+        Seq("cell_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .join(codes.select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("s", "code"))), Seq("neighbor_id"))
+      .select(struct(col("query_id"), col("cell_id")).as("_qc"),
+        col("query_id"), col("neighbor_id"), col("s"), col("code"))
+      .join(broadcast(dtable), Seq("_qc", "s", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(Pq.adcFold.as("adc_dist"))
+    // bounded top-`rerank` shortlist by ascending ADC distance, then the
+    // exact-cosine refine over |Q|·rerank pairs (same tail as pqRefine)
+    val shortlist = Knn.reduceTopK(
+        adc.select(col("query_id"), col("neighbor_id"),
+          negate(col("adc_dist")).as("_sim")), rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"))
+    val exact = broadcast(shortlist)
+      .join(pruned.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nvec")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("_sim", cosine_sim(col("_qvec"), col("_nvec")))
+    Knn.reduceTopK(exact, k)
+  }
+
   /** Shared fixed-point projection — the same definition [[Pq]] encodes
     * with, so cells and codes can never drift apart on the convention. */
   private def microVec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -127,6 +127,27 @@ object Pq {
     * pairs are scored. The distance table carries query_id in its join
     * key and stays broadcast-sized (|Q| × m × k entries). Output
     * (query_id, neighbor_id, adc_dist), unranked. */
+  /** Query-side ADC distance table over an arbitrary key column —
+    * (key, s, code, _d2) for every (subspace, code) pair. The key can be
+    * a struct (e.g. (query_id, cell_id) for residual PQ, where the same
+    * query has a different residual in every probed cell). Always
+    * broadcast-sized: |keys| × m × k rows. */
+  private[operators] def distanceTable(df: DataFrame, keyCol: String,
+      vecCol: String, codebook: DataFrame, m: Int, dim: Int): DataFrame =
+    subvectors(df, keyCol, vecCol, m, dim, "_dtk")
+      .join(broadcast(codebook), Seq("s"))
+      .select(col("_dtk").as(keyCol), col("s"), col("code"),
+        l2sq(col("sub"), col("centroid")).as("_d2"))
+
+  /** The fixed-order ADC fold shared by every ADC consumer: sum the m
+    * per-subspace table entries in subspace order (bit-identical in any
+    * engine — see the object scaladoc's determinism contract). */
+  private[operators] def adcFold: Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(col("s"), col("_d2")))),
+        e => e.getField("_d2")),
+      lit(0.0), (acc, t) => acc + t)
+
   def adcCandidates(codebook: DataFrame, codes: DataFrame, queries: DataFrame,
       candidates: DataFrame, m: Int, dim: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -718,17 +718,20 @@ object TextAnalysis {
     val segN = rules.foldLeft(seg0) { case (seg, (a, b)) =>
       replace(seg, lit(s" $a  $b "), lit(s" $a$b "))
     }
-    val wordCounts = docs
+    val words = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("_c"))
-    val vocab = wordCounts.select(col("w")).distinct()
+    val vocab = words.select(col("w")).distinct()
       .select(col("w"), length(col("w")).cast("bigint").as("_wchars"),
         size(split(trim(segN), " +")).cast("bigint").as("_wsubs"))
-    val perDoc = wordCounts.join(vocab, Seq("w"))
+    // the distinct shrinks map-side to vocab size, so AQE broadcasts the
+    // encoded vocab back onto the token stream at any realistic vocab
+    // (falling back to a w-keyed shuffle join beyond that), and the
+    // doc rollup is one map-combined shuffle
+    val perDoc = words.join(vocab, Seq("w"))
       .groupBy(col(idCol))
-      .agg(sum(col("_c")).as("n_tokens"),
-        sum(col("_c") * col("_wchars")).as("n_chars"),
-        sum(col("_c") * col("_wsubs")).as("n_subwords"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_wchars")).as("n_chars"),
+        sum(col("_wsubs")).as("n_subwords"))
     // docs with zero tokens still appear, with zero counts (and a null
     // ppm rate) — same contract as the old whole-document encode
     docs.select(col(idCol))

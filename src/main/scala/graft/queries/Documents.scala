@@ -652,8 +652,9 @@ object Documents {
     }),
 
     // Corpus encoded under the learned merges: per-doc subword count vs
-    // token/char counts — the token-cost measurement. Rule application
-    // is a zero-shuffle scan transform (ten codegen'd replaces).
+    // token/char counts — the token-cost measurement. Rules apply to the
+    // DISTINCT-word table (vocab-sized string work); docs pay one
+    // (doc, word) count and an integer join back.
     "q127_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = TextAnalysis.bpeMerges(docs, "doc_id", "text", nMerges = 10)

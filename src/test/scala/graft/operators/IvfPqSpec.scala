@@ -94,6 +94,43 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("residual PQ (IVFADC): exhaustive probe + full rerank is exact; codes rank within cells") {
+    val (idx, _, _) = fixture()
+    val (cbR, codesR) = Ivf.trainResidualPq(idx, m = 8, dim = 64)
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Knn.exact(emb, q, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val n = emb.count().toInt
+    // dataflow sanity: probing every cell + corpus-wide rerank must
+    // degenerate to exact kNN, same as the raw-vector variant
+    val full = Ivf.searchPqResidual(idx, cbR, codesR, q,
+        k = 5, nprobe = 8, m = 8, dim = 64, rerank = n)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & full).size.toDouble / exact.size
+    assert(recall >= 0.999, s"exhaustive residual IVFADC must be exact: $recall")
+    // the point of residual codes: with a BOUNDED shortlist the ADC
+    // ranking must still surface true neighbors from within the cells
+    val bounded = Ivf.searchPqResidual(idx, cbR, codesR, q,
+        k = 5, nprobe = 8, m = 8, dim = 64, rerank = 100)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val boundedRecall = (exact & bounded).size.toDouble / exact.size
+    assert(boundedRecall >= 0.7, s"rerank=100 residual recall too low: $boundedRecall")
+  }
+
+  test("residual PQ determinism across reruns") {
+    val (idx, _, _) = fixture()
+    val (cbR, codesR) = Ivf.trainResidualPq(idx, m = 8, dim = 64)
+    val q = emb.filter($"vec_id" < 3)
+    def run() = Ivf.searchPqResidual(idx, cbR, codesR, q,
+        k = 5, nprobe = 3, m = 8, dim = 64, rerank = 20)
+      .select($"query_id", $"rk", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val a = run()
+    assert(a.size == 15, "3 queries x k=5")
+    assert(!a.exists { case (qid, _, nid) => qid == nid }, "self excluded")
+    assert(a == run(), "rerun-stable")
+  }
+
   test("kNN contract and determinism across reruns") {
     val (idx, cb, codes) = fixture()
     val q = emb.filter($"vec_id" < 3)
