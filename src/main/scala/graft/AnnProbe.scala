@@ -39,6 +39,10 @@ object AnnProbe {
     // construction, 20k vectors, PQ at m = dim/8 subspaces
     val dim = sys.env.getOrElse("SPARK_GRAFT_ANN_DIM", "64").toInt
     val pqM = dim / 8
+    // codebook size per subspace: 16 = 4-bit codes, 256 = 8-bit codes
+    // (the production operating point — FAISS/ScaNN convention; byte
+    // model below charges 1 byte/code either way, conservative for k=16)
+    val pqK = sys.env.getOrElse("SPARK_GRAFT_ANN_PQK", "16").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -162,7 +166,7 @@ object AnnProbe {
         // true-cosine rerank of the shortlist only. m = dim/8 (8 dims per
         // subspace): 8 codes at 64 dims, 96 at 768.
         val cb = Pq.trainCodebook(e, "vec_id", "embedding", m = pqM, dim = dim,
-            k = 16)
+            k = pqK)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val codes = Pq.encode(e, cb, "vec_id", "embedding", m = pqM, dim = dim)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -197,14 +201,15 @@ object AnnProbe {
             k = k, nprobe = nprobe, m = pqM, dim = dim, rerank = rerank))
           val frac = meanBytesFracPpm(nprobe)
           val pqFrac = pqBytesFracPpm(nprobe, rerank)
-          println(s"""ANN {"corpus":"$corpusName","variant":"ivf_pq","ncells":$nCells,"nprobe":$nprobe,"rerank":$rerank,"recall_at10_ppm":$recall,"query_bytes_ppm":$frac,"pq_model_bytes_ppm":$pqFrac,"sec":${f"$sec%.2f"}}""")
+          println(s"""ANN {"corpus":"$corpusName","variant":"ivf_pq","ncells":$nCells,"pqk":$pqK,"nprobe":$nprobe,"rerank":$rerank,"recall_at10_ppm":$recall,"query_bytes_ppm":$frac,"pq_model_bytes_ppm":$pqFrac,"sec":${f"$sec%.2f"}}""")
         }
 
         // RESIDUAL PQ (IVFADC): same sweep with codes that encode each
         // vector's residual to its assigned cell — the layout that keeps
         // PQ discriminative once the probe restricted candidates to a
         // cluster (raw-vector PQ quantizes away within-cell differences)
-        val (cbR0, codesR0) = Ivf.trainResidualPq(stored, m = pqM, dim = dim)
+        val (cbR0, codesR0) = Ivf.trainResidualPq(stored, m = pqM, dim = dim,
+          k = pqK)
         val cbR = cbR0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val codesR = codesR0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cbR.count(); codesR.count()
@@ -216,7 +221,7 @@ object AnnProbe {
             k = k, nprobe = nprobe, m = pqM, dim = dim, rerank = rerank))
           val frac = meanBytesFracPpm(nprobe)
           val pqFrac = pqBytesFracPpm(nprobe, rerank)
-          println(s"""ANN {"corpus":"$corpusName","variant":"ivf_pq_residual","ncells":$nCells,"nprobe":$nprobe,"rerank":$rerank,"recall_at10_ppm":$recall,"query_bytes_ppm":$frac,"pq_model_bytes_ppm":$pqFrac,"sec":${f"$sec%.2f"}}""")
+          println(s"""ANN {"corpus":"$corpusName","variant":"ivf_pq_residual","ncells":$nCells,"pqk":$pqK,"nprobe":$nprobe,"rerank":$rerank,"recall_at10_ppm":$recall,"query_bytes_ppm":$frac,"pq_model_bytes_ppm":$pqFrac,"sec":${f"$sec%.2f"}}""")
         }
         e.unpersist(); gt.unpersist()
         spark.catalog.clearCache()

@@ -48,21 +48,47 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val loadStart = loadavg()
     // Calibration: q01 is a plain scan+agg with a stable clean-box time
-    // (~0.3 s at sf0.1); a reading far above that marks the whole sweep
-    // as load-contaminated (see README's measurement protocol).
-    val calib = SparkEntry.queries.get("q01_pricing_summary").map { fn =>
-      try { clean(); fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
-    }.getOrElse(-1.0)
+    // (~0.3 s at sf0.1); a reading far above that marks the sweep as
+    // load-contaminated (see README's measurement protocol). A FAILED
+    // calibration records the -1.0 sentinel, never the near-zero elapsed
+    // time of the failed attempt (which would read as an exceptionally
+    // clean box — the opposite of the truth).
+    def calibrate(): Double =
+      SparkEntry.queries.get("q01_pricing_summary").map { fn =>
+        try {
+          clean(); fn(spark, sfDir).count() // warm
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      }.getOrElse(-1.0)
+    // Per-SEGMENT load stamps: sweep-level loadavg_start/end cannot
+    // localize WHICH queries a mid-sweep load spike contaminated (the r7
+    // clean record drifted 1.26→5.58 inside one sweep and left four
+    // per-query regressions unattributable). Re-run the calibration every
+    // `calibEvery` queries and stamp (query index, calib sec, loadavg) —
+    // a contaminated segment is then machine-detectable per ~30-query
+    // window. Calibration runs OUTSIDE any timed region.
+    val calibEvery = 30
+    val calibPoints = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    def stampCalib(afterN: Int): Unit = {
+      val (c, la) = (calibrate(), loadavg())
+      calibPoints += ((afterN, c, la))
+      println(s"""{"metric":"calib","after_n":$afterN,"sec":${fmt3(c)},"loadavg":${fmt3(la)}}""")
+      System.out.flush()
+    }
+    stampCalib(0)
+    val calib = calibPoints.head._2
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var done = 0
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       // Steady-state timing: one warm-up execution compiles codegen and
       // faults in the input, then the best of two measured runs is kept.
       // A query that throws is recorded as an ERROR, never as a (fast,
       // fake) wall time — a failing query must not make the sweep look
       // healthy (round-6 judge finding).
+      if (done > 0 && done % calibEvery == 0) stampCalib(done)
+      done += 1
       clean()
       val warmErr =
         try { fn(spark, sfDir).count(); None }
@@ -94,6 +120,7 @@ object Bench {
           None
       }
     }
+    stampCalib(done) // closing segment stamp
     val loadEnd = loadavg()
     // The driver captures only the last ~2000 chars of stdout (trailing sbt
     // epilogue included, ~100 chars) and parses the last JSON line. With
@@ -106,8 +133,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def entry(k: String, v: Double): String =
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt3(v)
+    val calibJson = calibPoints
+      .map { case (n, c, la) => s"""{"n":$n,"sec":${fmt3(c)},"loadavg":${fmt3(la)}}""" }
+      .mkString("[", ",", "]")
     val loadStamp =
-      s""","n_errors":${errors.size},"loadavg_start":${fmt3(loadStart)},"loadavg_end":${fmt3(loadEnd)},"calib_q01_sec":${fmt3(calib)}"""
+      s""","n_errors":${errors.size},"loadavg_start":${fmt3(loadStart)},"loadavg_end":${fmt3(loadEnd)},"calib_q01_sec":${fmt3(calib)},"calib_points":$calibJson"""
     val bySlow = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val budget = 1700 -
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n_queries":${results.size}$loadStamp,"queries":{},"sf":"$sfDir"}""".length

@@ -463,8 +463,12 @@ object Dedup {
     //
     //  1. Star contraction (1 shuffle): every vertex v takes
     //     l0(v) = min(v ∪ N(v)). Each clique collapses to its minimum
-    //     outright; chains halve. The component's global minimum m always
-    //     has l0(m) = m, so the true label survives contraction.
+    //     outright; chains shrink only by a constant in the worst case
+    //     (a monotone-id path has l0(v) = v-1, removing one vertex) —
+    //     the O(log d) round bound on residual structure comes from the
+    //     pointer doubling below, not from contraction. The component's
+    //     global minimum m always has l0(m) = m, so the true label
+    //     survives contraction.
     //  2. Contracted edges (1 join pass): original edges map through l0;
     //     self-loops drop, duplicates collapse. Connectivity between
     //     l0-representatives is preserved (any original path maps to a
@@ -485,9 +489,12 @@ object Dedup {
     // over just-checkpointed partitions, and eager localCheckpoint
     // truncates lineage each round.
     val sc = pairs.sparkSession.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+    // eager = one Spark job NOW; lazy = materialize-and-pin on first use
+    // inside whichever job reads it first (registration still happens at
+    // call time, so the id diff below stays attributable per frame)
+    def checkpointed(df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
       val pre = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(eager = true)
+      val out = df.localCheckpoint(eager = eager)
       (out, sc.getPersistentRDDs.keySet.toSet.diff(pre.toSet))
     }
     def free(ids: Set[Int]): Unit = {
@@ -495,20 +502,29 @@ object Dedup {
       ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
     }
     val edges = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+    // sym and l0 are LAZY checkpoints: the single eager job below (cSym)
+    // computes each exactly once and pins it — where an eager checkpoint
+    // per frame was a sequential Spark job per frame, and the job COUNT
+    // is what a loaded box / busy cluster multiplies (the round-7
+    // lesson). Labeling now costs 1 eager job, down from 3.
     val (sym, symIds) = checkpointed(
-      edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
+      edges.union(edges.select(col("b").as("a"), col("a").as("b"))),
+      eager = false)
     // star contraction: l0 = min over self and neighbors (sym is
     // symmetric, so grouping on `a` sees every vertex with all its
     // neighbors as `b`)
     val (l0, _) = checkpointed(
       sym.groupBy(col("a")).agg(min(col("b")).as("_mb"))
-        .select(col("a").as("id"), least(col("a"), col("_mb")).as("l0")))
+        .select(col("a").as("id"), least(col("a"), col("_mb")).as("l0")),
+      eager = false)
     val (cSym, cSymIds) = checkpointed(
       sym.join(l0.select(col("id"), col("l0").as("la")), sym("a") === col("id")).drop("id")
         .join(l0.select(col("id"), col("l0").as("lb")), col("b") === col("id")).drop("id")
         .filter(col("la") =!= col("lb"))
         .select(col("la").as("a"), col("lb").as("b"))
         .distinct())
+    // l0 stays pinned (materialized by the cSym job; vertex-sized — the
+    // final mapping join reads it lazily); sym's edge-sized blocks free now
     free(symIds)
     var rounds = 0
     // narrow probe of checkpointed partitions; skips the loop entirely
@@ -526,9 +542,15 @@ object Dedup {
         // flag comes out of the same aggregation
         val prop = cSym.join(labels.select(col("id"), col("lbl")), cSym("a") === col("id"))
           .select(col("b").as("id"), col("lbl"), lit(false).as("own"))
+        // persisted (NOT an extra checkpoint job) because the shortcut
+        // below self-joins it: the round's single checkpoint job computes
+        // each hop partition once and the self-join's second scan reads
+        // the cache — a guarantee, where relying on Catalyst's exchange
+        // reuse to dedup the doubled subtree is only optimizer behavior.
         val hop = labels.select(col("id"), col("lbl"), lit(true).as("own")).union(prop)
           .groupBy(col("id"))
           .agg(min(col("lbl")).as("lbl"), min(when(col("own"), col("lbl"))).as("old"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // shortcut: lbl := lbl(lbl). Labels are always vertex ids (inits
         // are, and mins of vertex ids stay vertex ids), so every lbl
         // resolves in the table; left join + coalesce guards regardless.
@@ -539,6 +561,7 @@ object Dedup {
             .select(col("id"),
               least(col("lbl"), coalesce(col("_rlbl"), col("lbl"))).as("lbl"),
               col("old")))
+        hop.unpersist(blocking = false)
         // narrow scan of the checkpointed partitions — no join, no shuffle
         converged = next.filter(col("lbl") < col("old")).limit(1).isEmpty
         free(labelIds)
@@ -1271,14 +1294,20 @@ object Dedup {
   /** Shared front half of [[repeatedSpans]]/[[exciseRepeatedSpans]]:
     * the token arrays and the start positions of every k-gram occurring
     * in ≥ minDocs distinct docs. The gram frame (longs only) is persisted
-    * across its two consumers so the corpus tokenizes and hashes once.
-    * The persist deliberately OUTLIVES this call — the returned lazy
-    * DataFrames read it when the caller executes them, so it cannot be
-    * unpersisted here; in a long-lived multi-query JVM the block is
-    * evictable (MEMORY_AND_DISK) and Bench/Verify's between-query
-    * cache-drop reclaims it (same contract as [[shared]]). */
+    * across its two consumers (the ≥minDocs aggregate and the position
+    * semi-join) so the corpus tokenizes and hashes once — but the persist
+    * is SCOPED to this call: the duplicated positions are materialized
+    * eagerly (localCheckpoint — one job, the same work the caller's sink
+    * would have triggered) and the gram block is freed before returning,
+    * so a long-lived multi-query JVM never carries the corpus-sized gram
+    * cache past the call (same free() discipline as
+    * [[nearDupGroupsCounted]]). The residual persisted block is the
+    * checkpointed dupPos — duplicated-coverage-sized, typically a small
+    * fraction of the gram frame — reclaimed by Bench/Verify's
+    * between-query cache-drop. */
   private def repeatedGramPositions(docs: DataFrame, idCol: String,
-      textCol: String, k: Int, minDocs: Int): (DataFrame, DataFrame) = {
+      textCol: String, k: Int, minDocs: Int,
+      exemptOwner: Boolean = false): (DataFrame, DataFrame) = {
     require(k >= 2 && minDocs >= 2)
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
     val grams = toks
@@ -1286,10 +1315,22 @@ object Dedup {
       .select(col("doc_id"), col("pos"), hash32(col("s"), 0).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupG = grams.select(col("doc_id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("_nd"))
-      .filter(col("_nd") >= minDocs).select(col("g"))
-    val dupPos = grams.join(dupG, Seq("g"), "left_semi")
-      .select(col("doc_id"), col("pos"))
+      .groupBy(col("g")).agg(count(lit(1)).as("_nd"), min(col("doc_id")).as("_own"))
+      .filter(col("_nd") >= minDocs)
+    // keep-one ownership at the GRAM grain: the lowest doc id holding a
+    // duplicated gram owns it, and the owner's occurrences are exempt —
+    // deterministic (min over the same distinct doc set the ≥minDocs
+    // count uses) and one aggregate wider than the remove-all path.
+    val hits =
+      if (exemptOwner)
+        grams.join(dupG.select(col("g"), col("_own")), Seq("g"))
+          .filter(col("doc_id") =!= col("_own"))
+          .select(col("doc_id"), col("pos"))
+      else
+        grams.join(dupG.select(col("g")), Seq("g"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+    val dupPos = hits.localCheckpoint(eager = true)
+    grams.unpersist(blocking = false)
     (toks, dupPos)
   }
 
@@ -1299,16 +1340,23 @@ object Dedup {
     * untouched and fully-excised ones):
     * (doc_id, n_tokens, n_kept, cleaned_text).
     *
-    * DIVERGENCE from Lee et al.'s ExactSubstr: ALL occurrences of a
-    * duplicated span are excised, including the last one — no canonical
-    * copy survives (Lee et al. keep one occurrence so the corpus retains
-    * the content). This engine's policy is deliberate: the REMOVE-ALL
-    * form is the deterministic, embarrassingly-parallel one (keeping a
-    * canonical copy requires electing an owner per span cluster — a
-    * cross-doc agreement step), and the excised mass is exactly what
-    * [[repeatedSpans]] reports, so the two operators reconcile row for
-    * row. Callers wanting keep-one semantics union the excised corpus
-    * with one [[repeatedSpans]]-selected exemplar per span family.
+    * Two policies, selected by `keepOne`:
+    *
+    *  - `keepOne = false` (default): ALL occurrences of a duplicated
+    *    span are excised, including the last one — no canonical copy
+    *    survives. The REMOVE-ALL form is the one whose excised mass is
+    *    exactly what [[repeatedSpans]] reports, so the two operators
+    *    reconcile row for row. (This diverges from Lee et al.'s
+    *    ExactSubstr, which keeps one occurrence so the corpus retains
+    *    the content.)
+    *  - `keepOne = true`: Lee-et-al-style canonical-copy semantics at
+    *    the GRAM grain — each duplicated k-gram is owned by the lowest
+    *    doc id holding it, and the owner's occurrences survive. Owner
+    *    election is one extra min aggregate over the same distinct
+    *    (doc, gram) set the ≥ minDocs count reads (deterministic: ids
+    *    are unique, no ties). A doc that is the minimum holder of every
+    *    gram in a span keeps the span whole; mixed-ownership overlaps
+    *    excise only the non-owned gram positions.
     *
     * Scale shape: the front half is [[repeatedGramPositions]]; tokens
     * then anti-join the span intervals equi on (doc_id, position-bucket)
@@ -1322,8 +1370,9 @@ object Dedup {
     * survivors (bounded by doc length). Deterministic: struct sort on
     * (position, token). */
   def exciseRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val (toks, dupPos) = repeatedGramPositions(docs, idCol, textCol, k, minDocs)
+      k: Int = 8, minDocs: Int = 2, keepOne: Boolean = false): DataFrame = {
+    val (toks, dupPos) =
+      repeatedGramPositions(docs, idCol, textCol, k, minDocs, exemptOwner = keepOne)
     // explode each span to its overlapped position buckets (width k, the
     // gram granularity): bucket count per span = coverage/k + O(1), and a
     // position p can only fall in a span whose bucket range contains

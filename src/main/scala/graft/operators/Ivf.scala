@@ -215,8 +215,13 @@ object Ivf {
     * PER-CELL residual (query − probed-cell centroid) against codes that
     * encode each member's residual to its own cell — the decomposition
     * that keeps PQ discriminative inside a cluster. The distance table
-    * keys on (query_id, cell_id) instead of query_id and stays
-    * broadcast-sized (|queries| × nprobe × m × k entries). */
+    * keys on (query_id, cell_id) instead of query_id, so it scales as
+    * |queries| × nprobe × m × k_codebook — an nprobe factor the raw-PQ
+    * table doesn't have. At production shape (m=96, k=256, nprobe=4)
+    * that's ~100k entries PER QUERY; the broadcast hint is therefore
+    * gated on the estimated row count and large query batches fall back
+    * to a shuffle join on the (query, cell) struct key instead of
+    * OOMing the driver. */
   def searchPqResidual(
       index: IvfIndex, codebook: DataFrame, codes: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int, m: Int, dim: Int,
@@ -238,6 +243,13 @@ object Ivf {
             .cast("array<double>"),
           col("centroid"), (x, c) => x - c).as("_res"))
     val dtable = Pq.distanceTable(qres, "_qc", "_res", codebook, m, dim)
+    // broadcast only while the table is provably driver-sized:
+    // rows = |query,cell pairs| × m × k_codebook. Both factors are known
+    // cheaply (probed is a small broadcast-join plan; the codebook is
+    // m × k_codebook rows by construction), so the estimate is exact.
+    val dtableRows = probed.count() * codebook.count()
+    val dtableHinted =
+      if (dtableRows <= 4000000L) broadcast(dtable) else dtable
     // each member sits in exactly one cell, so (query, neighbor) pairs are
     // unique and the fold sums exactly m table entries
     val adc = probed.select(col("query_id"), col("cell_id"))
@@ -248,7 +260,7 @@ object Ivf {
         posexplode(col("codes")).as(Seq("s", "code"))), Seq("neighbor_id"))
       .select(struct(col("query_id"), col("cell_id")).as("_qc"),
         col("query_id"), col("neighbor_id"), col("s"), col("code"))
-      .join(broadcast(dtable), Seq("_qc", "s", "code"))
+      .join(dtableHinted, Seq("_qc", "s", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(Pq.adcFold.as("adc_dist"))
     // bounded top-`rerank` shortlist by ascending ADC distance, then the

@@ -582,10 +582,12 @@ object Multimodal {
     * shared_ppm), vid_a < vid_b. */
   def videoNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
       minSharedPpm: Long = 500000L): DataFrame = {
-    // persisted across its two consumers (per-video counts + frame sigs);
-    // deliberately outlives this call — the returned lazy frame reads it,
-    // so it cannot be unpersisted here. Evictable; Bench/Verify's
-    // between-query cache-drop reclaims it (the Dedup.shared contract).
+    // persisted across its two consumers (per-video counts + frame sigs),
+    // so every video decodes exactly once — but SCOPED to this call: the
+    // final pair table (small — surviving near-dup video pairs) is
+    // materialized eagerly below and the frame-hash block freed before
+    // returning, so the decode cache never outlives the operator
+    // (Dedup.nearDupGroupsCounted's free() discipline).
     val fh = videoFrameHashes(media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
@@ -607,7 +609,7 @@ object Multimodal {
         expr(s"id_a % ${1L << 20}").as("fa"),
         expr(s"id_b % ${1L << 20}").as("fb"))
       .filter(col("vid_a") =!= col("vid_b")) // id_a<id_b ⇒ vid_a ≤ vid_b
-    framePairs.groupBy(col("vid_a"), col("vid_b"))
+    val out = framePairs.groupBy(col("vid_a"), col("vid_b"))
       .agg(countDistinct(col("fa")).as("n_match_a"),
         countDistinct(col("fb")).as("n_match_b"))
       .join(counts.select(col("media_id").as("vid_a"), col("nf").as("nf_a")),
@@ -620,6 +622,9 @@ object Multimodal {
       .filter(col("shared_ppm") >= minSharedPpm)
       .select(col("vid_a"), col("vid_b"), col("n_match_a"), col("n_match_b"),
         col("nf_a"), col("nf_b"), col("shared_ppm"))
+      .localCheckpoint(eager = true)
+    fh.unpersist(blocking = false)
+    out
   }
 
   /** Deterministic 8×8 grayscale PNG rendered from text bytes — a REAL

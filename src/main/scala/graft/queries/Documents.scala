@@ -805,6 +805,16 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Keep-one span excision (Lee et al. ExactSubstr semantics at the
+    // gram grain): each duplicated 8-gram's lowest-id holder keeps its
+    // occurrences, every other copy is excised — the corpus retains one
+    // canonical copy of the content where q244 removes all of them.
+    "q245_span_excision_keepone" -> ((s, dir) => {
+      Dedup.exciseRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, minDocs = 2, keepOne = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // Span-level decontamination (GPT-3/PaLM style): per training doc,
     // the maximal spans whose 8-grams collide with the held-out 20%
     // (q34's hash split), as span count / token mass / ppm — the excise
@@ -2523,6 +2533,31 @@ object Documents {
          |dg AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM gh)
          |  GROUP BY g HAVING count(*) >= 2),
          |dp AS (SELECT doc_id, pos FROM gh JOIN dg USING (g)),
+         |${spanRollupSql(8)},
+         |u AS (SELECT doc_id, generate_subscripts(tok, 1) - 1 AS p,
+         |  unnest(tok) AS w FROM t),
+         |kept AS (SELECT u.* FROM u WHERE NOT EXISTS (SELECT 1 FROM spn s
+         |  WHERE s.doc_id = u.doc_id AND u.p BETWEEN s.fp AND s.lp)),
+         |kc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(w, ' ' ORDER BY p) AS cleaned_text
+         |  FROM kept GROUP BY doc_id),
+         |ln AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens FROM t)
+         |SELECT ln.doc_id, n_tokens,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(cleaned_text, '') AS cleaned_text
+         |FROM ln LEFT JOIN kc USING (doc_id) ORDER BY ln.doc_id""".stripMargin,
+
+    // Mirrors exciseRepeatedSpans(keepOne = true): q244's pipeline, but
+    // dg carries min(doc_id) ownership and dp drops the owner's rows.
+    "q245_span_excision_keepone" ->
+      s"""WITH $tokCte,
+         |${posShingleCte(8)},
+         |gh AS (SELECT doc_id, pos, ${h32("s", 0)} AS g FROM shp),
+         |dg AS (SELECT g, min(doc_id) AS own
+         |  FROM (SELECT DISTINCT doc_id, g FROM gh)
+         |  GROUP BY g HAVING count(*) >= 2),
+         |dp AS (SELECT doc_id, pos FROM gh JOIN dg USING (g)
+         |  WHERE gh.doc_id <> dg.own),
          |${spanRollupSql(8)},
          |u AS (SELECT doc_id, generate_subscripts(tok, 1) - 1 AS p,
          |  unnest(tok) AS w FROM t),

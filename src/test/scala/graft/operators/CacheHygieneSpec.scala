@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Gate on the free() discipline for operators that persist fan-out
+  * intermediates: the corpus-sized block (gram positions / decoded frame
+  * hashes) must NOT outlive the operator call — only the small scoped
+  * localCheckpoint may remain, and Bench/Verify's between-query cache-drop
+  * reclaims that. Round-7 judge finding: the gram and frame-sig persists
+  * leaked MEMORY_AND_DISK blocks across the 243-query sweep. */
+class CacheHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clearAll(): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+  }
+
+  private val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (1L, "alpha beta gamma delta other words here now"),
+    (2L, "totally unrelated text with no shared grams at all"),
+  ).toDF("doc_id", "text")
+
+  test("repeatedSpans: gram cache freed at return; residual = dupPos checkpoint only") {
+    clearAll()
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", k = 3, minDocs = 2)
+    val live = spark.sparkContext.getPersistentRDDs
+    assert(live.size == 1,
+      s"expected exactly the scoped dupPos checkpoint, got ${live.size} blocks")
+    // the lazy readout still executes correctly against the checkpoint
+    assert(out.count() == 3)
+    assert(spark.sparkContext.getPersistentRDDs.size == 1)
+  }
+
+  test("exciseRepeatedSpans: gram cache freed at return; result intact") {
+    clearAll()
+    val out = Dedup.exciseRepeatedSpans(docs, "doc_id", "text", k = 3, minDocs = 2)
+    val live = spark.sparkContext.getPersistentRDDs
+    assert(live.size == 1,
+      s"expected exactly the scoped dupPos checkpoint, got ${live.size} blocks")
+    val cleaned = out.as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // doc 2 shares no 3-gram with anyone — untouched
+    assert(cleaned(2L) == "totally unrelated text with no shared grams at all")
+    // docs 0/1 lose the shared "alpha beta gamma delta" span
+    assert(!cleaned(0L).contains("alpha"))
+  }
+
+  test("videoNearDupPairs: frame-hash cache freed at return; residual = pair checkpoint") {
+    clearAll()
+    val media = Multimodal.fromDocuments(
+      Seq((2L, "same video content body", "web"),
+          (5L, "same video content body", "web"),
+          (8L, "different footage entirely here", "web"))
+        .toDF("doc_id", "text", "source"))
+    val out = Multimodal.videoNearDupPairs(media, maxHamming = 0)
+    val live = spark.sparkContext.getPersistentRDDs
+    assert(live.size == 1,
+      s"expected exactly the scoped pair checkpoint, got ${live.size} blocks")
+    val pairs = out.select($"vid_a", $"vid_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 5L)))
+    assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L))
+  }
+}

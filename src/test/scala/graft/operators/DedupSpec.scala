@@ -75,13 +75,15 @@ class DedupSpec extends SparkSpec {
 
   test("nearDupGroups: long chain converges through the contracted graph") {
     // a 24-vertex path is the adversarial residual for star contraction:
-    // cliques collapse in the contraction pass, chains only halve — this
+    // cliques collapse in the contraction pass, but a monotone-id chain
+    // shrinks only by a constant (l0(v) = v-1 drops one vertex) — this
     // exercises the propagation loop over the contracted graph
     val chain = (0 until 23).map(i => (100L + i, 101L + i))
     val (groups, rounds) = Dedup.nearDupGroupsCounted(chain.toDF("id_a", "id_b"))
     val m = groups.as[(Long, Long)].collect().toMap
     assert((100 to 123).forall(i => m(i.toLong) == 100L), s"labels: $m")
-    // contraction halves the 23-edge diameter before any propagation round
+    // pointer doubling covers ~2^rounds hops of the ~22-edge contracted
+    // path, so convergence must land well under one round per edge
     assert(rounds > 0 && rounds <= 14, s"rounds: $rounds")
   }
 
@@ -404,6 +406,50 @@ class DedupSpec extends SparkSpec {
       (1L, 8L, 3L, "x x y"),       // span [2,6] excised
       (2L, 8L, 8L, "p q r s t u v w"),
       (3L, 10L, 4L, "z z z z")))   // both "a b c" spans excised
+  }
+
+  test("exciseRepeatedSpans keepOne: lowest-id holder keeps each duplicated gram") {
+    val d = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "x x a b c d e y"),
+      (2L, "p q r s t u v w"),
+      (3L, "a b c z z z z a b c"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseRepeatedSpans(d, "doc_id", "text", k = 3, minDocs = 2,
+        keepOne = true)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 0 is the min-id holder of every duplicated gram it contains
+    // ("a b c", "b c d", "c d e") → fully intact, where remove-all cut it
+    assert(out(0) == ((0L, 8L, 8L, "a b c d e f g h")))
+    // doc 1 owns none of its duplicated grams (doc 0 holds them all) →
+    // same excision as remove-all
+    assert(out(1) == ((1L, 8L, 3L, "x x y")))
+    assert(out(2) == ((2L, 8L, 8L, "p q r s t u v w")))
+    // doc 3 owns nothing ("a b c" is doc 0's) → both copies excised; and
+    // crucially BOTH its occurrences go (ownership is per doc, not per
+    // occurrence — the owner is doc 0, not doc 3's first copy)
+    assert(out(3) == ((3L, 10L, 4L, "z z z z")))
+    // determinism: owner election is min over unique ids — rerun is equal
+    val rerun = Dedup.exciseRepeatedSpans(d, "doc_id", "text", k = 3, minDocs = 2,
+        keepOne = true).orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(rerun == out)
+  }
+
+  test("exciseRepeatedSpans keepOne: owner keeps span even when remove-all empties it") {
+    // identical boilerplate docs: remove-all excises both to empty; the
+    // keep-one owner (min id = 7) survives whole, the copy (9) is emptied
+    val d = Seq((9L, "one two three four five six"),
+                (7L, "one two three four five six"),
+                (8L, "unrelated filler words here now ok")).toDF("doc_id", "text")
+    val keep = Dedup.exciseRepeatedSpans(d, "doc_id", "text", k = 3, minDocs = 2,
+        keepOne = true).orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(keep == Seq(
+      (7L, 6L, 6L, "one two three four five six"),
+      (8L, 6L, 6L, "unrelated filler words here now ok"),
+      (9L, 6L, 0L, "")))
   }
 
   test("exciseRepeatedSpans: boilerplate-heavy doc (500 sentence repeats) stays linear") {

@@ -131,6 +131,35 @@ class IvfPqSpec extends SparkSpec {
     assert(a == run(), "rerun-stable")
   }
 
+  test("8-bit residual codes (k=256): trains, codes in range, exact under exhaustive probe") {
+    // the production operating point (256 centroids/subspace = 1 byte per
+    // code); synthetic corpus big enough for 256 centroids per subspace
+    val n = 600
+    val dim = 16
+    val vecs = spark.range(n).map { i =>
+      val r = new scala.util.Random(55L + i)
+      (i, Array.fill(dim)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Ivf.build(vecs, nCells = 4)
+    val (cbR, codesR) = Ivf.trainResidualPq(idx, m = 2, dim = dim, k = 256)
+    // codebook: m=2 subspaces × 256 codes each; every code id fits a byte
+    val cbCount = cbR.groupBy($"s").count().as[(Int, Long)].collect().toMap
+    assert(cbCount.keySet == Set(0, 1) && cbCount.values.forall(_ == 256L),
+      s"codebook shape: $cbCount")
+    val codeRange = codesR.select(explode($"codes").as("c"))
+      .agg(min($"c"), max($"c")).as[(Int, Int)].head()
+    assert(codeRange._1 >= 0 && codeRange._2 <= 255, s"code range: $codeRange")
+    // dataflow sanity at k=256: exhaustive probe + full rerank = exact kNN
+    val q = vecs.filter($"vec_id" < 5)
+    val exact = Knn.exact(vecs, q, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Ivf.searchPqResidual(idx, cbR, codesR, q,
+        k = 3, nprobe = 4, m = 2, dim = dim, rerank = n)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert((exact & full).size == exact.size,
+      s"exhaustive 8-bit IVFADC must be exact: ${(exact & full).size}/${exact.size}")
+  }
+
   test("kNN contract and determinism across reruns") {
     val (idx, cb, codes) = fixture()
     val q = emb.filter($"vec_id" < 3)
