@@ -594,6 +594,68 @@ object Dedup {
     (out, rounds)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication over an embedding column — removes documents that say
+    * the same thing in different words, which no lexical stage (MinHash,
+    * SimHash, exact substring) can see. The paper's recipe, Spark-first:
+    *
+    *  1. cluster the corpus into `nCells` k-means cells
+    *     ([[Ivf.buildPortable]] — deterministic fixed-point Lloyd rounds,
+    *     so the whole operator stays oracle-reproducible);
+    *  2. within each cell, connect pairs at cosine ≥ `minCosine` and take
+    *     transitive groups ([[nearDupGroups]]) — the CELL bounds the
+    *     quadratic (the paper's trick: k grows with the corpus so
+    *     cell-sized pair blocks stay tractable; cross-cell semantic dups
+    *     are the accepted recall loss, exactly as in the paper);
+    *  3. keep ONE exemplar per group: the member LEAST similar to its
+    *     cell centroid — the paper's "keep outliers" choice (they found
+    *     dropping the most-typical members hurts least) — with the raw
+    *     fixed-order cosine as the sort key (bit-identical in any
+    *     engine) and the lowest id breaking ties.
+    *
+    * Output, one row per vector: (idCol, cell_id, comp, centroid_sim,
+    * is_kept) — comp is the semantic-duplicate group label (min member
+    * id; singletons label themselves), centroid_sim the portable
+    * micro-unit cosine to the trained centroid (rounded to 6 dp for the
+    * readout only; the election compares the raw double).
+    *
+    * Complements [[semanticDupes]] (the earliest-id pairwise variant —
+    * cheaper: no component pass, no election): THIS is the
+    * paper-faithful form — transitive groups, the centroid-outlier
+    * keep rule, and a per-vector report instead of the removed set.
+    *
+    * Scale shape: one k-means build (sampled fit at 100 TB), one
+    * within-cell self-join (equi on cell_id, never corpus²), the 1-job
+    * component labeling, and two vector-free joins on the id. */
+  def semanticDedupExemplars(vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nCells: Int = 8,
+      minCosine: Double = 0.35, iters: Int = 2): DataFrame = {
+    import graft.functions.GraftFunctions.{cosine_sim, micro_units}
+    val idx = Ivf.buildPortable(vecs, nCells, iters, idCol, vecCol)
+    val m = idx.assigned.select(col("cell_id"), col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val pairs = m.select(col("cell_id"), col("vid").as("id_a"), col("_v").as("_va"))
+      .join(m.select(col("cell_id"), col("vid").as("id_b"), col("_v").as("_vb")),
+        Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine_sim(col("_va"), col("_vb")) >= minCosine)
+      .select(col("id_a"), col("id_b"))
+    val comps = nearDupGroups(pairs)
+    val withSim = m.join(broadcast(idx.cells), Seq("cell_id"))
+      .withColumn("_ccos", cosine_sim(micro_units(col("_v")), col("centroid")))
+      .select(col("vid"), col("cell_id"), col("_ccos"))
+    val labeled = withSim
+      .join(comps.withColumnRenamed("doc_id", "vid"), Seq("vid"), "left")
+      .withColumn("comp", coalesce(col("keep_id"), col("vid")))
+    val reps = labeled.groupBy(col("comp"))
+      .agg(min(struct(col("_ccos"), col("vid"))).as("_best"))
+      .select(col("comp"), col("_best").getField("vid").as("_rep"))
+    labeled.join(reps, Seq("comp"))
+      .select(col("vid").as(idCol), col("cell_id"), col("comp"),
+        round(col("_ccos"), 6).as("centroid_sim"),
+        (col("vid") === col("_rep")).as("is_kept"))
+  }
+
   /** Full transitive near-dup dedup: survivors = docs that are their own
     * component minimum (plus all docs untouched by any pair). */
   def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,

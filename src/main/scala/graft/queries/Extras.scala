@@ -211,6 +211,20 @@ object Extras {
         .orderBy(col("vec_id"))
     }),
 
+    // SemDeDup, paper-faithful form (Abbas et al. 2023): q85's
+    // cluster-then-compare bound, but semantic-duplicate groups are
+    // TRANSITIVE (component labeling within the cell) and the kept
+    // exemplar is the member LEAST similar to its cell centroid (the
+    // paper's keep-outliers election) — one row per vector with its
+    // group label and verdict. Deterministic end to end (portable
+    // k-means + fixed-order cosine + min-id tie-breaks), so even the
+    // election is oracle-hash-checked.
+    "q246_semantic_exemplars" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Dedup.semanticDedupExemplars(e, nCells = 8, minCosine = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     // Multimodal + vector search composition: nearest media assets by
     // stub-feature cosine (shows media features flow into the ANN core).
     // The query-side media filter runs BEFORE the decode: filters can't
@@ -430,6 +444,41 @@ object Extras {
          |SELECT id_b AS vec_id, min(id_a) AS kept_by,
          |  round(min_by(cs, id_a), 6) AS sim
          |FROM p WHERE cs >= 0.3 GROUP BY id_b ORDER BY vec_id""".stripMargin,
+
+    // Mirrors Dedup.semanticDedupExemplars: q85's portable cells + pair
+    // cosines, then recursive min-label components over the qualifying
+    // pairs (q38's oracle pattern) and the centroid-outlier election
+    // (row_number over raw fixed-fold cosine ASC, vec_id ASC).
+    "q246_semantic_exemplars" ->
+      s"""${ivfCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |m AS (SELECT af.vec_id, af.cell_id, e.ev, e.mv FROM af JOIN e USING (vec_id)),
+         |p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${cosSelect("a.ev", "b.ev")}
+         |       FROM m a JOIN m b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+         |p AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |        CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |             ELSE dot / (sqrt(na) * sqrt(nb)) END AS cs
+         |      FROM p0) WHERE cs >= 0.3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(n, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e2.a, reach.r FROM edges e2 JOIN reach ON e2.b = reach.n),
+         |comp0 AS (SELECT n AS vec_id, min(r) AS keep_id FROM reach GROUP BY n),
+         |cc AS (SELECT vec_id, cell_id,
+         |         CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |              ELSE dot / (sqrt(na) * sqrt(nb)) END AS ccos
+         |       FROM (SELECT m.vec_id, m.cell_id, ${cosSelect("m.mv", "c.centroid")}
+         |             FROM m JOIN c2 c USING (cell_id))),
+         |lab AS (SELECT cc.vec_id, cc.cell_id, cc.ccos,
+         |          coalesce(comp0.keep_id, cc.vec_id) AS comp
+         |        FROM cc LEFT JOIN comp0 USING (vec_id)),
+         |rep AS (SELECT comp, vec_id AS rep_id FROM (SELECT comp, vec_id,
+         |          row_number() OVER (PARTITION BY comp
+         |            ORDER BY ccos ASC, vec_id ASC) AS rn FROM lab) WHERE rn = 1)
+         |SELECT l.vec_id, l.cell_id, l.comp, round(l.ccos, 6) AS centroid_sim,
+         |  (l.vec_id = rep.rep_id) AS is_kept
+         |FROM lab l JOIN rep USING (comp) ORDER BY l.vec_id""".stripMargin,
 
     // Mirrors Knn.recallAtK(exact full-dim, exact 16-dim-truncated):
     // both brute-force top-5 sides use the same fixed-fold cosine the

@@ -408,6 +408,40 @@ class DedupSpec extends SparkSpec {
       (3L, 10L, 4L, "z z z z")))   // both "a b c" spans excised
   }
 
+  test("semanticDedupExemplars: transitive groups, centroid-outlier election") {
+    def unit(xs: Double*): Array[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat).toArray
+    }
+    // two well-separated clusters; ids interleave so the portable k-means
+    // init (two lowest ids) seeds one centroid per true cluster
+    val vecs = Seq(
+      (0L, unit(1.0, 0.0, 0.0, 0.0)),     // cluster A
+      (1L, unit(0.0, 0.0, 1.0, 0.0)),     // cluster B
+      (2L, unit(0.98, 0.2, 0.0, 0.0)),    // A: cos(0,2)≈0.98
+      (3L, unit(0.0, 0.0, 0.995, 0.0999)),// B: cos(1,3)≈0.995
+      (4L, unit(0.9, 0.436, 0.0, 0.0)),   // A: cos(2,4)≈0.97, cos(0,4)=0.9
+      (5L, unit(0.0, 0.0, 0.9, 0.436)),   // B: cos(1,5)=0.9, cos(3,5)≈0.94
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupExemplars(vecs, nCells = 2, minCosine = 0.8)
+      .select($"vec_id", $"comp", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val comp = out.map(r => r._1 -> r._2).toMap
+    val kept = out.filter(_._3).map(_._1).toSet
+    // transitive: the A-chain {0,2,4} is ONE group even though cos(0,4)
+    // only qualifies via 2; both groups label with their min id
+    assert(Seq(0L, 2L, 4L).forall(comp(_) == 0L), s"comp: ${comp.toSeq.sorted}")
+    assert(Seq(1L, 3L, 5L).forall(comp(_) == 1L), s"comp: ${comp.toSeq.sorted}")
+    // the paper's election: keep the member LEAST similar to its cell
+    // centroid — the edge vectors 4 and 5, not the central ones
+    assert(kept == Set(4L, 5L), s"kept: $kept")
+    // deterministic across reruns (portable k-means + fixed-order cosine)
+    val rerun = Dedup.semanticDedupExemplars(vecs, nCells = 2, minCosine = 0.8)
+      .select($"vec_id", $"comp", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rerun.toSeq == out.toSeq)
+  }
+
   test("exciseRepeatedSpans keepOne: lowest-id holder keeps each duplicated gram") {
     val d = Seq(
       (0L, "a b c d e f g h"),
