@@ -156,6 +156,93 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("quality_ppm"), col("n_tokens"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw-corpus document by how
+    * target-domain-like its HASHED N-GRAM features are, then keep the
+    * top slice — the canonical "give me the most wiki-like `p`% of the
+    * crawl" pre-training selection step.
+    *
+    * The paper's estimator, engine-exact:
+    *
+    *  - features = unigrams + bigrams of the canonical tokens, hashed
+    *    into `nBuckets` buckets (the paper's hashed n-gram model);
+    *  - per-bucket importance weight
+    *    `w(b) = log2fp(rate_target(b)) − log2fp(rate_raw(b))` with
+    *    add-one smoothing, rates in parts-per-billion so every smoothed
+    *    rate stays ≥ 1 up to ~10⁹ feature occurrences per side (lift the
+    *    scale to ppt past that). log2fp is [[graft.functions.FixedPoint]]
+    *    — a pure-int64 fixed-point log2, so the log-likelihood-ratio
+    *    weights (the one place the paper needs a transcendental) are
+    *    bit-identical in any engine;
+    *  - doc score = Σ_b count_doc(b)·w(b) (the paper's log importance
+    *    weight, up to the fixed 2^16/log2(e) scale), plus the
+    *    per-feature MEAN — bounded range regardless of doc length —
+    *    which drives selection;
+    *  - selection = whole-bin top slice: mean scores bin at width 256
+    *    (≈0.004 log2 units), bins are taken best-first while the doc
+    *    count fits `selectPct`% of the corpus — the [[tokenBudgetMix]]
+    *    discipline (bounded-cardinality bin table sees the only window;
+    *    docs never sort globally). The paper samples with Gumbel noise;
+    *    the deterministic top slice is the reproducible variant (noted
+    *    divergence), and a caller wanting sampled selection can feed
+    *    `dsir_fp` to [[Sampling]]'s seeded machinery.
+    *
+    * Output, one row per raw doc: (idCol, n_feats, dsir_fp,
+    * dsir_mean_fp, is_selected). Scale shape: target side is one pass
+    * over the (small, by definition) target corpus; raw side is two
+    * linear passes (bucket rates + per-doc counts) fanning out of one
+    * plan; the per-doc score table — four longs per doc — is eagerly
+    * checkpointed so the histogram, the budget count and the readout
+    * reuse it instead of re-exploding the corpus (the round-8 scoped-
+    * cache discipline: the residual block is doc-count-sized and the
+    * harness reclaims it between queries). */
+  def dsirScores(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 4096, seed: Int = 11, selectPct: Int = 20): DataFrame = {
+    require(nBuckets > 0 && selectPct >= 0 && selectPct <= 100)
+    import graft.functions.TextFunctions.{shingles, tokens}
+    import graft.functions.FixedPoint.log2FpSparkSql
+    def feats(df: DataFrame, id: org.apache.spark.sql.Column): DataFrame =
+      df.select(id.as("doc_id"), tokens(col(textCol)).as("tok"))
+        .select(col("doc_id"),
+          explode(concat(col("tok"), shingles(col("tok"), 2))).as("g"))
+        .select(col("doc_id"), pmod(hash32(col("g"), seed), lit(nBuckets.toLong)).as("b"))
+    val tCnt = feats(target, lit(0L)).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val db = feats(raw, col(idCol)).groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val rCnt = db.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val stats = tCnt.agg(sum(col("ct")).as("tt"))
+      .crossJoin(rCnt.agg(sum(col("cr")).as("tr")))
+    val rateT = s"((ct + 1) * 1000000000) div (tt + $nBuckets)"
+    val rateR = s"((cr + 1) * 1000000000) div (tr + $nBuckets)"
+    val w = tCnt.join(rCnt, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .crossJoin(broadcast(stats))
+      .selectExpr("b",
+        s"${log2FpSparkSql(rateT)} - ${log2FpSparkSql(rateR)} AS w")
+    val scored = db.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("w")).as("dsir_fp"))
+      .withColumn("dsir_mean_fp", expr("dsir_fp div n_feats"))
+      .localCheckpoint(eager = true)
+    val nDocs = scored.agg(count(lit(1)).as("nd"))
+    val selBins = scored
+      .groupBy(expr("dsir_mean_fp div 256").as("_bin"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_cum", sum(col("_n")).over(
+        Window.orderBy(col("_bin").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(nDocs))
+      .filter(expr(s"_cum <= (nd * $selectPct) div 100"))
+      .select(col("_bin"))
+    scored
+      .join(broadcast(selBins),
+        expr("dsir_mean_fp div 256") === col("_bin"), "left")
+      .select(col("doc_id").as(idCol), col("n_feats"), col("dsir_fp"),
+        col("dsir_mean_fp"), col("_bin").isNotNull.as("is_selected"))
+  }
+
   /** Budgets proportional to each source's own token volume (`pct`% of
     * it) — the self-scaling parameterization the declared query uses. */
   def proportionalBudgets(

@@ -805,6 +805,20 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance-resampling scores (Xie et al. 2023): hashed
+    // unigram+bigram features, log-likelihood-ratio bucket weights via
+    // the pure-int64 fixed-point log2 (engine-exact — no libm), per-doc
+    // importance scores and the whole-bin top-20% selection. Target
+    // "domain" = the doc_id % 7 == 0 slice; raw = the rest.
+    "q247_dsir_scores" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Corpus.dsirScores(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          nBuckets = 4096, seed = 11, selectPct = 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // Keep-one span excision (Lee et al. ExactSubstr semantics at the
     // gram grain): each duplicated 8-gram's lowest-id holder keeps its
     // occurrences, every other copy is excised — the corpus retains one
@@ -2546,6 +2560,45 @@ object Documents {
          |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
          |  coalesce(cleaned_text, '') AS cleaned_text
          |FROM ln LEFT JOIN kc USING (doc_id) ORDER BY ln.doc_id""".stripMargin,
+
+    // Mirrors Corpus.dsirScores: unigram+bigram hashed buckets, add-one
+    // ppb rates, FixedPoint log2 weights (same int64 shift-square fold,
+    // DuckDB spelling), per-doc sums, bin-256 whole-bin top-20% cut.
+    "q247_dsir_scores" -> {
+      import graft.functions.FixedPoint.log2FpDuckSql
+      val rateT = "((ct + 1) * 1000000000) // (tt + 4096)"
+      val rateR = "((cr + 1) * 1000000000) // (tr + 4096)"
+      s"""WITH $tokCte,
+         |g AS (SELECT doc_id, unnest(tok) AS g FROM t
+         |      UNION ALL
+         |      SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+         |        i -> tok[i] || ' ' || tok[i + 1])) AS g FROM t),
+         |gb AS (SELECT doc_id, ${h32("g", 11)} % 4096 AS b FROM g),
+         |tc AS (SELECT b, count(*) AS ct FROM gb WHERE doc_id % 7 = 0 GROUP BY b),
+         |db AS (SELECT doc_id, b, count(*) AS c FROM gb WHERE doc_id % 7 <> 0
+         |       GROUP BY doc_id, b),
+         |rc AS (SELECT b, sum(c) AS cr FROM db GROUP BY b),
+         |st AS (SELECT (SELECT sum(ct) FROM tc) AS tt,
+         |              (SELECT sum(cr) FROM rc) AS tr),
+         |w AS (SELECT b, ${log2FpDuckSql(rateT)} - ${log2FpDuckSql(rateR)} AS w
+         |      FROM (SELECT coalesce(tc.b, rc.b) AS b, coalesce(ct, 0) AS ct,
+         |              coalesce(cr, 0) AS cr
+         |            FROM tc FULL OUTER JOIN rc USING (b)) CROSS JOIN st),
+         |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         |         CAST(sum(c * w) AS BIGINT) AS dsir_fp
+         |       FROM db JOIN w USING (b) GROUP BY doc_id),
+         |s2 AS (SELECT *, dsir_fp // n_feats AS dsir_mean_fp FROM sc),
+         |nd AS (SELECT count(*) AS nd FROM s2),
+         |hb AS (SELECT dsir_mean_fp // 256 AS bin, count(*) AS n
+         |       FROM s2 GROUP BY 1),
+         |sel AS (SELECT bin FROM (SELECT bin, sum(n) OVER (ORDER BY bin DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM hb) CROSS JOIN nd WHERE cum <= (nd * 20) // 100)
+         |SELECT s2.doc_id, n_feats, dsir_fp, dsir_mean_fp,
+         |  (sel.bin IS NOT NULL) AS is_selected
+         |FROM s2 LEFT JOIN sel ON s2.dsir_mean_fp // 256 = sel.bin
+         |ORDER BY s2.doc_id""".stripMargin
+    },
 
     // Mirrors exciseRepeatedSpans(keepOne = true): q244's pipeline, but
     // dg carries min(doc_id) ownership and dp drops the owner's rows.

@@ -100,4 +100,36 @@ class CorpusSpec extends SparkSpec {
     out.filter(r => r._1 == r._2) // singleton comps: comp == own id
       .foreach { case (id, _, _, sp) => assert(sp == expect(id), s"doc $id") }
   }
+
+  test("dsirScores: target-domain-like docs score and select above off-domain ones") {
+    val target = Seq(
+      (100L, "quantum physics entangles qubits across superposed states"),
+      (101L, "quantum field theory predicts particle interactions precisely"),
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "quantum physics explains entangled qubits and superposed states"),
+      (2L, "the football game ended with a late touchdown drive"),
+      (3L, "quantum field interactions follow the theory of particles"),
+      (4L, "basketball players traded the ball before the buzzer"),
+      (5L, "qubits hold superposed quantum states until measured"),
+      (6L, "the referee paused the football match for a review"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.dsirScores(raw, target, nBuckets = 1024, selectPct = 50)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val mean = out.map(r => r._1 -> r._4).toMap
+    val quantum = Seq(1L, 3L, 5L)
+    val sports = Seq(2L, 4L, 6L)
+    // every in-domain doc outranks every off-domain doc on the
+    // log-likelihood-ratio mean (the paper's separation property)
+    for (q <- quantum; s <- sports)
+      assert(mean(q) > mean(s), s"doc $q (${mean(q)}) !> doc $s (${mean(s)})")
+    // whole-bin top-50%: only in-domain docs make the cut
+    val selected = out.filter(_._5).map(_._1).toSet
+    assert(selected.nonEmpty && selected.subsetOf(quantum.toSet), s"selected: $selected")
+    // deterministic across reruns
+    val rerun = Corpus.dsirScores(raw, target, nBuckets = 1024, selectPct = 50)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rerun.toSeq == out.toSeq)
+  }
 }
