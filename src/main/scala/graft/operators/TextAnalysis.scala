@@ -43,6 +43,66 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
   }
 
+  /** CCNet-style language-model quality filter (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): per-document cross-entropy under a reference-corpus bigram
+    * LM — low bits/token ≈ fluent reference-like text, high ≈ boilerplate
+    *, gibberish or the wrong domain; CCNet buckets the crawl by exactly
+    * this score (they use a 5-gram KenLM; the bigram form is the same
+    * decision statistic at shuffle-join scale).
+    *
+    * Engine-exact: p(w2|w1) = (c(w1w2)+1) / (c(w1·)+V) in add-one
+    * smoothing, carried as a parts-per-billion integer, and the ONLY
+    * transcendental — the log — is [[graft.functions.FixedPoint]]'s
+    * pure-int64 fixed-point log2: per-bigram surprisal_fp =
+    * log2fp(10⁹) − log2fp(p_ppb) = −log2(p)·2^16 (+ quantization ≤
+    * ~1.5e-5 bits), so the whole filter hash-matches the DuckDB oracle.
+    * p_ppb ∈ [1, 10⁹] by construction (c12 ≤ c1 and V ≥ 1), so the
+    * surprisal is non-negative and the log2fp domain holds.
+    *
+    * Output, one row per doc (including docs with < 2 tokens):
+    * (doc_id, n_bigrams, bits_fp) — bits_fp = mean surprisal per bigram
+    * in 2^-16 log2 units (≈ bits/token · 65536); 0 when no bigrams.
+    *
+    * Scale shape: the LM side is two map-side-combined aggregates over
+    * the reference corpus (bigram counts + their prefix rollup) and a
+    * 1-row vocab stat; scoring is one explode + two equi-joins on the
+    * gram string (broadcast while the LM vocabulary fits, shuffle-hash
+    * beyond) + one per-doc rollup. Nothing is quadratic; nothing sorts
+    * globally. Magnitudes: (c12+1)·10⁹ must fit int64 — fine to ~9·10⁹
+    * occurrences of a single bigram in the REFERENCE corpus (CCNet-sized
+    * reference sets are far below that); past it, lift the product to
+    * decimal(38,0), the [[bm25TopK]] rule. */
+  def lmSurprisal(docs: DataFrame, lmCorpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import graft.functions.FixedPoint.log2FpSparkSql
+    val lmTok = lmCorpus.select(tokens(col(textCol)).as("tok"))
+    val lmBi = lmTok.select(explode(shingles(col("tok"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val lmPrefix = lmBi
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vStat = lmTok.select(explode(col("tok")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+    val scoredDocs = toks
+      .select(col("doc_id"), explode(shingles(col("tok"), 2)).as("bg"))
+      .join(lmBi, Seq("bg"), "left")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(lmPrefix, Seq("w1"), "left")
+      .crossJoin(broadcast(vStat))
+      .selectExpr("doc_id",
+        s"""(coalesce(c12, 0) + 1) * 1000000000
+           | div (coalesce(c1, 0) + v) AS p_ppb""".stripMargin.replaceAll("\n", " "))
+      .selectExpr("doc_id", s"1959352 - ${log2FpSparkSql("p_ppb")} AS sur")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sur")).as("_ss"))
+      .withColumn("bits_fp", expr("_ss div n_bigrams"))
+    toks.select(col("doc_id")).join(scoredDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bits_fp"), lit(0L)).as("bits_fp"))
+  }
+
   /** Length/stopword/word-shape quality heuristics + a [0,1] composite.
     * Entirely narrow (array expressions per row) — zero shuffles, scales
     * embarrassingly.

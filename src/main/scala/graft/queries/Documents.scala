@@ -805,6 +805,19 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style LM quality filter (Wenzek et al. 2020): bigram
+    // cross-entropy of the held-out 20% under an add-one bigram LM
+    // trained on the other 80%, in fixed-point log2 units — the
+    // perplexity-bucketing statistic, engine-exact via FixedPoint.
+    "q248_lm_surprisal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.lmSurprisal(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance-resampling scores (Xie et al. 2023): hashed
     // unigram+bigram features, log-likelihood-ratio bucket weights via
     // the pure-int64 fixed-point log2 (engine-exact — no libm), per-doc
@@ -2560,6 +2573,36 @@ object Documents {
          |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
          |  coalesce(cleaned_text, '') AS cleaned_text
          |FROM ln LEFT JOIN kc USING (doc_id) ORDER BY ln.doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.lmSurprisal: LM bigram/prefix counts on the
+    // 80% split, add-one ppb conditional probability, FixedPoint log2
+    // surprisal (1959352 = log2fp(1e9)), per-doc mean via integer div.
+    "q248_lm_surprisal" -> {
+      import graft.functions.FixedPoint.log2FpDuckSql
+      s"""WITH $tokCte,
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+         |        i -> tok[i] || ' ' || tok[i + 1])) AS bg FROM t),
+         |lb AS (SELECT bg, count(*) AS c12 FROM bg WHERE doc_id % 5 <> 0 GROUP BY bg),
+         |lp AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM lb GROUP BY 1),
+         |vs AS (SELECT count(DISTINCT w) AS v FROM (
+         |        SELECT unnest(tok) AS w FROM t WHERE doc_id % 5 <> 0)),
+         |sur AS (SELECT doc_id,
+         |          1959352 - ${log2FpDuckSql("p_ppb")} AS sur
+         |        FROM (SELECT b.doc_id,
+         |                (coalesce(c12, 0) + 1) * 1000000000
+         |                  // (coalesce(c1, 0) + v) AS p_ppb
+         |              FROM bg b LEFT JOIN lb USING (bg)
+         |              LEFT JOIN lp ON lp.w1 = split_part(b.bg, ' ', 1)
+         |              CROSS JOIN vs
+         |              WHERE b.doc_id % 5 = 0)),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         sum(sur) // count(*) AS bits_fp
+         |       FROM sur GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         |  CAST(coalesce(bits_fp, 0) AS BIGINT) AS bits_fp
+         |FROM t LEFT JOIN sc USING (doc_id)
+         |WHERE t.doc_id % 5 = 0 ORDER BY t.doc_id""".stripMargin
+    },
 
     // Mirrors Corpus.dsirScores: unigram+bigram hashed buckets, add-one
     // ppb rates, FixedPoint log2 weights (same int64 shift-square fold,

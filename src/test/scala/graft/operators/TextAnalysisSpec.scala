@@ -381,4 +381,37 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 8L, 500000L, 571428L, 1000000L, false),
       (4L, 1L, 1000000L, 0L, 0L, false))) // top1 = 100% of its 1 token
   }
+
+  test("lmSurprisal: reference-like text scores fewer bits than gibberish") {
+    val lm = Seq(
+      (10L, "the cat sat on the mat and the dog sat on the rug"),
+      (11L, "the cat and the dog sat on the mat"),
+      (12L, "the dog sat on the rug and the cat sat"),
+      // vocabulary filler: pushes V up so the unseen-bigram floor
+      // log2(c1+V) sits several bits above the seen-bigram cost
+      (13L, (1 to 60).map(i => s"filler$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "the cat sat on the rug"),           // all bigrams LM-seen
+      (1L, "zyx wvu tsr qpo nml kji"),          // nothing seen: 1/V floor
+      (2L, "mat"),                              // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmSurprisal(docs, lm, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val m = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(0L)._1 == 5L && m(1L)._1 == 5L)
+    assert(m(2L) == ((0L, 0L)), "no bigrams -> zero row, doc still present")
+    // fluent text must be cheaper than unseen gibberish by over a whole
+    // bit per bigram (bits_fp is bits-per-bigram x 65536; add-one
+    // smoothing with the filler vocabulary taxes seen bigrams too, so
+    // the structural gap here is ~1.8 bits, not the unsmoothed ~4)
+    assert(m(0L)._2 + 65536 < m(1L)._2,
+      s"fluent ${m(0L)._2} !<< gibberish ${m(1L)._2}")
+    // surprisal is non-negative by construction (p_ppb <= 1e9)
+    assert(out.forall(_._3 >= 0L))
+    // deterministic across reruns
+    val rerun = TextAnalysis.lmSurprisal(docs, lm, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rerun.toSeq == out.toSeq)
+  }
 }
