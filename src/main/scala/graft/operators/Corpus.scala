@@ -243,6 +243,48 @@ object Corpus {
         col("dsir_mean_fp"), col("_bin").isNotNull.as("is_selected"))
   }
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over the unigram
+    * token distribution, in fixed-point log2 units (2^-16 bits/token) —
+    * the mixture-monitoring statistic a training-data pipeline tracks per
+    * ingest source (a source whose KL jumps changed its content mix; the
+    * aggregate view behind per-doc selection like [[dsirScores]]).
+    *
+    * KL = Σ_w p(w)·log2(p(w)/q(w)) computed as the exact integer
+    * Σ_w c_w·(log2fp(p_ppb) − log2fp(q_ppb)) div n_tokens, with rates in
+    * parts-per-billion (every present word has c_w ≥ 1, so both rates
+    * are ≥ 1 up to 10⁹ tokens per side — no smoothing needed, q covers
+    * p's support by construction) and [[graft.functions.FixedPoint]] as
+    * the log. Non-negative up to the ~1.5e-5-bit log quantization.
+    *
+    * Output: (source, n_tokens, n_distinct, kl_fp), one row per source.
+    * Scale shape: two map-side-combined token-count aggregates (per
+    * (source, word) and the per-word rollup), one equi-join on the word,
+    * one per-source rollup — all linear, the natural word-hash shuffle. */
+  def sourceDrift(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import graft.functions.FixedPoint.log2FpSparkSql
+    val tok = docs.select(col(sourceCol).as("source"), tokens(col(textCol)).as("tok"))
+      .select(col("source"), explode(col("tok")).as("w"))
+    val sw = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val gw = sw.groupBy(col("w")).agg(sum(col("c")).as("cg"))
+    val totS = sw.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    val totG = gw.agg(sum(col("cg")).as("tg"))
+    sw.join(gw, Seq("w"))
+      .join(totS, Seq("source"))
+      .crossJoin(broadcast(totG))
+      .selectExpr("source", "ts", "c",
+        "(c * 1000000000) div ts AS p_ppb",
+        "(cg * 1000000000) div tg AS q_ppb")
+      .selectExpr("source", "ts", "c",
+        s"c * (${log2FpSparkSql("p_ppb")} - ${log2FpSparkSql("q_ppb")}) AS kl_term")
+      .groupBy(col("source"))
+      .agg(max(col("ts")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("kl_term")).as("_k"))
+      .withColumn("kl_fp", expr("_k div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"), col("kl_fp"))
+  }
+
   /** Budgets proportional to each source's own token volume (`pct`% of
     * it) — the self-scaling parameterization the declared query uses. */
   def proportionalBudgets(

@@ -805,6 +805,14 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source distribution drift: KL(source || corpus) over unigram
+    // rates in fixed-point log2 units — the ingest-mix monitor; exact
+    // integer arithmetic end to end, so the oracle hash-checks it.
+    "q249_source_drift" -> ((s, dir) => {
+      graft.operators.Corpus.sourceDrift(t(s, dir, "documents"))
+        .orderBy(col("source"))
+    }),
+
     // CCNet-style LM quality filter (Wenzek et al. 2020): bigram
     // cross-entropy of the held-out 20% under an add-one bigram LM
     // trained on the other 80%, in fixed-point log2 units — the
@@ -2573,6 +2581,29 @@ object Documents {
          |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
          |  coalesce(cleaned_text, '') AS cleaned_text
          |FROM ln LEFT JOIN kc USING (doc_id) ORDER BY ln.doc_id""".stripMargin,
+
+    // Mirrors Corpus.sourceDrift: (source, word) counts, global rollup,
+    // ppb rates, FixedPoint log2 KL terms, per-source integer-div mean.
+    "q249_source_drift" -> {
+      import graft.functions.FixedPoint.log2FpDuckSql
+      s"""WITH tk AS (SELECT source, unnest(string_split($normSql, ' ')) AS w
+         |            FROM documents),
+         |sw AS (SELECT source, w, count(*) AS c FROM tk GROUP BY source, w),
+         |gw AS (SELECT w, sum(c) AS cg FROM sw GROUP BY w),
+         |ts AS (SELECT source, sum(c) AS ts FROM sw GROUP BY source),
+         |tg AS (SELECT sum(cg) AS tg FROM gw),
+         |r AS (SELECT source, ts, c,
+         |        (c * 1000000000) // ts AS p_ppb,
+         |        (cg * 1000000000) // tg AS q_ppb
+         |      FROM sw JOIN gw USING (w) JOIN ts USING (source) CROSS JOIN tg),
+         |k AS (SELECT source, ts, c,
+         |        c * (${log2FpDuckSql("p_ppb")} - ${log2FpDuckSql("q_ppb")}) AS kl_term
+         |      FROM r)
+         |SELECT source, CAST(max(ts) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(CAST(sum(kl_term) AS BIGINT) // max(ts) AS BIGINT) AS kl_fp
+         |FROM k GROUP BY source ORDER BY source""".stripMargin
+    },
 
     // Mirrors TextAnalysis.lmSurprisal: LM bigram/prefix counts on the
     // 80% split, add-one ppb conditional probability, FixedPoint log2

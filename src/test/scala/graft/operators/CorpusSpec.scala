@@ -101,6 +101,26 @@ class CorpusSpec extends SparkSpec {
       .foreach { case (id, _, _, sp) => assert(sp == expect(id), s"doc $id") }
   }
 
+  test("sourceDrift: skewed source shows higher KL than a corpus-typical one") {
+    // sources a and b share the corpus-wide mix; source c is skewed
+    val docs = Seq(
+      ("a", "alpha beta gamma delta alpha beta"),
+      ("a", "alpha beta gamma delta"),
+      ("b", "alpha beta gamma delta alpha beta"),
+      ("b", "alpha beta gamma delta"),
+      ("c", "zed zed zed zed zed zed zed zed zed zed"),
+    ).toDF("source", "text")
+    val out = Corpus.sourceDrift(docs)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // KL is non-negative up to the ~1-fp-unit log quantization
+    assert(out.values.forall(_._4 >= -2L), s"negative KL: $out")
+    // the skewed source diverges hard (its token is rare corpus-wide);
+    // the typical sources sit near zero
+    assert(out("c")._4 > out("a")._4 + 65536 / 2, s"KL: $out")
+    assert(out("a")._4 == out("b")._4, "identical sources, identical KL")
+    assert(out("c")._2 == 10L && out("c")._3 == 1L)
+  }
+
   test("dsirScores: target-domain-like docs score and select above off-domain ones") {
     val target = Seq(
       (100L, "quantum physics entangles qubits across superposed states"),
