@@ -160,7 +160,11 @@ object Corpus {
     * arXiv:2302.03169): score every raw-corpus document by how
     * target-domain-like its HASHED N-GRAM features are, then keep the
     * top slice — the canonical "give me the most wiki-like `p`% of the
-    * crawl" pre-training selection step.
+    * crawl" pre-training selection step. Supersedes the ratio-mean
+    * surrogate [[TextAnalysis.importanceWeights]] (kept declared as the
+    * overflow-immune decimal(38) variant from before the fixed-point log
+    * existed): this is the paper's actual log-likelihood-ratio estimator,
+    * with bigram features and the selection stage.
     *
     * The paper's estimator, engine-exact:
     *

@@ -49,7 +49,10 @@ object TextAnalysis {
     * LM — low bits/token ≈ fluent reference-like text, high ≈ boilerplate
     *, gibberish or the wrong domain; CCNet buckets the crawl by exactly
     * this score (they use a 5-gram KenLM; the bigram form is the same
-    * decision statistic at shuffle-join scale).
+    * decision statistic at shuffle-join scale). Complements
+    * [[bigramLmScore]] — the earlier probability-ppm readout that avoided
+    * transcendentals before the fixed-point log2 existed; this is the
+    * log-domain (bits/bigram) form CCNet actually buckets on.
     *
     * Engine-exact: p(w2|w1) = (c(w1w2)+1) / (c(w1·)+V) in add-one
     * smoothing, carried as a parts-per-billion integer, and the ONLY
@@ -814,6 +817,14 @@ object TextAnalysis {
     * Unlike [[bigramFluency]] (joint rate of the doc's own corpus), this is
     * a TRAINED conditional model applied to unseen text.
     *
+    * The LOG-domain form of this filter — true cross-entropy in
+    * bits/bigram, CCNet's actual bucketing statistic — is
+    * [[lmSurprisal]] (round 8): the fixed-point int64 log2
+    * ([[graft.functions.FixedPoint]]) removed the no-transcendental
+    * constraint this operator's probability-mean readout worked around.
+    * Both stay declared: the ppm probabilities here feed minimum-ppm
+    * ("worst transition") readouts that a log mean dilutes.
+    *
     * Determinism: all integer arithmetic until the final cosmetic double.
     *
     * Scale shape: ONE aggregation over the exploded train bigrams builds
@@ -900,7 +911,12 @@ object TextAnalysis {
     * The ratio mean replaces the paper's log-likelihood-ratio sum so every
     * step stays in exact integer arithmetic (cross products in
     * decimal(38), exact at any corpus size) — no transcendental whose
-    * rounding could differ across engines.
+    * rounding could differ across engines. The paper's ACTUAL estimator —
+    * log-likelihood-ratio scores over unigram+bigram features, plus the
+    * selection step — is [[graft.operators.Corpus.dsirScores]] (round 8),
+    * which the fixed-point int64 log2 ([[graft.functions.FixedPoint]])
+    * made portable; this ratio form stays declared as the
+    * overflow-immune decimal(38) variant.
     *
     * Scale shape: the bucket tables are `buckets` rows built by ONE
     * map-side-combined pass over each side; totals derive from the bucket

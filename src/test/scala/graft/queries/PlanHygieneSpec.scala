@@ -116,6 +116,13 @@ class PlanHygieneSpec extends SparkSpec {
                                // cohort-grouped
     "q188_user_value_deciles", // 1-row value total attached to the
                                // 10-row decile table
+    "q247_dsir_scores",        // 1-row (tt, tr) feature totals attached to
+                               // the bucket-sized weight table + 1-row doc
+                               // count attached to the score-bin histogram
+    "q248_lm_surprisal",       // 1-row vocab-size (smoothing V) attached
+                               // to the per-bigram score rows (q131 shape)
+    "q249_source_drift",       // 1-row global token total attached to the
+                               // (source, word) rate rows
   )
 
   private def executedPlan(name: String): String = {
