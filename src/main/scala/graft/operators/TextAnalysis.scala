@@ -516,6 +516,36 @@ object TextAnalysis {
           col("dup3_ppm") <= maxDup3Ppm)
   }
 
+  /** Per-document Shannon token entropy in fixed-point log2 units
+    * (2^-16 bits/token) — the information-density quality signal
+    * (boilerplate and keyword-stuffed docs sit far below fluent prose of
+    * the same length, and entropy tracks the burstiness the Gopher
+    * repetition rules threshold piecewise). [[simpsonDiversity]] was
+    * this metric's explicitly-documented no-libm stand-in; the pure-int64
+    * fixed-point log2 ([[graft.functions.FixedPoint]]) makes the real
+    * thing portable: H = Σ (c/n)·log2(n/c) computed as the exact integer
+    * Σ c·(log2fp(n) − log2fp(c)) div n (counts are the log inputs — no
+    * rate scaling needed, and c ≤ n < 2^31 keeps the domain).
+    *
+    * Output: (doc_id, n_tokens, n_distinct, entropy_fp); single-token
+    * docs land at 0 exactly (log2fp is exact at c = n). Scale shape:
+    * one explode, one (doc, token) count, one per-doc rollup — the q42
+    * token-count shape with a log attached. */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.FixedPoint.log2FpSparkSql
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        collect_list(col("c")).as("_cs"))
+      .selectExpr("doc_id", "n_tokens", "n_distinct", "_cs")
+      .selectExpr("doc_id", "n_tokens", "n_distinct",
+        s"""aggregate(_cs, CAST(0 AS BIGINT),
+           | (acc, c) -> acc + c * (${log2FpSparkSql("n_tokens")} -
+           |   ${log2FpSparkSql("c")})) div n_tokens AS entropy_fp"""
+          .stripMargin.replaceAll("\n", " "))
+  }
+
   def simpsonDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))

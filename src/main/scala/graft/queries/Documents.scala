@@ -805,6 +805,14 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-doc Shannon token entropy in fixed-point bits (q144's Simpson
+    // diversity was the documented no-libm stand-in; the int64 log2
+    // makes the real metric portable).
+    "q250_token_entropy" -> ((s, dir) => {
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-source distribution drift: KL(source || corpus) over unigram
     // rates in fixed-point log2 units — the ingest-mix monitor; exact
     // integer arithmetic end to end, so the oracle hash-checks it.
@@ -2581,6 +2589,25 @@ object Documents {
          |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
          |  coalesce(cleaned_text, '') AS cleaned_text
          |FROM ln LEFT JOIN kc USING (doc_id) ORDER BY ln.doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.tokenEntropy: per-(doc, token) counts joined
+    // with the per-doc total, FixedPoint log2 terms, integer-div mean.
+    "q250_token_entropy" -> {
+      import graft.functions.FixedPoint.log2FpDuckSql
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+         |            FROM documents),
+         |dc AS (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) AS BIGINT) AS n_distinct
+         |       FROM dc GROUP BY doc_id),
+         |tm AS (SELECT dc.doc_id,
+         |         c * (${log2FpDuckSql("n_tokens")} - ${log2FpDuckSql("c")}) AS term
+         |       FROM dc JOIN dl USING (doc_id))
+         |SELECT dl.doc_id, n_tokens, n_distinct,
+         |  CAST(CAST(sum(term) AS BIGINT) // n_tokens AS BIGINT) AS entropy_fp
+         |FROM tm JOIN dl USING (doc_id)
+         |GROUP BY dl.doc_id, n_tokens, n_distinct ORDER BY dl.doc_id""".stripMargin
+    },
 
     // Mirrors Corpus.sourceDrift: (source, word) counts, global rollup,
     // ppb rates, FixedPoint log2 KL terms, per-source integer-div mean.

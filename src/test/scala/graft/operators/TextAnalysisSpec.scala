@@ -382,6 +382,26 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 1L, 1000000L, 0L, 0L, false))) // top1 = 100% of its 1 token
   }
 
+  test("tokenEntropy: exact at anchors, diverse text above repeated text") {
+    val docs = Seq(
+      (0L, "a b c d"),              // uniform over 4: exactly 2 bits
+      (1L, "a a a a"),              // one type: exactly 0 bits
+      (2L, "a a b b"),              // uniform over 2: exactly 1 bit
+      (3L, "the quick brown fox jumps over the lazy dog"), // 8 types / 9 toks
+      (4L, "spam spam spam spam spam spam spam spam ham"), // heavy repeat
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // powers of two are EXACT in the fixed-point log (bit-length anchors)
+    assert(out(0L) == ((0L, 4L, 4L, 2 * 65536L)), s"uniform-4: ${out(0L)}")
+    assert(out(1L) == ((1L, 4L, 1L, 0L)), s"constant: ${out(1L)}")
+    assert(out(2L) == ((2L, 4L, 2L, 65536L)), s"uniform-2: ${out(2L)}")
+    // H(8/9 distinct) ≈ 2.948 bits; H(8 spam + 1 ham of 9) ≈ 0.503 bits
+    assert(math.abs(out(3L)._4 - 2.948 * 65536) < 200, s"prose: ${out(3L)}")
+    assert(math.abs(out(4L)._4 - 0.503 * 65536) < 200, s"spam: ${out(4L)}")
+    assert(out(3L)._4 > out(4L)._4 + 2 * 65536)
+  }
+
   test("lmSurprisal: reference-like text scores fewer bits than gibberish") {
     val lm = Seq(
       (10L, "the cat sat on the mat and the dog sat on the rug"),
