@@ -33,13 +33,22 @@ object JobProfile {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.gc()
-      lines.clear()
+      lines.synchronized(lines.clear())
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(200) // let trailing job-end events drain
-      println(f"== $name run$i total $sec%.2f s rows=$n jobs=${lines.size}")
-      lines.sortBy(_._1).foreach { case (id, s, site) =>
+      // drain the async listener bus before reading: wait until the
+      // event count is stable (the bus API is private), so a straggler
+      // job-end can't race the report or land in the next run's list
+      var last = -1
+      var waited = 0
+      while (waited < 2000 && lines.synchronized(lines.size) != last) {
+        last = lines.synchronized(lines.size)
+        Thread.sleep(100); waited += 100
+      }
+      val snap = lines.synchronized(lines.sortBy(_._1).toVector)
+      println(f"== $name run$i total $sec%.2f s rows=$n jobs=${snap.size}")
+      snap.foreach { case (id, s, site) =>
         println(f"  job $id%3d  $s%7.2f s  $site")
       }
     }

@@ -192,7 +192,10 @@ object Corpus {
     *    `dsir_fp` to [[Sampling]]'s seeded machinery.
     *
     * Output, one row per raw doc: (idCol, n_feats, dsir_fp,
-    * dsir_mean_fp, is_selected). Scale shape: target side is one pass
+    * dsir_mean_fp, is_selected). Empty/whitespace-only text normalizes
+    * to the single empty token (split convention, same as
+    * [[TextAnalysis.importanceWeights]]), so even featureless docs keep
+    * their row. Scale shape: target side is one pass
     * over the (small, by definition) target corpus; raw side is two
     * linear passes (bucket rates + per-doc counts) fanning out of one
     * plan; the per-doc score table — four longs per doc — is eagerly
@@ -217,14 +220,26 @@ object Corpus {
     val rCnt = db.groupBy(col("b")).agg(sum(col("c")).as("cr"))
     val stats = tCnt.agg(sum(col("ct")).as("tt"))
       .crossJoin(rCnt.agg(sum(col("cr")).as("tr")))
-    val rateT = s"((ct + 1) * 1000000000) div (tt + $nBuckets)"
-    val rateR = s"((cr + 1) * 1000000000) div (tr + $nBuckets)"
+    // fail LOUDLY past the ppb resolution: totals beyond ~1e9 truncate
+    // smoothed rates to 0 and log2fp(0) = 0 would silently degrade every
+    // weight (the repo's fail-loud discipline — same shape as
+    // nearDupGroups' maxRounds guard); lift the rate scale to ppt there.
+    val totGuard =
+      s"""coalesce(CAST(assert_true(tt <= ${1000000000L - nBuckets} AND
+         | tr <= ${1000000000L - nBuckets},
+         | 'dsirScores: feature totals exceed ppb rate resolution; lift the scale to ppt')
+         | AS BIGINT), 0)""".stripMargin.replaceAll("\n", " ")
     val w = tCnt.join(rCnt, Seq("b"), "full_outer")
       .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
       .crossJoin(broadcast(stats))
+      // rates as NAMED columns first: log2FpSparkSql inlines its input
+      // ~60x, so it takes short column references only (its contract)
       .selectExpr("b",
-        s"${log2FpSparkSql(rateT)} - ${log2FpSparkSql(rateR)} AS w")
+        s"((ct + 1) * 1000000000) div (tt + $nBuckets) + $totGuard AS rt",
+        s"((cr + 1) * 1000000000) div (tr + $nBuckets) AS rr")
+      .selectExpr("b",
+        s"${log2FpSparkSql("rt")} - ${log2FpSparkSql("rr")} AS w")
     val scored = db.join(broadcast(w), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("w")).as("dsir_fp"))
@@ -278,7 +293,12 @@ object Corpus {
       .join(totS, Seq("source"))
       .crossJoin(broadcast(totG))
       .selectExpr("source", "ts", "c",
-        "(c * 1000000000) div ts AS p_ppb",
+        // totals past ~1e9 truncate rates to 0 → fail loudly, don't
+        // silently zero the divergence (lift the scale to ppt there)
+        """(c * 1000000000) div ts + coalesce(CAST(assert_true(
+          | tg <= 1000000000,
+          | 'sourceDrift: token total exceeds ppb rate resolution; lift the scale to ppt')
+          | AS BIGINT), 0) AS p_ppb""".stripMargin.replaceAll("\n", " "),
         "(cg * 1000000000) div tg AS q_ppb")
       .selectExpr("source", "ts", "c",
         s"c * (${log2FpSparkSql("p_ppb")} - ${log2FpSparkSql("q_ppb")}) AS kl_term")

@@ -228,7 +228,11 @@ object Ivf {
       rerank: Int, idCol: String = "vec_id", vecCol: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    // the probe table is tiny (|Q|·nprobe rows) but has FOUR consumers
+    // (cell-id collect, the broadcast-gate estimate, qres, adc) — pin it
+    // once so the cross-join+window probe plan runs one job, not four
     val probed = probeCells(index, queries, nprobe, idCol, vecCol)
+      .localCheckpoint(eager = true)
     val cellIds = probed.select(col("cell_id")).distinct()
       .collect().map(_.get(0))
     val pruned = index.assigned.filter(col("cell_id").isin(
@@ -244,9 +248,9 @@ object Ivf {
           col("centroid"), (x, c) => x - c).as("_res"))
     val dtable = Pq.distanceTable(qres, "_qc", "_res", codebook, m, dim)
     // broadcast only while the table is provably driver-sized:
-    // rows = |query,cell pairs| × m × k_codebook. Both factors are known
-    // cheaply (probed is a small broadcast-join plan; the codebook is
-    // m × k_codebook rows by construction), so the estimate is exact.
+    // rows = |query,cell pairs| × m × k_codebook. Both counts are
+    // near-free (probed is checkpointed above; the codebook is
+    // m × k_codebook driver-built rows), so the estimate is exact.
     val dtableRows = probed.count() * codebook.count()
     val dtableHinted =
       if (dtableRows <= 4000000L) broadcast(dtable) else dtable

@@ -95,8 +95,13 @@ object TextAnalysis {
       .join(lmPrefix, Seq("w1"), "left")
       .crossJoin(broadcast(vStat))
       .selectExpr("doc_id",
+        // fail loudly if a prefix mass + vocab exceeds ppb resolution
+        // (p_ppb would truncate to 0 and the surprisal silently cap)
         s"""(coalesce(c12, 0) + 1) * 1000000000
-           | div (coalesce(c1, 0) + v) AS p_ppb""".stripMargin.replaceAll("\n", " "))
+           | div (coalesce(c1, 0) + v) + coalesce(CAST(assert_true(
+           | coalesce(c1, 0) + v <= 1000000000,
+           | 'lmSurprisal: prefix mass exceeds ppb resolution; lift the scale to ppt')
+           | AS BIGINT), 0) AS p_ppb""".stripMargin.replaceAll("\n", " "))
       .selectExpr("doc_id", s"1959352 - ${log2FpSparkSql("p_ppb")} AS sur")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("sur")).as("_ss"))
@@ -538,10 +543,14 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
         collect_list(col("c")).as("_cs"))
-      .selectExpr("doc_id", "n_tokens", "n_distinct", "_cs")
+      // log2fp(n_tokens) is constant per doc — hoist it into a column so
+      // the per-element lambda evaluates one fold per DISTINCT token,
+      // not two (log2FpSparkSql is a ~60-node expression)
+      .selectExpr("doc_id", "n_tokens", "n_distinct", "_cs",
+        s"${log2FpSparkSql("n_tokens")} AS _ln")
       .selectExpr("doc_id", "n_tokens", "n_distinct",
         s"""aggregate(_cs, CAST(0 AS BIGINT),
-           | (acc, c) -> acc + c * (${log2FpSparkSql("n_tokens")} -
+           | (acc, c) -> acc + c * (_ln -
            |   ${log2FpSparkSql("c")})) div n_tokens AS entropy_fp"""
           .stripMargin.replaceAll("\n", " "))
   }
