@@ -14,8 +14,9 @@ package graft.functions
   * ulp, which flips `floor`/`round` at bucket boundaries — the exact
   * portability failure the repo's integer-ppm discipline exists to
   * avoid), the value is bit-identical by construction. Max absolute
-  * error ~1.5e-5 in log2 units (validated against `math.log2` over the
-  * domain) — noise next to the corpus statistics it weighs.
+  * error < 2e-5 in log2 units (the spec gate; a 20k-point random sweep
+  * of the exact algorithm reaches ~1.72e-5) — noise next to the corpus
+  * statistics it weighs.
   *
   * Intermediates: mantissa < 2^21, packed accumulator m·2^16 + y < 2^37,
   * square < 2^42, (integer-part, 2^ip) pack ip·2^42 + 2^ip < 2^47 — all
@@ -40,6 +41,74 @@ object FixedPoint {
   /** DuckDB spelling of the SAME arithmetic (`//` division, list_reduce
     * fold) — byte-for-byte the same integer operations. */
   def log2FpDuckSql(x: String): String = gen(x, "//", "range(1, 17)", spark = false)
+
+  // ---- Wide domain: the FULL positive int64 range (1 <= x < 2^63) ----
+  //
+  // log2fp over 2^31..2^63-1 by shift-normalization:
+  //   log2fp_wide(x) = s·2^16 + log2fp(x div 2^s),  s = max(0, bitlen(x) − 31)
+  // so the shifted mantissa lands in [2^30, 2^31) and the narrow
+  // algorithm applies. Truncating the low s bits changes the argument by
+  // a relative < 2^-30, i.e. < 1.5e-9 log2 units — three orders below
+  // the narrow quantization, and the SAME truncation runs in every
+  // engine, so wide values stay bit-identical by construction. This is
+  // what lifts the DSIR/KL/surprisal rate math past the old ppb ceiling:
+  // rates with totals beyond 10^9 are computed as log differences of raw
+  // counts (log2(a/b) = log2fp_wide(a) − log2fp_wide(b)) instead of a
+  // scaled quotient, which is exact at ANY corpus size an int64 can
+  // count ([[graft.operators.Corpus.dsirScores]] et al.).
+  //
+  // The caller MUST stage shift and mantissa as named columns first
+  // (same inlining contract as the narrow form):
+  //   .selectExpr(s"${wideShiftSparkSql("x")} AS x_s",
+  //               s"${wideMantissaSparkSql("x")} AS x_m")
+  //   .selectExpr(s"${wideFromStagedSparkSql("x_s", "x_m")} AS lg")
+
+  /** Bits shifted out of `x` (0..32); `x` MUST be a short column ref. */
+  def wideShiftSparkSql(x: String): String = s"(${widePack(x)} div 4398046511104)"
+  def wideShiftDuckSql(x: String): String = s"(${widePack(x)} // 4398046511104)"
+
+  /** `x div 2^shift`, guaranteed in [1, 2^31); `x` a short column ref. */
+  def wideMantissaSparkSql(x: String): String =
+    s"(($x) div (${widePack(x)} % 4398046511104))"
+  def wideMantissaDuckSql(x: String): String =
+    s"(($x) // (${widePack(x)} % 4398046511104))"
+
+  /** The wide value from staged (shift, mantissa) columns. */
+  def wideFromStagedSparkSql(s: String, m: String): String =
+    s"(($s) * 65536 + ${log2FpSparkSql(m)})"
+  def wideFromStagedDuckSql(s: String, m: String): String =
+    s"(($s) * 65536 + ${log2FpDuckSql(m)})"
+
+  // (shift, 2^shift) packed as shift·2^42 + 2^shift; shift ≤ 32 so
+  // 2^shift ≤ 2^32 < 2^42. x ≥ 2^62 → shift 32 keeps the mantissa
+  // below 2^31 for every positive int64.
+  private def widePack(x: String): String =
+    (62 to 31 by -1)
+      .map(k => s"WHEN ($x) >= ${1L << k} THEN ${((k - 30).toLong << 42) + (1L << (k - 30))}")
+      .mkString("(CASE ", " ", " ELSE 1 END)")
+
+  /** JVM reference of the exact narrow algorithm — the spec oracle. */
+  def log2FpRef(x: Long): Long = {
+    require(x >= 1 && x < (1L << 31), s"narrow domain: $x")
+    val ip = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val p2 = 1L << ip
+    var acc = (x * 1048576L / p2) * 65536L
+    var i = 0
+    while (i < 16) {
+      val sq = (acc / 65536) * (acc / 65536) / 1048576
+      acc = if (sq >= 2097152) (sq / 2) * 65536 + (acc % 65536) * 2 + 1
+            else sq * 65536 + (acc % 65536) * 2
+      i += 1
+    }
+    ip * 65536 + acc % 65536
+  }
+
+  /** JVM reference of the wide form — bit-identical to the SQL staging. */
+  def log2FpRefWide(x: Long): Long = {
+    require(x >= 1, s"positive domain: $x")
+    val s = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(x) - 31)
+    s * 65536L + log2FpRef(x >> s)
+  }
 
   private def gen(x: String, div: String, rangeExpr: String, spark: Boolean): String = {
     // (ip, 2^ip) packed as ip·2^42 + 2^ip, one bit-length CASE

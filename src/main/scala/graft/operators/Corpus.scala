@@ -172,12 +172,13 @@ object Corpus {
     *    into `nBuckets` buckets (the paper's hashed n-gram model);
     *  - per-bucket importance weight
     *    `w(b) = log2fp(rate_target(b)) − log2fp(rate_raw(b))` with
-    *    add-one smoothing, rates in parts-per-billion so every smoothed
-    *    rate stays ≥ 1 up to ~10⁹ feature occurrences per side (lift the
-    *    scale to ppt past that). log2fp is [[graft.functions.FixedPoint]]
-    *    — a pure-int64 fixed-point log2, so the log-likelihood-ratio
-    *    weights (the one place the paper needs a transcendental) are
-    *    bit-identical in any engine;
+    *    add-one smoothing ([[dsirWeights]]): parts-per-billion quotients
+    *    while the totals fit ppb resolution, the scale-free wide-log
+    *    difference past that — exact at any int64 total, so the operator
+    *    runs at the 100 TB corpus size it targets. log2fp is
+    *    [[graft.functions.FixedPoint]] — a pure-int64 fixed-point log2,
+    *    so the log-likelihood-ratio weights (the one place the paper
+    *    needs a transcendental) are bit-identical in any engine;
     *  - doc score = Σ_b count_doc(b)·w(b) (the paper's log importance
     *    weight, up to the fixed 2^16/log2(e) scale), plus the
     *    per-feature MEAN — bounded range regardless of doc length —
@@ -218,28 +219,7 @@ object Corpus {
     val db = feats(raw, col(idCol)).groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))
     val rCnt = db.groupBy(col("b")).agg(sum(col("c")).as("cr"))
-    val stats = tCnt.agg(sum(col("ct")).as("tt"))
-      .crossJoin(rCnt.agg(sum(col("cr")).as("tr")))
-    // fail LOUDLY past the ppb resolution: totals beyond ~1e9 truncate
-    // smoothed rates to 0 and log2fp(0) = 0 would silently degrade every
-    // weight (the repo's fail-loud discipline — same shape as
-    // nearDupGroups' maxRounds guard); lift the rate scale to ppt there.
-    val totGuard =
-      s"""coalesce(CAST(assert_true(tt <= ${1000000000L - nBuckets} AND
-         | tr <= ${1000000000L - nBuckets},
-         | 'dsirScores: feature totals exceed ppb rate resolution; lift the scale to ppt')
-         | AS BIGINT), 0)""".stripMargin.replaceAll("\n", " ")
-    val w = tCnt.join(rCnt, Seq("b"), "full_outer")
-      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
-        coalesce(col("cr"), lit(0L)).as("cr"))
-      .crossJoin(broadcast(stats))
-      // rates as NAMED columns first: log2FpSparkSql inlines its input
-      // ~60x, so it takes short column references only (its contract)
-      .selectExpr("b",
-        s"((ct + 1) * 1000000000) div (tt + $nBuckets) + $totGuard AS rt",
-        s"((cr + 1) * 1000000000) div (tr + $nBuckets) AS rr")
-      .selectExpr("b",
-        s"${log2FpSparkSql("rt")} - ${log2FpSparkSql("rr")} AS w")
+    val w = dsirWeights(tCnt, rCnt, nBuckets)
     val scored = db.join(broadcast(w), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("w")).as("dsir_fp"))
@@ -262,6 +242,62 @@ object Corpus {
         col("dsir_mean_fp"), col("_bin").isNotNull.as("is_selected"))
   }
 
+  /** The DSIR per-bucket importance weights from the two bucket-count
+    * tables: `w(b) = log2fp(rate_target(b)) − log2fp(rate_raw(b))` with
+    * add-one smoothing — factored out of [[dsirScores]] so the rate math
+    * is unit-testable with fabricated count tables at ANY total (no
+    * corpus-sized fixture needed).
+    *
+    * Rate resolution is selected from the measured totals, per dataset:
+    *
+    *  - totals within parts-per-billion (both sides ≤ 10⁹ − nBuckets,
+    *    the round-8 ceiling): rates are the integer ppb quotients and
+    *    the weight is the narrow-log difference — VERBATIM the round-8
+    *    arithmetic, so established results are bit-identical;
+    *  - past that (a 100 TB corpus carries ~10¹³ features — the exact
+    *    scale this operator exists for, where round 8 failed loudly):
+    *    the scale cancels out of the log-likelihood ratio entirely, so
+    *    the weight is computed scale-FREE as
+    *    `(log2w(ct+1) − log2w(tt+nB)) − (log2w(cr+1) − log2w(tr+nB))`
+    *    with the wide-domain fixed-point log
+    *    ([[graft.functions.FixedPoint]]), exact for any int64 total.
+    *
+    * Both branches are pure int64 and engine-portable; CorpusSpec gates
+    * the wide branch against the JVM reference at totals > 10⁹. */
+  def dsirWeights(tCnt: DataFrame, rCnt: DataFrame, nBuckets: Int): DataFrame = {
+    import graft.functions.FixedPoint._
+    val stats = tCnt.agg(sum(col("ct")).as("tt"))
+      .crossJoin(rCnt.agg(sum(col("cr")).as("tr")))
+    val fits =
+      s"(tt <= ${1000000000L - nBuckets} AND tr <= ${1000000000L - nBuckets})"
+    tCnt.join(rCnt, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .crossJoin(broadcast(stats))
+      // stage everything as NAMED columns first: log2FpSparkSql inlines
+      // its input ~60x, so it takes short column references only (its
+      // contract). The ppb quotients are CASE-guarded so their products
+      // cannot overflow when the wide branch is the live one.
+      .selectExpr("b", s"$fits AS _fits",
+        s"CASE WHEN $fits THEN ((ct + 1) * 1000000000) div (tt + $nBuckets) ELSE 1 END AS rt",
+        s"CASE WHEN $fits THEN ((cr + 1) * 1000000000) div (tr + $nBuckets) ELSE 1 END AS rr",
+        "ct + 1 AS ct1", "cr + 1 AS cr1",
+        s"tt + $nBuckets AS ttn", s"tr + $nBuckets AS trn")
+      .selectExpr("b", "_fits", "rt", "rr",
+        s"${wideShiftSparkSql("ct1")} AS ct1_s", s"${wideMantissaSparkSql("ct1")} AS ct1_m",
+        s"${wideShiftSparkSql("cr1")} AS cr1_s", s"${wideMantissaSparkSql("cr1")} AS cr1_m",
+        s"${wideShiftSparkSql("ttn")} AS ttn_s", s"${wideMantissaSparkSql("ttn")} AS ttn_m",
+        s"${wideShiftSparkSql("trn")} AS trn_s", s"${wideMantissaSparkSql("trn")} AS trn_m")
+      .selectExpr("b",
+        s"""CASE WHEN _fits
+           | THEN ${log2FpSparkSql("rt")} - ${log2FpSparkSql("rr")}
+           | ELSE (${wideFromStagedSparkSql("ct1_s", "ct1_m")}
+           |     - ${wideFromStagedSparkSql("ttn_s", "ttn_m")})
+           |    - (${wideFromStagedSparkSql("cr1_s", "cr1_m")}
+           |     - ${wideFromStagedSparkSql("trn_s", "trn_m")})
+           | END AS w""".stripMargin.replaceAll("\n", " "))
+  }
+
   /** Per-source distribution drift: KL(source ‖ corpus) over the unigram
     * token distribution, in fixed-point log2 units (2^-16 bits/token) —
     * the mixture-monitoring statistic a training-data pipeline tracks per
@@ -270,10 +306,23 @@ object Corpus {
     *
     * KL = Σ_w p(w)·log2(p(w)/q(w)) computed as the exact integer
     * Σ_w c_w·(log2fp(p_ppb) − log2fp(q_ppb)) div n_tokens, with rates in
-    * parts-per-billion (every present word has c_w ≥ 1, so both rates
-    * are ≥ 1 up to 10⁹ tokens per side — no smoothing needed, q covers
-    * p's support by construction) and [[graft.functions.FixedPoint]] as
-    * the log. Non-negative up to the ~1.5e-5-bit log quantization.
+    * parts-per-billion while the corpus total fits ppb resolution (every
+    * present word has c_w ≥ 1, so both rates are ≥ 1 up to 10⁹ tokens —
+    * no smoothing needed, q covers p's support by construction) and
+    * [[graft.functions.FixedPoint]] as the log. Non-negative up to the
+    * ~1.5e-5-bit log quantization.
+    *
+    * Past 10⁹ total tokens (the round-8 fail-loud ceiling; a 100 TB
+    * corpus has ~10¹³) the rate scale cancels out of the log ratio, so
+    * each term switches to the scale-free wide-log form
+    * `c·((log2w(c) − log2w(ts)) − (log2w(cg) − log2w(tg)))`, exact for
+    * any int64 counts; the per-source SUM of those terms is the one
+    * quantity that can genuinely exceed int64 at that scale (ts · 63
+    * bits · 2¹⁶ ≈ 4·10¹⁹ worst-case), so the wide leg alone accumulates
+    * in decimal(38,0) — the [[TextAnalysis.bm25TopK]] rule — and the
+    * ppb-branch arithmetic stays VERBATIM round-8 bigint (bit-identical
+    * established results). CorpusSpec gates the wide branch against the
+    * JVM fixed-point reference on synthetic counts with tg > 10⁹.
     *
     * Output: (source, n_tokens, n_distinct, kl_fp), one row per source.
     * Scale shape: two map-side-combined token-count aggregates (per
@@ -282,31 +331,49 @@ object Corpus {
   def sourceDrift(docs: DataFrame, sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    import graft.functions.FixedPoint.log2FpSparkSql
     val tok = docs.select(col(sourceCol).as("source"), tokens(col(textCol)).as("tok"))
       .select(col("source"), explode(col("tok")).as("w"))
     val sw = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
     val gw = sw.groupBy(col("w")).agg(sum(col("c")).as("cg"))
     val totS = sw.groupBy(col("source")).agg(sum(col("c")).as("ts"))
     val totG = gw.agg(sum(col("cg")).as("tg"))
-    sw.join(gw, Seq("w"))
-      .join(totS, Seq("source"))
-      .crossJoin(broadcast(totG))
-      .selectExpr("source", "ts", "c",
-        // totals past ~1e9 truncate rates to 0 → fail loudly, don't
-        // silently zero the divergence (lift the scale to ppt there)
-        """(c * 1000000000) div ts + coalesce(CAST(assert_true(
-          | tg <= 1000000000,
-          | 'sourceDrift: token total exceeds ppb rate resolution; lift the scale to ppt')
-          | AS BIGINT), 0) AS p_ppb""".stripMargin.replaceAll("\n", " "),
-        "(cg * 1000000000) div tg AS q_ppb")
-      .selectExpr("source", "ts", "c",
-        s"c * (${log2FpSparkSql("p_ppb")} - ${log2FpSparkSql("q_ppb")}) AS kl_term")
+    sourceDriftTerms(sw.join(gw, Seq("w")).join(totS, Seq("source"))
+      .crossJoin(broadcast(totG)))
+  }
+
+  /** The rate/log/rollup tail of [[sourceDrift]] from its joined
+    * (source, c, cg, ts, tg) count rows — factored so the branch past
+    * the ppb ceiling is unit-testable with fabricated counts. */
+  private[graft] def sourceDriftTerms(joined: DataFrame): DataFrame = {
+    import graft.functions.FixedPoint._
+    joined
+      .selectExpr("source", "ts", "c", "cg", "tg",
+        "CASE WHEN tg <= 1000000000 THEN 1 ELSE 0 END AS _fits",
+        // ppb branch, verbatim round 8 (guarded: c·10⁹ would overflow
+        // int64 exactly when the wide branch is the live one)
+        "CASE WHEN tg <= 1000000000 THEN (c * 1000000000) div ts ELSE 1 END AS p_ppb",
+        "CASE WHEN tg <= 1000000000 THEN (cg * 1000000000) div tg ELSE 1 END AS q_ppb",
+        s"${wideShiftSparkSql("c")} AS c_s", s"${wideMantissaSparkSql("c")} AS c_m",
+        s"${wideShiftSparkSql("ts")} AS ts_s", s"${wideMantissaSparkSql("ts")} AS ts_m",
+        s"${wideShiftSparkSql("cg")} AS cg_s", s"${wideMantissaSparkSql("cg")} AS cg_m",
+        s"${wideShiftSparkSql("tg")} AS tg_s", s"${wideMantissaSparkSql("tg")} AS tg_m")
+      .selectExpr("source", "ts", "_fits",
+        s"""CASE WHEN _fits = 1
+           | THEN c * (${log2FpSparkSql("p_ppb")} - ${log2FpSparkSql("q_ppb")})
+           | ELSE 0 END AS kl_term""".stripMargin.replaceAll("\n", " "),
+        s"""CASE WHEN _fits = 1 THEN CAST(0 AS DECIMAL(38, 0))
+           | ELSE CAST(c AS DECIMAL(38, 0)) *
+           |   ((${wideFromStagedSparkSql("c_s", "c_m")}
+           |   - ${wideFromStagedSparkSql("ts_s", "ts_m")})
+           |  - (${wideFromStagedSparkSql("cg_s", "cg_m")}
+           |   - ${wideFromStagedSparkSql("tg_s", "tg_m")}))
+           | END AS kl_term_wide""".stripMargin.replaceAll("\n", " "))
       .groupBy(col("source"))
       .agg(max(col("ts")).as("n_tokens"), count(lit(1)).as("n_distinct"),
-        sum(col("kl_term")).as("_k"))
-      .withColumn("kl_fp", expr("_k div n_tokens"))
-      .select(col("source"), col("n_tokens"), col("n_distinct"), col("kl_fp"))
+        sum(col("kl_term")).as("_k"), sum(col("kl_term_wide")).as("_kw"),
+        max(col("_fits")).as("_f"))
+      .selectExpr("source", "n_tokens", "n_distinct",
+        "CASE WHEN _f = 1 THEN _k div n_tokens ELSE CAST(_kw div n_tokens AS BIGINT) END AS kl_fp")
   }
 
   /** Budgets proportional to each source's own token volume (`pct`% of

@@ -230,9 +230,16 @@ object Ivf {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     // the probe table is tiny (|Q|·nprobe rows) but has FOUR consumers
     // (cell-id collect, the broadcast-gate estimate, qres, adc) — pin it
-    // once so the cross-join+window probe plan runs one job, not four
+    // once so the cross-join+window probe plan runs one job, not four.
+    // Scoped-cache discipline (CacheHygieneSpec family): the probe
+    // checkpoint must not outlive the call — the |Q|·k result is
+    // checkpointed eagerly at the end and the probe blocks freed, so an
+    // (nprobe, rerank) sweep (AnnProbe) can't accumulate pinned blocks.
+    val sc = queries.sparkSession.sparkContext
+    val preIds = sc.getPersistentRDDs.keySet.toSet
     val probed = probeCells(index, queries, nprobe, idCol, vecCol)
       .localCheckpoint(eager = true)
+    val probedIds = sc.getPersistentRDDs.keySet.toSet.diff(preIds)
     val cellIds = probed.select(col("cell_id")).distinct()
       .collect().map(_.get(0))
     val pruned = index.assigned.filter(col("cell_id").isin(
@@ -279,7 +286,12 @@ object Ivf {
         Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("_sim", cosine_sim(col("_qvec"), col("_nvec")))
-    Knn.reduceTopK(exact, k)
+    // materialize the small |Q|·k result, then free the probe blocks —
+    // the one residual scoped block is k-rows-per-query sized
+    val out = Knn.reduceTopK(exact, k).localCheckpoint(eager = true)
+    val live = sc.getPersistentRDDs
+    probedIds.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    out
   }
 
   /** Shared fixed-point projection — the same definition [[Pq]] encodes

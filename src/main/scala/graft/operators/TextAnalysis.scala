@@ -61,7 +61,12 @@ object TextAnalysis {
     * log2fp(10⁹) − log2fp(p_ppb) = −log2(p)·2^16 (+ quantization ≤
     * ~1.5e-5 bits), so the whole filter hash-matches the DuckDB oracle.
     * p_ppb ∈ [1, 10⁹] by construction (c12 ≤ c1 and V ≥ 1), so the
-    * surprisal is non-negative and the log2fp domain holds.
+    * surprisal is non-negative and the log2fp domain holds. Prefixes
+    * whose mass exceeds ppb resolution (c1 + V > 10⁹ — reference
+    * corpora at the 100 TB scale this filter targets) switch per-row to
+    * the scale-free wide-log form log2w(c1+V) − log2w(c12+1), exact at
+    * any int64 count; rows within ppb keep the round-8 arithmetic
+    * verbatim.
     *
     * Output, one row per doc (including docs with < 2 tokens):
     * (doc_id, n_bigrams, bits_fp) — bits_fp = mean surprisal per bigram
@@ -72,10 +77,7 @@ object TextAnalysis {
     * 1-row vocab stat; scoring is one explode + two equi-joins on the
     * gram string (broadcast while the LM vocabulary fits, shuffle-hash
     * beyond) + one per-doc rollup. Nothing is quadratic; nothing sorts
-    * globally. Magnitudes: (c12+1)·10⁹ must fit int64 — fine to ~9·10⁹
-    * occurrences of a single bigram in the REFERENCE corpus (CCNet-sized
-    * reference sets are far below that); past it, lift the product to
-    * decimal(38,0), the [[bm25TopK]] rule. */
+    * globally. */
   def lmSurprisal(docs: DataFrame, lmCorpus: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     import graft.functions.FixedPoint.log2FpSparkSql
@@ -95,20 +97,39 @@ object TextAnalysis {
       .join(lmPrefix, Seq("w1"), "left")
       .crossJoin(broadcast(vStat))
       .selectExpr("doc_id",
-        // fail loudly if a prefix mass + vocab exceeds ppb resolution
-        // (p_ppb would truncate to 0 and the surprisal silently cap)
-        s"""(coalesce(c12, 0) + 1) * 1000000000
-           | div (coalesce(c1, 0) + v) + coalesce(CAST(assert_true(
-           | coalesce(c1, 0) + v <= 1000000000,
-           | 'lmSurprisal: prefix mass exceeds ppb resolution; lift the scale to ppt')
-           | AS BIGINT), 0) AS p_ppb""".stripMargin.replaceAll("\n", " "))
-      .selectExpr("doc_id", s"1959352 - ${log2FpSparkSql("p_ppb")} AS sur")
+        "coalesce(c12, 0) + 1 AS c12p", "coalesce(c1, 0) + v AS c1v")
+      .transform(surprisalFromCounts)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("sur")).as("_ss"))
       .withColumn("bits_fp", expr("_ss div n_bigrams"))
     toks.select(col("doc_id")).join(scoredDocs, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("bits_fp"), lit(0L)).as("bits_fp"))
+  }
+
+  /** The per-bigram surprisal term of [[lmSurprisal]] from staged
+    * (doc_id, c12p = c12+1, c1v = c1+V) count columns — factored so the
+    * branch past the ppb ceiling is unit-testable with fabricated
+    * counts. Within ppb resolution (c1v ≤ 10⁹): VERBATIM the round-8
+    * quotient arithmetic, sur = log2fp(10⁹) − log2fp(p_ppb). Past it
+    * (round 8 failed loudly there — exactly the 100 TB reference-corpus
+    * scale this filter targets), the rate scale cancels out of −log2(p),
+    * so the term switches per-row to the scale-free wide-log difference
+    * log2w(c1v) − log2w(c12p), exact at any int64 prefix mass. */
+  private[graft] def surprisalFromCounts(staged: DataFrame): DataFrame = {
+    import graft.functions.FixedPoint._
+    staged
+      .selectExpr("doc_id", "c1v <= 1000000000 AS _fits",
+        "CASE WHEN c1v <= 1000000000 THEN (c12p * 1000000000) div c1v ELSE 1 END AS p_ppb",
+        s"${wideShiftSparkSql("c12p")} AS c12p_s",
+        s"${wideMantissaSparkSql("c12p")} AS c12p_m",
+        s"${wideShiftSparkSql("c1v")} AS c1v_s",
+        s"${wideMantissaSparkSql("c1v")} AS c1v_m")
+      .selectExpr("doc_id",
+        s"""CASE WHEN _fits THEN 1959352 - ${log2FpSparkSql("p_ppb")}
+           | ELSE ${wideFromStagedSparkSql("c1v_s", "c1v_m")}
+           |    - ${wideFromStagedSparkSql("c12p_s", "c12p_m")}
+           | END AS sur""".stripMargin.replaceAll("\n", " "))
   }
 
   /** Length/stopword/word-shape quality heuristics + a [0,1] composite.

@@ -2611,6 +2611,9 @@ object Documents {
 
     // Mirrors Corpus.sourceDrift: (source, word) counts, global rollup,
     // ppb rates, FixedPoint log2 KL terms, per-source integer-div mean.
+    // Carries the fits-ppb branch only (the sf corpus total is far below
+    // 10⁹); the scale-free wide branch past the ceiling is gated by
+    // CorpusSpec against the JVM fixed-point reference.
     "q249_source_drift" -> {
       import graft.functions.FixedPoint.log2FpDuckSql
       s"""WITH tk AS (SELECT source, unnest(string_split($normSql, ' ')) AS w
@@ -2635,6 +2638,9 @@ object Documents {
     // Mirrors TextAnalysis.lmSurprisal: LM bigram/prefix counts on the
     // 80% split, add-one ppb conditional probability, FixedPoint log2
     // surprisal (1959352 = log2fp(1e9)), per-doc mean via integer div.
+    // Carries the fits-ppb branch only (every sf prefix mass is far
+    // below 10⁹); the wide branch is gated by TextAnalysisSpec against
+    // the JVM fixed-point reference.
     "q248_lm_surprisal" -> {
       import graft.functions.FixedPoint.log2FpDuckSql
       s"""WITH $tokCte,
@@ -2665,10 +2671,14 @@ object Documents {
     // Mirrors Corpus.dsirScores: unigram+bigram hashed buckets, add-one
     // ppb rates, FixedPoint log2 weights (same int64 shift-square fold,
     // DuckDB spelling), per-doc sums, bin-256 whole-bin top-20% cut.
+    // Rates are staged as NAMED columns (w0) before the log, mirroring
+    // the Spark-side staging — log2FpDuckSql inlines its input ~90x, so
+    // it takes short column references only (its contract). The sf
+    // corpus sits far inside ppb resolution, so this mirror carries the
+    // fits-ppb branch only; the wide-log branch past 10⁹ totals is
+    // gated by CorpusSpec against the JVM fixed-point reference.
     "q247_dsir_scores" -> {
       import graft.functions.FixedPoint.log2FpDuckSql
-      val rateT = "((ct + 1) * 1000000000) // (tt + 4096)"
-      val rateR = "((cr + 1) * 1000000000) // (tr + 4096)"
       s"""WITH $tokCte,
          |g AS (SELECT doc_id, unnest(tok) AS g FROM t
          |      UNION ALL
@@ -2681,10 +2691,13 @@ object Documents {
          |rc AS (SELECT b, sum(c) AS cr FROM db GROUP BY b),
          |st AS (SELECT (SELECT sum(ct) FROM tc) AS tt,
          |              (SELECT sum(cr) FROM rc) AS tr),
-         |w AS (SELECT b, ${log2FpDuckSql(rateT)} - ${log2FpDuckSql(rateR)} AS w
-         |      FROM (SELECT coalesce(tc.b, rc.b) AS b, coalesce(ct, 0) AS ct,
-         |              coalesce(cr, 0) AS cr
-         |            FROM tc FULL OUTER JOIN rc USING (b)) CROSS JOIN st),
+         |w0 AS (SELECT b, ((ct + 1) * 1000000000) // (tt + 4096) AS rt,
+         |         ((cr + 1) * 1000000000) // (tr + 4096) AS rr
+         |       FROM (SELECT coalesce(tc.b, rc.b) AS b, coalesce(ct, 0) AS ct,
+         |               coalesce(cr, 0) AS cr
+         |             FROM tc FULL OUTER JOIN rc USING (b)) CROSS JOIN st),
+         |w AS (SELECT b, ${log2FpDuckSql("rt")} - ${log2FpDuckSql("rr")} AS w
+         |      FROM w0),
          |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
          |         CAST(sum(c * w) AS BIGINT) AS dsir_fp
          |       FROM db JOIN w USING (b) GROUP BY doc_id),

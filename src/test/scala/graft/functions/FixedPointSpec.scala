@@ -9,8 +9,9 @@ class FixedPointSpec extends SparkSpec {
 
   private val values: Seq[Long] =
     Seq(1L, 2L, 3L, 5L, 7L, 10L, 100L, 999L, 4096L, 65535L, 65536L,
-      1048575L, 1048576L, 123456789L, 999999937L, (1L << 30) - 1) ++
-      (1 to 50).map(i => math.abs(new scala.util.Random(i).nextLong()) % ((1L << 30) - 2) + 1)
+      1048575L, 1048576L, 123456789L, 999999937L, (1L << 30) - 1,
+      1L << 30, (1L << 31) - 1) ++ // full documented domain up to 2^31-1
+      (1 to 50).map(i => math.abs(new scala.util.Random(i).nextLong()) % ((1L << 31) - 2) + 1)
 
   test("log2FpSparkSql tracks math.log2 within 2e-5 across the domain") {
     val out = values.toDF("x")
@@ -34,5 +35,48 @@ class FixedPointSpec extends SparkSpec {
       .selectExpr("x", s"${FixedPoint.log2FpSparkSql("x")} AS fp")
       .orderBy($"x").as[(Long, Long)].collect().map(_._2)
     assert(fp.zip(fp.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("log2FpRef matches the SQL algorithm bit-for-bit") {
+    val out = values.toDF("x")
+      .selectExpr("x", s"${FixedPoint.log2FpSparkSql("x")} AS fp")
+      .as[(Long, Long)].collect()
+    out.foreach { case (x, fp) => assert(fp == FixedPoint.log2FpRef(x), s"x=$x") }
+  }
+
+  // Wide domain: the ppb-ceiling lift for DSIR/KL/surprisal depends on
+  // these values staying exact over the FULL positive int64 range.
+  private val wideValues: Seq[Long] =
+    Seq(1L, 2L, (1L << 31) - 1, 1L << 31, (1L << 31) + 1, 999999937L,
+      1000000007L * 3, 1L << 45, (1L << 62) - 1, 1L << 62, Long.MaxValue,
+      10000000000L, 1000000000000L, 10000000000000L) ++ // 1e10, 1e12, 1e13
+      (1 to 50).map { i =>
+        val r = new scala.util.Random(1000 + i)
+        (math.abs(r.nextLong()) % (Long.MaxValue - 1)) + 1
+      }
+
+  test("wide staging tracks math.log2 within 2e-5 over ALL positive int64") {
+    import FixedPoint._
+    val out = wideValues.toDF("x")
+      .selectExpr("x", s"${wideShiftSparkSql("x")} AS s",
+        s"${wideMantissaSparkSql("x")} AS m")
+      .selectExpr("x", s"${wideFromStagedSparkSql("s", "m")} AS fp")
+      .as[(Long, Long)].collect()
+    out.foreach { case (x, fp) =>
+      val err = math.abs(fp.toDouble / 65536.0 - math.log(x.toDouble) / math.log(2.0))
+      assert(err < 2e-5, s"x=$x fp=$fp err=$err")
+      assert(fp == FixedPoint.log2FpRefWide(x), s"ref mismatch x=$x")
+    }
+  }
+
+  test("wide form equals narrow form verbatim below 2^31") {
+    import FixedPoint._
+    val out = values.toDF("x")
+      .selectExpr("x", s"${wideShiftSparkSql("x")} AS s",
+        s"${wideMantissaSparkSql("x")} AS m",
+        s"${log2FpSparkSql("x")} AS narrow")
+      .selectExpr("x", "narrow", s"${wideFromStagedSparkSql("s", "m")} AS wide")
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (x, n, w) => assert(n == w, s"x=$x narrow=$n wide=$w") }
   }
 }

@@ -152,4 +152,71 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
     assert(rerun.toSeq == out.toSeq)
   }
+
+  // ---- The ppb-ceiling lift (round-9): the rate math must stay EXACT
+  // past 10⁹ totals — the 100 TB scale these operators target, where
+  // round 8 failed loudly. Fabricated count tables, no giant fixture.
+
+  test("dsirWeights: exact past the ppb ceiling (totals > 1e9), verbatim within it") {
+    import graft.functions.FixedPoint.{log2FpRef, log2FpRefWide}
+    val nB = 16
+    // totals: tt = 12e9 (past ppb), tr = 3e13 (the 100 TB shape)
+    val tCnt = Seq((0L, 2000000000L), (1L, 9999999983L), (2L, 1L))
+      .toDF("b", "ct")
+    val rCnt = Seq((0L, 5L), (1L, 29999999999994L), (3L, 1L))
+      .toDF("b", "cr")
+    val tt = 2000000000L + 9999999983L + 1L
+    val tr = 5L + 29999999999994L + 1L
+    def expect(ct: Long, cr: Long): Long =
+      (log2FpRefWide(ct + 1) - log2FpRefWide(tt + nB)) -
+        (log2FpRefWide(cr + 1) - log2FpRefWide(tr + nB))
+    val w = Corpus.dsirWeights(tCnt, rCnt, nB)
+      .as[(Long, Long)].collect().toMap
+    assert(w(0L) == expect(2000000000L, 5L))
+    assert(w(1L) == expect(9999999983L, 29999999999994L))
+    assert(w(2L) == expect(1L, 0L)) // full-outer: missing raw side
+    assert(w(3L) == expect(0L, 1L)) // full-outer: missing target side
+    // in-domain bucket (huge target rate, tiny raw) weighs positive,
+    // off-domain negative — the separation the selection runs on
+    assert(w(0L) > 0 && w(1L) < 0)
+
+    // within ppb: bit-identical to the round-8 quotient arithmetic
+    val tS = Seq((0L, 900L), (1L, 50L)).toDF("b", "ct")
+    val rS = Seq((0L, 10L), (1L, 4000L)).toDF("b", "cr")
+    val (ttS, trS) = (950L, 4010L)
+    def expectSmall(ct: Long, cr: Long): Long =
+      log2FpRef(((ct + 1) * 1000000000L) / (ttS + nB)) -
+        log2FpRef(((cr + 1) * 1000000000L) / (trS + nB))
+    val wS = Corpus.dsirWeights(tS, rS, nB).as[(Long, Long)].collect().toMap
+    assert(wS(0L) == expectSmall(900L, 10L))
+    assert(wS(1L) == expectSmall(50L, 4000L))
+  }
+
+  test("sourceDriftTerms: exact KL past the ppb ceiling via the decimal wide leg") {
+    import graft.functions.FixedPoint.log2FpRefWide
+    // one source holding most of a 1.2e10-token corpus, one tiny skewed
+    // source — tg > 1e9 forces the wide branch end-to-end
+    val tg = 12000000000L
+    val rows = Seq(
+      // (source, c, cg, ts, tg): common word + rare word per source
+      ("big", 7000000000L, 7000000100L, 11999999000L, tg),
+      ("big", 4999999000L, 4999999800L, 11999999000L, tg),
+      ("tiny", 100L, 7000000100L, 1000L, tg),
+      ("tiny", 900L, 900L, 1000L, tg),
+    ).toDF("source", "c", "cg", "ts", "tg")
+    def term(c: Long, cg: Long, ts: Long): BigInt =
+      BigInt(c) * ((log2FpRefWide(c) - log2FpRefWide(ts)) -
+        (log2FpRefWide(cg) - log2FpRefWide(tg)))
+    val expBig = (term(7000000000L, 7000000100L, 11999999000L) +
+      term(4999999000L, 4999999800L, 11999999000L)) / BigInt(11999999000L)
+    val expTiny = (term(100L, 7000000100L, 1000L) +
+      term(900L, 900L, 1000L)) / BigInt(1000L)
+    val out = Corpus.sourceDriftTerms(rows)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("big")._4 == expBig.toLong, s"big: ${out("big")._4} vs $expBig")
+    assert(out("tiny")._4 == expTiny.toLong, s"tiny: ${out("tiny")._4} vs $expTiny")
+    assert(out("big")._2 == 11999999000L && out("big")._3 == 2L)
+    // the skewed tiny source diverges far more than the corpus-dominant one
+    assert(out("tiny")._4 > out("big")._4)
+  }
 }

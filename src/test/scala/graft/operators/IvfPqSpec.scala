@@ -117,6 +117,22 @@ class IvfPqSpec extends SparkSpec {
     assert(boundedRecall >= 0.7, s"rerank=100 residual recall too low: $boundedRecall")
   }
 
+  test("searchPqResidual: probe checkpoint freed at return; residual = result block only") {
+    val (idx, _, _) = fixture()
+    val (cbR, codesR) = Ivf.trainResidualPq(idx, m = 8, dim = 64)
+    val q = emb.filter($"vec_id" < 3)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    val out = Ivf.searchPqResidual(idx, cbR, codesR, q,
+      k = 5, nprobe = 3, m = 8, dim = 64, rerank = 20)
+    // AnnProbe's (nprobe, rerank) sweep calls this in a loop: only the
+    // |Q|·k result checkpoint may remain, never the probe table
+    val live = spark.sparkContext.getPersistentRDDs
+    assert(live.size == 1,
+      s"expected exactly the scoped result checkpoint, got ${live.size} blocks")
+    assert(out.count() == 15)
+  }
+
   test("residual PQ determinism across reruns") {
     val (idx, _, _) = fixture()
     val (cbR, codesR) = Ivf.trainResidualPq(idx, m = 8, dim = 64)

@@ -434,4 +434,32 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(rerun.toSeq == out.toSeq)
   }
+
+  test("surprisalFromCounts: exact past the ppb ceiling, verbatim within it") {
+    import graft.functions.FixedPoint.{log2FpRef, log2FpRefWide}
+    // fabricated (c12+1, c1+V) count pairs: rows 0-1 within ppb, rows
+    // 2-4 past it (prefix masses a 100 TB reference corpus produces) —
+    // the per-row branch must mix both forms in one dataset
+    val staged = Seq(
+      (0L, 6L, 900000000L),
+      (1L, 1L, 1000000000L),              // exactly at the ceiling: ppb
+      (2L, 1L, 1000000001L),              // one past it: wide
+      (3L, 123456789L, 30000000000000L),  // 3e13 = the 100 TB token mass
+      (4L, 29999999999999L, 30000000000000L),
+    ).toDF("doc_id", "c12p", "c1v")
+    val out = TextAnalysis.surprisalFromCounts(staged)
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) == 1959352L - log2FpRef(6L * 1000000000L / 900000000L))
+    assert(out(1L) == 1959352L - log2FpRef(1L)) // = log2fp(1e9) exactly
+    assert(out(2L) == log2FpRefWide(1000000001L) - log2FpRefWide(1L))
+    assert(out(3L) ==
+      log2FpRefWide(30000000000000L) - log2FpRefWide(123456789L))
+    assert(out(4L) ==
+      log2FpRefWide(30000000000000L) - log2FpRefWide(29999999999999L))
+    // surprisal stays non-negative and ~ -log2(p) in both branches
+    assert(out.values.forall(_ >= 0L))
+    val bits3 = out(3L).toDouble / 65536.0
+    val expect3 = math.log(30000000000000.0 / 123456789.0) / math.log(2.0)
+    assert(math.abs(bits3 - expect3) < 1e-3, s"$bits3 vs $expect3")
+  }
 }
