@@ -1,0 +1,103 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SemDeDup scale probe: measures the within-cell pair work of
+  * `Dedup.semanticDedupExemplars` across ScaleProbe replica tiers —
+  * the SCALE.md evidence that the stage is bounded by DISTINCT vectors,
+  * not corpus rows.
+  *
+  * ScaleProbe copies embedding VALUES unchanged across replicas (only
+  * ids shift), so a k× tier is exactly the 100 TB pathology the
+  * exact-duplicate collapse targets: every vector appears in a k-clique
+  * of byte-identical copies. Without the collapse the within-cell pair
+  * stage grows k²; with it the distinct-class census — and therefore
+  * the candidate pair count — is CONSTANT across tiers, and only the
+  * linear member-edge/labeling work scales.
+  *
+  * Prints one line per tier:
+  *   SEMDEDUP {"tier":k,"rows":n,"pairable":nz,"classes":d,
+  *             "cand_pairs":c,"screened_pairs":s,"dup_pairs":p,"sec":t}
+  * where cand_pairs = Σ over (cell, band) of c·(c−1)/2 AFTER the
+  * collapse (the pairs the equi-join materializes), screened_pairs the
+  * survivors of the 64-bit hamming prefilter, dup_pairs the qualified
+  * cosine pairs, and sec the steady-state wall of the full operator
+  * (Bench protocol: clean cache, one warm-up, best of two).
+  *
+  * Usage: SPARK_GRAFT_SCALE_TIERS=1,30,100 sbt "runMain graft.SemDedupProbe"
+  */
+object SemDedupProbe {
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tiers = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIERS", "1,30,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val minCosine = 0.3 // q246's declared operating point
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def clean(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache(); System.gc()
+    }
+    tiers.foreach { k =>
+      val dir =
+        if (k == 1) srcDir
+        else {
+          val d = s"/tmp/scaleprobe/x$k"
+          if (!new java.io.File(s"$d/lineitem.parquet").exists()) {
+            println(s"SEMDEDUP synthesizing ${k}x inputs at $d")
+            ScaleProbe.synthesize(spark, srcDir, d, k)
+          }
+          d
+        }
+      val vecs = graft.sources.Tables(spark, dir, "embeddings")
+      // mirror the operator's stages to census the pair space (the same
+      // public pieces semanticDedupExemplars composes)
+      import graft.functions.GraftFunctions.{cosine_sim, rhp_signature, hamming_dist, l2_norm}
+      val idx = graft.operators.Ivf.buildPortable(vecs, 8, 2, "vec_id", "embedding")
+      val dim = idx.cells.select(size(col("centroid"))).head().getInt(0)
+      val m = idx.assigned.select(col("cell_id"), col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("_v"))
+      val rows = m.count()
+      val pairable = m.filter(l2_norm(col("_v")) > 0)
+      val nz = pairable.count()
+      val classes = pairable.groupBy(col("cell_id"), col("_v"))
+        .agg(min(col("vid")).as("del"))
+        .withColumn("_psig", rhp_signature(col("_v"), 64, dim, 2303L, portable = true))
+        .persist()
+      val d = classes.count()
+      // q246's defaults: maxCellSize far above any cell here → band 0
+      val cand = classes.groupBy(col("cell_id"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2")).as("cp"))
+        .head().getLong(0)
+      val p = math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi
+      val thr = math.ceil(64.0 * p + 5.0 * math.sqrt(64.0 * p * (1.0 - p))).toInt
+      val lhs = classes.select(col("cell_id"), col("del").as("id_a"),
+        col("_psig").as("_pa"), col("_v").as("_va"))
+      val rhs = classes.select(col("cell_id"), col("del").as("id_b"),
+        col("_psig").as("_pb"), col("_v").as("_vb"))
+      val joined = lhs.join(rhs, Seq("cell_id")).filter(col("id_a") < col("id_b"))
+      val screened = joined.filter(hamming_dist(col("_pa"), col("_pb")) <= thr)
+      val s = screened.count()
+      val dup = screened.filter(cosine_sim(col("_va"), col("_vb")) >= minCosine).count()
+      classes.unpersist(blocking = false)
+      // steady-state wall of the full operator at q246's parameters
+      def run(): Long = graft.operators.Dedup.semanticDedupExemplars(
+        vecs, nCells = 8, minCosine = minCosine).count()
+      clean(); run()
+      val sec = (1 to 2).map { _ =>
+        clean()
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""SEMDEDUP {"tier":$k,"rows":$rows,"pairable":$nz,"classes":$d,"cand_pairs":$cand,"screened_pairs":$s,"dup_pairs":$dup,"sec":$sec%.2f}""")
+    }
+    spark.stop()
+  }
+}

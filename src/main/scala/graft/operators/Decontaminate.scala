@@ -115,4 +115,68 @@ object Decontaminate {
         when(col("n_tokens") > 0,
           expr("contam_tokens * 1000000 div n_tokens")).otherwise(lit(0L)))
   }
+
+  /** Span-level decontamination EXCISION — the transform behind
+    * [[spanContamination]]'s report: every maximal training span whose
+    * word-`n`-grams collide with the test/eval corpus is removed and the
+    * surviving tokens re-assembled (one row per training doc:
+    * doc_id, n_tokens, n_kept, cleaned_text — untouched and
+    * fully-excised docs included).
+    *
+    * Two policies, selected by `keepOne`:
+    *
+    *  - `keepOne = false` (default): ALL training occurrences of a
+    *    colliding gram are excised — the strict GPT-3/PaLM posture,
+    *    since ANY surviving copy still leaks the eval content into
+    *    training. The excised mass reconciles row for row with
+    *    [[spanContamination]].
+    *  - `keepOne = true`: canonical-copy semantics at the gram grain
+    *    (the [[Dedup.exciseRepeatedSpans]] `keepOne` policy, pointed at
+    *    the eval collision set): each colliding gram is owned by the
+    *    LOWEST-id training doc holding it and the owner's occurrences
+    *    survive. This is NOT a decontamination relaxation to use on
+    *    benchmark answers — it is for the boilerplate-collision case
+    *    (licenses, famous quotes, legal headers that legitimately occur
+    *    in both corpora), where stripping every copy would excise
+    *    canonical public text from the corpus. Owner election is a min
+    *    over the distinct (doc, gram) set — deterministic, no ties.
+    *
+    * Scale shape: identical to [[spanContamination]] (one posexplode,
+    * one equi probe of train positions against the distinct — and
+    * small — test gram set, everything after per-doc) plus
+    * [[Dedup.exciseAtPositions]]'s bucketed anti-join; keepOne adds one
+    * min aggregate keyed on the gram hash. In keepOne mode the posting
+    * frame feeds two consumers, so it is persisted SCOPED to this call:
+    * the hit positions materialize eagerly and the posting block is
+    * freed before returning (the [[Dedup]] cache discipline). */
+  def exciseContaminatedSpans(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      keepOne: Boolean = false): DataFrame = {
+    require(n >= 2)
+    val toks = train.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+    val trainPos0 = toks
+      .select(col("doc_id"), posexplode(shingles(col("tok"), n)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), hash32(col("s"), 0).as("h"))
+    val testH = test
+      .select(tokens(col(textCol)).as("tok"))
+      .select(explode(shingles(col("tok"), n)).as("s"))
+      .select(hash32(col("s"), 0).as("h")).distinct()
+    val hits =
+      if (keepOne) {
+        val trainPos = trainPos0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val owners = trainPos.select(col("doc_id"), col("h")).distinct()
+          .join(testH, Seq("h"), "left_semi")
+          .groupBy(col("h")).agg(min(col("doc_id")).as("_own"))
+        val out = trainPos.join(owners, Seq("h"))
+          .filter(col("doc_id") =!= col("_own"))
+          .select(col("doc_id"), col("pos"))
+          .localCheckpoint(eager = true)
+        trainPos.unpersist(blocking = false)
+        out
+      } else
+        trainPos0.join(testH, Seq("h"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+    Dedup.exciseAtPositions(toks, hits, n)
+  }
 }

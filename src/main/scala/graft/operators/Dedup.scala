@@ -624,22 +624,116 @@ object Dedup {
     * paper-faithful form — transitive groups, the centroid-outlier
     * keep rule, and a per-vector report instead of the removed set.
     *
-    * Scale shape: one k-means build (sampled fit at 100 TB), one
-    * within-cell self-join (equi on cell_id, never corpus²), the 1-job
-    * component labeling, and two vector-free joins on the id. */
+    * Scale shape — four mechanisms keep the within-cell quadratic
+    * bounded by the corpus, not by luck:
+    *
+    *  1. CELL COUNT SCALES WITH N (the paper's own rule: k ∝ corpus so
+    *     cell-sized pair blocks stay tractable). `nCells = 0` (the
+    *     default) derives `max(8, ceil(N / targetCellSize))` from one
+    *     count job; an explicit `nCells > 0` is honored verbatim (the
+    *     declared queries pin 8 for oracle reproducibility).
+    *  2. EXACT-DUPLICATE COLLAPSE (lossless): vectors that are
+    *     bit-identical within a cell enter the pairwise stage as ONE
+    *     delegate (min id); members attach to their delegate by a free
+    *     cosine-1 edge. Cosine depends only on the vector values, so
+    *     delegate edges reproduce the member edges transitively —
+    *     components and the election are unchanged (DedupSpec gates
+    *     this on a heavy-duplicate fixture). The common 100 TB
+    *     pathology — a crawl dumping millions of byte-identical
+    *     embeddings into one cell — costs O(distinct²), not O(copies²).
+    *     Zero-norm vectors can never reach `minCosine > 0` (cosine
+    *     zero-norm→0.0) and skip the pairwise stage entirely.
+    *  3. SIGN-LSH SUB-BANDING for oversized cells (declared loss,
+    *     LSH-inherent — the same accepted-recall contract as the
+    *     paper's own cross-cell misses): a cell still holding more
+    *     than `maxCellSize` DISTINCT vectors after the collapse is
+    *     split by the low bits of a portable 64-bit sign signature —
+    *     ceil(log2(size/maxCellSize)) bits, so expected sub-cell size
+    *     falls back under the cap. Only pairs within a sub-band are
+    *     compared; near-duplicates agree on sign bits with probability
+    *     (1 − θ/π) per bit, so true pairs mostly co-band. Never active
+    *     at or below `maxCellSize` — the declared queries' outputs are
+    *     bit-unchanged.
+    *  4. SIGN-BIT HAMMING PREFILTER on candidate pairs (recall-safe by
+    *     margin): before the 2·dim-flop cosine, pairs are screened on
+    *     the 64-bit signatures' hamming distance against
+    *     ceil(64·θ/π + 5σ) — five binomial standard deviations past
+    *     the expected disagreement AT the threshold angle, so a true
+    *     pair is dropped with probability < 1e-6 while far-apart pairs
+    *     (the bulk of a coarse cell) fail the one-word popcount and
+    *     never reach the cosine. Identical vectors hash identically
+    *     (hamming 0): the collapse edges are never at risk.
+    *
+    * After those, the plan is: one k-means build (sampled fit at
+    * 100 TB), one count+min groupBy keyed by the vector, one
+    * within-(sub)cell self-join (equi on (cell_id, band), never
+    * corpus²), the 1-job component labeling, and two vector-free joins
+    * on the id. */
   def semanticDedupExemplars(vecs: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", nCells: Int = 8,
-      minCosine: Double = 0.35, iters: Int = 2): DataFrame = {
-    import graft.functions.GraftFunctions.{cosine_sim, micro_units}
-    val idx = Ivf.buildPortable(vecs, nCells, iters, idCol, vecCol)
+      vecCol: String = "embedding", nCells: Int = 0,
+      minCosine: Double = 0.35, iters: Int = 2,
+      targetCellSize: Int = 4096, maxCellSize: Int = 16384,
+      prefilter: Boolean = true, seed: Long = 2303L): DataFrame = {
+    import graft.functions.GraftFunctions.{cosine_sim, micro_units, rhp_signature, hamming_dist, l2_norm}
+    require(minCosine <= 1.0, "minCosine above 1.0 can match nothing")
+    val nCellsEff =
+      if (nCells > 0) nCells
+      else {
+        val n = vecs.count()
+        math.max(8L, (n + targetCellSize - 1) / targetCellSize)
+          .min(Int.MaxValue).toInt
+      }
+    val idx = Ivf.buildPortable(vecs, nCellsEff, iters, idCol, vecCol)
+    val dim = idx.cells.select(size(col("centroid"))).head().getInt(0)
     val m = idx.assigned.select(col("cell_id"), col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("_v"))
-    val pairs = m.select(col("cell_id"), col("vid").as("id_a"), col("_v").as("_va"))
-      .join(m.select(col("cell_id"), col("vid").as("id_b"), col("_v").as("_vb")),
-        Seq("cell_id"))
+    // zero-norm vectors cosine to 0.0 against everything — with a
+    // positive threshold they cannot edge, so they skip the pair stage
+    val pairable = if (minCosine > 0) m.filter(l2_norm(col("_v")) > 0) else m
+    // exact-duplicate collapse: one delegate (min id) per distinct
+    // vector value per cell; members ride a free cosine-1 edge
+    val classes = pairable.groupBy(col("cell_id"), col("_v"))
+      .agg(min(col("vid")).as("del"))
+    val memberEdges = pairable
+      .join(classes, Seq("cell_id", "_v"))
+      .filter(col("vid") =!= col("del"))
+      .select(col("del").as("id_a"), col("vid").as("id_b"))
+    // skew guard: distinct-vector census per cell → sub-band bit count
+    // (0 for every cell within the cap; the census is nCells rows)
+    val cellBits = classes.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("_csz"))
+      .withColumn("_sbits",
+        when(col("_csz") <= maxCellSize, lit(0))
+          .otherwise(least(lit(16),
+            ceil(log(2.0, col("_csz").cast("double") / maxCellSize)).cast("int"))))
+      .select(col("cell_id"), col("_sbits"))
+    val sigged = classes
+      .withColumn("_psig",
+        rhp_signature(col("_v"), 64, dim, seed, portable = true))
+      .join(broadcast(cellBits), Seq("cell_id"))
+      .withColumn("_band",
+        expr("_psig & (shiftleft(CAST(1 AS BIGINT), _sbits) - 1)"))
+      .select(col("cell_id"), col("_band"), col("del"), col("_psig"), col("_v"))
+    // hamming screen: expected disagreement at the threshold angle plus
+    // five binomial sigmas; >= 64 means the screen is a no-op
+    val p = math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi
+    val thr = math.ceil(64.0 * p + 5.0 * math.sqrt(64.0 * p * (1.0 - p))).toInt
+    val joined = sigged
+      .select(col("cell_id"), col("_band"), col("del").as("id_a"),
+        col("_psig").as("_pa"), col("_v").as("_va"))
+      .join(sigged
+        .select(col("cell_id"), col("_band"), col("del").as("id_b"),
+          col("_psig").as("_pb"), col("_v").as("_vb")),
+        Seq("cell_id", "_band"))
       .filter(col("id_a") < col("id_b"))
+    val screened =
+      if (prefilter && thr < 64)
+        joined.filter(hamming_dist(col("_pa"), col("_pb")) <= thr)
+      else joined
+    val pairs = screened
       .filter(cosine_sim(col("_va"), col("_vb")) >= minCosine)
       .select(col("id_a"), col("id_b"))
+      .unionByName(memberEdges)
     val comps = nearDupGroups(pairs)
     val withSim = m.join(broadcast(idx.cells), Seq("cell_id"))
       .withColumn("_ccos", cosine_sim(micro_units(col("_v")), col("centroid")))
@@ -654,6 +748,53 @@ object Dedup {
       .select(col("vid").as(idCol), col("cell_id"), col("comp"),
         round(col("_ccos"), 6).as("centroid_sim"),
         (col("vid") === col("_rep")).as("is_kept"))
+  }
+
+  /** SemDeDup recall calibration (the q195-style audit for the SEMANTIC
+    * family): measures the cross-cell miss rate [[semanticDedupExemplars]]
+    * accepts — the paper's declared loss — as a function of the cell
+    * count. Ground truth = ALL pairs at `cosine >= minCosine` over a
+    * bounded audit subset (`idCol % sampleMod == 0`, the q210
+    * discipline: the exact all-pairs stage runs on a fixed-size sample,
+    * never the corpus); for each candidate cell count the portable
+    * k-means is trained on the FULL corpus — the operating partitioning,
+    * not a sampled one — and a true pair counts as FOUND iff both
+    * endpoints land in the same cell (exactly the pairs the within-cell
+    * stage can see). One row per cell count:
+    * (n_cells, true_pairs, found_pairs, recall_ppm).
+    *
+    * Scale shape: the ground-truth pair set is sample² with the sample
+    * side broadcast (BNLJ by design, audit-subset-bounded), checkpointed
+    * once and probed by id against each assignment — the k trainings
+    * and the id joins are all linear in the corpus. */
+  def semanticRecallAudit(vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", cellCounts: Seq[Int] = Seq(4, 8, 16),
+      minCosine: Double = 0.35, iters: Int = 2,
+      sampleMod: Int = 1): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_sim
+    require(cellCounts.nonEmpty && sampleMod >= 1)
+    val sample = vecs.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("_v"))
+    val truePairs = broadcast(
+        sample.select(col("vid").as("id_a"), col("_v").as("_va")))
+      .join(sample.select(col("vid").as("id_b"), col("_v").as("_vb")),
+        col("id_a") < col("id_b"))
+      .filter(cosine_sim(col("_va"), col("_vb")) >= minCosine)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = true) // pair-ids only; one consumer per k
+    cellCounts.map { k =>
+      val asg = Ivf.buildPortable(vecs, k, iters, idCol, vecCol).assigned
+      val ca = asg.select(col(idCol).as("id_a"), col("cell_id").as("_ca"))
+      val cb = asg.select(col(idCol).as("id_b"), col("cell_id").as("_cb"))
+      truePairs.join(ca, Seq("id_a")).join(cb, Seq("id_b"))
+        .agg(count(lit(1)).as("true_pairs"),
+          sum(when(col("_ca") === col("_cb"), 1L).otherwise(0L))
+            .as("found_pairs"))
+        .select(lit(k).as("n_cells"), col("true_pairs"), col("found_pairs"),
+          when(col("true_pairs") > 0,
+            expr("found_pairs * 1000000 div true_pairs"))
+            .otherwise(lit(0L)).as("recall_ppm"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Full transitive near-dup dedup: survivors = docs that are their own
@@ -1435,12 +1576,24 @@ object Dedup {
       k: Int = 8, minDocs: Int = 2, keepOne: Boolean = false): DataFrame = {
     val (toks, dupPos) =
       repeatedGramPositions(docs, idCol, textCol, k, minDocs, exemptOwner = keepOne)
+    exciseAtPositions(toks, dupPos, k)
+  }
+
+  /** Shared back half of the span excisers ([[exciseRepeatedSpans]],
+    * [[Decontaminate.exciseContaminatedSpans]]): merge the width-`k`
+    * gram start positions in `posDf` (doc_id, pos) into maximal spans,
+    * remove every covered token from `toks` (doc_id, tok), and
+    * re-assemble the survivors. Output: (doc_id, n_tokens, n_kept,
+    * cleaned_text), one row per doc including untouched and
+    * fully-excised ones. */
+  private[operators] def exciseAtPositions(toks: DataFrame, posDf: DataFrame,
+      k: Int): DataFrame = {
     // explode each span to its overlapped position buckets (width k, the
     // gram granularity): bucket count per span = coverage/k + O(1), and a
     // position p can only fall in a span whose bucket range contains
     // p div k — the bucket equi-key is exact, the range test only
     // discriminates within the bucket
-    val spans = spanIntervals(dupPos, k)
+    val spans = spanIntervals(posDf, k)
       .select(col("doc_id").as("_sd"), col("fp"), col("lp"),
         explode(sequence(expr(s"fp div $k"), expr(s"lp div $k"))).as("_sb"))
     val words = toks.select(col("doc_id"),

@@ -319,33 +319,38 @@ object Ivf {
       corpus: DataFrame, nCells: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     val mv = corpus.select(col(idCol), col(vecCol), microVec(col(vecCol)).as("_mv"))
-    var cells = mv.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol), col("_mv"))
-      .withColumn("cell_id",
-        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
-      .select(col("cell_id"), col("_mv").as("centroid"))
+    // Lloyd state lives on the DRIVER as the collected (cell_id,
+    // centroid) array — nCells × dim, driver-sized by construction. Each
+    // round's collect then executes exactly ONE assignment + re-center
+    // pass over the corpus (the previous round's centroids ride along as
+    // literals), and the returned index's `cells` is a LITERAL frame:
+    // downstream consumers (probe broadcasts, ADC tables, the SemDeDup
+    // election) reuse the trained numbers instead of re-executing the
+    // whole Lloyd chain once per consumer (the pre-round-9 shape re-ran
+    // it up to 3 extra corpus passes per query). The values are the same
+    // collected doubles, so every result is bit-identical
+    // (oracle-verified across the IVF query family).
+    var cs = collectCells(
+      mv.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol), col("_mv"))
+        .withColumn("cell_id",
+          (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+        .select(col("cell_id"), col("_mv").as("centroid")))
     for (_ <- 1 to iters) {
-      val a = assignPortable(mv, cells, idCol)
-      cells = a.select(col("cell_id"), posexplode(col("_mv")).as(Seq("pos", "x")))
-        .groupBy(col("cell_id"), col("pos"))
-        .agg((sum(col("x").cast("long")).cast("double") / count(lit(1))).as("m"))
-        .groupBy(col("cell_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("centroid"))
+      val a = withCellId(mv, cs)
+      cs = collectCells(
+        a.select(col("cell_id"), posexplode(col("_mv")).as(Seq("pos", "x")))
+          .groupBy(col("cell_id"), col("pos"))
+          .agg((sum(col("x").cast("long")).cast("double") / count(lit(1))).as("m"))
+          .groupBy(col("cell_id"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            e => e.getField("m")).as("centroid")))
     }
-    IvfIndex(cells, assignPortable(mv, cells, idCol).drop("_mv"))
+    val cells = corpus.sparkSession.createDataFrame(
+      cs.toIndexedSeq.map { case (id, c) => (id, c.toIndexedSeq) })
+      .toDF("cell_id", "centroid")
+    IvfIndex(cells, withCellId(mv, cs).drop("_mv"))
   }
-
-  /** argmin cell by micro-unit squared L2; ties to the lowest cell_id.
-    * The centroid table is driver-sized by construction (nCells × dim),
-    * so assignment is a ZERO-SHUFFLE map: the cell list rides along as a
-    * literal and a fixed-order fold keeps the first strict improvement —
-    * identical to the oracle's (d2 ASC, cell_id ASC) row_number pick. At
-    * 100 TB this is the embarrassingly-parallel pass that touches every
-    * row; no join, no window sort. */
-  private def assignPortable(
-      mv: DataFrame, cells: DataFrame, idCol: String): DataFrame =
-    withCellId(mv, collectCells(cells))
 
   /** (cell_id, centroid) rows pulled to the driver, cell_id-ordered —
     * nCells × dim doubles, driver-sized for any sane cell count. */

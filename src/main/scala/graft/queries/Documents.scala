@@ -871,6 +871,34 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Decontamination EXCISION (the transform behind q243's report):
+    // every training span colliding with the held-out 20% removed,
+    // survivors re-assembled — the strict GPT-3/PaLM posture where any
+    // surviving copy still leaks eval content into training.
+    "q251_decontam_excision" -> ((s, dir) => {
+      import graft.functions.TextFunctions.hash32
+      val docs = t(s, dir, "documents")
+      val isTrain = hash32(col("doc_id").cast("string"), 9) % 100 < 80
+      graft.operators.Decontaminate.exciseContaminatedSpans(
+          docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Keep-one decontamination excision: q245's canonical-copy policy
+    // pointed at the eval collision set — each colliding 8-gram's
+    // lowest-id training holder keeps its occurrences (the boilerplate-
+    // collision case: licenses, famous quotes), every other copy is
+    // excised.
+    "q252_decontam_excision_keepone" -> ((s, dir) => {
+      import graft.functions.TextFunctions.hash32
+      val docs = t(s, dir, "documents")
+      val isTrain = hash32(col("doc_id").cast("string"), 9) % 100 < 80
+      graft.operators.Decontaminate.exciseContaminatedSpans(
+          docs.filter(isTrain), docs.filter(!isTrain), "doc_id", "text",
+          n = 8, keepOne = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // Round-5 curation capstone: exact-dedup winners, near-dup losers
     // and containment-dominated docs dropped, component loss weights,
     // quality cut on the cross-source quantile-normalized score, split
@@ -2762,6 +2790,69 @@ object Documents {
          |    coalesce(dup_tokens, 0) * 1000000 // n_tokens ELSE 0 END
          |    AS BIGINT) AS contam_ppm
          |FROM ln LEFT JOIN pd USING (doc_id) ORDER BY ln.doc_id""".stripMargin,
+
+    // Mirrors Decontaminate.exciseContaminatedSpans (strict): q243's
+    // train-position probe against the held-out gram set, then q244's
+    // interval union + token anti-join + string_agg rebuild, restricted
+    // to training docs.
+    "q251_decontam_excision" ->
+      s"""WITH $tokCte,
+         |${posShingleCte(8)},
+         |sp0 AS (SELECT doc_id,
+         |  ${h32("CAST(doc_id AS VARCHAR)", 9)} % 100 < 80 AS is_train
+         |  FROM documents),
+         |gh AS (SELECT shp.doc_id, pos, ${h32("s", 0)} AS h, is_train
+         |  FROM shp JOIN sp0 ON shp.doc_id = sp0.doc_id),
+         |th AS (SELECT DISTINCT h FROM gh WHERE NOT is_train),
+         |dp AS (SELECT doc_id, pos FROM gh JOIN th USING (h) WHERE is_train),
+         |${spanRollupSql(8)},
+         |u AS (SELECT t.doc_id, generate_subscripts(tok, 1) - 1 AS p,
+         |  unnest(tok) AS w FROM t JOIN sp0 ON t.doc_id = sp0.doc_id
+         |  WHERE is_train),
+         |kept AS (SELECT u.* FROM u WHERE NOT EXISTS (SELECT 1 FROM spn s
+         |  WHERE s.doc_id = u.doc_id AND u.p BETWEEN s.fp AND s.lp)),
+         |kc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(w, ' ' ORDER BY p) AS cleaned_text
+         |  FROM kept GROUP BY doc_id),
+         |ln AS (SELECT t.doc_id, CAST(len(tok) AS BIGINT) AS n_tokens
+         |  FROM t JOIN sp0 ON t.doc_id = sp0.doc_id WHERE is_train)
+         |SELECT ln.doc_id, n_tokens,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(cleaned_text, '') AS cleaned_text
+         |FROM ln LEFT JOIN kc USING (doc_id) ORDER BY ln.doc_id""".stripMargin,
+
+    // Mirrors exciseContaminatedSpans(keepOne = true): q251's pipeline,
+    // but each colliding gram carries its min-training-doc owner and dp
+    // drops the owner's rows.
+    "q252_decontam_excision_keepone" ->
+      s"""WITH $tokCte,
+         |${posShingleCte(8)},
+         |sp0 AS (SELECT doc_id,
+         |  ${h32("CAST(doc_id AS VARCHAR)", 9)} % 100 < 80 AS is_train
+         |  FROM documents),
+         |gh AS (SELECT shp.doc_id, pos, ${h32("s", 0)} AS h, is_train
+         |  FROM shp JOIN sp0 ON shp.doc_id = sp0.doc_id),
+         |th AS (SELECT DISTINCT h FROM gh WHERE NOT is_train),
+         |ow AS (SELECT h, min(doc_id) AS own
+         |  FROM (SELECT DISTINCT doc_id, h FROM gh WHERE is_train)
+         |  JOIN th USING (h) GROUP BY h),
+         |dp AS (SELECT doc_id, pos FROM gh JOIN ow USING (h)
+         |  WHERE is_train AND gh.doc_id <> ow.own),
+         |${spanRollupSql(8)},
+         |u AS (SELECT t.doc_id, generate_subscripts(tok, 1) - 1 AS p,
+         |  unnest(tok) AS w FROM t JOIN sp0 ON t.doc_id = sp0.doc_id
+         |  WHERE is_train),
+         |kept AS (SELECT u.* FROM u WHERE NOT EXISTS (SELECT 1 FROM spn s
+         |  WHERE s.doc_id = u.doc_id AND u.p BETWEEN s.fp AND s.lp)),
+         |kc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(w, ' ' ORDER BY p) AS cleaned_text
+         |  FROM kept GROUP BY doc_id),
+         |ln AS (SELECT t.doc_id, CAST(len(tok) AS BIGINT) AS n_tokens
+         |  FROM t JOIN sp0 ON t.doc_id = sp0.doc_id WHERE is_train)
+         |SELECT ln.doc_id, n_tokens,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(cleaned_text, '') AS cleaned_text
+         |FROM ln LEFT JOIN kc USING (doc_id) ORDER BY ln.doc_id""".stripMargin,
 
     "q153_ngram_novelty" ->
       s"""WITH $tokCte,

@@ -225,6 +225,20 @@ object Extras {
         .orderBy(col("vec_id"))
     }),
 
+    // SemDeDup recall calibration: the paper's accepted cross-cell loss,
+    // MEASURED — exact ground-truth pairs at cosine >= 0.3 over the
+    // vec_id % 4 audit subset vs the fraction co-celled by the portable
+    // k-means at 4 / 8 / 16 cells (each trained on the full corpus, the
+    // operating partitioning). The q195-style calibration row for the
+    // semantic-dedup family: how much recall each cell-count bucket
+    // costs, as data, not as a promise.
+    "q253_semdedup_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Dedup.semanticRecallAudit(e,
+          cellCounts = Seq(4, 8, 16), minCosine = 0.3, sampleMod = 4)
+        .orderBy(col("n_cells"))
+    }),
+
     // Multimodal + vector search composition: nearest media assets by
     // stub-feature cosine (shows media features flow into the ANN core).
     // The query-side media filter runs BEFORE the decode: filters can't
@@ -345,6 +359,20 @@ object Extras {
        |pr AS (SELECT qid, cell_id FROM (SELECT qid, cell_id,
        |         row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cell_id ASC) AS crk
        |       FROM ps) WHERE crk <= 3)""".stripMargin
+
+  /** Parameterized portable-k-means chain over the shared `e` CTE:
+    * {p}c0 → ({p}a1,{p}c1) → ({p}a2,{p}c2) → {p}af — q29's trained
+    * cells at any cell count, name-prefixed so several cell counts can
+    * coexist in one statement (the q253 recall audit trains three). */
+  private def cellChain(p: String, k: Int): String =
+    s"""${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell_id,
+       |         mv AS centroid
+       |       FROM (SELECT vec_id, mv FROM e ORDER BY vec_id LIMIT $k)),
+       |${assignCte(s"${p}a1", s"${p}c0")},
+       |${updateCte(s"${p}c1", s"${p}a1")},
+       |${assignCte(s"${p}a2", s"${p}c1")},
+       |${updateCte(s"${p}c2", s"${p}a2")},
+       |${assignCte(s"${p}af", s"${p}c2")}""".stripMargin
 
   /** exact-cosine rescore of a (qid, nid) candidate CTE → top-k rows. */
   private def rescoreSql(cand: String, k: Int): String =
@@ -479,6 +507,41 @@ object Extras {
          |SELECT l.vec_id, l.cell_id, l.comp, round(l.ccos, 6) AS centroid_sim,
          |  (l.vec_id = rep.rep_id) AS is_kept
          |FROM lab l JOIN rep USING (comp) ORDER BY l.vec_id""".stripMargin,
+
+    // Mirrors Dedup.semanticRecallAudit: the exact all-pairs ground
+    // truth over the vec_id % 4 audit subset (same fixed-fold cosine),
+    // three full-corpus portable k-means trainings (cellChain at 4/8/16),
+    // and the co-celled fraction per cell count.
+    "q253_semdedup_recall" -> {
+      def leg(p: String, k: Int): String =
+        s"""SELECT $k AS n_cells,
+           |  CAST(count(*) AS BIGINT) AS true_pairs,
+           |  CAST(sum(CASE WHEN ca.cell_id = cb.cell_id THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS found_pairs
+           |FROM tp JOIN ${p}af ca ON ca.vec_id = tp.id_a
+           |        JOIN ${p}af cb ON cb.vec_id = tp.id_b""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         |  list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000000.0)) AS mv
+         |  FROM embeddings),
+         |${cellChain("k4", 4)},
+         |${cellChain("k8", 8)},
+         |${cellChain("k16", 16)},
+         |smp AS (SELECT vec_id, ev FROM e WHERE vec_id % 4 = 0),
+         |tp0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |          ${cosSelect("a.ev", "b.ev")}
+         |        FROM smp a JOIN smp b ON a.vec_id < b.vec_id),
+         |tp AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |         CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |              ELSE dot / (sqrt(na) * sqrt(nb)) END AS cs FROM tp0)
+         |       WHERE cs >= 0.3),
+         |legs AS (${leg("k4", 4)} UNION ALL ${leg("k8", 8)}
+         |         UNION ALL ${leg("k16", 16)})
+         |SELECT CAST(n_cells AS INTEGER) AS n_cells, true_pairs, found_pairs,
+         |  CAST(CASE WHEN true_pairs > 0 THEN
+         |    found_pairs * 1000000 // true_pairs ELSE 0 END AS BIGINT)
+         |    AS recall_ppm
+         |FROM legs ORDER BY n_cells""".stripMargin
+    },
 
     // Mirrors Knn.recallAtK(exact full-dim, exact 16-dim-truncated):
     // both brute-force top-5 sides use the same fixed-fold cosine the

@@ -37,6 +37,51 @@ class DecontaminateSpec extends SparkSpec {
     assert(cleaned == all -- contaminatedIds)
   }
 
+  test("exciseContaminatedSpans strict: every colliding span removed; reconciles with the report") {
+    val tr = Seq(
+      (10L, "m n o p q r"),        // "m n o p" collides with the eval doc
+      (11L, "f g h i j k"),        // clean
+      (12L, "a m n o p b"),        // second holder of the same collision
+    ).toDF("doc_id", "text")
+    val te = Seq((20L, "z z m n o p z")).toDF("doc_id", "text")
+    val out = Decontaminate.exciseContaminatedSpans(tr, te, "doc_id", "text", n = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // strict: BOTH holders lose the span — any surviving copy still leaks
+    assert(out == Seq(
+      (10L, 6L, 2L, "q r"),
+      (11L, 6L, 6L, "f g h i j k"),
+      (12L, 6L, 2L, "a b")))
+    // n_tokens - n_kept reconciles row for row with the report's mass
+    val rep = Decontaminate.spanContamination(tr, te, "doc_id", "text", n = 3)
+      .select($"doc_id", $"contam_tokens").as[(Long, Long)].collect().toMap
+    out.foreach { case (id, nt, nk, _) => assert(nt - nk == rep(id)) }
+  }
+
+  test("exciseContaminatedSpans keepOne: lowest-id training holder keeps the span") {
+    val tr = Seq(
+      (10L, "m n o p q r"),
+      (11L, "f g h i j k"),
+      (12L, "a m n o p b"),
+    ).toDF("doc_id", "text")
+    val te = Seq((20L, "z z m n o p z")).toDF("doc_id", "text")
+    val out = Decontaminate.exciseContaminatedSpans(tr, te, "doc_id", "text",
+        n = 3, keepOne = true)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 10 is the min-id holder of both colliding grams -> intact;
+    // doc 12 owns neither -> excised exactly as in strict mode
+    assert(out == Seq(
+      (10L, 6L, 6L, "m n o p q r"),
+      (11L, 6L, 6L, "f g h i j k"),
+      (12L, 6L, 2L, "a b")))
+    // determinism: owner election is a min over unique ids
+    val rerun = Decontaminate.exciseContaminatedSpans(tr, te, "doc_id", "text",
+        n = 3, keepOne = true).orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(rerun == out)
+  }
+
   test("spanContamination reports the exact overlapping span, zero rows for clean docs") {
     val tr = Seq(
       (10L, "m n o p q r"),        // "m n o p" overlaps the eval doc

@@ -442,6 +442,108 @@ class DedupSpec extends SparkSpec {
     assert(rerun.toSeq == out.toSeq)
   }
 
+  private def unitV(xs: Double*): Array[Float] = {
+    val n = math.sqrt(xs.map(x => x * x).sum)
+    xs.map(x => (x / n).toFloat).toArray
+  }
+
+  test("semanticDedupExemplars: exact-duplicate collapse is lossless on a copy-heavy skewed cell") {
+    // the 100 TB pathology in miniature: a crawl dumps byte-identical
+    // embeddings — ids 0/2/4/6 are EXACT copies (cluster A), 8 a true
+    // near-dup of A; ids 1/3 exact copies (cluster B), 5 a near-dup of B
+    val a = unitV(1.0, 0.0, 0.0, 0.0)
+    val b = unitV(0.0, 0.0, 1.0, 0.0)
+    val vecs = Seq(
+      (0L, a), (2L, a), (4L, a), (6L, a),
+      (8L, unitV(0.98, 0.2, 0.0, 0.0)),
+      (1L, b), (3L, b),
+      (5L, unitV(0.0, 0.0, 0.9, 0.436)),
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupExemplars(vecs, nCells = 2, minCosine = 0.8)
+      .select($"vec_id", $"comp", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val comp = out.map(r => r._1 -> r._2).toMap
+    // copies ride delegate edges, the near-dup rides the pairwise edge:
+    // components are exactly what the uncollapsed all-pairs stage finds
+    assert(Seq(0L, 2L, 4L, 6L, 8L).forall(comp(_) == 0L), s"comp: ${comp.toSeq.sorted}")
+    assert(Seq(1L, 3L, 5L).forall(comp(_) == 1L), s"comp: ${comp.toSeq.sorted}")
+    // election unchanged by the collapse: the centroid outliers (the
+    // near-dups, not the identical mass the centroid sits on) are kept
+    val kept = out.filter(_._3).map(_._1).toSet
+    assert(kept == Set(8L, 5L), s"kept: $kept")
+  }
+
+  test("semanticDedupExemplars: sub-band skew guard caps an oversized cell, copies stay grouped") {
+    // one giant cell (nCells = 1) of 6 distinct directions + 3 exact
+    // copies; maxCellSize = 2 forces ceil(log2(6/2)) = 2 sub-band bits.
+    // Copies collapse BEFORE banding, so the guard bounds distinct², and
+    // the delegate edges keep every copy grouped no matter the banding.
+    val a = unitV(1.0, 0.2, 0.0, 0.1)
+    val vecs = Seq(
+      (0L, a), (1L, a), (2L, a),
+      (3L, unitV(0.0, 1.0, 0.0, 0.0)),
+      (4L, unitV(0.0, 0.0, 1.0, 0.0)),
+      (5L, unitV(0.0, 0.0, 0.0, 1.0)),
+      (6L, unitV(1.0, 0.21, 0.0, 0.1)),   // near-dup of a: cos ~ 0.9999
+      (7L, unitV(0.5, -0.5, 0.5, -0.5)),
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupExemplars(vecs, nCells = 1, minCosine = 0.95,
+        maxCellSize = 2)
+      .select($"vec_id", $"comp", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.length == 8)
+    val comp = out.map(r => r._1 -> r._2).toMap
+    // exact copies always co-grouped (collapse edges bypass the bands)
+    assert(Seq(0L, 1L, 2L).forall(comp(_) == 0L), s"comp: ${comp.toSeq.sorted}")
+    // a cosine-0.9999 pair agrees on (nearly) every sign bit -> same
+    // band -> still found under the guard
+    assert(comp(6L) == 0L, s"comp: ${comp.toSeq.sorted}")
+    // exactly one exemplar per group, deterministic on rerun
+    val perComp = out.groupBy(_._2).view.mapValues(_.count(_._3)).toMap
+    assert(perComp.values.forall(_ == 1), s"exemplars per comp: $perComp")
+    val rerun = Dedup.semanticDedupExemplars(vecs, nCells = 1, minCosine = 0.95,
+        maxCellSize = 2)
+      .select($"vec_id", $"comp", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rerun.toSeq == out.toSeq)
+  }
+
+  test("semanticDedupExemplars: auto cell count (nCells = 0) derives k from the corpus") {
+    // 8 vectors / targetCellSize 4096 -> floor to the minimum of 8 cells;
+    // k-means caps at the corpus size, every exact-copy class still folds
+    val a = unitV(1.0, 0.0, 0.0, 0.0)
+    val vecs = Seq(
+      (0L, a), (1L, a), (2L, a),
+      (3L, unitV(0.0, 1.0, 0.0, 0.0)),
+      (4L, unitV(0.0, 0.0, 1.0, 0.0)),
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupExemplars(vecs, minCosine = 0.9)
+      .select($"vec_id", $"comp", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.length == 5)
+    val comp = out.map(r => r._1 -> r._2).toMap
+    assert(Seq(0L, 1L, 2L).forall(comp(_) == 0L), s"comp: ${comp.toSeq.sorted}")
+    assert(comp(3L) == 3L && comp(4L) == 4L)
+  }
+
+  test("semanticRecallAudit: exact ground truth vs co-celled fraction per cell count") {
+    val vecs = Seq(
+      (0L, unitV(1.0, 0.0, 0.0, 0.0)),
+      (1L, unitV(0.0, 0.0, 1.0, 0.0)),
+      (2L, unitV(0.98, 0.2, 0.0, 0.0)),    // pair (0,2): cos ~ 0.98
+      (3L, unitV(0.0, 0.0, 0.995, 0.0999)),// pair (1,3): cos ~ 0.995
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticRecallAudit(vecs, cellCounts = Seq(1, 2),
+        minCosine = 0.8, sampleMod = 1)
+      .orderBy($"n_cells")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // 1 cell: everything co-celled; 2 cells: the portable k-means seeds
+    // on ids 0/1 and separates the clusters without splitting either pair
+    assert(out == Seq(
+      (1, 2L, 2L, 1000000L),
+      (2, 2L, 2L, 1000000L)))
+  }
+
   test("exciseRepeatedSpans keepOne: lowest-id holder keeps each duplicated gram") {
     val d = Seq(
       (0L, "a b c d e f g h"),

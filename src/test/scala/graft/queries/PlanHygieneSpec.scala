@@ -123,6 +123,9 @@ class PlanHygieneSpec extends SparkSpec {
                                // to the per-bigram score rows (q131 shape)
     "q249_source_drift",       // 1-row global token total attached to the
                                // (source, word) rate rows
+    "q253_semdedup_recall",    // exact ground-truth pair set on the bounded
+                               // vec_id % 4 audit subset (broadcast sample
+                               // × sample — the q210 calibration shape)
   )
 
   private def executedPlan(name: String): String = {
