@@ -85,6 +85,12 @@ object SemDedupProbe {
       val screened = joined.filter(hamming_dist(col("_pa"), col("_pb")) <= thr)
       val s = screened.count()
       val dup = screened.filter(cosine_sim(col("_va"), col("_vb")) >= minCosine).count()
+      // prefilter selectivity at a PRODUCTION semantic threshold (0.9):
+      // the 5σ screen is deliberately non-selective at loose thresholds
+      // (q246's 0.3) and pays off exactly where real SemDeDup operates
+      val pHi = math.acos(0.9) / math.Pi
+      val thrHi = math.ceil(64.0 * pHi + 5.0 * math.sqrt(64.0 * pHi * (1.0 - pHi))).toInt
+      val sHi = joined.filter(hamming_dist(col("_pa"), col("_pb")) <= thrHi).count()
       classes.unpersist(blocking = false)
       // steady-state wall of the full operator at q246's parameters
       def run(): Long = graft.operators.Dedup.semanticDedupExemplars(
@@ -96,7 +102,7 @@ object SemDedupProbe {
         run()
         (System.nanoTime() - t0) / 1e9
       }.min
-      println(f"""SEMDEDUP {"tier":$k,"rows":$rows,"pairable":$nz,"classes":$d,"cand_pairs":$cand,"screened_pairs":$s,"dup_pairs":$dup,"sec":$sec%.2f}""")
+      println(f"""SEMDEDUP {"tier":$k,"rows":$rows,"pairable":$nz,"classes":$d,"cand_pairs":$cand,"screened_pairs":$s,"screened_at_090":$sHi,"dup_pairs":$dup,"sec":$sec%.2f}""")
     }
     spark.stop()
   }

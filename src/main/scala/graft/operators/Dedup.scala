@@ -691,26 +691,27 @@ object Dedup {
     // positive threshold they cannot edge, so they skip the pair stage
     val pairable = if (minCosine > 0) m.filter(l2_norm(col("_v")) > 0) else m
     // exact-duplicate collapse: one delegate (min id) per distinct
-    // vector value per cell; members ride a free cosine-1 edge
-    val classes = pairable.groupBy(col("cell_id"), col("_v"))
-      .agg(min(col("vid")).as("del"))
-    val memberEdges = pairable
-      .join(classes, Seq("cell_id", "_v"))
-      .filter(col("vid") =!= col("del"))
+    // vector value per cell; members ride a free cosine-1 edge. ONE
+    // window pass assigns every row its delegate (cheaper than a
+    // groupBy + join-back: no second vector-keyed exchange)
+    val withDel = pairable.withColumn("del",
+      min(col("vid")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell_id"), col("_v"))))
+    val memberEdges = withDel.filter(col("vid") =!= col("del"))
       .select(col("del").as("id_a"), col("vid").as("id_b"))
     // skew guard: distinct-vector census per cell → sub-band bit count
-    // (0 for every cell within the cap; the census is nCells rows)
-    val cellBits = classes.groupBy(col("cell_id"))
-      .agg(count(lit(1)).as("_csz"))
+    // (0 for every cell within the cap), as a second window over the
+    // delegate rows — no separate aggregate + broadcast-join stage
+    val sigged = withDel.filter(col("vid") === col("del"))
+      .withColumn("_csz", sum(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell_id"))))
       .withColumn("_sbits",
         when(col("_csz") <= maxCellSize, lit(0))
           .otherwise(least(lit(16),
             ceil(log(2.0, col("_csz").cast("double") / maxCellSize)).cast("int"))))
-      .select(col("cell_id"), col("_sbits"))
-    val sigged = classes
       .withColumn("_psig",
         rhp_signature(col("_v"), 64, dim, seed, portable = true))
-      .join(broadcast(cellBits), Seq("cell_id"))
       .withColumn("_band",
         expr("_psig & (shiftleft(CAST(1 AS BIGINT), _sbits) - 1)"))
       .select(col("cell_id"), col("_band"), col("del"), col("_psig"), col("_v"))
@@ -741,13 +742,15 @@ object Dedup {
     val labeled = withSim
       .join(comps.withColumnRenamed("doc_id", "vid"), Seq("vid"), "left")
       .withColumn("comp", coalesce(col("keep_id"), col("vid")))
-    val reps = labeled.groupBy(col("comp"))
-      .agg(min(struct(col("_ccos"), col("vid"))).as("_best"))
-      .select(col("comp"), col("_best").getField("vid").as("_rep"))
-    labeled.join(reps, Seq("comp"))
+    // centroid-outlier election as ONE window min (vs groupBy + join
+    // back: same min(struct) semantics, one fewer exchange)
+    labeled
+      .withColumn("_best",
+        min(struct(col("_ccos"), col("vid"))).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
       .select(col("vid").as(idCol), col("cell_id"), col("comp"),
         round(col("_ccos"), 6).as("centroid_sim"),
-        (col("vid") === col("_rep")).as("is_kept"))
+        (col("vid") === col("_best").getField("vid")).as("is_kept"))
   }
 
   /** SemDeDup recall calibration (the q195-style audit for the SEMANTIC

