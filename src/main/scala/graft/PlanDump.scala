@@ -75,6 +75,20 @@ object PlanDump {
         "union runs as per-doc windows bounded by doc length. No pair stage " +
         "anywhere — corpus size only widens the embarrassingly parallel map " +
         "side and the two keyed shuffles."),
+    "q246_semantic_exemplars" ->
+      ("Paper-faithful SemDeDup, corpus-bounded: the trained cells are a " +
+        "LITERAL frame (Lloyd state collected per round — nCells x dim, " +
+        "driver-sized), so assignment is a zero-shuffle map and the " +
+        "election broadcast costs nothing to recompute. One window over " +
+        "(cell, vector) collapses byte-identical vectors to min-id " +
+        "delegates (copy-heavy cells cost distinct squared, members ride " +
+        "free cosine-1 edges); a second window counts the distinct-class " +
+        "census that arms the sign-LSH sub-band split above the per-cell " +
+        "cap; the pair join is equi on (cell, band) — never corpus " +
+        "squared — with a one-word hamming popcount screening candidates " +
+        "before the 2-dim-flop cosine. Components label in the one-eager-" +
+        "job star-contraction pass; the centroid-outlier election is a " +
+        "min(struct) window per component, not a groupBy + join."),
     "q225_bootstrap_ci" ->
       ("Poisson bootstrap: replicate draws are pure per-row hash math, so " +
         "the plan is explode(x100) -> map-combined partial aggregate; the " +

@@ -387,4 +387,75 @@ object Corpus {
         .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(expr(s"sum(n_tokens) * $pct div 100").as("token_budget"))
+
+  /** GPT-3-style DISCRIMINATIVE quality classifier (Brown et al. 2020
+    * §A: a linear classifier over hashed features, trained
+    * high-quality-vs-crawl, scores every document) — the third leg of
+    * the data-selection triad next to [[dsirScores]] (generative LLR)
+    * and [[TextAnalysis.lmSurprisal]] (LM perplexity).
+    *
+    * The trainer is the BATCH PERCEPTRON rather than the paper's
+    * logistic regression — a deliberate, documented substitution: every
+    * update is a pure integer sum (`w += Σ_{mistakes} y·x` over docs
+    * with `y·(w·x) <= 0`), so training and scores are bit-identical in
+    * any engine with 64-bit integers — no sigmoid, no learning-rate
+    * float, nothing transcendental — and the DuckDB oracle replays the
+    * full training run as unrolled integer CTEs. Same hashed
+    * unigram+bigram bucket features as DSIR.
+    *
+    * Output, one row per doc (both classes): (idCol, y, n_feats,
+    * score, pred) — y the ±1 training label, score the integer margin
+    * `w_S · x` under the final weights, pred = score > 0. Overflow
+    * headroom: |w(b)| ≤ steps · total feature mass and |score| ≤
+    * doc mass · max|w| — at 10¹³ corpus features and 10⁴-feature docs
+    * that is ≤ 10¹⁷·steps, inside int64 for any sane step count.
+    *
+    * Scale shape: the feature table (4 longs per (doc, bucket)) builds
+    * once and persists SCOPED to the call (freed before returning; the
+    * per-step weight table is nBuckets rows, driver-collected like the
+    * BPE merge rules and PCA moments — bounded by construction, never
+    * by the corpus). Each step is two linear aggregates (margins keyed
+    * by doc, update keyed by bucket) and one broadcast-sized mistake
+    * semi-join; `steps` is a constant, so training is O(steps · corpus)
+    * with no global sort anywhere. */
+  def qualityPerceptron(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 4096, seed: Int = 11, steps: Int = 4): DataFrame = {
+    require(nBuckets > 0 && steps >= 1)
+    import graft.functions.TextFunctions.{shingles, tokens}
+    def feats(df: DataFrame, y: Int): DataFrame =
+      df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+        .select(col("doc_id"),
+          explode(concat(col("tok"), shingles(col("tok"), 2))).as("g"))
+        .select(col("doc_id"), lit(y).as("y"),
+          pmod(hash32(col("g"), seed), lit(nBuckets.toLong)).as("b"))
+    val db = feats(target, 1).unionByName(feats(raw, -1))
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Array.fill[Long](nBuckets)(0L)
+    for (_ <- 1 to steps) {
+      val wLit = lit(w)
+      // margin per doc under the current weights; mistakes feed the
+      // integer update Σ y·c per bucket (4096 rows to the driver)
+      val delta = db
+        .withColumn("_wx", col("c") * element_at(wLit, col("b").cast("int") + 1))
+        .withColumn("_m", sum(col("_wx")).over(
+          Window.partitionBy(col("doc_id"))))
+        .filter(col("y") * col("_m") <= 0)
+        .groupBy(col("b")).agg(sum(col("y") * col("c")).as("dw"))
+        .collect()
+      delta.foreach(r => w(r.getAs[Long]("b").toInt) += r.getAs[Long]("dw"))
+    }
+    val wFinal = lit(w)
+    val out = db
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * element_at(wFinal, col("b").cast("int") + 1)).as("score"))
+      .select(col("doc_id").as(idCol), col("y"), col("n_feats"),
+        col("score"), (col("score") > 0).as("pred"))
+      .localCheckpoint(eager = true)
+    db.unpersist(blocking = false)
+    out
+  }
 }

@@ -95,6 +95,25 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Cluster-balanced DIVERSITY sample: at most `perCell` docs from each
+    * of `nCells` embedding k-means cells, chosen by deterministic
+    * (id-hash, id) rank within the cell — the semantic-coverage
+    * counterpart of [[capPerGroup]]'s source balancing (a uniform
+    * hash-sample over a skewed corpus reproduces the skew; sampling the
+    * CELLS equally keeps the long-tail topics represented — the
+    * cluster-balanced curation step). Portable k-means
+    * ([[Ivf.buildPortable]]) + rank-k per cell, so the whole selection
+    * — including the trained cells — is oracle-reproducible; the rank
+    * filter takes the GroupedTopKRewrite / WindowGroupLimit bounded
+    * top-k, and assignment is the zero-shuffle literal-centroid map. */
+  def diverseSample(vecs: DataFrame, perCell: Int, nCells: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Int = 7): DataFrame =
+    capPerGroup(
+      Ivf.buildPortable(vecs, nCells, 2, idCol, vecCol).assigned
+        .select(col(idCol), col("cell_id")),
+      idCol, "cell_id", perCell, seed)
+
   /** Temperature rebalancing at α = 0.5 (the standard multilingual
     * smoothing): group g is kept with rate √(min_count / count_g), so the
     * most under-represented group passes whole and every other group is

@@ -132,6 +132,50 @@ object TextAnalysis {
            | END AS sur""".stripMargin.replaceAll("\n", " "))
   }
 
+  /** CCNet's perplexity-bucket partition (Wenzek et al. 2020 §4.3): the
+    * corpus split into head / middle / tail thirds by LM surprisal —
+    * head = the most-fluent-under-the-LM third — which downstream
+    * mixing samples at different rates (CCNet keeps head+middle by
+    * default; `kept` records that verdict).
+    *
+    * Boundaries are WHOLE-BIN at `binWidth` fixed-point units
+    * ([[graft.operators.Corpus.dsirScores]]'s top-slice discipline): the
+    * per-doc scores histogram into a bounded bin table (bits_fp spans
+    * ~0..2²¹ at width 256 → ≤ 8k bins), the cumulative walk over THAT
+    * table places the ⅓ and ⅔ cuts, and every doc in a boundary bin
+    * gets the boundary bin's bucket — deterministic, bin-granular, and
+    * no document-level global sort anywhere (an `ntile` over the corpus
+    * would be a single-partition sort — the thing this shape exists to
+    * avoid at 100 TB).
+    *
+    * Output, one row per doc: (doc_id, n_bigrams, bits_fp, bucket,
+    * kept). Scale shape: [[lmSurprisal]]'s linear passes, the per-doc
+    * score table checkpointed once (scoped; doc-count-sized), one
+    * bounded-bin histogram + broadcast joins. */
+  def perplexityBuckets(docs: DataFrame, lmCorpus: DataFrame,
+      idCol: String, textCol: String, binWidth: Int = 256): DataFrame = {
+    require(binWidth > 0)
+    val scored = lmSurprisal(docs, lmCorpus, idCol, textCol)
+      .localCheckpoint(eager = true) // three consumers: count, bins, readout
+    val nDocs = scored.agg(count(lit(1)).as("nd"))
+    val bins = scored
+      .groupBy(expr(s"bits_fp div $binWidth").as("_bin"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_cum", sum(col("_n")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("_bin"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .crossJoin(broadcast(nDocs))
+      .select(col("_bin"),
+        when(col("_cum") <= expr("nd div 3"), lit("head"))
+          .when(col("_cum") <= expr("(2 * nd) div 3"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+    scored
+      .join(broadcast(bins), expr(s"bits_fp div $binWidth") === col("_bin"))
+      .select(col("doc_id"), col("n_bigrams"), col("bits_fp"),
+        col("bucket"), (col("bucket") =!= "tail").as("kept"))
+  }
+
   /** Length/stopword/word-shape quality heuristics + a [0,1] composite.
     * Entirely narrow (array expressions per row) — zero shuffles, scales
     * embarrassingly.

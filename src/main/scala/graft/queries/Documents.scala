@@ -834,6 +834,18 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet's head/middle/tail perplexity partition (Wenzek et al.
+    // 2020 §4.3): every doc scored under the 80%-split bigram LM
+    // (q248's machinery), then bucketed into thirds by WHOLE-BIN
+    // boundary cuts over a bounded histogram — the mixing verdict
+    // downstream samplers consume, with no document-level global sort.
+    "q255_perplexity_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.perplexityBuckets(
+          docs, docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance-resampling scores (Xie et al. 2023): hashed
     // unigram+bigram features, log-likelihood-ratio bucket weights via
     // the pure-int64 fixed-point log2 (engine-exact — no libm), per-doc
@@ -845,6 +857,22 @@ object Documents {
           docs.filter(col("doc_id") % 7 =!= 0),
           docs.filter(col("doc_id") % 7 === 0),
           nBuckets = 4096, seed = 11, selectPct = 20)
+        .orderBy(col("doc_id"))
+    }),
+
+    // GPT-3-style discriminative quality classifier (Brown et al. 2020
+    // §A): linear scores over DSIR's hashed unigram+bigram buckets,
+    // trained target-vs-raw by the batch perceptron — pure-integer
+    // updates, so the ENTIRE training run (4 steps) is replayed by the
+    // oracle as unrolled CTEs and the final margins hash-match. The
+    // third data-selection leg next to q247 (generative LLR) and q248
+    // (LM perplexity).
+    "q254_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Corpus.qualityPerceptron(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          nBuckets = 4096, seed = 11, steps = 4)
         .orderBy(col("doc_id"))
     }),
 
@@ -2740,6 +2768,84 @@ object Documents {
          |  (sel.bin IS NOT NULL) AS is_selected
          |FROM s2 LEFT JOIN sel ON s2.dsir_mean_fp // 256 = sel.bin
          |ORDER BY s2.doc_id""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.perplexityBuckets: q248's LM-surprisal CTEs
+    // scoring ALL docs (no %5 filter on the scored side; the LM still
+    // trains on the 80%), then the whole-bin histogram walk placing
+    // the 1/3 and 2/3 cuts at bin granularity.
+    "q255_perplexity_buckets" -> {
+      import graft.functions.FixedPoint.log2FpDuckSql
+      s"""WITH $tokCte,
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+         |        i -> tok[i] || ' ' || tok[i + 1])) AS bg FROM t),
+         |lb AS (SELECT bg, count(*) AS c12 FROM bg WHERE doc_id % 5 <> 0 GROUP BY bg),
+         |lp AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM lb GROUP BY 1),
+         |vs AS (SELECT count(DISTINCT w) AS v FROM (
+         |        SELECT unnest(tok) AS w FROM t WHERE doc_id % 5 <> 0)),
+         |sur AS (SELECT doc_id,
+         |          1959352 - ${log2FpDuckSql("p_ppb")} AS sur
+         |        FROM (SELECT b.doc_id,
+         |                (coalesce(c12, 0) + 1) * 1000000000
+         |                  // (coalesce(c1, 0) + v) AS p_ppb
+         |              FROM bg b LEFT JOIN lb USING (bg)
+         |              LEFT JOIN lp ON lp.w1 = split_part(b.bg, ' ', 1)
+         |              CROSS JOIN vs)),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         sum(sur) // count(*) AS bits_fp
+         |       FROM sur GROUP BY doc_id),
+         |s2 AS (SELECT t.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         |         CAST(coalesce(bits_fp, 0) AS BIGINT) AS bits_fp
+         |       FROM t LEFT JOIN sc USING (doc_id)),
+         |nd AS (SELECT count(*) AS nd FROM s2),
+         |hb AS (SELECT bits_fp // 256 AS bin, count(*) AS n FROM s2 GROUP BY 1),
+         |cb AS (SELECT bin, sum(n) OVER (ORDER BY bin
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |       FROM hb),
+         |bk AS (SELECT bin, CASE WHEN cum <= nd // 3 THEN 'head'
+         |         WHEN cum <= (2 * nd) // 3 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |       FROM cb CROSS JOIN nd)
+         |SELECT s.doc_id, s.n_bigrams, s.bits_fp, bk.bucket,
+         |  bk.bucket <> 'tail' AS kept
+         |FROM s2 s JOIN bk ON s.bits_fp // 256 = bk.bin
+         |ORDER BY s.doc_id""".stripMargin
+    },
+
+    // Mirrors Corpus.qualityPerceptron: the full batch-perceptron
+    // training run (4 steps) as unrolled integer CTEs — step 1 is the
+    // all-mistakes shortcut (w = 0 makes y·margin = 0 ≤ 0 for every
+    // doc), steps 2..4 the generic margin → mistakes → Σ y·c update,
+    // then the final margins. All int64 sums — bit-identical.
+    "q254_quality_classifier" -> {
+      def step(t: Int): String =
+        s"""m$t AS (SELECT doc_id, y, CAST(sum(c * coalesce(w, 0)) AS BIGINT) AS m
+           |  FROM feat LEFT JOIN w${t - 1} USING (b) GROUP BY doc_id, y),
+           |d$t AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS dw FROM feat
+           |  JOIN (SELECT doc_id FROM m$t WHERE y * m <= 0) USING (doc_id)
+           |  GROUP BY b),
+           |w$t AS (SELECT coalesce(a.b, dd.b) AS b,
+           |    coalesce(a.w, 0) + coalesce(dd.dw, 0) AS w
+           |  FROM w${t - 1} a FULL OUTER JOIN d$t dd ON a.b = dd.b)""".stripMargin
+      s"""WITH $tokCte,
+         |g AS (SELECT doc_id, unnest(tok) AS g FROM t
+         |      UNION ALL
+         |      SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+         |        i -> tok[i] || ' ' || tok[i + 1])) AS g FROM t),
+         |feat AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE -1 END AS y,
+         |    ${h32("g", 11)} % 4096 AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM g GROUP BY 1, 2, 3),
+         |w1 AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS w FROM feat GROUP BY b),
+         |${step(2)},
+         |${step(3)},
+         |${step(4)}
+         |SELECT doc_id, CAST(y AS INTEGER) AS y, n_feats, score,
+         |  score > 0 AS pred
+         |FROM (SELECT f.doc_id, y, CAST(sum(c) AS BIGINT) AS n_feats,
+         |        CAST(sum(c * coalesce(w, 0)) AS BIGINT) AS score
+         |      FROM feat f LEFT JOIN w4 USING (b) GROUP BY f.doc_id, y)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // Mirrors exciseRepeatedSpans(keepOne = true): q244's pipeline, but

@@ -225,6 +225,17 @@ object Extras {
         .orderBy(col("vec_id"))
     }),
 
+    // Cluster-balanced diversity sample: at most 25 vectors per trained
+    // k-means cell by deterministic hash rank — the semantic-coverage
+    // sampler (uniform sampling reproduces topic skew; equal-cell
+    // sampling keeps tail topics), trained cells and all
+    // oracle-reproduced.
+    "q256_diverse_sample" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Sampling.diverseSample(e, perCell = 25, nCells = 8)
+        .orderBy(col("cell_id"), col("vec_id"))
+    }),
+
     // SemDeDup recall calibration: the paper's accepted cross-cell loss,
     // MEASURED — exact ground-truth pairs at cosine >= 0.3 over the
     // vec_id % 4 audit subset vs the fraction co-celled by the portable
@@ -507,6 +518,18 @@ object Extras {
          |SELECT l.vec_id, l.cell_id, l.comp, round(l.ccos, 6) AS centroid_sim,
          |  (l.vec_id = rep.rep_id) AS is_kept
          |FROM lab l JOIN rep USING (comp) ORDER BY l.vec_id""".stripMargin,
+
+    // Mirrors Sampling.diverseSample: the portable trained cells (af)
+    // + per-cell (md5-hash, id) rank <= 25.
+    "q256_diverse_sample" ->
+      s"""$ivfCtes,
+         |rk AS (SELECT vec_id, cell_id, row_number() OVER (
+         |    PARTITION BY cell_id
+         |    ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#7'), 1, 8) AS BIGINT),
+         |      vec_id) AS rn
+         |  FROM af)
+         |SELECT vec_id, cell_id FROM rk WHERE rn <= 25
+         |ORDER BY cell_id, vec_id""".stripMargin,
 
     // Mirrors Dedup.semanticRecallAudit: the exact all-pairs ground
     // truth over the vec_id % 4 audit subset (same fixed-fold cosine),

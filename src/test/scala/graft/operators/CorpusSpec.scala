@@ -219,4 +219,50 @@ class CorpusSpec extends SparkSpec {
     // the skewed tiny source diverges far more than the corpus-dominant one
     assert(out("tiny")._4 > out("big")._4)
   }
+
+  test("qualityPerceptron: separable classes classify correctly, margins integer-exact") {
+    // two disjoint vocabularies -> linearly separable by construction;
+    // the batch perceptron must fit the training set
+    val target = Seq(
+      (0L, "alpha beta gamma alpha beta"),
+      (7L, "beta gamma alpha gamma"),
+      (14L, "gamma alpha beta alpha"),
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "delta epsilon zeta delta"),
+      (2L, "epsilon zeta delta zeta"),
+      (3L, "zeta delta epsilon epsilon"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.qualityPerceptron(raw, target, nBuckets = 64, seed = 11,
+        steps = 4)
+      .orderBy($"doc_id")
+      .as[(Long, Int, Long, Long, Boolean)].collect().toSeq
+    assert(out.length == 6)
+    out.foreach { case (id, y, nf, score, pred) =>
+      assert(nf > 0)
+      assert(pred == (score > 0))
+      // separable fixture: every training doc ends on its own side
+      assert((y == 1) == pred, s"doc $id: y=$y score=$score")
+    }
+    // pure-integer training: rerun is bit-identical
+    val rerun = Corpus.qualityPerceptron(raw, target, nBuckets = 64, seed = 11,
+        steps = 4).orderBy($"doc_id")
+      .as[(Long, Int, Long, Long, Boolean)].collect().toSeq
+    assert(rerun == out)
+  }
+
+  test("qualityPerceptron: step-1 weights are the class-mass difference per bucket") {
+    // with w0 = 0 every doc is a mistake, so after ONE step
+    // w(b) = sum_target c(b) - sum_raw c(b); a doc's score under those
+    // weights is checkable by hand on a tiny vocabulary
+    val target = Seq((0L, "a a")).toDF("doc_id", "text")
+    val raw = Seq((1L, "b")).toDF("doc_id", "text")
+    // features: unigrams + bigrams -> target: a(2), "a a"(1); raw: b(1)
+    // step-1 w: w[a]=+2, w["a a"]=+1, w[b]=-1 (distinct buckets at 64)
+    val out = Corpus.qualityPerceptron(raw, target, nBuckets = 64, seed = 11,
+        steps = 1).orderBy($"doc_id")
+      .as[(Long, Int, Long, Long, Boolean)].collect().toSeq
+    // doc 0 score = 2*2 + 1*1 = 5; doc 1 score = 1*(-1) = -1
+    assert(out == Seq((0L, 1, 3L, 5L, true), (1L, -1, 1L, -1L, false)))
+  }
 }

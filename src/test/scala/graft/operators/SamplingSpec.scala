@@ -214,4 +214,21 @@ class SamplingSpec extends SparkSpec {
     assert(out.values.map(_._3).sum <= 130L)
     assert(out.values.map(_._4).sum <= 130L)
   }
+
+  test("diverseSample: at most perCell per trained cell, cells covered, deterministic") {
+    val e = graft.sources.Tables(spark, sf("sf0.01"), "embeddings")
+    val out = Sampling.diverseSample(e, perCell = 10, nCells = 8)
+      .as[(Long, Int)].collect().toSeq
+    val perCell = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perCell.values.forall(_ <= 10), s"cap violated: $perCell")
+    // every non-empty cell contributes (corpus >> cells·perCell here,
+    // so each trained cell fills its quota)
+    assert(perCell.size >= 2 && out.size == perCell.size * 10)
+    // sampled ids are real corpus ids
+    val ids = e.select($"vec_id").as[Long].collect().toSet
+    assert(out.map(_._1).forall(ids))
+    val rerun = Sampling.diverseSample(e, perCell = 10, nCells = 8)
+      .as[(Long, Int)].collect().toSeq
+    assert(rerun.toSet == out.toSet)
+  }
 }

@@ -462,4 +462,28 @@ class TextAnalysisSpec extends SparkSpec {
     val expect3 = math.log(30000000000000.0 / 123456789.0) / math.log(2.0)
     assert(math.abs(bits3 - expect3) < 1e-3, s"$bits3 vs $expect3")
   }
+
+  test("perplexityBuckets: whole-bin tercile cuts partition the corpus monotonically") {
+    val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
+    val lm = docs.filter($"doc_id" % 5 =!= 0)
+    val out = TextAnalysis.perplexityBuckets(docs, lm, "doc_id", "text")
+      .select($"doc_id", $"bits_fp", $"bucket", $"kept")
+      .as[(Long, Long, String, Boolean)].collect().toSeq
+    val nd = docs.count()
+    assert(out.length == nd, "one row per doc, none dropped")
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // whole-bin cuts: a bucket never exceeds its cumulative cap, and
+    // the score ranges are monotone head <= middle <= tail
+    assert(byBucket("head").size <= nd / 3)
+    assert(byBucket("head").size + byBucket("middle").size <= 2 * nd / 3)
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    out.foreach { case (_, _, b, kept) => assert(kept == (b != "tail")) }
+    // deterministic: integer scores, whole-bin boundaries
+    val rerun = TextAnalysis.perplexityBuckets(docs, lm, "doc_id", "text")
+      .select($"doc_id", $"bits_fp", $"bucket", $"kept")
+      .as[(Long, Long, String, Boolean)].collect().toSeq
+    assert(rerun.toSet == out.toSet)
+  }
 }

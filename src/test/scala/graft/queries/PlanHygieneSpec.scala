@@ -126,6 +126,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q253_semdedup_recall",    // exact ground-truth pair set on the bounded
                                // vec_id % 4 audit subset (broadcast sample
                                // × sample — the q210 calibration shape)
+    "q255_perplexity_buckets", // q248's 1-row vocab-size attach + the 1-row
+                               // doc-count attach onto the bounded bin table
   )
 
   private def executedPlan(name: String): String = {
