@@ -107,22 +107,44 @@ object ScaleProbe {
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache(); System.gc()
     }
-    def time(name: String, dir: String): Double = {
+    // shuffle bytes written per probed execution (same listener shape
+    // as Bench's per-query stamp): shuffle VOLUME is the tier number a
+    // cluster capacity plan multiplies — wall-clock ratios only show
+    // the absence of blowups, shuffle ratios show what the wire carries
+    val tasksEnded = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null)
+          shufBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        tasksEnded.incrementAndGet()
+      }
+    })
+    def drain(): Unit = {
+      var last = -1L; var waited = 0
+      while (waited < 1000 && tasksEnded.get() != last) {
+        last = tasksEnded.get(); Thread.sleep(50); waited += 50
+      }
+    }
+    def time(name: String, dir: String): (Double, Double) = {
       val fn = SparkEntry.queries(name)
       clean()
-      try { fn(spark, dir).count() } catch { case _: Throwable => return -1.0 }
-      (1 to 2).map { _ =>
+      drain(); shufBytes.set(0)
+      try { fn(spark, dir).count() } catch { case _: Throwable => return (-1.0, -1.0) }
+      drain()
+      val shMb = shufBytes.get() / 1e6
+      ((1 to 2).map { _ =>
         clean()
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }.min, shMb)
     }
     names.foreach { name =>
-      val t1 = time(name, srcDir)
-      val tk = time(name, dstDir)
+      val (t1, sh1) = time(name, srcDir)
+      val (tk, shk) = time(name, dstDir)
       val ratio = if (t1 > 0 && tk > 0) tk / t1 else -1.0
-      println(f"""SCALE {"query":"$name","t1":$t1%.2f,"t$k":$tk%.2f,"ratio":$ratio%.2f}""")
+      println(f"""SCALE {"query":"$name","t1":$t1%.2f,"t$k":$tk%.2f,"ratio":$ratio%.2f,"sh1_mb":$sh1%.1f,"sh${k}_mb":$shk%.1f}""")
     }
     // ROUND-COUNT probe for the iterative family (SPARK_GRAFT_ROUNDS=1):
     // rounds, not seconds, are the cluster-portable number — each round
