@@ -20,30 +20,7 @@ object Bench {
     // executor cluster, but shuffle volume and per-task memory DO — they
     // are the numbers a 100 TB capacity plan multiplies, so the record
     // carries them next to the wall time.
-    val tasksEnded = new java.util.concurrent.atomic.AtomicLong(0)
-    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0)
-    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) {
-          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          peakTaskMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
-        }
-        tasksEnded.incrementAndGet()
-      }
-    })
-    // the listener bus is async: wait until the task-end count is stable
-    // before reading the counters (bounded — a straggler event past the
-    // drain only pads the NEXT query's profile, never the timings)
-    def drainListener(): Unit = {
-      var last = -1L
-      var waited = 0
-      while (waited < 1000 && tasksEnded.get() != last) {
-        last = tasksEnded.get()
-        Thread.sleep(50); waited += 50
-      }
-    }
+    val metrics = new TaskMetricsProbe(spark.sparkContext)
     // Warm the JVM/codegen/shuffle machinery on the tiny sf so the first
     // measured query isn't charged for session initialization.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -121,13 +98,13 @@ object Bench {
       if (done > 0 && done % calibEvery == 0) stampCalib(done)
       done += 1
       clean()
-      drainListener() // flush any straggler task-ends into the old window
-      shufBytes.set(0); peakTaskMem.set(0)
+      metrics.drain() // flush any straggler task-ends into the old window
+      metrics.reset()
       val warmErr =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(errMsg(e)) }
-      drainListener()
-      val (shMb, pkMb) = (shufBytes.get() / 1e6, peakTaskMem.get() / 1e6)
+      metrics.drain()
+      val (shMb, pkMb) = (metrics.shuffleMb, metrics.peakTaskMemMb)
       val outcome: Either[String, Double] = warmErr match {
         case Some(m) => Left(m)
         case None =>

@@ -111,28 +111,14 @@ object ScaleProbe {
     // as Bench's per-query stamp): shuffle VOLUME is the tier number a
     // cluster capacity plan multiplies — wall-clock ratios only show
     // the absence of blowups, shuffle ratios show what the wire carries
-    val tasksEnded = new java.util.concurrent.atomic.AtomicLong(0)
-    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        if (t.taskMetrics != null)
-          shufBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        tasksEnded.incrementAndGet()
-      }
-    })
-    def drain(): Unit = {
-      var last = -1L; var waited = 0
-      while (waited < 1000 && tasksEnded.get() != last) {
-        last = tasksEnded.get(); Thread.sleep(50); waited += 50
-      }
-    }
+    val metrics = new TaskMetricsProbe(spark.sparkContext)
     def time(name: String, dir: String): (Double, Double) = {
       val fn = SparkEntry.queries(name)
       clean()
-      drain(); shufBytes.set(0)
+      metrics.drain(); metrics.reset()
       try { fn(spark, dir).count() } catch { case _: Throwable => return (-1.0, -1.0) }
-      drain()
-      val shMb = shufBytes.get() / 1e6
+      metrics.drain()
+      val shMb = metrics.shuffleMb
       ((1 to 2).map { _ =>
         clean()
         val t0 = System.nanoTime()

@@ -75,8 +75,7 @@ object SemDedupProbe {
         .agg(count(lit(1)).as("c"))
         .agg(sum(expr("c * (c - 1) div 2")).as("cp"))
         .head().getLong(0)
-      val p = math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi
-      val thr = math.ceil(64.0 * p + 5.0 * math.sqrt(64.0 * p * (1.0 - p))).toInt
+      val thr = graft.operators.Dedup.hammingScreenThreshold(minCosine)
       val lhs = classes.select(col("cell_id"), col("del").as("id_a"),
         col("_psig").as("_pa"), col("_v").as("_va"))
       val rhs = classes.select(col("cell_id"), col("del").as("id_b"),
@@ -88,8 +87,7 @@ object SemDedupProbe {
       // prefilter selectivity at a PRODUCTION semantic threshold (0.9):
       // the 5σ screen is deliberately non-selective at loose thresholds
       // (q246's 0.3) and pays off exactly where real SemDeDup operates
-      val pHi = math.acos(0.9) / math.Pi
-      val thrHi = math.ceil(64.0 * pHi + 5.0 * math.sqrt(64.0 * pHi * (1.0 - pHi))).toInt
+      val thrHi = graft.operators.Dedup.hammingScreenThreshold(0.9)
       val sHi = joined.filter(hamming_dist(col("_pa"), col("_pb")) <= thrHi).count()
       classes.unpersist(blocking = false)
       // steady-state wall of the full operator at q246's parameters

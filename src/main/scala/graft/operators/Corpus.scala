@@ -441,7 +441,10 @@ object Corpus {
       val delta = db
         .withColumn("_wx", col("c") * element_at(wLit, col("b").cast("int") + 1))
         .withColumn("_m", sum(col("_wx")).over(
-          Window.partitionBy(col("doc_id"))))
+          // per (doc, class): an id appearing in BOTH frames must not
+          // merge its two classes' margins (mirrors the oracle's
+          // GROUP BY doc_id, y)
+          Window.partitionBy(col("doc_id"), col("y"))))
         .filter(col("y") * col("_m") <= 0)
         .groupBy(col("b")).agg(sum(col("y") * col("c")).as("dw"))
         .collect()

@@ -662,7 +662,11 @@ object Dedup {
     *     pair is dropped with probability < 1e-6 while far-apart pairs
     *     (the bulk of a coarse cell) fail the one-word popcount and
     *     never reach the cosine. Identical vectors hash identically
-    *     (hamming 0): the collapse edges are never at risk.
+    *     (hamming 0): the collapse edges are never at risk. The q246
+    *     oracle models the screen EXACTLY (same md5 ±1 planes, same
+    *     fold order), so the correctness gate stays bit-exact — the
+    *     5σ margin bounds the semantic loss vs an unscreened run, not
+    *     the oracle agreement.
     *
     * After those, the plan is: one k-means build (sampled fit at
     * 100 TB), one count+min groupBy keyed by the vector, one
@@ -717,8 +721,7 @@ object Dedup {
       .select(col("cell_id"), col("_band"), col("del"), col("_psig"), col("_v"))
     // hamming screen: expected disagreement at the threshold angle plus
     // five binomial sigmas; >= 64 means the screen is a no-op
-    val p = math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi
-    val thr = math.ceil(64.0 * p + 5.0 * math.sqrt(64.0 * p * (1.0 - p))).toInt
+    val thr = hammingScreenThreshold(minCosine)
     val joined = sigged
       .select(col("cell_id"), col("_band"), col("del").as("id_a"),
         col("_psig").as("_pa"), col("_v").as("_va"))
@@ -753,6 +756,17 @@ object Dedup {
         (col("vid") === col("_best").getField("vid")).as("is_kept"))
   }
 
+  /** The sign-bit hamming screen's pass threshold: expected bit
+    * disagreement at the threshold angle plus five binomial standard
+    * deviations (true-pair loss < 1e-6 per pair). ONE definition on
+    * purpose — the operator ([[semanticDedupExemplars]]), the scale
+    * probe ([[graft.SemDedupProbe]]) and the q246 oracle builder must
+    * never census different screens. */
+  private[graft] def hammingScreenThreshold(minCosine: Double, bits: Int = 64): Int = {
+    val p = math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi
+    math.ceil(bits * p + 5.0 * math.sqrt(bits * p * (1.0 - p))).toInt
+  }
+
   /** SemDeDup recall calibration (the q195-style audit for the SEMANTIC
     * family): measures the cross-cell miss rate [[semanticDedupExemplars]]
     * accepts — the paper's declared loss — as a function of the cell
@@ -773,7 +787,7 @@ object Dedup {
   def semanticRecallAudit(vecs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", cellCounts: Seq[Int] = Seq(4, 8, 16),
       minCosine: Double = 0.35, iters: Int = 2,
-      sampleMod: Int = 1): DataFrame = {
+      sampleMod: Int): DataFrame = {
     import graft.functions.GraftFunctions.cosine_sim
     require(cellCounts.nonEmpty && sampleMod >= 1)
     val sample = vecs.filter(col(idCol) % sampleMod === 0)

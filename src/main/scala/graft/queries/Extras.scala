@@ -487,13 +487,33 @@ object Extras {
     // Mirrors Dedup.semanticDedupExemplars: q85's portable cells + pair
     // cosines, then recursive min-label components over the qualifying
     // pairs (q38's oracle pattern) and the centroid-outlier election
-    // (row_number over raw fixed-fold cosine ASC, vec_id ASC).
+    // (row_number over raw fixed-fold cosine ASC, vec_id ASC). The
+    // operator's sign-bit hamming screen is modeled EXACTLY (the q24
+    // recipe: same md5-derived ±1 planes at seed 2303, same
+    // left-to-right dot folds, so the 64 sign bits — and therefore the
+    // screened pair set — are bit-identical, keeping the gate exact
+    // rather than 5σ-probabilistic).
     "q246_semantic_exemplars" ->
       s"""${ivfCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |m AS (SELECT af.vec_id, af.cell_id, e.ev, e.mv FROM af JOIN e USING (vec_id)),
+         |psg AS (SELECT b.b, i.i,
+         |    CASE WHEN (CAST('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':' ||
+         |           CAST(i.i AS VARCHAR) || '#2303'), 1, 8) AS BIGINT) & 1) = 1
+         |      THEN 1.0 ELSE -1.0 END AS sg
+         |  FROM (SELECT unnest(range(0, 64)) AS b) b,
+         |       (SELECT unnest(range(0, 64)) AS i) i),
+         |psgl AS (SELECT b, list(sg ORDER BY i) AS sgl FROM psg GROUP BY b),
+         |pbit AS (SELECT m.vec_id, s.b,
+         |    ${fold("list_transform(range(1, 65), i -> m.ev[i] * s.sgl[i])")} >= 0 AS bit
+         |  FROM m CROSS JOIN psgl s),
+         |pb AS (SELECT vec_id, list(bit ORDER BY b) AS sb FROM pbit GROUP BY vec_id),
          |p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |         ${cosSelect("a.ev", "b.ev")}
-         |       FROM m a JOIN m b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+         |       FROM m a JOIN m b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |       JOIN pb pa ON pa.vec_id = a.vec_id
+         |       JOIN pb qb ON qb.vec_id = b.vec_id
+         |       WHERE ${fold("list_transform(range(1, 65), i -> CASE WHEN pa.sb[i] <> qb.sb[i] THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)")}
+         |         <= ${graft.operators.Dedup.hammingScreenThreshold(0.3)}),
          |p AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
          |        CASE WHEN na = 0 OR nb = 0 THEN 0.0
          |             ELSE dot / (sqrt(na) * sqrt(nb)) END AS cs
