@@ -421,7 +421,66 @@ object Corpus {
   def qualityPerceptron(raw: DataFrame, target: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       nBuckets: Int = 4096, seed: Int = 11, steps: Int = 4): DataFrame = {
-    require(nBuckets > 0 && steps >= 1)
+    val db = perceptronFeatures(raw, target, idCol, textCol, nBuckets, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = trainPerceptron(db, nBuckets, steps)
+    val wFinal = lit(w)
+    val out = db
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * element_at(wFinal, col("b").cast("int") + 1)).as("score"))
+      .select(col("doc_id").as(idCol), col("y"), col("n_feats"),
+        col("score"), (col("score") > 0).as("pred"))
+      .localCheckpoint(eager = true)
+    db.unpersist(blocking = false)
+    out
+  }
+
+  /** [[qualityPerceptron]]'s trained weights alone — nBuckets longs,
+    * driver-sized. The production split: train offline on a labeled
+    * target-vs-raw snapshot, then apply the literal weight vector
+    * anywhere, including the ingest STREAM ([[perceptronScore]] is a
+    * narrow explode + per-doc aggregate, legal in Structured
+    * Streaming — the quality filter runs at the front door without a
+    * retrain). */
+  def qualityPerceptronWeights(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 4096, seed: Int = 11, steps: Int = 4): Array[Long] = {
+    val db = perceptronFeatures(raw, target, idCol, textCol, nBuckets, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = trainPerceptron(db, nBuckets, steps)
+    db.unpersist(blocking = false)
+    w
+  }
+
+  /** Score documents under trained perceptron weights: the same hashed
+    * unigram+bigram features, margin = Σ c·w(b), pred = margin > 0.
+    * Works on BATCH and STREAMING frames alike — weights ride along as
+    * a literal array, features are a narrow explode, and the only
+    * stateful piece is the per-doc aggregate. `seed`/`nBuckets` must
+    * match training (the weights' feature space). */
+  def perceptronScore(docs: DataFrame, weights: Array[Long],
+      idCol: String = "doc_id", textCol: String = "text",
+      seed: Int = 11): DataFrame = {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val wLit = lit(weights)
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      .select(col("doc_id"),
+        explode(concat(col("tok"), shingles(col("tok"), 2))).as("g"))
+      .select(col("doc_id"),
+        pmod(hash32(col("g"), seed), lit(weights.length.toLong)).as("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(element_at(wLit, col("b").cast("int") + 1)).as("score"))
+      .select(col("doc_id").as(idCol), col("n_feats"), col("score"),
+        (col("score") > 0).as("pred"))
+  }
+
+  /** Shared feature build of the perceptron pair: hashed unigram+bigram
+    * bucket counts per (doc, class) — target y = +1, raw y = −1. */
+  private def perceptronFeatures(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, nBuckets: Int, seed: Int): DataFrame = {
+    require(nBuckets > 0)
     import graft.functions.TextFunctions.{shingles, tokens}
     def feats(df: DataFrame, y: Int): DataFrame =
       df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
@@ -429,15 +488,20 @@ object Corpus {
           explode(concat(col("tok"), shingles(col("tok"), 2))).as("g"))
         .select(col("doc_id"), lit(y).as("y"),
           pmod(hash32(col("g"), seed), lit(nBuckets.toLong)).as("b"))
-    val db = feats(target, 1).unionByName(feats(raw, -1))
+    feats(target, 1).unionByName(feats(raw, -1))
       .groupBy(col("doc_id"), col("y"), col("b"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The batch-perceptron loop over a persisted feature frame: per step,
+    * margins per (doc, class) under the current literal weights, the
+    * mistake set (y·margin ≤ 0), and the pure-integer update
+    * Σ y·c per bucket (nBuckets rows to the driver). */
+  private def trainPerceptron(db: DataFrame, nBuckets: Int, steps: Int): Array[Long] = {
+    require(steps >= 1)
     val w = Array.fill[Long](nBuckets)(0L)
     for (_ <- 1 to steps) {
       val wLit = lit(w)
-      // margin per doc under the current weights; mistakes feed the
-      // integer update Σ y·c per bucket (4096 rows to the driver)
       val delta = db
         .withColumn("_wx", col("c") * element_at(wLit, col("b").cast("int") + 1))
         .withColumn("_m", sum(col("_wx")).over(
@@ -450,15 +514,6 @@ object Corpus {
         .collect()
       delta.foreach(r => w(r.getAs[Long]("b").toInt) += r.getAs[Long]("dw"))
     }
-    val wFinal = lit(w)
-    val out = db
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(col("c")).as("n_feats"),
-        sum(col("c") * element_at(wFinal, col("b").cast("int") + 1)).as("score"))
-      .select(col("doc_id").as(idCol), col("y"), col("n_feats"),
-        col("score"), (col("score") > 0).as("pred"))
-      .localCheckpoint(eager = true)
-    db.unpersist(blocking = false)
-    out
+    w
   }
 }
