@@ -237,4 +237,42 @@ class EdgeCasesSpec extends SparkSpec {
       .as[(Double, Long, Long, Double)].head()
     assert(r == ((0.75, -127L, -127L, 0.0)))
   }
+
+  test("exciseContaminatedSpans: empty test corpus leaves every training doc intact") {
+    val tr = Seq((1L, "alpha beta gamma delta"),
+                 (2L, "")).toDF("doc_id", "text")
+    val te = tr.filter($"doc_id" < 0) // empty
+    val out = Decontaminate.exciseContaminatedSpans(tr, te, "doc_id", "text", n = 3)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 4L, "alpha beta gamma delta"),
+      // empty text normalizes to the single empty token (split convention)
+      (2L, 1L, 1L, "")))
+  }
+
+  test("qualityPerceptron: one-sided training still converges to that side") {
+    // empty target: every doc is raw (y = -1), step 1 makes all weights
+    // negative, so every score is negative and nothing predicts target
+    val raw = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" < 0) // empty
+    val out = Corpus.qualityPerceptron(raw, target, nBuckets = 64, steps = 2)
+      .orderBy($"doc_id").as[(Long, Int, Long, Long, Boolean)].collect().toSeq
+    assert(out.length == 2)
+    out.foreach { case (_, y, nf, score, pred) =>
+      assert(y == -1 && nf > 0 && score < 0 && !pred)
+    }
+  }
+
+  test("perceptronScore: unseen-vocabulary docs score zero (no target evidence)") {
+    val target = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+    val raw = Seq((1L, "gamma delta")).toDF("doc_id", "text")
+    val w = Corpus.qualityPerceptronWeights(raw, target, nBuckets = 64, steps = 1)
+    val out = Corpus.perceptronScore(
+        Seq((9L, "zeta eta theta iota")).toDF("doc_id", "text"), w)
+      .as[(Long, Long, Long, Boolean)].head()
+    // hashed buckets of unseen grams are (almost surely) untouched at 64
+    // buckets with this tiny vocabulary; if a collision ever lands here
+    // the fixture words should be renamed, not the semantics weakened
+    assert(out == ((9L, 7L, 0L, false)))
+  }
 }
