@@ -10,9 +10,15 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * must census the same numbers.
   *
   * Usage: reset() before the representative execution, drain() after
-  * it (the listener bus is async), then read the getters. A straggler
-  * event past the bounded drain only pads the NEXT window — never a
-  * timed region, which these counters are kept out of by design. */
+  * it (the listener bus is async), then read the getters. drain() is
+  * DETERMINISTIC: it blocks on the listener bus's own empty condition
+  * (via [[org.apache.spark.graftbridge.ListenerBridge]]), so every
+  * task-end event of the window is counted in THIS window — a
+  * straggler can no longer slip its shuffle bytes into the next
+  * query's record (the pre-round-10 sleep-poll could misattribute if
+  * the bus lagged more than one 50 ms stride). The 10 s timeout is a
+  * liveness backstop only; on timeout the old bounded poll runs as a
+  * last resort. */
 final class TaskMetricsProbe(sc: SparkContext) {
   private val tasksEnded = new AtomicLong(0)
   private val shufBytes = new AtomicLong(0)
@@ -30,16 +36,21 @@ final class TaskMetricsProbe(sc: SparkContext) {
 
   def reset(): Unit = { shufBytes.set(0); peakTaskMem.set(0) }
 
-  /** Wait until the task-end count is stable: a short first poll (the
-    * common already-quiet case costs ~20 ms, not a 100 ms floor), then
-    * 50 ms strides while events are still arriving, bounded at 1 s. */
+  /** Deterministic drain: wait until the async listener bus has
+    * dispatched every queued event (so all task-end events belong to
+    * the window being closed). Falls back to the pre-round-10 bounded
+    * stability poll only if the bus fails to drain within 10 s. */
   def drain(): Unit = {
-    var last = tasksEnded.get()
-    Thread.sleep(20)
-    var waited = 20
-    while (waited < 1000 && tasksEnded.get() != last) {
-      last = tasksEnded.get()
-      Thread.sleep(50); waited += 50
+    val drained = org.apache.spark.graftbridge.ListenerBridge
+      .waitUntilListenerBusEmpty(sc, 10000L)
+    if (!drained) {
+      var last = tasksEnded.get()
+      Thread.sleep(20)
+      var waited = 20
+      while (waited < 1000 && tasksEnded.get() != last) {
+        last = tasksEnded.get()
+        Thread.sleep(50); waited += 50
+      }
     }
   }
 

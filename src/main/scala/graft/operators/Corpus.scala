@@ -417,7 +417,14 @@ object Corpus {
     * by the corpus). Each step is two linear aggregates (margins keyed
     * by doc, update keyed by bucket) and one broadcast-sized mistake
     * semi-join; `steps` is a constant, so training is O(steps · corpus)
-    * with no global sort anywhere. */
+    * with no global sort anywhere.
+    *
+    * Training margins are NOT the acceptance test — a linear model over
+    * hashed grams can memorize any split (q254's fixture label is
+    * content-independent and still separates in training). Held-out
+    * ranking power is the test: q257 trains on a fold, scores the
+    * held-out third, and reports Mann-Whitney AUC — chance-level there
+    * (~0.5) on a signal-free label is the CORRECT reading. */
   def qualityPerceptron(raw: DataFrame, target: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       nBuckets: Int = 4096, seed: Int = 11, steps: Int = 4): DataFrame = {
@@ -496,7 +503,16 @@ object Corpus {
   /** The batch-perceptron loop over a persisted feature frame: per step,
     * margins per (doc, class) under the current literal weights, the
     * mistake set (y·margin ≤ 0), and the pure-integer update
-    * Σ y·c per bucket (nBuckets rows to the driver). */
+    * Σ y·c per bucket (nBuckets rows to the driver).
+    *
+    * Cost note: `steps` MULTIPLIES corpus passes — every step needs all
+    * margins under the current weights, so each issues one Spark job
+    * whose margin window is a full (doc_id, y)-keyed shuffle of the
+    * feature frame. Inherent to the batch perceptron (the update is a
+    * function of the whole mistake set); keep `steps` a small constant
+    * at 100 TB and budget steps × one-corpus-pass. Held-out ranking
+    * power — the actual acceptance test for a trained filter — is
+    * measured by q257 via [[Evaluate.binaryAuc]]. */
   private def trainPerceptron(db: DataFrame, nBuckets: Int, steps: Int): Array[Long] = {
     require(steps >= 1)
     val w = Array.fill[Long](nBuckets)(0L)

@@ -680,13 +680,24 @@ object Dedup {
       prefilter: Boolean = true, seed: Long = 2303L): DataFrame = {
     import graft.functions.GraftFunctions.{cosine_sim, micro_units, rhp_signature, hamming_dist, l2_norm}
     require(minCosine <= 1.0, "minCosine above 1.0 can match nothing")
+    // empty-corpus short-circuit BEFORE the k-means build (the Lloyd
+    // init cannot type an empty literal cell array, and there is no
+    // dim to read off a cell-less index) — same discipline the
+    // round-9 operators establish in EdgeCasesSpec. The explicit-
+    // nCells path pays one limit-1 probe; the auto path reuses the
+    // count it takes anyway.
     val nCellsEff =
-      if (nCells > 0) nCells
+      if (nCells > 0) { if (vecs.isEmpty) 0 else nCells }
       else {
         val n = vecs.count()
-        math.max(8L, (n + targetCellSize - 1) / targetCellSize)
+        if (n == 0L) 0
+        else math.max(8L, (n + targetCellSize - 1) / targetCellSize)
           .min(Int.MaxValue).toInt
       }
+    if (nCellsEff == 0)
+      return vecs.limit(0).select(col(idCol),
+        lit(0).cast("int").as("cell_id"), col(idCol).as("comp"),
+        lit(0.0).as("centroid_sim"), lit(false).as("is_kept"))
     val idx = Ivf.buildPortable(vecs, nCellsEff, iters, idCol, vecCol)
     val dim = idx.cells.select(size(col("centroid"))).head().getInt(0)
     val m = idx.assigned.select(col("cell_id"), col(idCol).as("vid"),

@@ -44,23 +44,25 @@ object Extras {
 
     // Flagship IoT dataflow (reference §3.1-3.2 end-to-end): simulate a
     // fleet with an injected compressor failure, snapshot, profile on the
-    // clean period, detect (paths 1+2), emit events. Rows-only: validated
-    // by PipelineSpec E2E (50/50 injected ticks flagged, 0 false positives).
+    // clean period, detect (paths 1+2), emit events. The snapshot table is
+    // STAGED to parquet (SimFixture) so the DuckDB oracle recomputes the
+    // whole detection chain — profile stats, z-scores, fingerprint cosine,
+    // F10 score, F12 detail strings — from bit-identical floats; value
+    // semantics also asserted in PipelineSpec E2E (50/50 injected ticks
+    // flagged, 0 false positives) and SimulatorValueSpec.
     "q50_iot_detect_pipeline" -> ((s, dir) => {
-      import graft.operators.{Detection, Profiles, Snapshotter}
-      import graft.sources.IoTSimulator
+      import graft.operators.{Detection, Profiles}
       import graft.core.DetectionConfig
       val _ = dir // driven by the generator, not the testdata tables
-      val readings = IoTSimulator.readings(s, nTicks = 360,
-        injections = IoTSimulator.compressorFailure("RTU-001", 240, 300))
-      val snaps = Snapshotter.snapshots(readings, dim = 128)
+      val snaps = graft.sources.SimFixture.snapshots(s)
       val profiles = Profiles.build(snaps.filter(
         col("snapshot_time") < timestamp_seconds(lit(1704067200L + 200 * 10))))
       Detection.anomalyEvents(
         Detection.pathsOneTwo(snaps, profiles, DetectionConfig.Standalone))
-        .select(col("device_id"), col("snapshot_time"), col("anomaly_score"),
+        .select(col("device_id"), unix_micros(col("snapshot_time")).as("t_us"),
+          round(col("anomaly_score"), 6).as("anomaly_score"),
           col("anomaly_type"), col("detection_details"))
-        .orderBy(col("device_id"), col("snapshot_time"))
+        .orderBy(col("device_id"), col("t_us"))
     }),
 
     // Trained IVF ANN, full production shape: k-means cells, index
@@ -98,16 +100,15 @@ object Extras {
 
     // Similar-states investigation (reference find_similar_states.py:
     // 86-315): for each detected anomaly, the "has this happened before?"
-    // verdict over same-device history. Rows-only: map-diff internals are
-    // asserted in SimilarStatesSpec; output is the scalar summary report.
+    // verdict over same-device history. Oracle-checked from the staged
+    // snapshot fixture (same-device top-5 ranking, similarity aggregates,
+    // the seen-before verdict); map-diff internals are asserted in
+    // SimilarStatesSpec.
     "q56_similar_states" -> ((s, dir) => {
-      import graft.operators.{Detection, Profiles, Snapshotter, SimilarStates}
-      import graft.sources.IoTSimulator
+      import graft.operators.{Detection, Profiles, SimilarStates}
       import graft.core.DetectionConfig
       val _ = dir
-      val readings = IoTSimulator.readings(s, nTicks = 360,
-        injections = IoTSimulator.compressorFailure("RTU-001", 240, 300))
-      val snaps = Snapshotter.snapshots(readings, dim = 128)
+      val snaps = graft.sources.SimFixture.snapshots(s)
       val profiles = Profiles.build(snaps.filter(
         col("snapshot_time") < timestamp_seconds(lit(1704067200L + 200 * 10))))
       val detected = Detection.pathsOneTwo(snaps, profiles, DetectionConfig.Standalone)
@@ -124,16 +125,15 @@ object Extras {
     // All-methods comparison (reference detect_anomalies_all.py:66-246):
     // rules + profile paths + ANN novelty over the simulated fleet, per-
     // device firing rates, pairwise agreement, >=2-vote consensus.
-    // Rows-only: asserted quantitatively in PipelineSpec (injected-window
-    // detection rates, quiet-device false-positive bounds).
+    // Oracle-checked from the staged snapshot fixture (the full composite:
+    // rules booleans, paths 1+2, the path-3 novelty self-join with warmup
+    // NULLs, the vote matrix); detection rates also asserted in
+    // PipelineSpec.
     "q55_iot_all_methods" -> ((s, dir) => {
-      import graft.operators.{Detection, Profiles, Rules, Snapshotter}
-      import graft.sources.IoTSimulator
+      import graft.operators.{Detection, Profiles, Rules}
       import graft.core.DetectionConfig
       val _ = dir
-      val readings = IoTSimulator.readings(s, nTicks = 360,
-        injections = IoTSimulator.compressorFailure("RTU-001", 240, 300))
-      val snaps = Snapshotter.snapshots(readings, dim = 128)
+      val snaps = graft.sources.SimFixture.snapshots(s)
       val profiles = Profiles.build(snaps.filter(
         col("snapshot_time") < timestamp_seconds(lit(1704067200L + 200 * 10))))
       val detected = Detection.pathsOneTwo(snaps, profiles, DetectionConfig.Standalone)
@@ -245,8 +245,19 @@ object Extras {
     // costs, as data, not as a promise.
     "q253_semdedup_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // the operating default (semanticDedupExemplars auto rule) is part
+      // of the calibration: k = max(8, ceil(N/4096)) — resolves to 8 for
+      // any corpus up to 32,768 vectors, so at the gate scales the
+      // derived-k row coincides with the 8-cell row and is MARKED rather
+      // than duplicated (is_auto_k)
+      val kAuto = {
+        val n = e.count()
+        math.max(8L, (n + 4095) / 4096).min(Int.MaxValue).toInt
+      }
       graft.operators.Dedup.semanticRecallAudit(e,
-          cellCounts = Seq(4, 8, 16), minCosine = 0.3, sampleMod = 4)
+          cellCounts = (Seq(4, 8, 16) :+ kAuto).distinct.sorted,
+          minCosine = 0.3, sampleMod = 4)
+        .withColumn("is_auto_k", col("n_cells") === kAuto)
         .orderBy(col("n_cells"))
     }),
 
@@ -385,6 +396,71 @@ object Extras {
        |${updateCte(s"${p}c2", s"${p}a2")},
        |${assignCte(s"${p}af", s"${p}c2")}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Detection-pipeline oracle SQL (q50/q55/q56). Recomputes the whole
+  // chain from the staged simulator snapshot fixture (SimFixture.Path):
+  // Profiles.build (dsum stats, decimal-exact float-cast centroid) and
+  // Detection.pathsOneTwo under the Standalone config (z > 3, >= 1
+  // outlier, fingerprint cosine < 0.85), every float op in the same
+  // fixed left-to-right fold order as the codegen'd expressions.
+
+  /** t0 + 200 ticks × 10 s — the profile training cut (UTC). */
+  private val trainCut = "TIMESTAMP '2024-01-01 00:33:20'"
+
+  private val cosCase =
+    "CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END"
+
+  /** snaps → (per-metric stats, profile embedding) → per-snapshot paths-
+    * 1/2 verdict (`det`: n_out, zsum, sim, p1, p2, is_anom, emb, nrm). */
+  private val simCtes: String =
+    s"""WITH snaps AS (SELECT device_id, snapshot_time, device_type,
+       |    CAST(embedding AS DOUBLE[]) AS emb, metrics
+       |  FROM read_parquet('${graft.sources.SimFixture.OracleGlob}')),
+       |mx AS (SELECT device_id, snapshot_time, device_type,
+       |    unnest(map_keys(metrics)) AS metric,
+       |    unnest(map_values(metrics)) AS v
+       |  FROM snaps),
+       |pn AS (SELECT device_id, count(*) AS n_train FROM snaps
+       |  WHERE snapshot_time < $trainCut
+       |  GROUP BY device_id HAVING count(*) >= 5),
+       |st AS (SELECT m.device_id, m.metric,
+       |    ${dsumSql("v", 2)} / count(*) AS mean,
+       |    sqrt(${dsumSql("v * v", 4)} / count(*)
+       |      - (${dsumSql("v", 2)} / count(*)) * (${dsumSql("v", 2)} / count(*)))
+       |      AS std
+       |  FROM mx m JOIN pn USING (device_id)
+       |  WHERE m.snapshot_time < $trainCut GROUP BY m.device_id, m.metric),
+       |pe AS (SELECT device_id, list(m ORDER BY pos) AS pv FROM (
+       |    SELECT device_id, pos,
+       |      CAST(CAST(${dsumSql("x", 15)} / count(*) AS REAL) AS DOUBLE) AS m
+       |    FROM (SELECT s.device_id, generate_subscripts(s.emb, 1) AS pos,
+       |            unnest(s.emb) AS x
+       |          FROM snaps s JOIN pn USING (device_id)
+       |          WHERE s.snapshot_time < $trainCut)
+       |    GROUP BY device_id, pos) GROUP BY device_id),
+       |ol AS (SELECT m.device_id, m.snapshot_time, m.metric,
+       |    abs(m.v - st.mean) / st.std AS z
+       |  FROM mx m JOIN st ON st.device_id = m.device_id AND st.metric = m.metric
+       |  WHERE st.std > 0 AND abs(m.v - st.mean) / st.std > 3.0),
+       |oagg AS (SELECT device_id, snapshot_time, count(*) AS n_out,
+       |    ${fold("list(least(10.0, z) ORDER BY metric)")} AS zsum
+       |  FROM ol GROUP BY device_id, snapshot_time),
+       |sm AS (SELECT device_id, snapshot_time, $cosCase AS sim FROM (
+       |    SELECT s.device_id, s.snapshot_time, ${cosSelectD("s.emb", "p.pv", 128)}
+       |    FROM snaps s JOIN pe p USING (device_id))),
+       |det AS (SELECT s.device_id, s.snapshot_time, s.device_type, s.emb,
+       |    ${fold("list_transform(range(1, 129), i -> s.emb[i] * s.emb[i])")}
+       |      AS nrm,
+       |    coalesce(o.n_out, 0) AS n_out, o.zsum, coalesce(m.sim, 1.0) AS sim,
+       |    coalesce(o.n_out, 0) >= 1 AS p1,
+       |    coalesce(m.sim < 0.85, FALSE) AS p2,
+       |    coalesce(o.n_out, 0) >= 1 OR coalesce(m.sim < 0.85, FALSE) AS is_anom
+       |  FROM snaps s
+       |  LEFT JOIN oagg o ON o.device_id = s.device_id
+       |    AND o.snapshot_time = s.snapshot_time
+       |  LEFT JOIN sm m ON m.device_id = s.device_id
+       |    AND m.snapshot_time = s.snapshot_time)""".stripMargin
+
   /** exact-cosine rescore of a (qid, nid) candidate CTE → top-k rows. */
   private def rescoreSql(cand: String, k: Int): String =
     s"""sc AS (SELECT qid, nid,
@@ -400,6 +476,130 @@ object Extras {
        |FROM r WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors Detection.pathsOneTwo (Standalone) + anomalyEvents over the
+    // staged fixture: F10 score (max(0,1-sim) + capped-z sum / 40) and the
+    // F12 detail string (top-3 outliers by z desc, metric desc; %.1f / %.3f
+    // formatting) recomputed from scratch.
+    "q50_iot_detect_pipeline" ->
+      s"""$simCtes,
+         |t3 AS (SELECT device_id, snapshot_time,
+         |    string_agg(metric || ' (Z: ' || printf('%.1f', z) || ')',
+         |               ', ' ORDER BY rk) AS d1
+         |  FROM (SELECT device_id, snapshot_time, metric, z,
+         |      row_number() OVER (PARTITION BY device_id, snapshot_time
+         |        ORDER BY z DESC, metric DESC) AS rk FROM ol)
+         |  WHERE rk <= 3 GROUP BY device_id, snapshot_time)
+         |SELECT d.device_id, epoch_us(d.snapshot_time) AS t_us,
+         |  round(greatest(0.0, 1.0 - d.sim)
+         |    + CASE WHEN d.n_out > 0 THEN least(1.0, d.zsum / 40.0)
+         |           ELSE 0.0 END, 6) AS anomaly_score,
+         |  'consumer_paths_1_2' AS anomaly_type,
+         |  concat_ws(' | ',
+         |    CASE WHEN d.p1 THEN 'PATH 1 (Rules): ' || CAST(d.n_out AS VARCHAR)
+         |      || ' outliers - ' || t3.d1 END,
+         |    CASE WHEN d.p2 THEN 'PATH 2 (Fingerprint): similarity='
+         |      || printf('%.3f', d.sim) || ' (< 0.85)' END) AS detection_details
+         |FROM det d LEFT JOIN t3 ON t3.device_id = d.device_id
+         |  AND t3.snapshot_time = d.snapshot_time
+         |WHERE d.p1 OR d.p2
+         |ORDER BY d.device_id, t_us""".stripMargin,
+
+    // Mirrors Rules.evaluate (threshold VALUES from the SAME Scala table +
+    // the three relationship predicates), Detection.pathThreeAfterOneTwo
+    // under VectorSearch (24 h lookback self-join, warmup-NULL below 30,
+    // cosine >= 0.90 among non-anomalous, novelty = matches < 5) and
+    // methodComparison's vote matrix.
+    "q55_iot_all_methods" -> {
+      val thrValues = graft.operators.Rules.thresholdRules
+        .map { case (dt, m, mn, mx, _) => s"('$dt', '$m', $mn, $mx)" }
+        .mkString(",\n    ")
+      s"""$simCtes,
+         |thr(dt, metric, mn, mx) AS (VALUES
+         |    $thrValues),
+         |tv AS (SELECT DISTINCT m.device_id, m.snapshot_time
+         |  FROM mx m JOIN thr ON m.device_type = thr.dt AND m.metric = thr.metric
+         |  WHERE m.v < thr.mn OR m.v > thr.mx),
+         |piv AS (SELECT device_id, snapshot_time,
+         |    any_value(device_type) AS device_type,
+         |    max(CASE WHEN metric = 'compressor_status' THEN v END) AS comp_st,
+         |    max(CASE WHEN metric = 'power_consumption' THEN v END) AS pw,
+         |    max(CASE WHEN metric = 'supply_air_temp' THEN v END) AS sat,
+         |    max(CASE WHEN metric = 'return_air_temp' THEN v END) AS rat,
+         |    max(CASE WHEN metric = 'chilled_water_delta_t' THEN v END) AS dt
+         |  FROM mx GROUP BY device_id, snapshot_time),
+         |rel AS (SELECT device_id, snapshot_time,
+         |    (device_type = 'rooftop_unit'
+         |       AND coalesce(comp_st = 1.0 AND pw < 5.0, FALSE))
+         |    OR (device_type = 'rooftop_unit'
+         |       AND coalesce(abs(sat - rat) > 25.0, FALSE))
+         |    OR (device_type = 'chiller' AND coalesce(dt < 3.0, FALSE)) AS rel_trig
+         |  FROM piv),
+         |rl AS (SELECT d.device_id, d.snapshot_time,
+         |    (tv.device_id IS NOT NULL) OR coalesce(rel.rel_trig, FALSE) AS m1
+         |  FROM det d
+         |  LEFT JOIN tv ON tv.device_id = d.device_id
+         |    AND tv.snapshot_time = d.snapshot_time
+         |  LEFT JOIN rel ON rel.device_id = d.device_id
+         |    AND rel.snapshot_time = d.snapshot_time),
+         |pp AS (SELECT device_id, q_time, c_anom, $cosCase AS cs FROM (
+         |    SELECT q.device_id, q.snapshot_time AS q_time, c.is_anom AS c_anom,
+         |      ${fold("list_transform(range(1, 129), i -> q.emb[i] * c.emb[i])")}
+         |        AS dot,
+         |      q.nrm AS na, c.nrm AS nb
+         |    FROM det q JOIN det c ON c.device_id = q.device_id
+         |    WHERE c.snapshot_time <> q.snapshot_time
+         |      AND c.snapshot_time >= q.snapshot_time - INTERVAL 24 HOUR
+         |      AND c.snapshot_time <= q.snapshot_time)),
+         |p3 AS (SELECT device_id, q_time AS snapshot_time, count(*) AS corpus_n,
+         |    count(*) FILTER (WHERE NOT c_anom AND cs >= 0.90) AS match_n
+         |  FROM pp GROUP BY device_id, q_time),
+         |mm AS (SELECT d.device_id,
+         |    coalesce(rl.m1, FALSE) AS m1, (d.p1 OR d.p2) AS m2,
+         |    CASE WHEN coalesce(p3.corpus_n, 0) < 30 THEN FALSE
+         |         ELSE p3.match_n < 5 END AS m3
+         |  FROM det d
+         |  JOIN rl ON rl.device_id = d.device_id
+         |    AND rl.snapshot_time = d.snapshot_time
+         |  LEFT JOIN p3 ON p3.device_id = d.device_id
+         |    AND p3.snapshot_time = d.snapshot_time)
+         |SELECT device_id, count(*) AS n_snapshots,
+         |  count(*) FILTER (WHERE m1) AS rules_n,
+         |  count(*) FILTER (WHERE m2) AS profile_n,
+         |  count(*) FILTER (WHERE m3) AS vector_n,
+         |  count(*) FILTER (WHERE m1 AND m2) AS rules_profile_agree,
+         |  count(*) FILTER (WHERE m2 AND m3) AS profile_vector_agree,
+         |  count(*) FILTER (WHERE m1 AND m3) AS rules_vector_agree,
+         |  count(*) FILTER (WHERE CAST(m1 AS INT) + CAST(m2 AS INT)
+         |    + CAST(m3 AS INT) >= 2) AS consensus_n,
+         |  round(CAST(count(*) FILTER (WHERE CAST(m1 AS INT) + CAST(m2 AS INT)
+         |    + CAST(m3 AS INT) >= 2) AS DOUBLE) / count(*), 4) AS consensus_rate
+         |FROM mm GROUP BY device_id ORDER BY device_id""".stripMargin
+    },
+
+    // Mirrors SimilarStates.find + summary over the paths-1/2 verdict:
+    // per anomalous target, same-device candidates at cosine >= 0.5,
+    // top-5 by (sim desc, time asc), then the seen-before rollup.
+    "q56_similar_states" ->
+      s"""$simCtes,
+         |sp AS (SELECT device_id, t_time, c_time, c_anom, $cosCase AS sim FROM (
+         |    SELECT t.device_id, t.snapshot_time AS t_time,
+         |      c.snapshot_time AS c_time, c.is_anom AS c_anom,
+         |      ${fold("list_transform(range(1, 129), i -> t.emb[i] * c.emb[i])")}
+         |        AS dot,
+         |      t.nrm AS na, c.nrm AS nb
+         |    FROM det t JOIN det c ON c.device_id = t.device_id
+         |    WHERE t.is_anom AND c.snapshot_time <> t.snapshot_time)),
+         |rkd AS (SELECT *, row_number() OVER (PARTITION BY device_id, t_time
+         |    ORDER BY sim DESC, c_time ASC) AS rk
+         |  FROM sp WHERE sim >= 0.5)
+         |SELECT device_id, epoch_us(t_time) AS t_us, count(*) AS n_similar,
+         |  count(*) FILTER (WHERE c_anom) AS n_similar_anomalous,
+         |  round(avg(sim), 6) AS avg_similarity,
+         |  round(max(sim), 6) AS best_similarity,
+         |  count(*) > count(*) FILTER (WHERE c_anom) AS seen_before_normal
+         |FROM rkd WHERE rk <= 5
+         |GROUP BY device_id, t_time ORDER BY device_id, t_us""".stripMargin,
+
     "q29_ivf_trained" ->
       s"""$ivfCtes,
          |cand AS (SELECT pr.qid, af.vec_id AS nid
@@ -578,11 +778,14 @@ object Extras {
          |              ELSE dot / (sqrt(na) * sqrt(nb)) END AS cs FROM tp0)
          |       WHERE cs >= 0.3),
          |legs AS (${leg("k4", 4)} UNION ALL ${leg("k8", 8)}
-         |         UNION ALL ${leg("k16", 16)})
+         |         UNION ALL ${leg("k16", 16)}),
+         |ak AS (SELECT greatest(8, CAST(ceil(count(*) / 4096.0) AS INTEGER)) AS k
+         |       FROM embeddings)
          |SELECT CAST(n_cells AS INTEGER) AS n_cells, true_pairs, found_pairs,
          |  CAST(CASE WHEN true_pairs > 0 THEN
          |    found_pairs * 1000000 // true_pairs ELSE 0 END AS BIGINT)
-         |    AS recall_ppm
+         |    AS recall_ppm,
+         |  n_cells = (SELECT k FROM ak) AS is_auto_k
          |FROM legs ORDER BY n_cells""".stripMargin
     },
 

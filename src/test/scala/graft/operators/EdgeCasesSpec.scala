@@ -250,6 +250,21 @@ class EdgeCasesSpec extends SparkSpec {
       (2L, 1L, 1L, "")))
   }
 
+  test("semanticDedupExemplars: empty corpus returns empty, not throw") {
+    val vSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vSchema)
+    // both the auto-k path (count 0) and the explicit-nCells path must
+    // short-circuit before the Lloyd init touches a cell-less index
+    val auto = Dedup.semanticDedupExemplars(empty)
+    assert(auto.count() == 0)
+    assert(auto.columns.toSeq ==
+      Seq("vec_id", "cell_id", "comp", "centroid_sim", "is_kept"))
+    assert(Dedup.semanticDedupExemplars(empty, nCells = 8).count() == 0)
+  }
+
   test("qualityPerceptron: one-sided training still converges to that side") {
     // empty target: every doc is raw (y = -1), step 1 makes all weights
     // negative, so every score is negative and nothing predicts target

@@ -36,6 +36,26 @@ class ProfilesIncrementalSpec extends SparkSpec {
     assert(canon(incr) == canon(batch), "incremental must equal batch bit-for-bit")
   }
 
+  test("portable centroid ≡ Aggregator centroid to float precision") {
+    val snaps = Snapshotter.snapshots(
+      IoTSimulator.readings(spark, nTicks = 120), dim = 16).cache()
+    def emb(portable: Boolean) =
+      Profiles.build(snaps, minSnapshots = 1, portableCentroid = portable)
+        .select($"device_id", $"profile_embedding")
+        .as[(String, Seq[Float])].collect().sortBy(_._1).toSeq
+    val (p, a) = (emb(true), emb(false))
+    assert(p.map(_._1) == a.map(_._1))
+    // the decimal-exact mean and the partition-order double mean may
+    // differ in the double's last ulps; after the float cast they must
+    // agree to within one float ulp per component
+    p.zip(a).foreach { case ((d, pe), (_, ae)) =>
+      pe.zip(ae).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= math.ulp(math.max(math.abs(x), math.abs(y))),
+          s"$d: $x vs $y")
+      }
+    }
+  }
+
   test("streaming foreachBatch maintains the profile state table (stream ≡ batch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.core.MetricReading

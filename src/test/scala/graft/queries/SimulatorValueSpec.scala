@@ -107,11 +107,12 @@ class SimulatorValueSpec extends SparkSpec {
     val expected = snapRows.map(s => (s, naiveVerdict(s, cfg)))
       .filter(_._2.anomalous)
       .map { case (s, v) =>
-        (s.dev, s.time.getTime, v.score, "consumer_paths_1_2", v.details.orNull)
+        (s.dev, s.time.getTime * 1000L, // unix_micros
+          sparkRound(v.score, 6), "consumer_paths_1_2", v.details.orNull)
       }
       .sortBy(r => (r._1, r._2))
     val got = SparkEntry.queries("q50_iot_detect_pipeline")(spark, sf("sf0.001"))
-      .collect().toSeq.map(r => (r.getString(0), r.getTimestamp(1).getTime,
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
         r.getDouble(2), r.getString(3), r.getString(4)))
     assert(got.size == expected.size, s"${got.size} vs ${expected.size} events")
     got.zip(expected).foreach { case (g, e) =>
