@@ -27,23 +27,29 @@ import org.apache.spark.sql.functions._
   * Usage: SPARK_GRAFT_SCALE_TIERS=1,30,100 sbt "runMain graft.SemDedupProbe"
   *
   * SKEWED mode (`runMain graft.SemDedupProbe skewed`) censuses the
-  * sub-band guard — mechanism 3 — on the corpus the cell k-means CANNOT
-  * shatter: 90% of vectors are a tight cloud of DISTINCT points around
-  * the origin (per-component hash noise in ±0.01, so every vector is
-  * unique and the exact-duplicate collapse buys nothing), 10% are real
-  * embeddings scattered at unit norm. Lloyd pulls exactly one centroid
-  * into the cloud (the cloud is one tight mass; only the cell that
-  * captures it re-centers toward the origin), so one cell holds ~90%
-  * of the corpus at every tier — the single-hot-cell pathology. The
-  * origin-centered cloud is ALSO the sign-LSH-splittable shape: each
-  * vector's hyperplane projections hover around zero, so its signature
-  * bits are iid fair coins and the sub-bands split the cell uniformly.
-  * Census per tier: hot-cell distinct size, the sub-band bit count the
-  * operator derives, realized bands, candidate pairs WITH the guard vs
-  * the unguarded Σ c·(c−1)/2 census, hamming-screen survivors at the
-  * production 0.9 threshold, and the full-operator wall. The claim
-  * under test: pairs stay ~quadratic-in-cap (≈ classes × cap / 2),
-  * never quadratic-in-cell.
+  * round-10 skew guard — centered sub-banding + hub spokes — on the
+  * corpus the cell k-means cannot shatter: nCells pinned to 1 (the
+  * pinned-k misuse the guard backstops; the auto rule k ∝ N is the
+  * first line of defense and keeps cells under the cap by
+  * construction), 90% of vectors a DISTINCT cloud around one base
+  * embedding (per-component hash noise), 10% real embeddings. Two
+  * regimes per the cloud's spread ρ:
+  *
+  *  - DIFFUSE (ρ = 0.5, pairwise cosine ≈ 0.83): the guard's split
+  *    quality is what matters. Census stamps the realized band
+  *    distribution under the shipped CENTERED signature (uniform —
+  *    residual signs are unbiased) against the modal-band mass the
+  *    pre-round-10 UNCENTERED signature would have kept (33-100%,
+  *    mean-dominated — the measured reason the guard was re-based),
+  *    plus guarded vs unguarded pair counts and the full-operator wall.
+  *  - TIGHT (ρ = 0.02, pairwise cosine ≈ 0.9997 — a true over-cap
+  *    duplicate BLOCK): uniform banding scatters it, so the hub spokes
+  *    must re-connect every band; the census stamps the number of
+  *    groups the operator reports for the cloud (must be 1).
+  *
+  * The claim under test: candidate pairs ≈ classes × cap / 2 — linear
+  * in the cell's distinct count with the cap as the constant
+  * (quadratic-in-cap), never quadratic-in-cell, for ANY cell geometry.
   */
 object SemDedupProbe {
   def main(args: Array[String]): Unit = {
@@ -128,15 +134,17 @@ object SemDedupProbe {
   /** Single-hot-cell census (see object scaladoc, SKEWED mode). */
   private def skewedMain(): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val tiers = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIERS", "1,30,100")
+    val diffuseTiers = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIERS", "1,30,100")
       .split(",").map(_.trim.toInt).toSeq
-    val minCosine = 0.9 // production semantic threshold (Abbas et al. use ~0.95+)
+    val minCosine = 0.9 // production semantic threshold
+    val maxCellSize = 16384 // operator default — the cap under test
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import graft.functions.GraftFunctions.{rhp_signature, micro_units}
     def clean(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
@@ -146,83 +154,92 @@ object SemDedupProbe {
       .select(col("vec_id"), col("embedding")).persist()
     val baseN = base.count()
     val dim = base.select(size(col("embedding"))).head().getInt(0)
-    val maxCellSize = 16384 // the operator default — the cap under test
-    tiers.foreach { k =>
+    val c0: Array[Float] = base.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val c0Lit = array(c0.toIndexedSeq.map(x => lit(x.toDouble)): _*)
+
+    def census(mode: String, k: Int, rho: Double, wall: Boolean): Unit = {
       val n = baseN * k
+      // the cloud expression needs _c0 in scope: build it directly here
       val nScatter = n / 10
-      // scattered 10%: real embeddings (ids 0..nScatter-1, values repeat
-      // past baseN — duplicates there are irrelevant to the hot cell);
-      // cloud 90%: DISTINCT hash-noise vectors in ±0.01 around the origin
+      val amp = rho / math.sqrt(dim / 3.0)
       val scattered = spark.range(nScatter).select(col("id").as("vec_id"),
           pmod(col("id"), lit(baseN)).as("_b"))
         .join(base.select(col("vec_id").as("_b"), col("embedding")), Seq("_b"))
         .select(col("vec_id"), col("embedding"))
-      val cloud = spark.range(nScatter, n).select(col("id").as("vec_id"),
-        expr(s"""transform(sequence(0, ${dim - 1}, 1), p ->
-                 |CAST((pmod(xxhash64(id, p), 20001) - 10000) / 1000000.0
-                 |AS FLOAT))""".stripMargin).as("embedding"))
-      val corpus = scattered.unionByName(cloud)
-        .localCheckpoint(eager = true) // pin the fixture; probe reuses it
-      // census: mirror the operator's delegate/sub-band stages at the
-      // production auto cell count (nCells = max(8, ceil(n/4096)))
-      import graft.functions.GraftFunctions.{rhp_signature, hamming_dist, l2_norm}
-      val nCells = math.max(8L, (n + 4095) / 4096).toInt
-      val idx = graft.operators.Ivf.buildPortable(corpus, nCells, 2, "vec_id", "embedding")
+      val cloud = spark.range(nScatter, n)
+        .withColumn("_c0", c0Lit)
+        .select(col("id").as("vec_id"),
+          expr(s"""transform(sequence(0, ${dim - 1}, 1), p ->
+                   |CAST(element_at(_c0, p + 1)
+                   |  + ((pmod(xxhash64(vec_id, p), 20001) - 10000) / 10000.0) * $amp
+                   |AS FLOAT))""".stripMargin).as("embedding"))
+      // stage the fixture to parquet (NOT localCheckpoint: the wall runs
+      // clean() between measurements, which unpersists every RDD — a
+      // truncated-lineage checkpoint cannot be recomputed after that)
+      val path = s"/tmp/semdedup_skew/${mode}_x$k"
+      scattered.unionByName(cloud)
+        .write.mode("overwrite").parquet(path)
+      val corpus = spark.read.parquet(path)
+      // census mirrors the operator's delegate/band stages at nCells = 1
+      val idx = graft.operators.Ivf.buildPortable(corpus, 1, 2, "vec_id", "embedding")
       val m = idx.assigned.select(col("cell_id"), col("vec_id").as("vid"),
         col("embedding").cast("array<double>").as("_v"))
-        .filter(l2_norm(col("_v")) > 0)
       val classes = m.groupBy(col("cell_id"), col("_v"))
         .agg(min(col("vid")).as("del"))
-        .withColumn("_psig", rhp_signature(col("_v"), 64, dim, 2303L, portable = true))
+        .join(broadcast(idx.cells), Seq("cell_id"))
         .persist()
       val d = classes.count()
-      val cellCensus = classes.groupBy(col("cell_id"))
-        .agg(count(lit(1)).as("csz"))
-        .withColumn("_sbits",
-          when(col("csz") <= maxCellSize, lit(0))
-            .otherwise(least(lit(16),
-              ceil(log(2.0, col("csz").cast("double") / maxCellSize)).cast("int"))))
-        .persist()
-      val (hotCell, hotSbits) = {
-        val r = cellCensus.orderBy(col("csz").desc).head()
-        (r.getLong(r.fieldIndex("csz")), r.getInt(r.fieldIndex("_sbits")))
-      }
-      val unguarded = cellCensus
-        .agg(sum(expr("csz * (csz - 1) div 2"))).head().getLong(0)
+      val sbits = if (d <= maxCellSize) 0
+        else math.min(16, math.ceil(
+          math.log(d.toDouble / maxCellSize) / math.log(2.0)).toInt)
       val banded = classes
-        .join(cellCensus.select(col("cell_id"), col("_sbits")), Seq("cell_id"))
-        .withColumn("_band",
-          expr("_psig & (shiftleft(CAST(1 AS BIGINT), _sbits) - 1)"))
-      val bandCensus = banded.groupBy(col("cell_id"), col("_band"))
-        .agg(count(lit(1)).as("c")).persist()
-      val nBands = bandCensus.count()
-      val guarded = bandCensus.agg(sum(expr("c * (c - 1) div 2")))
-        .head().getLong(0)
-      val thr = graft.operators.Dedup.hammingScreenThreshold(minCosine)
-      val lhs = banded.select(col("cell_id"), col("_band"),
-        col("del").as("id_a"), col("_psig").as("_pa"))
-      val rhs = banded.select(col("cell_id"), col("_band"),
-        col("del").as("id_b"), col("_psig").as("_pb"))
-      val screened = lhs.join(rhs, Seq("cell_id", "_band"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(hamming_dist(col("_pa"), col("_pb")) <= thr)
-        .count()
+        .withColumn("_cband",
+          rhp_signature(
+            zip_with(micro_units(col("_v")), col("centroid"), (a, b) => a - b),
+            64, dim, 2303L, portable = true)
+            .bitwiseAND(lit((1L << sbits) - 1)))
+        .withColumn("_uband",
+          rhp_signature(col("_v"), 64, dim, 2303L, portable = true)
+            .bitwiseAND(lit((1L << sbits) - 1)))
+        .persist()
+      def bandStats(c: String): (Long, Long, Double) = {
+        val rows = banded.groupBy(col(c)).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("bands"), max(col("n")).as("mx"),
+            sum(expr("n * (n - 1) div 2")).as("pairs"))
+          .head()
+        (rows.getLong(0), rows.getLong(2), rows.getLong(1).toDouble / d)
+      }
+      val (bandsC, pairsC, maxFracC) = bandStats("_cband")
+      val (_, pairsU, maxFracU) = bandStats("_uband")
+      val unguarded = d * (d - 1) / 2
+      val spokes = if (sbits > 0) d - 1 else 0L
+      banded.unpersist(blocking = false)
       classes.unpersist(blocking = false)
-      cellCensus.unpersist(blocking = false)
-      bandCensus.unpersist(blocking = false)
-      // full-operator wall at the same parameters (auto-k, 0.9)
-      def run(): Long = graft.operators.Dedup.semanticDedupExemplars(
-        corpus, minCosine = minCosine).count()
-      clean(); run()
-      val sec = (1 to 2).map { _ =>
+      var cloudGroups = -1L
+      var sec = -1.0
+      if (wall) {
+        def run(): org.apache.spark.sql.DataFrame =
+          graft.operators.Dedup.semanticDedupExemplars(
+            corpus, nCells = 1, minCosine = minCosine)
         clean()
-        val t0 = System.nanoTime()
-        run()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"""SEMDEDUP_SKEW {"tier":$k,"rows":$n,"classes":$d,"n_cells":$nCells,"hot_cell":$hotCell,"hot_sbits":$hotSbits,"bands":$nBands,"cand_pairs":$guarded,"unguarded_pairs":$unguarded,"screened":$screened,"sec":$sec%.2f}""")
+        // group readout from the warm run: distinct components among
+        // cloud ids (tight mode must report exactly 1)
+        cloudGroups = run().filter(col("vec_id") >= nScatter)
+          .select(col("comp")).distinct().count()
+        sec = (1 to 2).map { _ =>
+          clean()
+          val t0 = System.nanoTime()
+          run().count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      println(f"""SEMDEDUP_SKEW {"mode":"$mode","tier":$k,"rows":$n,"classes":$d,"sbits":$sbits,"bands":$bandsC,"max_band_frac_centered":$maxFracC%.4f,"modal_frac_uncentered":$maxFracU%.4f,"cand_pairs":$pairsC,"uncentered_pairs":$pairsU,"unguarded_pairs":$unguarded,"spokes":$spokes,"cloud_groups":$cloudGroups,"sec":$sec%.2f}""")
       System.out.flush()
     }
+
+    diffuseTiers.foreach(k => census("diffuse", k, 0.5, wall = k <= 100))
+    census("tight", 10, 0.02, wall = true)
     spark.stop()
   }
 }

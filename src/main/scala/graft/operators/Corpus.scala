@@ -68,21 +68,51 @@ object Corpus {
       minJaccard: Double = 0.5, contNum: Int = 9, contDen: Int = 10,
       minNormPpm: Long = 500000L, trainPct: Int = 80,
       splitSeed: Int = 9): DataFrame = {
-    val exactKeep = Dedup.exactGroups(docs, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    // ONE corpus tokenize+shingle pass, persisted, fanned out to both the
-    // near-dup and the containment stage (each standalone operator pays
-    // its own pass; composed here they must not pay it twice)
-    val sets = Dedup.shingleSets(docs, idCol, textCol)
+    val eg = Dedup.exactGroups(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactKeep = eg.select(col("keep_id").as(idCol))
+    // Every shingle-driven stage runs on EXACT-TEXT DELEGATES only (the
+    // SemDeDup collapse discipline): identical texts have identical
+    // shingle sets, so the delegate verdicts — near-dup losers,
+    // containment domination, component labels — are exactly the copies'
+    // verdicts, the component label (min member id) is unchanged because
+    // each delegate is its group's min id, and the posting/banding
+    // stages stop paying copies². CurateProbe measured the containment
+    // stage's shuffle at 1.9× per data× under a copy-heavy corpus
+    // (replica cliques flooding the gram postings, 21.9 → 1,245.7 MB
+    // across a 30× tier); on delegates that stage is bounded by DISTINCT
+    // texts — at 100 TB, where crawl corpora are copy-heavy by nature,
+    // this is the difference between the dup stages scaling with the
+    // crawl and scaling with the content.
+    val keepers = docs.join(exactKeep, Seq(idCol), "left_semi")
+    // ONE delegate tokenize+shingle pass, persisted, fanned out to both
+    // the near-dup and the containment stage (each standalone operator
+    // pays its own pass; composed here they must not pay it twice)
+    val sets = Dedup.shingleSets(keepers, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.nearDupPairsFromSets(sets, minJaccard = minJaccard)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearLosers = pairs.select(col("id_b").as(idCol)).distinct()
     val comps = Dedup.nearDupGroups(pairs)
-    val labeled = docs.select(col(idCol).as("doc_id"))
+    val labeled = keepers.select(col(idCol).as("doc_id"))
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("comp"))
-    val sizes = labeled.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+    // component size counts COPIES (each delegate re-weighted by its
+    // exact-group multiplicity), so weight_ppm = 1e6 / |component| is
+    // bit-identical to the pre-collapse labeling over all docs — with
+    // one fidelity guard: a doc too short to shingle has NO signature,
+    // so its copies never paired with anything in the pre-collapse
+    // labeling and each counted as its own singleton; such a delegate
+    // contributes 1, not n_copies
+    val sigDocs = sets.select(col(idCol).as("doc_id")).distinct()
+      .withColumn("_sig", lit(true))
+    val sizes = labeled
+      .join(eg.select(col("keep_id").as("doc_id"), col("n_copies")),
+        Seq("doc_id"))
+      .join(sigDocs, Seq("doc_id"), "left")
+      .groupBy(col("comp"))
+      .agg(sum(when(col("_sig"), col("n_copies")).otherwise(lit(1L)))
+        .as("comp_size"))
     val weights = labeled.join(sizes, Seq("comp"))
       .select(col("doc_id").as(idCol), col("comp"),
         expr("1000000 div comp_size").as("weight_ppm"))

@@ -643,16 +643,29 @@ object Dedup {
     *     embeddings into one cell — costs O(distinct²), not O(copies²).
     *     Zero-norm vectors can never reach `minCosine > 0` (cosine
     *     zero-norm→0.0) and skip the pairwise stage entirely.
-    *  3. SIGN-LSH SUB-BANDING for oversized cells (declared loss,
-    *     LSH-inherent — the same accepted-recall contract as the
-    *     paper's own cross-cell misses): a cell still holding more
-    *     than `maxCellSize` DISTINCT vectors after the collapse is
-    *     split by the low bits of a portable 64-bit sign signature —
-    *     ceil(log2(size/maxCellSize)) bits, so expected sub-cell size
-    *     falls back under the cap. Only pairs within a sub-band are
-    *     compared; near-duplicates agree on sign bits with probability
-    *     (1 − θ/π) per bit, so true pairs mostly co-band. Never active
-    *     at or below `maxCellSize` — the declared queries' outputs are
+    *  3. CENTERED SUB-BANDING + BAND-HUB STAR for oversized cells: a
+    *     cell still holding more than `maxCellSize` DISTINCT vectors
+    *     after the collapse is split by the low
+    *     ceil(log2(size/maxCellSize)) bits of the sign signature of
+    *     (micro(v) − cell centroid). Centering is load-bearing:
+    *     residual signs are unbiased coins, so the split is UNIFORM
+    *     (≈ cap-sized bands, pairs ≈ size·cap/2) for ANY cell
+    *     geometry — the raw-vector signature fails exactly where the
+    *     guard matters, because a mean-dominated cell agrees on
+    *     sign(r·c₀) for most planes and keeps 33-100% of its mass in
+    *     the modal band (measured: SemDedupProbe skewed census, and
+    *     SCALE.md §SemDeDup-skew). Banding cuts cross-band pairs, so
+    *     every delegate of an oversized cell is additionally paired
+    *     with the cell's min-id delegate (HUB SPOKES — csz extra
+    *     screened candidates per cell, linear): an over-cap tight
+    *     BLOCK — whose residuals are noise and spread over every band
+    *     — re-connects through the hub no matter the banding, so its
+    *     reported GROUP matches the unbanded one; what banding spends
+    *     is pair enumeration, not block recall. Moderate clusters pay
+    *     a declared cross-band loss for member↔member pairs
+    *     dissimilar to the hub — the same accepted-recall contract as
+    *     the paper's own cross-cell misses. Never active at or below
+    *     `maxCellSize` — the declared queries' outputs are
     *     bit-unchanged.
     *  4. SIGN-BIT HAMMING PREFILTER on candidate pairs (recall-safe by
     *     margin): before the 2·dim-flop cosine, pairs are screened on
@@ -671,8 +684,8 @@ object Dedup {
     * After those, the plan is: one k-means build (sampled fit at
     * 100 TB), one count+min groupBy keyed by the vector, one
     * within-(sub)cell self-join (equi on (cell_id, band), never
-    * corpus²), the 1-job component labeling, and two vector-free joins
-    * on the id. */
+    * corpus²) plus the linear hub-spoke probes, the 1-job component
+    * labeling, and two vector-free joins on the id. */
   def semanticDedupExemplars(vecs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", nCells: Int = 0,
       minCosine: Double = 0.35, iters: Int = 2,
@@ -717,19 +730,51 @@ object Dedup {
       .select(col("del").as("id_a"), col("vid").as("id_b"))
     // skew guard: distinct-vector census per cell → sub-band bit count
     // (0 for every cell within the cap), as a second window over the
-    // delegate rows — no separate aggregate + broadcast-join stage
-    val sigged = withDel.filter(col("vid") === col("del"))
-      .withColumn("_csz", sum(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("cell_id"))))
+    // delegate rows — no separate aggregate + broadcast-join stage.
+    // Oversized cells band on the CENTERED signature — sign bits of
+    // (micro(v) − cell centroid). Residuals are zero-mean within the
+    // cell, so their sign bits are unbiased coins and the split is
+    // UNIFORM (≈ csz / 2^sbits per band) for ANY cell geometry; the
+    // raw-vector signature is useless exactly where the guard matters
+    // — a mean-dominated cell (every member ≈ c₀ + noise) agrees on
+    // sign(r·c₀) for most planes, so its modal band keeps 33-100% of
+    // the mass (measured in SemDedupProbe's skewed census) and the
+    // "guard" would stay quadratic-in-cell. The UNCENTERED signature
+    // is still what the hamming screen compares — true near-dup pairs
+    // agree on it regardless of banding.
+    val wCell = org.apache.spark.sql.expressions.Window.partitionBy(col("cell_id"))
+    val sigged0 = withDel.filter(col("vid") === col("del"))
+      .join(broadcast(idx.cells), Seq("cell_id"))
+      .withColumn("_csz", sum(lit(1)).over(wCell))
       .withColumn("_sbits",
         when(col("_csz") <= maxCellSize, lit(0))
           .otherwise(least(lit(16),
             ceil(log(2.0, col("_csz").cast("double") / maxCellSize)).cast("int"))))
       .withColumn("_psig",
         rhp_signature(col("_v"), 64, dim, seed, portable = true))
+      .withColumn("_rsig",
+        when(col("_sbits") > 0, rhp_signature(
+          zip_with(micro_units(col("_v")), col("centroid"), (a, b) => a - b),
+          64, dim, seed, portable = true)).otherwise(lit(0L)))
       .withColumn("_band",
-        expr("_psig & (shiftleft(CAST(1 AS BIGINT), _sbits) - 1)"))
-      .select(col("cell_id"), col("_band"), col("del"), col("_psig"), col("_v"))
+        expr("_rsig & (shiftleft(CAST(1 AS BIGINT), _sbits) - 1)"))
+    // hub spokes: banding cuts cross-band pairs, which would split a
+    // legitimate over-cap duplicate GROUP (a tight block is exactly the
+    // shape whose residual signs are pure noise → uniform over bands).
+    // So EVERY delegate of an oversized cell is additionally paired
+    // with the cell's min-id delegate (the hub) — csz extra candidates
+    // per oversized cell, LINEAR, and they run the same hamming screen
+    // (one popcount kills the dissimilar bulk before any cosine). A
+    // tight block re-connects through the hub no matter how the bands
+    // scattered it, so its reported GROUP matches the unbanded one;
+    // what banding spends is pair enumeration, not block recall
+    // (moderate clusters still pay a declared cross-band loss for
+    // member↔member pairs dissimilar to the hub — the same
+    // accepted-recall contract as the paper's cross-cell misses).
+    val sigged = sigged0
+      .withColumn("_hub", min(col("del")).over(wCell))
+      .select(col("cell_id"), col("_band"), col("del"), col("_psig"),
+        col("_v"), col("_sbits"), col("_hub"))
     // hamming screen: expected disagreement at the threshold angle plus
     // five binomial sigmas; >= 64 means the screen is a no-op
     val thr = hammingScreenThreshold(minCosine)
@@ -741,10 +786,25 @@ object Dedup {
           col("_psig").as("_pb"), col("_v").as("_vb")),
         Seq("cell_id", "_band"))
       .filter(col("id_a") < col("id_b"))
+    val hubs = sigged.filter(col("del") === col("_hub"))
+      .select(col("cell_id"), col("del").as("id_a"),
+        col("_psig").as("_pa"), col("_v").as("_va"),
+        col("_band").as("_hband"))
+    val starCand = sigged
+      .filter(col("_sbits") > 0 && col("del") =!= col("_hub"))
+      .select(col("cell_id"), col("_band"), col("del").as("id_b"),
+        col("_psig").as("_pb"), col("_v").as("_vb"))
+      .join(broadcast(hubs), Seq("cell_id"))
+      // co-banded delegates already met the hub in the within-band join
+      .filter(col("_band") =!= col("_hband"))
+    val cand = joined.select(col("id_a"), col("id_b"),
+        col("_pa"), col("_pb"), col("_va"), col("_vb"))
+      .unionByName(starCand.select(col("id_a"), col("id_b"),
+        col("_pa"), col("_pb"), col("_va"), col("_vb")))
     val screened =
       if (prefilter && thr < 64)
-        joined.filter(hamming_dist(col("_pa"), col("_pb")) <= thr)
-      else joined
+        cand.filter(hamming_dist(col("_pa"), col("_pb")) <= thr)
+      else cand
     val pairs = screened
       .filter(cosine_sim(col("_va"), col("_vb")) >= minCosine)
       .select(col("id_a"), col("id_b"))

@@ -495,9 +495,13 @@ class DedupSpec extends SparkSpec {
     val comp = out.map(r => r._1 -> r._2).toMap
     // exact copies always co-grouped (collapse edges bypass the bands)
     assert(Seq(0L, 1L, 2L).forall(comp(_) == 0L), s"comp: ${comp.toSeq.sorted}")
-    // a cosine-0.9999 pair agrees on (nearly) every sign bit -> same
-    // band -> still found under the guard
+    // the cosine-0.9999 near-dup of the CELL HUB (id 0 is the cell's
+    // min delegate) is always recovered: co-banded with the hub it
+    // meets it in the within-band join, otherwise the hub spokes pair
+    // them directly
     assert(comp(6L) == 0L, s"comp: ${comp.toSeq.sorted}")
+    // the dissimilar directions never merge
+    assert(Seq(3L, 4L, 5L, 7L).forall(comp(_) != 0L), s"comp: ${comp.toSeq.sorted}")
     // exactly one exemplar per group, deterministic on rerun
     val perComp = out.groupBy(_._2).view.mapValues(_.count(_._3)).toMap
     assert(perComp.values.forall(_ == 1), s"exemplars per comp: $perComp")
@@ -506,6 +510,34 @@ class DedupSpec extends SparkSpec {
       .select($"vec_id", $"comp", $"is_kept")
       .as[(Long, Long, Boolean)].collect().sortBy(_._1)
     assert(rerun.toSeq == out.toSeq)
+  }
+
+  test("semanticDedupExemplars: an over-cap tight BLOCK keeps its group across centered bands") {
+    // the regime the round-10 guard redesign exists for: one cell that
+    // IS a single tight near-duplicate block, larger than the cap. Its
+    // centered residuals are pure noise, so the uniform sub-bands split
+    // it — and the band-hub star must re-connect every band so the
+    // reported GROUP equals the unbanded one. 8 distinct members, all
+    // pairwise cosine > 0.999, maxCellSize = 2 → 2 sub-band bits.
+    def jig(eps: Double*) = unitV(
+      1.0 + eps(0), 0.2 + eps(1), eps(2), 0.1 + eps(3))
+    val vecs = (0L until 8L).map { i =>
+      val e = (0 until 4).map(j => 0.0005 * ((i * 4 + j) % 7) - 0.0015)
+      (i, jig(e: _*))
+    }.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupExemplars(vecs, nCells = 1, minCosine = 0.99,
+        maxCellSize = 2)
+      .select($"vec_id", $"comp", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.length == 8)
+    // one component, labeled by the min id, regardless of banding
+    assert(out.forall(_._2 == 0L), s"comps: ${out.map(r => r._1 -> r._2).toSeq}")
+    assert(out.count(_._3) == 1, s"kept: ${out.filter(_._3).toSeq}")
+    // and the verdict matches the unbanded run (cap high enough)
+    val unbanded = Dedup.semanticDedupExemplars(vecs, nCells = 1, minCosine = 0.99)
+      .select($"vec_id", $"comp", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == unbanded.toSeq)
   }
 
   test("semanticDedupExemplars: auto cell count (nCells = 0) derives k from the corpus") {
