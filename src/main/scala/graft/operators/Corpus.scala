@@ -104,7 +104,11 @@ object Corpus {
     // so its copies never paired with anything in the pre-collapse
     // labeling and each counted as its own singleton; such a delegate
     // contributes 1, not n_copies
-    val sigDocs = sets.select(col(idCol).as("doc_id")).distinct()
+    // ns > 0: shingleSets emits an (hs = [], ns = 0) row for every doc
+    // too short to shingle — those rows must NOT count as "has a
+    // signature" or the guard below is dead code
+    val sigDocs = sets.filter(col("ns") > 0)
+      .select(col(idCol).as("doc_id")).distinct()
       .withColumn("_sig", lit(true))
     val sizes = labeled
       .join(eg.select(col("keep_id").as("doc_id"), col("n_copies")),

@@ -786,7 +786,12 @@ object Dedup {
           col("_psig").as("_pb"), col("_v").as("_vb")),
         Seq("cell_id", "_band"))
       .filter(col("id_a") < col("id_b"))
-    val hubs = sigged.filter(col("del") === col("_hub"))
+    // only OVERSIZED cells have spokes: filtering here keeps the hub
+    // broadcast empty in the common all-cells-under-cap case (unfiltered
+    // it would be one full vector per cell — N/targetCellSize vectors
+    // under the auto-k rule, a real broadcast at corpus scale)
+    val hubs = sigged
+      .filter(col("_sbits") > 0 && col("del") === col("_hub"))
       .select(col("cell_id"), col("del").as("id_a"),
         col("_psig").as("_pa"), col("_v").as("_va"),
         col("_band").as("_hband"))

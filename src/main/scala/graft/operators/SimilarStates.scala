@@ -54,13 +54,19 @@ object SimilarStates {
   /** "Has this happened before?" report per target (reference
     * find_similar_states.py:298-315): how many similar past states exist,
     * how many of those were anomalous, and the mean similarity — the
-    * operator's verdict line ("N similar states, M were anomalous"). */
+    * operator's verdict line ("N similar states, M were anomalous").
+    * The mean goes through exact decimal summation (the q15/q21
+    * discipline): double addition is order-dependent and group scan
+    * order is unspecified in any engine, so a plain avg() could round
+    * differently across engines at a 1-ulp boundary — decimal sums are
+    * associative, making the q56 oracle's recomputation exact. */
   def summary(found: DataFrame): DataFrame =
     found.groupBy(col("device_id"), col("snapshot_time"))
       .agg(
         count(lit(1)).as("n_similar"),
         count(when(col("similar_anomalous"), 1)).as("n_similar_anomalous"),
-        round(avg(col("sim")), 6).as("avg_similarity"), // reference A12
+        round(graft.queries.Q.dsum(col("sim"), 15) / count(lit(1)), 6)
+          .as("avg_similarity"), // reference A12
         max(col("sim")).as("best_similarity"))
       .withColumn("seen_before_normal",
         col("n_similar") > col("n_similar_anomalous"))

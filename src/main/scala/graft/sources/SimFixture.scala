@@ -34,19 +34,25 @@ object SimFixture {
 
   /** The q50/q55/q56 input: 360 ticks at 10 s, the 5-device default
     * fleet, a compressor failure injected on RTU-001 over ticks
-    * [240, 300), 128-dim hash-projection embeddings. Written once per
-    * JVM (first caller pays the ~2 s stage; Bench's timed re-runs and
-    * the sibling queries reuse the file), unconditionally overwriting
-    * whatever an older JVM left behind. */
+    * [240, 300), 128-dim hash-projection embeddings. Staged at most
+    * once per JVM (first caller pays the ~2 s stage; Bench's timed
+    * re-runs and the sibling queries reuse the file), and a COMPLETE
+    * fixture on disk (`_SUCCESS` present) is reused rather than
+    * rewritten: the content is a pure function of this code version
+    * (the `_v1` suffix — bump it on any generator change), and
+    * skipping the rewrite means a second JVM can never yank the files
+    * out from under a reader mid-scan. */
   def snapshots(s: SparkSession): DataFrame = {
     if (!staged) synchronized {
       if (!staged) {
-        val readings = IoTSimulator.readings(s, nTicks = 360,
-          injections = IoTSimulator.compressorFailure("RTU-001", 240, 300))
-        graft.operators.Snapshotter.snapshots(readings, dim = 128)
-          .orderBy(col("device_id"), col("snapshot_time"))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(Path)
+        if (!new java.io.File(s"$Path/_SUCCESS").exists()) {
+          val readings = IoTSimulator.readings(s, nTicks = 360,
+            injections = IoTSimulator.compressorFailure("RTU-001", 240, 300))
+          graft.operators.Snapshotter.snapshots(readings, dim = 128)
+            .orderBy(col("device_id"), col("snapshot_time"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(Path)
+        }
         staged = true
       }
     }
