@@ -890,6 +890,81 @@ object Dedup {
     }.reduce(_.unionByName(_))
   }
 
+  /** Incremental semantic dedup — the INGEST-time SemDeDup probe (the
+    * q74 daily-increment shape for the EMBEDDING family): arriving
+    * vectors are routed to a STORED portable k-means index's cells
+    * ([[Ivf.assignVectors]] — a pure shuffle-free map, so the routing is
+    * streaming-legal) and compared, under the same sign-bit hamming
+    * screen + cosine threshold as [[semanticDedupExemplars]], against
+    * the indexed corpus's vectors of that cell ONLY. Per-increment cost
+    * is O(|delta| × cell occupancy); the indexed corpus is read through
+    * its cell-partitioned layout (cell_id is the partition column when
+    * the index was stored via [[Ivf.writeIndex]], so a delta touching
+    * few cells prunes the rest — DPP-eligible equi-join), and nothing is
+    * ever recomputed over it.
+    *
+    * Output, one row per delta vector: (idCol, cell_id, dup_of, sim,
+    * is_novel) — dup_of the most-similar indexed duplicate (max cosine,
+    * lowest id on ties; the exact fixed-fold cosine, rounded to 6 dp on
+    * the readout only), NULL with is_novel = true when nothing in the
+    * cell reaches `minCosine`. A delta id already present in the index
+    * never matches itself.
+    *
+    * Contract and drift: verdicts are relative to the STORED partitioning
+    * — the standing ANN-index contract (cells age as the corpus grows;
+    * retrain on cadence, [[semanticRecallAudit]] measures the cross-cell
+    * loss per cell count). Streaming: route + probe per micro-batch via
+    * foreachBatch (the [[graft.streaming.KafkaFrontDoor]] landing
+    * pattern); IncrementalSemanticDedupSpec gates stream ≡ batch and the
+    * batch verdicts against a brute-force recompute. */
+  def incrementalSemanticDupes(index: Ivf.IvfIndex, delta: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      minCosine: Double = 0.35, prefilter: Boolean = true,
+      seed: Long = 2303L): DataFrame = {
+    import graft.functions.GraftFunctions.{cosine_sim, rhp_signature, hamming_dist}
+    val dimOpt = index.cells.select(size(col("centroid"))).limit(1)
+      .collect().headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty)
+      // empty index: every delta vector is novel (empty-safe, the
+      // EdgeCasesSpec discipline — the Lloyd init cannot type an empty
+      // literal cell array, so short-circuit before assignVectors)
+      return delta.select(col(idCol),
+        lit(-1).cast("int").as("cell_id"),
+        lit(null).cast(delta.schema(idCol).dataType).as("dup_of"),
+        lit(null).cast("double").as("sim"),
+        lit(true).as("is_novel"))
+    val dim = dimOpt.get
+    val thr = hammingScreenThreshold(minCosine)
+    val asg = Ivf.assignVectors(index, delta, vecCol)
+      .select(col(idCol), col("cell_id"),
+        col(vecCol).cast("array<double>").as("_dv"))
+    val dSig = asg.withColumn("_dsig",
+      rhp_signature(col("_dv"), 64, dim, seed, portable = true))
+    val cSig = index.assigned.select(col("cell_id"), col(idCol).as("_cid"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      .withColumn("_csig",
+        rhp_signature(col("_cv"), 64, dim, seed, portable = true))
+    val joined = dSig.join(cSig, Seq("cell_id"))
+      .filter(col(idCol) =!= col("_cid")) // re-ingest is not its own dup
+    val screened =
+      if (prefilter && thr < 64)
+        joined.filter(hamming_dist(col("_dsig"), col("_csig")) <= thr)
+      else joined
+    // best indexed duplicate per delta row: ONE map-side-combined min
+    // over (-sim, id) — max cosine, lowest id on ties, no window sort
+    val hits = screened
+      .withColumn("_sim", cosine_sim(col("_dv"), col("_cv")))
+      .filter(col("_sim") >= minCosine)
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("_sim")).as("ns"), col("_cid").as("cid"))).as("_best"))
+      .select(col(idCol), col("_best").getField("cid").as("dup_of"),
+        (-col("_best").getField("ns")).as("_bsim"))
+    asg.select(col(idCol), col("cell_id"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("cell_id"), col("dup_of"),
+        round(col("_bsim"), 6).as("sim"), col("dup_of").isNull.as("is_novel"))
+  }
+
   /** Full transitive near-dup dedup: survivors = docs that are their own
     * component minimum (plus all docs untouched by any pair). */
   def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,

@@ -263,6 +263,32 @@ object Extras {
         .orderBy(col("n_cells"))
     }),
 
+    // Incremental semantic dedup — the ingest-time SemDeDup probe: the
+    // 90% of the corpus already indexed (portable k-means cells, STORED
+    // cell-partitioned via Ivf.writeIndex), the 10% delta routed to its
+    // cells by a pure map and compared against those cells' members only
+    // (hamming screen + exact cosine). Per-increment cost O(delta ×
+    // cell occupancy); the index is never recomputed — q74's
+    // daily-increment shape for the embedding family, trained index and
+    // all reproduced by the oracle.
+    "q258_incremental_semantic" -> ((s, dir) => {
+      import graft.operators.{Dedup, Ivf}
+      val e = t(s, dir, "embeddings")
+      val indexed = e.filter(col("vec_id") % 10 =!= 0)
+      val delta = e.filter(col("vec_id") % 10 === 0)
+      // cache key includes the source file's length + mtime (the q80
+      // discipline): regenerated data invalidates the stored index
+      val srcMeta = new java.io.File(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_semidx_" +
+        java.lang.Integer.toHexString(
+          s"$dir|${srcMeta.length}|${srcMeta.lastModified}".hashCode)
+      if (!new java.io.File(s"$path/assigned/_SUCCESS").exists())
+        Ivf.writeIndex(Ivf.buildPortable(indexed, nCells = 8, iters = 2), path)
+      val stored = Ivf.readIndex(s, path)
+      Dedup.incrementalSemanticDupes(stored, delta, minCosine = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     // Multimodal + vector search composition: nearest media assets by
     // stub-feature cosine (shows media features flow into the ANN core).
     // The query-side media filter runs BEFORE the decode: filters can't
@@ -348,11 +374,11 @@ object Extras {
        |${fold(s"list_transform(range(1, ${d + 1}), i -> $qv[i] * $qv[i])")} AS na,
        |${fold(s"list_transform(range(1, ${d + 1}), i -> $nv[i] * $nv[i])")} AS nb""".stripMargin
 
-  private def assignCte(a: String, c: String): String =
+  private def assignCte(a: String, c: String, base: String = "e"): String =
     s"""$a AS (SELECT vec_id, cell_id FROM (
        |  SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY ${d2Fold("e.mv", "c.centroid")} ASC, c.cell_id ASC) AS rn
-       |  FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+       |  FROM $base e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
 
   private def updateCte(cNew: String, a: String): String =
     s"""$cNew AS (SELECT cell_id, list(m ORDER BY pos) AS centroid FROM (
@@ -740,6 +766,57 @@ object Extras {
          |SELECT l.vec_id, l.cell_id, l.comp, round(l.ccos, 6) AS centroid_sim,
          |  (l.vec_id = rep.rep_id) AS is_kept
          |FROM lab l JOIN rep USING (comp) ORDER BY l.vec_id""".stripMargin,
+
+    // Mirrors Dedup.incrementalSemanticDupes over the stored q258 index:
+    // the portable k-means chain trained on the INDEXED 90% only, the
+    // delta assigned to those cells by the same micro-unit argmin, the
+    // q246 sign-plane hamming screen, exact fixed-fold cosines, and the
+    // (max sim, min id) best-duplicate election per delta vector.
+    "q258_incremental_semantic" -> {
+      val thr = graft.operators.Dedup.hammingScreenThreshold(0.3)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         |  list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000000.0)) AS mv
+         |  FROM embeddings WHERE vec_id % 10 <> 0),
+         |${cellChain("s", 8)},
+         |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         |  list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000000.0)) AS mv
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |${assignCte("da", "sc2", "ed")},
+         |psg AS (SELECT b.b, i.i,
+         |    CASE WHEN (CAST('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':' ||
+         |           CAST(i.i AS VARCHAR) || '#2303'), 1, 8) AS BIGINT) & 1) = 1
+         |      THEN 1.0 ELSE -1.0 END AS sg
+         |  FROM (SELECT unnest(range(0, 64)) AS b) b,
+         |       (SELECT unnest(range(0, 64)) AS i) i),
+         |psgl AS (SELECT b, list(sg ORDER BY i) AS sgl FROM psg GROUP BY b),
+         |ball AS (SELECT vec_id, ev FROM e UNION ALL SELECT vec_id, ev FROM ed),
+         |pbit AS (SELECT ball.vec_id, s.b,
+         |    ${fold("list_transform(range(1, 65), i -> ball.ev[i] * s.sgl[i])")} >= 0 AS bit
+         |  FROM ball CROSS JOIN psgl s),
+         |pb AS (SELECT vec_id, list(bit ORDER BY b) AS sb FROM pbit GROUP BY vec_id),
+         |cand AS (SELECT d.vec_id AS did, ix.vec_id AS cid,
+         |    ${cosSelect("d.ev", "ix.ev")}
+         |  FROM da JOIN ed d ON d.vec_id = da.vec_id
+         |  JOIN saf ON saf.cell_id = da.cell_id
+         |  JOIN e ix ON ix.vec_id = saf.vec_id
+         |  JOIN pb pa ON pa.vec_id = d.vec_id
+         |  JOIN pb qb ON qb.vec_id = ix.vec_id
+         |  WHERE d.vec_id <> ix.vec_id
+         |    AND ${fold("list_transform(range(1, 65), j -> CASE WHEN pa.sb[j] <> qb.sb[j] THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)")}
+         |      <= $thr),
+         |hits AS (SELECT did, cid, cs FROM (
+         |    SELECT did, cid,
+         |      CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |           ELSE dot / (sqrt(na) * sqrt(nb)) END AS cs
+         |    FROM cand) WHERE cs >= 0.3),
+         |best AS (SELECT did, cid, cs FROM (SELECT did, cid, cs,
+         |      row_number() OVER (PARTITION BY did ORDER BY cs DESC, cid ASC) AS rn
+         |    FROM hits) WHERE rn = 1)
+         |SELECT da.vec_id, da.cell_id, best.cid AS dup_of,
+         |  round(best.cs, 6) AS sim, best.cid IS NULL AS is_novel
+         |FROM da LEFT JOIN best ON best.did = da.vec_id
+         |ORDER BY da.vec_id""".stripMargin
+    },
 
     // Mirrors Sampling.diverseSample: the portable trained cells (af)
     // + per-cell (md5-hash, id) rank <= 25.
