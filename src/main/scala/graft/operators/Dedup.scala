@@ -656,17 +656,37 @@ object Dedup {
     *     the modal band (measured: SemDedupProbe skewed census, and
     *     SCALE.md §SemDeDup-skew). Banding cuts cross-band pairs, so
     *     every delegate of an oversized cell is additionally paired
-    *     with the cell's min-id delegate (HUB SPOKES — csz extra
-    *     screened candidates per cell, linear): an over-cap tight
-    *     BLOCK — whose residuals are noise and spread over every band
-    *     — re-connects through the hub no matter the banding, so its
-    *     reported GROUP matches the unbanded one; what banding spends
-    *     is pair enumeration, not block recall. Moderate clusters pay
-    *     a declared cross-band loss for member↔member pairs
-    *     dissimilar to the hub — the same accepted-recall contract as
-    *     the paper's own cross-cell misses. Never active at or below
-    *     `maxCellSize` — the declared queries' outputs are
+    *     with the cell's CENTROID-NEAREST delegate (HUB SPOKES — csz
+    *     extra screened candidates per cell, linear; max cosine to the
+    *     cell centroid, min id on ties): an over-cap tight BLOCK that
+    *     OWNS the centroid — the mean-dominated geometry this guard
+    *     exists for — contains the hub, so its members' spokes all
+    *     qualify and the block re-connects no matter how the bands
+    *     scattered it; its reported GROUP matches the unbanded one
+    *     (a min-ID hub could land outside the block and fragment it —
+    *     the round-10 ADVICE hole, closed here and spec-gated). What
+    *     banding spends is pair enumeration, not centroid-owning-block
+    *     recall. Secondary blocks not containing the hub and moderate
+    *     clusters pay a declared cross-band loss for member↔member
+    *     pairs dissimilar to the hub — the same accepted-recall
+    *     contract as the paper's own cross-cell misses. Never active
+    *     at or below `maxCellSize` — the declared queries' outputs are
     *     bit-unchanged.
+    *  3b. `edgesMode = "spanning"` (opt-in; default `"all"` is the
+    *     declared-query behavior): oversized cells emit a SPANNING
+    *     structure instead of all within-band pairs — one star per
+    *     band on the band's centroid-nearest delegate, plus the cell
+    *     hub spokes. The guard-active regime is OUTPUT-bound when the
+    *     over-cap mass is genuinely duplicate (the census's tight tier
+    *     spent its whole 249 s wall materializing 1.3e8 qualified
+    *     edges that component labeling doesn't need); spanning keeps
+    *     edges per oversized cell ≤ 2·distinct. Declared recall
+    *     narrowing: a duplicate group is reported whole iff its
+    *     members reach a hub — exact for the centroid-owning block
+    *     (both hub kinds sit inside it), fragmenting for a secondary
+    *     block that owns neither; under-cap cells are IDENTICAL in
+    *     both modes (SemDedupSpanningSpec gates parity on the
+    *     adversarial fixtures and the under-cap equivalence).
     *  4. SIGN-BIT HAMMING PREFILTER on candidate pairs (recall-safe by
     *     margin): before the 2·dim-flop cosine, pairs are screened on
     *     the 64-bit signatures' hamming distance against
@@ -690,9 +710,12 @@ object Dedup {
       vecCol: String = "embedding", nCells: Int = 0,
       minCosine: Double = 0.35, iters: Int = 2,
       targetCellSize: Int = 4096, maxCellSize: Int = 16384,
-      prefilter: Boolean = true, seed: Long = 2303L): DataFrame = {
+      prefilter: Boolean = true, seed: Long = 2303L,
+      edgesMode: String = "all"): DataFrame = {
     import graft.functions.GraftFunctions.{cosine_sim, micro_units, rhp_signature, hamming_dist, l2_norm}
     require(minCosine <= 1.0, "minCosine above 1.0 can match nothing")
+    require(edgesMode == "all" || edgesMode == "spanning",
+      s"edgesMode must be 'all' or 'spanning', got '$edgesMode'")
     // empty-corpus short-circuit BEFORE the k-means build (the Lloyd
     // init cannot type an empty literal cell array, and there is no
     // dim to read off a cell-less index) — same discipline the
@@ -762,26 +785,52 @@ object Dedup {
     // legitimate over-cap duplicate GROUP (a tight block is exactly the
     // shape whose residual signs are pure noise → uniform over bands).
     // So EVERY delegate of an oversized cell is additionally paired
-    // with the cell's min-id delegate (the hub) — csz extra candidates
-    // per oversized cell, LINEAR, and they run the same hamming screen
-    // (one popcount kills the dissimilar bulk before any cosine). A
-    // tight block re-connects through the hub no matter how the bands
-    // scattered it, so its reported GROUP matches the unbanded one;
-    // what banding spends is pair enumeration, not block recall
-    // (moderate clusters still pay a declared cross-band loss for
-    // member↔member pairs dissimilar to the hub — the same
-    // accepted-recall contract as the paper's cross-cell misses).
+    // with the cell's CENTROID-NEAREST delegate (the hub: max cosine to
+    // the cell centroid, min id on ties) — csz extra candidates per
+    // oversized cell, LINEAR, and they run the same hamming screen (one
+    // popcount kills the dissimilar bulk before any cosine). Hub choice
+    // is load-bearing for the recall guarantee: in the mean-dominated
+    // regime the guard targets, the DOMINATING tight block owns the cell
+    // centroid, so the hub sits inside that block and every member's
+    // spoke qualifies — the block re-connects through the hub no matter
+    // how the bands scattered it (a min-ID hub could land outside the
+    // block and leave it fragmented, the round-10 ADVICE hole; DedupSpec
+    // covers a tight block NOT containing the min id). What banding
+    // spends is pair enumeration, not centroid-owning-block recall;
+    // blocks that do NOT own the centroid and moderate clusters pay a
+    // declared cross-band loss for member↔member pairs dissimilar to
+    // the hub — the same accepted-recall contract as the paper's own
+    // cross-cell misses.
     val sigged = sigged0
-      .withColumn("_hub", min(col("del")).over(wCell))
+      .withColumn("_hcos", cosine_sim(micro_units(col("_v")), col("centroid")))
+      .withColumn("_hub",
+        min(struct((-col("_hcos")).as("nc"), col("del").as("del")))
+          .over(wCell).getField("del"))
       .select(col("cell_id"), col("_band"), col("del"), col("_psig"),
-        col("_v"), col("_sbits"), col("_hub"))
+        col("_v"), col("_sbits"), col("_hub"), col("_hcos"))
     // hamming screen: expected disagreement at the threshold angle plus
     // five binomial sigmas; >= 64 means the screen is a no-op
     val thr = hammingScreenThreshold(minCosine)
-    val joined = sigged
+    // edgesMode = "spanning": oversized cells (the guard-active, OUTPUT-
+    // bound regime — a tight over-cap block qualifies ~every within-band
+    // pair, and the census measured the tight tier spending its whole
+    // wall materializing that edge mass) emit a SPANNING structure
+    // instead of all within-band pairs: one star per band on the band's
+    // centroid-nearest delegate, plus the cell-hub spokes below. Linear
+    // edges per cell (≤ 2·distinct) in place of size·cap/2, with the
+    // DECLARED recall narrowing: a duplicate group is reported whole iff
+    // its members reach a hub (the centroid-owning block always does —
+    // both hubs sit inside it; a secondary block that owns neither the
+    // cell nor a band hub fragments). Under-cap cells are untouched —
+    // identical output in both modes, so the declared queries (which
+    // never activate the guard) are bit-unchanged.
+    val pairSrc =
+      if (edgesMode == "spanning") sigged.filter(col("_sbits") === 0)
+      else sigged
+    val joined = pairSrc
       .select(col("cell_id"), col("_band"), col("del").as("id_a"),
         col("_psig").as("_pa"), col("_v").as("_va"))
-      .join(sigged
+      .join(pairSrc
         .select(col("cell_id"), col("_band"), col("del").as("id_b"),
           col("_psig").as("_pb"), col("_v").as("_vb")),
         Seq("cell_id", "_band"))
@@ -802,10 +851,34 @@ object Dedup {
       .join(broadcast(hubs), Seq("cell_id"))
       // co-banded delegates already met the hub in the within-band join
       .filter(col("_band") =!= col("_hband"))
-    val cand = joined.select(col("id_a"), col("id_b"),
+    // spanning mode's per-band stars: each oversized-cell delegate paired
+    // with its band's centroid-nearest delegate (same ordering rule as
+    // the cell hub). Equi-join on (cell_id, band) — bands are numerous,
+    // no broadcast needed; the hamming screen + cosine verify still run.
+    val bandStarCand =
+      if (edgesMode != "spanning") None
+      else {
+        val wBand = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell_id"), col("_band"))
+        val withBHub = sigged.filter(col("_sbits") > 0)
+          .withColumn("_bhub",
+            min(struct((-col("_hcos")).as("nc"), col("del").as("del")))
+              .over(wBand).getField("del"))
+        val bHubs = withBHub.filter(col("del") === col("_bhub"))
+          .select(col("cell_id"), col("_band"), col("del").as("id_a"),
+            col("_psig").as("_pa"), col("_v").as("_va"))
+        Some(withBHub.filter(col("del") =!= col("_bhub"))
+          .select(col("cell_id"), col("_band"), col("del").as("id_b"),
+            col("_psig").as("_pb"), col("_v").as("_vb"))
+          .join(bHubs, Seq("cell_id", "_band"))
+          .select(col("id_a"), col("id_b"),
+            col("_pa"), col("_pb"), col("_va"), col("_vb")))
+      }
+    val cand0 = joined.select(col("id_a"), col("id_b"),
         col("_pa"), col("_pb"), col("_va"), col("_vb"))
       .unionByName(starCand.select(col("id_a"), col("id_b"),
         col("_pa"), col("_pb"), col("_va"), col("_vb")))
+    val cand = bandStarCand.map(cand0.unionByName(_)).getOrElse(cand0)
     val screened =
       if (prefilter && thr < 64)
         cand.filter(hamming_dist(col("_pa"), col("_pb")) <= thr)

@@ -64,14 +64,21 @@ object Detection {
     // F12 details (anomaly_detection.py:151-162): top-3 outliers by z desc
     val top3 = slice(reverse(array_sort(transform(col("outliers"),
       e => struct(e.getField("z").as("z"), e.getField("metric").as("metric"))))), 1, 3)
+    // Formatting parity: Java format_string rounds decimal halves HALF_UP
+    // while C/DuckDB printf rounds half-even, so a z or sim landing on an
+    // exact decimal half (e.g. 2.25) would format differently across
+    // engines. Pre-rounding with round() — HALF_UP in BOTH engines (Spark
+    // BigDecimal HALF_UP; DuckDB rounds halves away from zero) — hands
+    // printf a 1-decimal value it can format without making a tie call.
+    // The oracle SQL applies the same round() before its printf.
     val path1Detail = concat(
       lit("PATH 1 (Rules): "), size(col("outliers")), lit(" outliers - "),
       concat_ws(", ", transform(top3,
         e => concat(e.getField("metric"), lit(" (Z: "),
-          format_string("%.1f", e.getField("z")), lit(")")))))
+          format_string("%.1f", round(e.getField("z"), 1)), lit(")")))))
     val path2Detail = concat(
       lit("PATH 2 (Fingerprint): similarity="),
-      format_string("%.3f", col("similarity_to_profile")),
+      format_string("%.3f", round(col("similarity_to_profile"), 3)),
       lit(" (< "), format_string("%.2f", lit(cfg.fingerprintThreshold)), lit(")"))
 
     withPaths

@@ -205,7 +205,7 @@ object Documents {
     // (proven in IncrementalDedupSpec; the oracle is exactly that).
     "q74_incremental_neardup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val tbl = "incdedup_" + java.lang.Integer.toHexString(dir.hashCode)
+      val tbl = "incdedup_" + graft.queries.Q.cacheTag(dir)
       Dedup.writeNearDupIndex(docs.filter(col("doc_id") % 10 < 8),
         "doc_id", "text", tbl, nBuckets = 8)
       Dedup.incrementalNearDupPairs(docs.filter(col("doc_id") % 10 >= 8),

@@ -79,7 +79,7 @@ object Extras {
       val e = t(s, dir, "embeddings")
       val idx = Ivf.buildPortable(e, nCells = 8, iters = 2)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfp_idx_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        Q.cacheTag(dir)
       Ivf.writeIndex(idx, path)
       val stored = Ivf.readIndex(s, path)
       Ivf.searchPrunedPortable(stored, e.filter(col("vec_id") < 10), k = 5, nprobe = 3)
@@ -158,8 +158,7 @@ object Extras {
       // silently probing a stale one
       val srcMeta = new java.io.File(s"$dir/embeddings.parquet")
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqp_" +
-        java.lang.Integer.toHexString(
-          s"$dir|${srcMeta.length}|${srcMeta.lastModified}".hashCode)
+        Q.cacheTag(dir, srcMeta.length.toString, srcMeta.lastModified.toString)
       // Build-once-probe-many: the index lifecycle a production deployment
       // has (the portable builds are pure functions of the data, so a
       // stored index is bit-identical to a rebuild). What the bench then
@@ -277,11 +276,12 @@ object Extras {
       val indexed = e.filter(col("vec_id") % 10 =!= 0)
       val delta = e.filter(col("vec_id") % 10 === 0)
       // cache key includes the source file's length + mtime (the q80
-      // discipline): regenerated data invalidates the stored index
+      // discipline): regenerated data invalidates the stored index. Full
+      // 128-bit tag (Q.cacheTag) — a 32-bit hashCode collision across
+      // datasets would silently reuse a WRONG stored index.
       val srcMeta = new java.io.File(s"$dir/embeddings.parquet")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_semidx_" +
-        java.lang.Integer.toHexString(
-          s"$dir|${srcMeta.length}|${srcMeta.lastModified}".hashCode)
+        Q.cacheTag(dir, srcMeta.length.toString, srcMeta.lastModified.toString)
       if (!new java.io.File(s"$path/assigned/_SUCCESS").exists())
         Ivf.writeIndex(Ivf.buildPortable(indexed, nCells = 8, iters = 2), path)
       val stored = Ivf.readIndex(s, path)
@@ -511,7 +511,7 @@ object Extras {
     "q50_iot_detect_pipeline" ->
       s"""$simCtes,
          |t3 AS (SELECT device_id, snapshot_time,
-         |    string_agg(metric || ' (Z: ' || printf('%.1f', z) || ')',
+         |    string_agg(metric || ' (Z: ' || printf('%.1f', round(z, 1)) || ')',
          |               ', ' ORDER BY rk) AS d1
          |  FROM (SELECT device_id, snapshot_time, metric, z,
          |      row_number() OVER (PARTITION BY device_id, snapshot_time
@@ -526,7 +526,7 @@ object Extras {
          |    CASE WHEN d.p1 THEN 'PATH 1 (Rules): ' || CAST(d.n_out AS VARCHAR)
          |      || ' outliers - ' || t3.d1 END,
          |    CASE WHEN d.p2 THEN 'PATH 2 (Fingerprint): similarity='
-         |      || printf('%.3f', d.sim) || ' (< 0.85)' END) AS detection_details
+         |      || printf('%.3f', round(d.sim, 3)) || ' (< 0.85)' END) AS detection_details
          |FROM det d LEFT JOIN t3 ON t3.device_id = d.device_id
          |  AND t3.snapshot_time = d.snapshot_time
          |WHERE d.p1 OR d.p2

@@ -29,4 +29,15 @@ object Q {
   /** DuckDB spelling of [[dsum]]. */
   def dsumSql(c: String, scale: Int): String =
     s"CAST(SUM(CAST($c AS DECIMAL(30,$scale))) AS DOUBLE)"
+
+  /** Collision-proof cache tag for derived on-disk artifacts (stored IVF
+    * indexes etc.): the full 128-bit md5 of the joined key parts, hex.
+    * A 32-bit `String.hashCode` tag can collide and silently reuse a
+    * stale artifact built from DIFFERENT inputs — with the full digest a
+    * wrong reuse would need an md5 collision of the key strings. */
+  def cacheTag(parts: String*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(parts.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
 }

@@ -20,15 +20,53 @@ import org.apache.spark.sql.functions._
   */
 object SimFixture {
 
+  /** Fixture parameters — part of the path fingerprint below. */
+  private val NTicks = 360
+  private val InjectDevice = "RTU-001"
+  private val InjectFrom = 240L
+  private val InjectUntil = 300L
+  private val Dim = 128
+  /** Manual belt on top of the automatic fingerprint, for changes the
+    * bytecode digest cannot see (e.g. a constants table moved to a class
+    * outside [[fingerprint]]'s closure). */
+  private val GenVersion = 2
+
+  /** Content fingerprint of the generator: md5 over the fixture
+    * parameters, [[GenVersion]], and the BYTECODE of the three classes
+    * whose arithmetic determines the staged bits (simulator, snapshotter,
+    * hash featurizer). Any recompile that changes their code changes the
+    * digest — so a stale fixture from an older build can never satisfy
+    * (or fail) the new oracle, with no hand-bumped suffix to forget
+    * (round-10 ADVICE: the `_v1` bump was a silent-staleness hazard).
+    * Classpath resources can be missing in exotic deployments (shaded
+    * jars); then the digest honestly degrades to params + GenVersion. */
+  private lazy val fingerprint: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"$NTicks|$InjectDevice|$InjectFrom|$InjectUntil|$Dim|$GenVersion"
+      .getBytes("UTF-8"))
+    Seq("graft/sources/IoTSimulator$.class",
+        "graft/operators/Snapshotter$.class",
+        "graft/functions/HashFeaturize$.class").foreach { res =>
+      val in = getClass.getClassLoader.getResourceAsStream(res)
+      if (in != null)
+        try {
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+    }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
   /** FIXED absolute path — not `java.io.tmpdir` — because the static
     * oracle SQL in `SparkEntry.oracleSql` must name the same literal.
-    * Bump the `_v1` suffix whenever the simulator or snapshotter
-    * arithmetic changes, so a stale fixture from an older build can
-    * never satisfy (or fail) the new oracle. */
-  val Path = "/tmp/graft_sim_snapshots_v1"
+    * The suffix is the [[fingerprint]] of the generator code + params,
+    * so the path changes automatically whenever the staged content
+    * would. */
+  lazy val Path = s"/tmp/graft_sim_snapshots_$fingerprint"
 
   /** Glob the oracle SQL uses to read [[Path]]. */
-  val OracleGlob = s"$Path/*.parquet"
+  lazy val OracleGlob = s"$Path/*.parquet"
 
   @volatile private var staged = false
 
@@ -38,20 +76,39 @@ object SimFixture {
     * once per JVM (first caller pays the ~2 s stage; Bench's timed
     * re-runs and the sibling queries reuse the file), and a COMPLETE
     * fixture on disk (`_SUCCESS` present) is reused rather than
-    * rewritten: the content is a pure function of this code version
-    * (the `_v1` suffix — bump it on any generator change), and
-    * skipping the rewrite means a second JVM can never yank the files
-    * out from under a reader mid-scan. */
+    * rewritten — the content is a pure function of the fingerprinted
+    * code version, and skipping the rewrite means a reader can never
+    * have the files yanked out from under a mid-flight scan.
+    *
+    * Concurrency: the stage writes to a process-private sibling dir and
+    * RENAMES it into place (atomic on one filesystem), so two fresh
+    * JVMs racing the `_SUCCESS` check can never interleave partial
+    * writes at [[Path]] — the loser's rename fails against the winner's
+    * complete directory and its staging dir is discarded. */
   def snapshots(s: SparkSession): DataFrame = {
     if (!staged) synchronized {
       if (!staged) {
-        if (!new java.io.File(s"$Path/_SUCCESS").exists()) {
-          val readings = IoTSimulator.readings(s, nTicks = 360,
-            injections = IoTSimulator.compressorFailure("RTU-001", 240, 300))
-          graft.operators.Snapshotter.snapshots(readings, dim = 128)
+        val dest = new java.io.File(Path)
+        if (!new java.io.File(dest, "_SUCCESS").exists()) {
+          val tmp = new java.io.File(
+            s"${Path}.stage-${java.util.UUID.randomUUID().toString.take(8)}")
+          val readings = IoTSimulator.readings(s, nTicks = NTicks,
+            injections = IoTSimulator.compressorFailure(
+              InjectDevice, InjectFrom, InjectUntil))
+          graft.operators.Snapshotter.snapshots(readings, dim = Dim)
             .orderBy(col("device_id"), col("snapshot_time"))
             .coalesce(1)
-            .write.mode("overwrite").parquet(Path)
+            .write.mode("overwrite").parquet(tmp.getPath)
+          if (!tmp.renameTo(dest)) {
+            // lost the race: a complete fixture (same fingerprint ⇒ same
+            // bits) appeared first — use it, drop ours
+            if (!new java.io.File(dest, "_SUCCESS").exists())
+              sys.error(s"SimFixture: cannot stage $Path")
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(tmp)
+          }
         }
         staged = true
       }

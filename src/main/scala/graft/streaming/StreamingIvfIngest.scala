@@ -57,8 +57,12 @@ object StreamingIvfIngest {
         val conf = batch.sparkSession.sparkContext.hadoopConfiguration
         // batch ids restart at 0 under a NEW checkpoint — scope markers to
         // the checkpoint lineage or a restarted pipeline would skip its
-        // first batches as "already committed"
-        val lineage = java.lang.Integer.toHexString(checkpointDir.hashCode)
+        // first batches as "already committed". Full md5 of the dir: a
+        // 32-bit collision between two lineages sharing one index path
+        // would wrongly skip a batch as already committed.
+        val lineage = java.security.MessageDigest.getInstance("MD5")
+          .digest(checkpointDir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
         val marker = new org.apache.hadoop.fs.Path(
           s"$indexPath/_ingest_commits/${lineage}_$batchId")
         val fs = marker.getFileSystem(conf)

@@ -540,6 +540,38 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == unbanded.toSeq)
   }
 
+  test("semanticDedupExemplars: a tight block NOT holding the min id reconnects (centroid-nearest hub)") {
+    // the round-10 ADVICE hole: with the hub picked as the MIN-ID
+    // delegate, an over-cap tight block that doesn't contain it gets no
+    // qualifying spokes and can fragment across the bands. The hub is
+    // now the CENTROID-NEAREST delegate: the dominating block owns the
+    // cell centroid, so the hub sits inside it regardless of ids. Low
+    // ids 0/1 are dissimilar outliers; the 8-member tight block lives
+    // at ids 2..9 and must still come out as ONE group.
+    def jig(i: Long) = {
+      val e = (0 until 4).map(j => 0.0005 * ((i * 4 + j) % 7) - 0.0015)
+      unitV(e(0), 0.2 + e(1), 1.0 + e(2), 0.1 + e(3))
+    }
+    val vecs = (Seq(
+      (0L, unitV(1.0, 0.0, 0.0, 0.0)),
+      (1L, unitV(0.0, 1.0, 0.0, 0.0))) ++
+      (2L until 10L).map(i => (i, jig(i)))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupExemplars(vecs, nCells = 1, minCosine = 0.99,
+        maxCellSize = 2)
+      .select($"vec_id", $"comp", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.length == 10)
+    val comp = out.map(r => r._1 -> r._2).toMap
+    assert((2L until 10L).forall(comp(_) == 2L),
+      s"block fragmented: ${comp.toSeq.sorted}")
+    assert(comp(0L) != 2L && comp(1L) != 2L)
+    // and the verdict matches the unbanded run (cap high enough)
+    val unbanded = Dedup.semanticDedupExemplars(vecs, nCells = 1, minCosine = 0.99)
+      .select($"vec_id", $"comp", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == unbanded.toSeq)
+  }
+
   test("semanticDedupExemplars: auto cell count (nCells = 0) derives k from the corpus") {
     // 8 vectors / targetCellSize 4096 -> floor to the minimum of 8 cells;
     // k-means caps at the corpus size, every exact-copy class still folds

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Contract of `edgesMode = "spanning"` in
+  * [[Dedup.semanticDedupExemplars]] — the output-bound-tier option: for
+  * oversized cells the within-band all-pairs are replaced by per-band
+  * stars (+ the cell-hub spokes), so edges per cell are linear in the
+  * distinct count instead of size·cap/2.
+  *
+  * Gates, per the declared contract:
+  *   - under-cap cells are IDENTICAL in both modes (the declared queries
+  *     never activate the guard, so their hashes cannot move);
+  *   - the centroid-owning tight block — the adversarial geometry the
+  *     guard exists for — keeps GROUP PARITY with the all-pairs mode;
+  *   - exact copies stay grouped in spanning mode (collapse edges bypass
+  *     the pair stage entirely);
+  *   - the narrowing is real and DOCUMENTED: a secondary block that owns
+  *     neither the cell centroid nor a band hub may fragment — asserted
+  *     here so the docs and the behavior can never drift apart.
+  */
+class SemDedupSpanningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unitV(xs: Double*): Array[Float] = {
+    val n = math.sqrt(xs.map(x => x * x).sum)
+    xs.map(x => (x / n).toFloat).toArray
+  }
+
+  /** Tight near-dup block around direction `base`, |eps| ~ 5e-4. */
+  private def jig(base: Seq[Double], i: Long): Array[Float] = {
+    val e = base.indices.map(j => 0.0005 * ((i * base.size + j) % 7) - 0.0015)
+    unitV(base.indices.map(j => base(j) + e(j)): _*)
+  }
+
+  private def run(vecs: org.apache.spark.sql.DataFrame, mode: String,
+      cap: Int = 2, minCos: Double = 0.99) =
+    Dedup.semanticDedupExemplars(vecs, nCells = 1, minCosine = minCos,
+        maxCellSize = cap, edgesMode = mode)
+      .select($"vec_id", $"comp", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+
+  test("under-cap cells: spanning output is identical to all-pairs") {
+    val vecs = (Seq(
+      (0L, unitV(1.0, 0.0, 0.0, 0.0)),
+      (1L, unitV(0.0, 1.0, 0.0, 0.0)),
+      (2L, unitV(0.99, 0.14, 0.0, 0.0)),
+      (3L, unitV(0.0, 0.0, 1.0, 0.0))) ++
+      (4L until 8L).map(i => (i, jig(Seq(0.0, 0.2, 1.0, 0.1), i))))
+      .toDF("vec_id", "embedding")
+    // default cap: guard inactive, both modes must be byte-equal
+    val all = Dedup.semanticDedupExemplars(vecs, nCells = 1, minCosine = 0.9)
+      .orderBy($"vec_id").collect().toSeq
+    val span = Dedup.semanticDedupExemplars(vecs, nCells = 1, minCosine = 0.9,
+        edgesMode = "spanning")
+      .orderBy($"vec_id").collect().toSeq
+    assert(span == all)
+  }
+
+  test("centroid-owning over-cap tight block: group parity with all-pairs mode") {
+    // one cell = 2 outliers + a 10-member tight block that owns the
+    // centroid; cap 2 forces banding. Spanning must report the same
+    // groups as the all-pairs mode: the block is whole (both hub kinds
+    // sit inside it), the outliers stay singletons.
+    val vecs = (Seq(
+      (0L, unitV(1.0, 0.0, 0.0, 0.0)),
+      (1L, unitV(0.0, 1.0, 0.0, 0.0))) ++
+      (2L until 12L).map(i => (i, jig(Seq(0.0, 0.2, 1.0, 0.1), i))))
+      .toDF("vec_id", "embedding")
+    val all = run(vecs, "all")
+    val span = run(vecs, "spanning")
+    assert(span.map(r => (r._1, r._2)) == all.map(r => (r._1, r._2)),
+      s"\n all  $all\n span $span")
+    val comp = span.map(r => r._1 -> r._2).toMap
+    assert((2L until 12L).forall(comp(_) == 2L), s"block fragmented: $comp")
+    assert(comp(0L) != 2L && comp(1L) != 2L)
+    // election parity rides on group parity + identical centroid sims
+    assert(span == all)
+  }
+
+  test("exact copies stay grouped in spanning mode (collapse edges bypass banding)") {
+    val a = unitV(0.3, 0.2, 1.0, 0.1)
+    val vecs = ((0L until 6L).map(i => (i, a)) ++
+      (6L until 12L).map(i => (i, jig(Seq(1.0, 0.1, 0.0, 0.2), i))))
+      .toDF("vec_id", "embedding")
+    val span = run(vecs, "spanning")
+    val comp = span.map(r => r._1 -> r._2).toMap
+    assert((0L until 6L).forall(comp(_) == 0L), s"copies split: $comp")
+  }
+
+  test("documented narrowing: a secondary block owning no hub may fragment") {
+    // dominant 12-member block at direction A (owns the centroid) + a
+    // 4-member tight block at orthogonal direction B. In all-pairs mode
+    // B survives banding whenever its members co-band; in spanning mode
+    // B's members only get edges THROUGH hubs they don't qualify with,
+    // so B is allowed to fragment — the declared contract. This test
+    // pins the DOMINANT block's parity (must hold in both modes) and
+    // documents B's weaker guarantee: its groups are a refinement
+    // (never a merge) of the all-pairs groups.
+    val vecs = ((0L until 12L).map(i => (i, jig(Seq(0.0, 0.2, 1.0, 0.1), i))) ++
+      (12L until 16L).map(i => (i, jig(Seq(1.0, 0.1, 0.0, 0.2), i))))
+      .toDF("vec_id", "embedding")
+    val all = run(vecs, "all")
+    val span = run(vecs, "spanning")
+    val cAll = all.map(r => r._1 -> r._2).toMap
+    val cSpan = span.map(r => r._1 -> r._2).toMap
+    // dominant block: exact parity
+    assert((0L until 12L).forall(cSpan(_) == cAll(0L)))
+    // secondary block: refinement — two ids co-grouped under spanning
+    // are co-grouped under all-pairs (spanning never invents an edge)
+    for (i <- 12L until 16L; j <- 12L until 16L)
+      if (cSpan(i) == cSpan(j)) assert(cAll(i) == cAll(j))
+  }
+}
