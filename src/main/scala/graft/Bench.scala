@@ -55,6 +55,27 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadavg()
+    // Committed clean marks: the standing per-query seconds from the
+    // repo's bench_full.json at HEAD (this sweep overwrites the file at
+    // the end, so read it NOW). Feeds the second retake trigger below —
+    // a query reading far above its own committed mark is re-measured
+    // even when its segment's calibration looked flat. Regex-parsed on
+    // purpose (no JSON lib in the unmanaged classpath); absent or
+    // malformed file just means no mark-based retakes.
+    val cleanMarks: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+        val qStart = txt.indexOf("\"queries\":{")
+        // marks from another scale factor are meaningless as triggers
+        // (an sf0.001 smoke record would mark every sf0.1 reading hot)
+        if (qStart < 0 || !txt.contains(s""""sf":"$sfDir"""")) Map.empty
+        else {
+          val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+          "\"(q[0-9]+)\":([0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
     // Calibration: q01 is a plain scan+agg with a stable clean-box time
     // (~0.3 s at sf0.1); a reading far above that marks the sweep as
     // load-contaminated (see README's measurement protocol). A FAILED
@@ -143,6 +164,13 @@ object Bench {
       }
     }
     stampCalib(done) // closing segment stamp
+    // The pre-merge total: the single-session sweep sum BEFORE any
+    // retake min-merge, so the tailed record distinguishes a merged
+    // (best-across-sessions) headline from a raw one-pass measurement
+    // (round-10 ADVICE: retaken queries get best-of-4, every other
+    // query best-of-2 — the reader deserves both numbers).
+    val preRetakeTotal =
+      if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // Auto-retake of load-contaminated segments. The pattern has
     // recurred three rounds running (r7 q74-cluster, r8 q38-cluster,
     // r9 q208-cluster): an external load spike inflates one ~30-query
@@ -155,6 +183,16 @@ object Bench {
     // protocol) and keeps the MINIMUM of original and retake — load
     // only ever inflates a wall time, so min is the principled merge.
     // Retakes are capped so a fully-loaded box cannot double the sweep.
+    //
+    // SECOND trigger (round-10 blind spot): a single long query can BE
+    // its segment's load — it inflates itself, finishes before the
+    // calibration stamp, and the stamp reads flat (r10's q161 at 64 s vs
+    // an 11 s clean mark escaped exactly this way, 24% of the sweep).
+    // So any query reading more than 2x its COMMITTED clean mark (the
+    // standing bench_full.json at HEAD, read before this sweep
+    // overwrites it) is also re-measured, load signal or not. Marks are
+    // only a trigger: a genuine regression re-measures once, reproduces,
+    // and stands in the record.
     val retakes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     locally {
       val valid = calibPoints.map(_._2).filter(_ > 0).sorted
@@ -165,9 +203,16 @@ object Bench {
         }.toSet
         // stamp i opens segment i and closes segment i-1
         val hotSegs = hotStamps.flatMap(i => Set(i - 1, i))
-        val suspects = segmentOf.collect {
+        val segSuspects = segmentOf.collect {
           case (n, s) if hotSegs(s) && results.contains(n) => n
-        }.take(90).toSeq
+        }.toSeq
+        val markSuspects = results.collect {
+          case (n, (sec, _, _))
+              if cleanMarks.get(n.takeWhile(_ != '_'))
+                .exists(m => sec > 2.0 * m && sec > 0.5) => n
+        }.toSeq
+        val suspects = (segSuspects ++
+          markSuspects.filterNot(segSuspects.contains)).take(90)
         if (suspects.nonEmpty) {
           println(s"""{"metric":"retake","n":${suspects.size},"calib_median":${fmt3(med)}}""")
           System.out.flush()
@@ -213,7 +258,7 @@ object Bench {
       .map { case (n, c, la) => s"""{"n":$n,"sec":${fmt3(c)},"loadavg":${fmt3(la)}}""" }
       .mkString("[", ",", "]")
     val loadStamp =
-      s""","n_errors":${errors.size},"n_retaken":${retakes.size},"loadavg_start":${fmt3(loadStart)},"loadavg_end":${fmt3(loadEnd)},"calib_q01_sec":${fmt3(calib)},"calib_points":$calibJson"""
+      s""","n_errors":${errors.size},"n_retaken":${retakes.size},"pre_retake_total":${fmt3(preRetakeTotal)},"loadavg_start":${fmt3(loadStart)},"loadavg_end":${fmt3(loadEnd)},"calib_q01_sec":${fmt3(calib)},"calib_points":$calibJson"""
     val bySlow = results.toSeq.sortBy { case (k, v) => (-v._1, k) }
     // Final-line budget: the driver tails ~2000 chars and parses the last
     // JSON line, so the line must fit whole. Split the headroom between

@@ -218,23 +218,41 @@ object SemDedupProbe {
       classes.unpersist(blocking = false)
       var cloudGroups = -1L
       var sec = -1.0
+      var cloudGroupsSpan = -1L
+      var secSpan = -1.0
       if (wall) {
-        def run(): org.apache.spark.sql.DataFrame =
+        def run(em: String): org.apache.spark.sql.DataFrame =
           graft.operators.Dedup.semanticDedupExemplars(
-            corpus, nCells = 1, minCosine = minCosine)
+            corpus, nCells = 1, minCosine = minCosine, edgesMode = em)
         clean()
         // group readout from the warm run: distinct components among
         // cloud ids (tight mode must report exactly 1)
-        cloudGroups = run().filter(col("vec_id") >= nScatter)
+        cloudGroups = run("all").filter(col("vec_id") >= nScatter)
           .select(col("comp")).distinct().count()
         sec = (1 to 2).map { _ =>
           clean()
           val t0 = System.nanoTime()
-          run().count()
+          run("all").count()
           (System.nanoTime() - t0) / 1e9
         }.min
+        // spanning mode on the OUTPUT-bound tier: the tight cloud is the
+        // regime where all-pairs materializes ~cap/2 qualified edges per
+        // member that component labeling never needed — the spanning
+        // stars must keep cloud_groups identical at a fraction of the
+        // wall (SCALE.md §SemDeDup-skew records both columns)
+        if (mode == "tight") {
+          clean()
+          cloudGroupsSpan = run("spanning").filter(col("vec_id") >= nScatter)
+            .select(col("comp")).distinct().count()
+          secSpan = (1 to 2).map { _ =>
+            clean()
+            val t0 = System.nanoTime()
+            run("spanning").count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        }
       }
-      println(f"""SEMDEDUP_SKEW {"mode":"$mode","tier":$k,"rows":$n,"classes":$d,"sbits":$sbits,"bands":$bandsC,"max_band_frac_centered":$maxFracC%.4f,"modal_frac_uncentered":$maxFracU%.4f,"cand_pairs":$pairsC,"uncentered_pairs":$pairsU,"unguarded_pairs":$unguarded,"spokes":$spokes,"cloud_groups":$cloudGroups,"sec":$sec%.2f}""")
+      println(f"""SEMDEDUP_SKEW {"mode":"$mode","tier":$k,"rows":$n,"classes":$d,"sbits":$sbits,"bands":$bandsC,"max_band_frac_centered":$maxFracC%.4f,"modal_frac_uncentered":$maxFracU%.4f,"cand_pairs":$pairsC,"uncentered_pairs":$pairsU,"unguarded_pairs":$unguarded,"spokes":$spokes,"cloud_groups":$cloudGroups,"sec":$sec%.2f,"cloud_groups_spanning":$cloudGroupsSpan,"sec_spanning":$secSpan%.2f}""")
       System.out.flush()
     }
 

@@ -887,7 +887,9 @@ object Documents {
     // training margins are memorization and a held-out AUC near 0.5 is
     // exactly what an honest evaluation must report (the q254 scaladoc
     // cross-references this). What the gate certifies is the
-    // train/score/evaluate split machinery, end to end.
+    // train/score/evaluate split machinery, end to end; q259 runs the
+    // same machinery on a CONTENT-derived label and is the ranking-power
+    // acceptance number (AUC ≈ 0.99).
     "q257_classifier_heldout_auc" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 3 =!= 0)
@@ -899,6 +901,32 @@ object Documents {
       val scored = graft.operators.Corpus.perceptronScore(held, w)
         .join(held.select(col("doc_id"), (col("doc_id") % 7 === 0).as("y")),
           "doc_id")
+      graft.operators.Evaluate.binaryAuc(scored, col("y"), "score")
+    }),
+
+    // q257's companion with a CONTENT-DERIVED label: the same train/
+    // score/evaluate machinery, but the target is q41's quality band
+    // (quality_ppm >= 700000 — the corpus median, so the classes are
+    // balanced) instead of the content-independent doc_id % 7 fold.
+    // Where q257's ≈0.5 AUC certifies the machinery (its label is
+    // unlearnable by construction), THIS is the classifier's acceptance
+    // number — the GPT-3 §A filter judged by ranking power on documents
+    // the trainer never saw: hashed unigram+bigram features demonstrably
+    // recover a length/stopword/token-shape label at AUC ≈ 0.99,
+    // hash-gated end to end (the oracle replays training, scoring, the
+    // label derivation AND the AUC).
+    "q259_classifier_content_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lab = TextAnalysis.qualityScores(docs, "doc_id", "text")
+        .select(col("doc_id"), (col("quality_ppm") >= 700000L).as("y"))
+      val train = docs.join(lab, Seq("doc_id"))
+        .filter(col("doc_id") % 3 =!= 0)
+      val w = graft.operators.Corpus.qualityPerceptronWeights(
+        train.filter(!col("y")), train.filter(col("y")),
+        nBuckets = 4096, seed = 11, steps = 4)
+      val held = docs.filter(col("doc_id") % 3 === 0)
+      val scored = graft.operators.Corpus.perceptronScore(held, w)
+        .join(lab, Seq("doc_id"))
       graft.operators.Evaluate.binaryAuc(scored, col("y"), "score")
     }),
 
@@ -1294,7 +1322,9 @@ object Documents {
     * non-positive; mistakes keyed on (doc_id, y) exactly as the
     * trainer's margin window, so the CTEs mirror the operator for ANY
     * labeling, not just the disjoint doc_id % 7 split). */
-  private def perceptronCtesWhere(foldWhere: String): String = {
+  private def perceptronCtesWhere(foldWhere: String,
+      ySql: String = "CASE WHEN doc_id % 7 = 0 THEN 1 ELSE -1 END",
+      featSrc: String = "g"): String = {
     def step(t: Int): String =
       s"""m$t AS (SELECT doc_id, y, CAST(sum(c * coalesce(w, 0)) AS BIGINT) AS m
          |  FROM feat LEFT JOIN w${t - 1} USING (b) GROUP BY doc_id, y),
@@ -1310,14 +1340,34 @@ object Documents {
        |      SELECT doc_id, unnest(list_transform(range(1, len(tok)),
        |        i -> tok[i] || ' ' || tok[i + 1])) AS g FROM t),
        |feat AS (SELECT doc_id,
-       |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE -1 END AS y,
+       |    $ySql AS y,
        |    ${h32("g", 11)} % 4096 AS b, CAST(count(*) AS BIGINT) AS c
-       |  FROM g $foldWhere GROUP BY 1, 2, 3),
+       |  FROM $featSrc $foldWhere GROUP BY 1, 2, 3),
        |w1 AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS w FROM feat GROUP BY b),
        |${step(2)},
        |${step(3)},
        |${step(4)}""".stripMargin
   }
+
+  /** q41's quality chain reduced to a ±1 label CTE `lab(doc_id, y)` —
+    * the content-derived target for q259 (y = +1 iff quality_ppm >=
+    * `thresholdPpm`; 700000 ≈ the corpus median, balanced classes).
+    * CTE names are q-prefixed to stay clear of the perceptron's `g`. */
+  private def qualityLabelCte(thresholdPpm: Long): String =
+    s"""qtk AS (SELECT doc_id, unnest(tok) AS w FROM t),
+       |qg AS (SELECT doc_id, count(*) AS n_tokens,
+       |        count(*) FILTER (w IN ('a', 'the')) AS n_stop,
+       |        CAST(sum(length(w)) AS BIGINT) AS sum_len
+       |      FROM qtk GROUP BY doc_id),
+       |qp AS (SELECT doc_id,
+       |        (n_stop * 1000000) // n_tokens AS stop_ppm,
+       |        least((sum_len * 1000000) // (8 * n_tokens), 1000000) AS len_ppm,
+       |        least(n_tokens * 10000, 1000000) AS tok_ppm
+       |      FROM qg),
+       |lab AS (SELECT doc_id,
+       |        CASE WHEN (tok_ppm * 3 + (1000000 - stop_ppm) * 4
+       |                   + len_ppm * 3) // 10 >= $thresholdPpm
+       |             THEN 1 ELSE -1 END AS y FROM qp)""".stripMargin
 
   private lazy val perceptronCtes: String = perceptronCtesWhere("")
 
@@ -2905,6 +2955,40 @@ object Documents {
          |       FROM hg LEFT JOIN w4 USING (b) GROUP BY doc_id),
          |s AS (SELECT score AS scv,
          |        CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS y FROM sc),
+         |h AS (SELECT scv, sum(y) AS np, count(*) - sum(y) AS nn
+         |      FROM s GROUP BY scv),
+         |c AS (SELECT scv, np, nn,
+         |        coalesce(sum(nn) OVER (ORDER BY scv
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS negs_below
+         |      FROM h),
+         |agg AS (SELECT sum(np) AS n_pos, sum(nn) AS n_neg,
+         |          sum(np * negs_below) AS concordant, sum(np * nn) AS tied
+         |        FROM c)
+         |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+         |  CAST(concordant AS BIGINT) AS concordant, CAST(tied AS BIGINT) AS tied,
+         |  CAST(((2 * concordant + tied) * 1000000) // (2 * n_pos * n_neg)
+         |       AS BIGINT) AS auc_ppm,
+         |  CAST(CAST(((2 * concordant + tied) * 1000000) // (2 * n_pos * n_neg)
+         |       AS BIGINT) AS DOUBLE) / 1000000.0 AS auc
+         |FROM agg""".stripMargin,
+
+    // q259: q257's evaluation chain with the CONTENT label — the q41
+    // quality band at 700000 ppm replayed as `lab`, training restricted
+    // to the doc_id % 3 != 0 fold via a lab join, the held-out third
+    // scored against w4, then the same class-histogram AUC. Entirely
+    // int64 — bit-identical.
+    "q259_classifier_content_auc" ->
+      s"""WITH $tokCte,
+         |${qualityLabelCte(700000L)},
+         |${perceptronCtesWhere("WHERE doc_id % 3 <> 0", "y", "g JOIN lab USING (doc_id)")}
+         |, hg AS (SELECT doc_id, ${h32("g", 11)} % 4096 AS b FROM g
+         |    WHERE doc_id % 3 = 0),
+         |sc AS (SELECT doc_id, CAST(sum(coalesce(w, 0)) AS BIGINT) AS score
+         |       FROM hg LEFT JOIN w4 USING (b) GROUP BY doc_id),
+         |s AS (SELECT score AS scv,
+         |        CASE WHEN y = 1 THEN 1 ELSE 0 END AS y
+         |      FROM sc JOIN lab USING (doc_id)),
          |h AS (SELECT scv, sum(y) AS np, count(*) - sum(y) AS nn
          |      FROM s GROUP BY scv),
          |c AS (SELECT scv, np, nn,
