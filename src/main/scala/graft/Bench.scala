@@ -211,8 +211,19 @@ object Bench {
               if cleanMarks.get(n.takeWhile(_ != '_'))
                 .exists(m => sec > 2.0 * m && sec > 0.5) => n
         }.toSeq
-        val suspects = (segSuspects ++
-          markSuspects.filterNot(segSuspects.contains)).take(90)
+        // mark suspects FIRST: they are few and individually diagnosed
+        // (a >2x-vs-mark reading is exactly the class the round-10 q161
+        // miss was), while segment suspects are a bulk sweep of ~30-query
+        // windows — under the cap, bulk must never crowd out the
+        // specifically-flagged queries
+        val suspects = (markSuspects ++
+          segSuspects.filterNot(markSuspects.contains)).take(90)
+        val dropped = segSuspects.size + markSuspects
+          .count(!segSuspects.contains(_)) - suspects.size
+        if (dropped > 0) {
+          println(s"""{"metric":"retake_dropped","n":$dropped}""")
+          System.out.flush()
+        }
         if (suspects.nonEmpty) {
           println(s"""{"metric":"retake","n":${suspects.size},"calib_median":${fmt3(med)}}""")
           System.out.flush()

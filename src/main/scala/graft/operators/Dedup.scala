@@ -802,7 +802,14 @@ object Dedup {
     // the hub — the same accepted-recall contract as the paper's own
     // cross-cell misses.
     val sigged = sigged0
-      .withColumn("_hcos", cosine_sim(micro_units(col("_v")), col("centroid")))
+      // the hub cosine only matters where spokes/stars can fire
+      // (_sbits > 0); under-cap cells — every declared query — must not
+      // pay an extra per-delegate O(dim) dot product for a hub nobody
+      // reads (their _hub degenerates to min id, which is never consumed)
+      .withColumn("_hcos",
+        when(col("_sbits") > 0,
+          cosine_sim(micro_units(col("_v")), col("centroid")))
+          .otherwise(lit(0.0)))
       .withColumn("_hub",
         min(struct((-col("_hcos")).as("nc"), col("del").as("del")))
           .over(wCell).getField("del"))

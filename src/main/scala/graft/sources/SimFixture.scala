@@ -90,6 +90,7 @@ object SimFixture {
       if (!staged) {
         val dest = new java.io.File(Path)
         if (!new java.io.File(dest, "_SUCCESS").exists()) {
+          gcStaleFixtures(dest.getParentFile)
           val tmp = new java.io.File(
             s"${Path}.stage-${java.util.UUID.randomUUID().toString.take(8)}")
           val readings = IoTSimulator.readings(s, nTicks = NTicks,
@@ -101,13 +102,12 @@ object SimFixture {
             .write.mode("overwrite").parquet(tmp.getPath)
           if (!tmp.renameTo(dest)) {
             // lost the race: a complete fixture (same fingerprint ⇒ same
-            // bits) appeared first — use it, drop ours
-            if (!new java.io.File(dest, "_SUCCESS").exists())
-              sys.error(s"SimFixture: cannot stage $Path")
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-            }
+            // bits) appeared first — use it, drop ours. Our staging dir
+            // is removed on EVERY failed-rename path (leaking it on the
+            // error path would accumulate a fixture per failure).
+            val winnerComplete = new java.io.File(dest, "_SUCCESS").exists()
             rm(tmp)
+            if (!winnerComplete) sys.error(s"SimFixture: cannot stage $Path")
           }
         }
         staged = true
@@ -115,4 +115,23 @@ object SimFixture {
     }
     s.read.parquet(Path)
   }
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+  }
+
+  /** GC for superseded fixtures: every fingerprint change mints a new
+    * `/tmp/graft_sim_snapshots_<fp>` and, without this, abandons the old
+    * one (plus any crashed JVM's `.stage-*` leftovers) forever. Runs
+    * once, only when THIS build is about to stage its own fixture.
+    * Age-gated at 6 h so a long-running JVM of an older build can never
+    * have its fixture yanked out from under a mid-flight scan. */
+  private def gcStaleFixtures(tmpDir: java.io.File): Unit = try {
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    Option(tmpDir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val stale = f.getName.startsWith("graft_sim_snapshots_") &&
+        !f.getPath.startsWith(Path) && f.lastModified < cutoff
+      if (stale) rm(f)
+    }
+  } catch { case _: Throwable => () } // GC is best-effort, never fatal
 }

@@ -65,8 +65,14 @@ object StreamingIvfIngest {
           .map("%02x".format(_)).mkString
         val marker = new org.apache.hadoop.fs.Path(
           s"$indexPath/_ingest_commits/${lineage}_$batchId")
+        // markers written before the md5 upgrade used hashCode-hex; a
+        // restart replaying an already-committed pre-upgrade batch must
+        // still see its marker or it would append the rows twice
+        val legacyMarker = new org.apache.hadoop.fs.Path(
+          s"$indexPath/_ingest_commits/" +
+            s"${java.lang.Integer.toHexString(checkpointDir.hashCode)}_$batchId")
         val fs = marker.getFileSystem(conf)
-        if (!fs.exists(marker)) {
+        if (!fs.exists(marker) && !fs.exists(legacyMarker)) {
           batch.write.mode("append").partitionBy("cell_id")
             .parquet(s"$indexPath/assigned")
           fs.mkdirs(marker.getParent)
