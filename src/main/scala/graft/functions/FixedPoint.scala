@@ -110,6 +110,75 @@ object FixedPoint {
     s * 65536L + log2FpRef(x >> s)
   }
 
+  // ---- exp2: the inverse primitive, for exponentiated-gradient /
+  // softmax-style weights that must hash-match across engines ----
+  //
+  // `exp2fp(x) = floor(2^(x / 2^16) · 2^16)`-ish for `0 <= x <= 32·2^16`,
+  // by binary-fraction decomposition: 2^(f/2^16) = Π over set bits i of
+  // f of 2^(2^-i), with the 16 per-bit constants PRE-ROUNDED to Q28
+  // (hardcoded literals below — no libm anywhere, so the value is
+  // bit-identical in any int64 engine by construction, same discipline
+  // as log2fp). The Q28 accumulator keeps every product under 2^58;
+  // the integer part is a final shift. Error: < 3e-7 relative from the
+  // Q28 product chain (16 floor steps + constant rounding) plus one Q16
+  // ulp of output quantization from the final floor — gated by the
+  // spec's exhaustive fraction sweep. NEGATIVE arguments are excluded by
+  // contract (Spark `div` truncates toward zero, DuckDB `//` floors —
+  // they disagree below zero): softmax-style callers shift by the group
+  // minimum first, which the normalization cancels anyway.
+  //
+  // Round-trip with log2fp: exp2fp(log2FpRef(x)) / 65536.0 ≈ x within
+  // the combined 2e-5 log-side error — gated in FixedPointSpec.
+
+  /** Q28 constants: round(2^28 · 2^(2^-i)), i = 1..16. */
+  private val Exp2C: IndexedSeq[Long] = IndexedSeq(
+    379625062L, 319225354L, 292730940L, 280320109L, 274313427L,
+    271358526L, 269893034L, 269163258L, 268799111L, 268617222L,
+    268526324L, 268480886L, 268458170L, 268446813L, 268441134L,
+    268438295L)
+
+  /** Spark-SQL spelling. `x` MUST be a short column reference (inlined
+    * ~35×); caller guarantees `0 <= x <= 32·65536`. */
+  def exp2FpSparkSql(x: String): String =
+    genExp2(x, "div", "sequence(1, 16)",
+      ip => s"shiftleft(CAST(1 AS BIGINT), CAST($ip AS INT))", spark = true)
+
+  /** DuckDB spelling of the SAME integer arithmetic. */
+  def exp2FpDuckSql(x: String): String =
+    genExp2(x, "//", "range(1, 17)",
+      ip => s"(CAST(1 AS BIGINT) << CAST($ip AS INTEGER))", spark = false)
+
+  /** JVM reference of the exact algorithm — the spec oracle. */
+  def exp2FpRef(x: Long): Long = {
+    require(x >= 0 && x <= 32L * 65536, s"exp2 domain: $x")
+    val f = x % 65536
+    val ip = x / 65536
+    var acc = 1L << 28
+    var i = 1
+    while (i <= 16) {
+      if ((f >> (16 - i)) % 2 == 1) acc = acc * Exp2C(i - 1) >> 28
+      i += 1
+    }
+    (acc << ip) / 4096
+  }
+
+  private def genExp2(x: String, div: String, rangeExpr: String,
+      pow2: String => String, spark: Boolean): String = {
+    val f = s"(($x) % 65536)"
+    val branches = (1 to 16).map { i =>
+      s"WHEN i = $i AND ($f $div ${1L << (16 - i)}) % 2 = 1" +
+        s" THEN (acc * ${Exp2C(i - 1)}) $div 268435456"
+    }.mkString(" ")
+    val step = s"CASE $branches ELSE acc END"
+    val fold =
+      if (spark)
+        s"aggregate($rangeExpr, CAST(268435456 AS BIGINT), (acc, i) -> $step)"
+      else
+        s"list_reduce(list_prepend(CAST(268435456 AS BIGINT), " +
+          s"list_transform($rangeExpr, i -> CAST(i AS BIGINT))), (acc, i) -> $step)"
+    s"((($fold) * ${pow2(s"(($x) $div 65536)")}) $div 4096)"
+  }
+
   private def gen(x: String, div: String, rangeExpr: String, spark: Boolean): String = {
     // (ip, 2^ip) packed as ip·2^42 + 2^ip, one bit-length CASE
     val pack = (30 to 1 by -1)

@@ -410,6 +410,86 @@ object Corpus {
         "CASE WHEN _f = 1 THEN _k div n_tokens ELSE CAST(_kw div n_tokens AS BIGINT) END AS kl_fp")
   }
 
+  /** DoReMi-style domain-mixture reweighting (Xie et al. 2023): one
+    * exponentiated-gradient step over per-domain losses, the engine half
+    * of the train→reweight→retrain loop. DoReMi's full recipe retrains a
+    * proxy model under each new mixture; what the DATA ENGINE owns is
+    * the reweighting given per-domain losses — upweight the domains the
+    * reference model finds hardest (highest excess loss), then smooth
+    * toward uniform so no domain starves:
+    *
+    *   w(d) ∝ 2^(η · excess(d)),   excess(d) = loss(d) − min_d loss
+    *   out(d) = (1 − c) · w_norm(d) + c / |domains|
+    *
+    * `lossByDomain` rows are (domain, loss_fp, mass) with loss in
+    * fixed-point log2 units (2^16 — bits, the natural unit of an LM
+    * loss); `mass` (token count) is carried through for observability.
+    * Per-round losses from a REAL proxy-training loop can be fed here
+    * each round; [[domainMixFromSurprisal]] supplies the built-in static
+    * signal (held-out LM surprisal per domain — the reference-model loss
+    * DoReMi's first iteration uses).
+    *
+    * All arithmetic is int64 fixed-point — the min-shift (softmax
+    * invariance makes it free), the η scaling as a rational, the
+    * exponentiation via [[graft.functions.FixedPoint.exp2FpSparkSql]]
+    * (no libm), the ppm normalization and the uniform smoothing — so
+    * the whole reweighting is reproduced bit-for-bit by the DuckDB
+    * oracle (q260). The exponent is capped at 20 bits (a 2^20 weight
+    * ratio; DoReMi mixtures span ~10³): keeps every product in int64
+    * and a degenerate loss spread from assigning ~zero ppm to all but
+    * one domain.
+    *
+    * Scale shape: the frame is |domains|-sized (a groupBy output, tens
+    * of rows at any corpus size), so the min/sum "global" windows are
+    * single-partition over a tiny exchange — nothing here touches the
+    * corpus again. Output: (domain, mass, loss_fp, excess_fp,
+    * weight_ppm, smoothed_ppm), one row per domain. */
+  def domainMixWeights(lossByDomain: DataFrame, etaNum: Long = 1L,
+      etaDen: Long = 1L, smoothPpm: Long = 1000L): DataFrame = {
+    require(etaNum >= 0 && etaDen > 0 && smoothPpm >= 0 && smoothPpm <= 1000000L)
+    import graft.functions.FixedPoint.exp2FpSparkSql
+    val wAll = Window.partitionBy() // |domains| rows — not a corpus window
+    lossByDomain
+      .withColumn("excess_fp", col("loss_fp") - min(col("loss_fp")).over(wAll))
+      .withColumn("_scaled",
+        least(expr(s"(excess_fp * $etaNum) div $etaDen"), lit(20L * 65536)))
+      .selectExpr("domain", "mass", "loss_fp", "excess_fp",
+        s"${exp2FpSparkSql("_scaled")} AS _raw")
+      .withColumn("_wsum", sum(col("_raw")).over(wAll))
+      .withColumn("_nd", count(lit(1)).over(wAll))
+      .withColumn("weight_ppm", expr("(_raw * 1000000) div _wsum"))
+      .withColumn("smoothed_ppm", expr(
+        s"((1000000 - $smoothPpm) * weight_ppm) div 1000000 + $smoothPpm div _nd"))
+      .drop("_raw", "_wsum", "_nd")
+  }
+
+  /** The built-in loss signal for [[domainMixWeights]]: per-domain
+    * held-out LM surprisal — every domain's doc_id % 5 == 0 fold scored
+    * under the add-one bigram LM trained on the % 5 != 0 rest of the
+    * WHOLE corpus (the uniform-mixture reference model), token-weighted
+    * mean in fixed-point bits. Domains with zero held-out bigram mass
+    * carry no price signal and are dropped (cannot be reweighted).
+    * Cost: one [[TextAnalysis.lmSurprisal]] scan (linear, the q248
+    * machinery) + a |domains|-row rollup. */
+  def domainMixFromSurprisal(docs: DataFrame, domainCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      etaNum: Long = 1L, etaDen: Long = 1L,
+      smoothPpm: Long = 1000L): DataFrame = {
+    val perDoc = TextAnalysis.lmSurprisal(
+      docs.filter(col(idCol) % 5 === 0),
+      docs.filter(col(idCol) % 5 =!= 0), idCol, textCol)
+    val byDomain = perDoc
+      .join(docs.select(col(idCol).as("doc_id"), col(domainCol).as("domain")),
+        Seq("doc_id"))
+      .groupBy(col("domain"))
+      .agg(sum(col("n_bigrams")).as("mass"),
+        sum(col("bits_fp") * col("n_bigrams")).as("_wsum"))
+      .filter(col("mass") > 0)
+      .select(col("domain"), col("mass"),
+        expr("_wsum div mass").as("loss_fp"))
+    domainMixWeights(byDomain, etaNum, etaDen, smoothPpm)
+  }
+
   /** Budgets proportional to each source's own token volume (`pct`% of
     * it) — the self-scaling parameterization the declared query uses. */
   def proportionalBudgets(

@@ -834,6 +834,20 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // DoReMi-style domain-mixture weights (Xie et al. 2023): the
+    // exponentiated-gradient reweighting step over per-domain losses —
+    // each source's held-out fold scored under the uniform-mixture
+    // reference LM (q248's machinery), token-weighted mean loss in
+    // fixed-point bits, min-shifted excess, w ∝ 2^(η·excess) via the
+    // int64 exp2 primitive, ppm-normalized, smoothed toward uniform.
+    // The fourth data-selection leg (q247 DSIR, q248/q255 CCNet, q254
+    // GPT-3 filter) — and the whole chain, exp2 included, is replayed
+    // bit-exactly by the oracle.
+    "q260_domain_mix_weights" -> ((s, dir) => {
+      graft.operators.Corpus.domainMixFromSurprisal(t(s, dir, "documents"))
+        .orderBy(col("domain"))
+    }),
+
     // CCNet's head/middle/tail perplexity partition (Wenzek et al.
     // 2020 §4.3): every doc scored under the 80%-split bigram LM
     // (q248's machinery), then bucketed into thirds by WHOLE-BIN
@@ -1370,6 +1384,34 @@ object Documents {
        |             THEN 1 ELSE -1 END AS y FROM qp)""".stripMargin
 
   private lazy val perceptronCtes: String = perceptronCtesWhere("")
+
+  /** q248's held-out bigram-LM surprisal chain (over the caller's `t`
+    * token CTE), ending in per-doc `sc(doc_id, n_bigrams, bits_fp)` —
+    * shared by q248 and the q260 domain-mixture rollup. LM trained on
+    * the doc_id % 5 != 0 fold; scoring restricted to the held-out
+    * % 5 == 0 fold; add-one ppb conditional, FixedPoint log2 surprisal
+    * (1959352 = log2fp(1e9)), per-doc mean via integer div. */
+  private lazy val lmSurprisalCtes: String = {
+    import graft.functions.FixedPoint.log2FpDuckSql
+    s"""bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+       |        i -> tok[i] || ' ' || tok[i + 1])) AS bg FROM t),
+       |lb AS (SELECT bg, count(*) AS c12 FROM bg WHERE doc_id % 5 <> 0 GROUP BY bg),
+       |lp AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM lb GROUP BY 1),
+       |vs AS (SELECT count(DISTINCT w) AS v FROM (
+       |        SELECT unnest(tok) AS w FROM t WHERE doc_id % 5 <> 0)),
+       |sur AS (SELECT doc_id,
+       |          1959352 - ${log2FpDuckSql("p_ppb")} AS sur
+       |        FROM (SELECT b.doc_id,
+       |                (coalesce(c12, 0) + 1) * 1000000000
+       |                  // (coalesce(c1, 0) + v) AS p_ppb
+       |              FROM bg b LEFT JOIN lb USING (bg)
+       |              LEFT JOIN lp ON lp.w1 = split_part(b.bg, ' ', 1)
+       |              CROSS JOIN vs
+       |              WHERE b.doc_id % 5 = 0)),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         sum(sur) // count(*) AS bits_fp
+       |       FROM sur GROUP BY doc_id)""".stripMargin
+  }
 
   /** Mirrors Dedup.spanCoverage: duplicated k-gram start positions in
     * `dp(doc_id, pos)` → maximal interval-union spans → per-doc
@@ -2808,31 +2850,46 @@ object Documents {
     // Carries the fits-ppb branch only (every sf prefix mass is far
     // below 10⁹); the wide branch is gated by TextAnalysisSpec against
     // the JVM fixed-point reference.
-    "q248_lm_surprisal" -> {
-      import graft.functions.FixedPoint.log2FpDuckSql
+    "q248_lm_surprisal" ->
       s"""WITH $tokCte,
-         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)),
-         |        i -> tok[i] || ' ' || tok[i + 1])) AS bg FROM t),
-         |lb AS (SELECT bg, count(*) AS c12 FROM bg WHERE doc_id % 5 <> 0 GROUP BY bg),
-         |lp AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM lb GROUP BY 1),
-         |vs AS (SELECT count(DISTINCT w) AS v FROM (
-         |        SELECT unnest(tok) AS w FROM t WHERE doc_id % 5 <> 0)),
-         |sur AS (SELECT doc_id,
-         |          1959352 - ${log2FpDuckSql("p_ppb")} AS sur
-         |        FROM (SELECT b.doc_id,
-         |                (coalesce(c12, 0) + 1) * 1000000000
-         |                  // (coalesce(c1, 0) + v) AS p_ppb
-         |              FROM bg b LEFT JOIN lb USING (bg)
-         |              LEFT JOIN lp ON lp.w1 = split_part(b.bg, ' ', 1)
-         |              CROSS JOIN vs
-         |              WHERE b.doc_id % 5 = 0)),
-         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |         sum(sur) // count(*) AS bits_fp
-         |       FROM sur GROUP BY doc_id)
+         |$lmSurprisalCtes
          |SELECT t.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
          |  CAST(coalesce(bits_fp, 0) AS BIGINT) AS bits_fp
          |FROM t LEFT JOIN sc USING (doc_id)
-         |WHERE t.doc_id % 5 = 0 ORDER BY t.doc_id""".stripMargin
+         |WHERE t.doc_id % 5 = 0 ORDER BY t.doc_id""".stripMargin,
+
+    // Mirrors Corpus.domainMixFromSurprisal + domainMixWeights: q248's
+    // per-doc held-out surprisal rolled up per source (token-weighted
+    // int64 mean), min-shifted excess, η = 1 exponent capped at 20 bits,
+    // FixedPoint exp2 (the same Q28 constant-product fold, DuckDB
+    // spelling), ppm normalization and the c = 1000 ppm uniform
+    // smoothing — every step integer, bit-identical. HUGEINT sums are
+    // cast back to BIGINT before the fixed-point ops (their contract).
+    "q260_domain_mix_weights" -> {
+      import graft.functions.FixedPoint.exp2FpDuckSql
+      s"""WITH $tokCte,
+         |$lmSurprisalCtes,
+         |dl AS (SELECT source AS domain,
+         |         CAST(sum(n_bigrams) AS BIGINT) AS mass,
+         |         CAST(CAST(sum(bits_fp * n_bigrams) AS BIGINT)
+         |           // sum(n_bigrams) AS BIGINT) AS loss_fp
+         |       FROM sc JOIN documents USING (doc_id)
+         |       GROUP BY source HAVING sum(n_bigrams) > 0),
+         |ex AS (SELECT domain, mass, loss_fp,
+         |         loss_fp - (SELECT min(loss_fp) FROM dl) AS excess_fp
+         |       FROM dl),
+         |sx AS (SELECT domain, mass, loss_fp, excess_fp,
+         |         least((excess_fp * 1) // 1, 1310720) AS es FROM ex),
+         |rw AS (SELECT domain, mass, loss_fp, excess_fp,
+         |         ${exp2FpDuckSql("es")} AS raw FROM sx),
+         |nm AS (SELECT domain, mass, loss_fp, excess_fp,
+         |         CAST((raw * 1000000) // (SELECT CAST(sum(raw) AS BIGINT)
+         |           FROM rw) AS BIGINT) AS weight_ppm
+         |       FROM rw)
+         |SELECT domain, mass, loss_fp, excess_fp, weight_ppm,
+         |  CAST(((1000000 - 1000) * weight_ppm) // 1000000
+         |    + 1000 // (SELECT count(*) FROM rw) AS BIGINT) AS smoothed_ppm
+         |FROM nm ORDER BY domain""".stripMargin
     },
 
     // Mirrors Corpus.dsirScores: unigram+bigram hashed buckets, add-one

@@ -79,4 +79,46 @@ class FixedPointSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     out.foreach { case (x, n, w) => assert(n == w, s"x=$x narrow=$n wide=$w") }
   }
+
+  // exp2: the inverse primitive (exponentiated-gradient domain weights)
+
+  test("exp2FpRef tracks math.pow(2, x/2^16) within 3e-7 relative — exhaustive fractions") {
+    // every fraction at integer part 0 (the constant-product path), plus
+    // every integer part at a few fractions (the shift path)
+    // error budget: < 3e-7 relative from the Q28 product chain, plus one
+    // Q16 ulp of output quantization (the final floor to 2^16 scale —
+    // dominant near 1.0, vanishing relatively as the value grows)
+    def ok(x: Long): Unit = {
+      val got = FixedPoint.exp2FpRef(x).toDouble / 65536.0
+      val want = math.pow(2.0, x / 65536.0)
+      assert(math.abs(got - want) < 1.5 / 65536.0 + 3e-7 * want,
+        s"x=$x got=$got want=$want")
+    }
+    (0 until 65536).foreach(f => ok(f.toLong))
+    for (ip <- 0 to 31; f <- Seq(0L, 1L, 21845L, 65535L)) ok(ip * 65536L + f)
+    ok(32L * 65536) // the domain ceiling
+  }
+
+  test("exp2FpSparkSql matches the JVM reference bit-for-bit") {
+    val xs = (Seq(0L, 1L, 2L, 65535L, 65536L, 65537L, 131072L,
+      32 * 65536L, 21 * 65536L + 12345L) ++
+      (1 to 60).map(i => math.abs(new scala.util.Random(7 * i).nextLong()) % (32L * 65536 + 1)))
+      .distinct
+    val out = xs.toDF("x")
+      .selectExpr("x", s"${FixedPoint.exp2FpSparkSql("x")} AS e")
+      .as[(Long, Long)].collect()
+    out.foreach { case (x, e) =>
+      assert(e == FixedPoint.exp2FpRef(x), s"x=$x sql=$e ref=${FixedPoint.exp2FpRef(x)}")
+    }
+  }
+
+  test("exp2 is monotone and round-trips log2 within the combined error") {
+    val fp = (0L to 32L * 65536 by 4099).map(FixedPoint.exp2FpRef)
+    assert(fp.zip(fp.tail).forall { case (a, b) => a <= b })
+    // exp2(log2(x)) ≈ x: log2 side carries 2e-5 log-units of error
+    Seq(1L, 3L, 10L, 999L, 65536L, 123456789L, (1L << 31) - 1).foreach { x =>
+      val rt = FixedPoint.exp2FpRef(FixedPoint.log2FpRef(x)).toDouble / 65536.0
+      assert(math.abs(rt / x.toDouble - 1.0) < 3e-5, s"x=$x roundtrip=$rt")
+    }
+  }
 }

@@ -128,6 +128,8 @@ class PlanHygieneSpec extends SparkSpec {
                                // × sample — the q210 calibration shape)
     "q255_perplexity_buckets", // q248's 1-row vocab-size attach + the 1-row
                                // doc-count attach onto the bounded bin table
+    "q260_domain_mix_weights", // q248's 1-row vocab-size attach feeding the
+                               // |domains|-row DoReMi rollup
   )
 
   private def executedPlan(name: String): String = {
