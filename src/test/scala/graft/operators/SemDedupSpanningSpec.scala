@@ -89,6 +89,39 @@ class SemDedupSpanningSpec extends SparkSpec {
     assert((0L until 6L).forall(comp(_) == 0L), s"copies split: $comp")
   }
 
+  test("property: spanning groups REFINE all-pairs groups on random geometries") {
+    // the general invariant behind the fixed fixtures: spanning never
+    // invents an edge, so any two ids co-grouped under spanning are
+    // co-grouped under all-pairs — on ANY corpus, any banding, any cap.
+    // Random unit vectors over a few base directions with per-id jitter
+    // produce mixed cells: tight clusters, moderate clusters, outliers.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val bases = Vector(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.5, 0.5, 0.5, 0.5))
+    val rowGen = Gen.zip(Gen.choose(0, bases.size - 1), Gen.choose(0, 6))
+    val corpusGen = Gen.choose(8, 20).flatMap(n => Gen.listOfN(n, rowGen))
+      .map(_.zipWithIndex.map { case ((b, amp), i) =>
+        val base = bases(b)
+        val e = base.indices.map(j => 0.003 * amp * (((i * 4 + j) % 7) - 3))
+        (i.toLong, unitV(base.indices.map(j => base(j) + e(j)): _*))
+      })
+    val cases = (0 until 5).flatMap(i =>
+      corpusGen(Gen.Parameters.default, Seed(2300L + i)))
+    cases.foreach { corpus =>
+      val vecs = corpus.toDF("vec_id", "embedding")
+      val all = run(vecs, "all", cap = 3, minCos = 0.95)
+      val span = run(vecs, "spanning", cap = 3, minCos = 0.95)
+      val cAll = all.map(r => r._1 -> r._2).toMap
+      val cSpan = span.map(r => r._1 -> r._2).toMap
+      for (Seq(i, j) <- cAll.keys.toSeq.sorted.combinations(2))
+        if (cSpan(i) == cSpan(j))
+          assert(cAll(i) == cAll(j),
+            s"spanning merged $i,$j that all-pairs separates; corpus size ${corpus.size}")
+    }
+  }
+
   test("documented narrowing: a secondary block owning no hub may fragment") {
     // dominant 12-member block at direction A (owns the centroid) + a
     // 4-member tight block at orthogonal direction B. In all-pairs mode
