@@ -446,13 +446,25 @@ object Corpus {
     * weight_ppm, smoothed_ppm), one row per domain. */
   def domainMixWeights(lossByDomain: DataFrame, etaNum: Long = 1L,
       etaDen: Long = 1L, smoothPpm: Long = 1000L): DataFrame = {
-    require(etaNum >= 0 && etaDen > 0 && smoothPpm >= 0 && smoothPpm <= 1000000L)
+    // η bounded to a sane rational so excess·etaNum can NEVER wrap int64
+    // (a wrapped-negative exponent would violate exp2's non-negative
+    // contract and produce garbage weights instead of failing loudly)
+    require(etaNum >= 0 && etaNum <= 1000000L && etaDen > 0 &&
+      etaDen <= 1000000L && smoothPpm >= 0 && smoothPpm <= 1000000L)
     import graft.functions.FixedPoint.exp2FpSparkSql
+    // pre-cap the excess itself: anything at or above exCap scales past
+    // the 20-bit exponent ceiling anyway, and capping BEFORE the multiply
+    // bounds the product at ~1.3e18 < 2^63 for any caller-supplied loss
+    // spread (final result provably identical to the uncapped formula)
+    val exCap =
+      if (etaNum == 0) Long.MaxValue
+      else 20L * 65536 * etaDen / etaNum + etaDen
     val wAll = Window.partitionBy() // |domains| rows — not a corpus window
     lossByDomain
       .withColumn("excess_fp", col("loss_fp") - min(col("loss_fp")).over(wAll))
+      .withColumn("_excl", least(col("excess_fp"), lit(exCap)))
       .withColumn("_scaled",
-        least(expr(s"(excess_fp * $etaNum) div $etaDen"), lit(20L * 65536)))
+        least(expr(s"(_excl * $etaNum) div $etaDen"), lit(20L * 65536)))
       .selectExpr("domain", "mass", "loss_fp", "excess_fp",
         s"${exp2FpSparkSql("_scaled")} AS _raw")
       .withColumn("_wsum", sum(col("_raw")).over(wAll))
@@ -478,8 +490,12 @@ object Corpus {
     val perDoc = TextAnalysis.lmSurprisal(
       docs.filter(col(idCol) % 5 === 0),
       docs.filter(col(idCol) % 5 =!= 0), idCol, textCol)
+    // label join restricted to the held-out fold: only % 5 == 0 ids can
+    // match, so shipping the 80% training fold into the join would be a
+    // pure 5x waste at corpus scale
     val byDomain = perDoc
-      .join(docs.select(col(idCol).as("doc_id"), col(domainCol).as("domain")),
+      .join(docs.filter(col(idCol) % 5 === 0)
+          .select(col(idCol).as("doc_id"), col(domainCol).as("domain")),
         Seq("doc_id"))
       .groupBy(col("domain"))
       .agg(sum(col("n_bigrams")).as("mass"),

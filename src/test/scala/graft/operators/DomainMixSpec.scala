@@ -62,12 +62,16 @@ class DomainMixSpec extends SparkSpec {
     assert(out.head._3 >= 50000L)
   }
 
-  test("weights are a near-partition of 1e6 (floor shortfall < n domains)") {
+  test("weights are a near-partition of 1e6 (floor shortfall < 3n)") {
+    // three floor stages each lose at most ~n ppm across n domains: the
+    // weight_ppm normalization (< n), the (1-c) rescale (< n), and the
+    // smoothPpm div n truncation (< n) — so the true mechanism bound is
+    // 3n, not the per-stage n
     val losses = (0 until 7)
       .map(i => (s"d$i", 10L, i * 17000L)).toDF("domain", "mass", "loss_fp")
     val w = Corpus.domainMixWeights(losses, smoothPpm = 1000L)
       .select($"smoothed_ppm").as[Long].collect()
-    assert(w.sum <= 1000000L && w.sum > 1000000L - 2 * 7,
+    assert(w.sum <= 1000000L && w.sum > 1000000L - 3 * 7,
       s"sum=${w.sum}")
   }
 

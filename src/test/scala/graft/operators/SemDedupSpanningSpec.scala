@@ -109,6 +109,9 @@ class SemDedupSpanningSpec extends SparkSpec {
       })
     val cases = (0 until 5).flatMap(i =>
       corpusGen(Gen.Parameters.default, Seed(2300L + i)))
+    // Gen.apply returns Option and flatMap drops None — assert the draw
+    // actually produced every case so the property can never pass vacuously
+    assert(cases.size == 5, s"generator produced ${cases.size}/5 corpora")
     cases.foreach { corpus =>
       val vecs = corpus.toDF("vec_id", "embedding")
       val all = run(vecs, "all", cap = 3, minCos = 0.95)
