@@ -129,6 +129,13 @@ object FixedPoint {
   //
   // Round-trip with log2fp: exp2fp(log2FpRef(x)) / 65536.0 ≈ x within
   // the combined 2e-5 log-side error — gated in FixedPointSpec.
+  //
+  // Cross-engine evidence beyond the q260 gate: the DuckDB spelling was
+  // swept against exp2FpRef over 67,628 values — EVERY fraction at
+  // integer part 0, the five boundary fractions at every integer part,
+  // the domain ceiling, the 20-bit operator cap, and 2,000 random draws
+  // — 0 mismatches (round 11; Spark spelling bit-gated by FixedPointSpec
+  // on the same reference).
 
   /** Q28 constants: round(2^28 · 2^(2^-i)), i = 1..16. */
   private val Exp2C: IndexedSeq[Long] = IndexedSeq(
