@@ -506,6 +506,50 @@ object Corpus {
     domainMixWeights(byDomain, etaNum, etaDen, smoothPpm)
   }
 
+  /** RHO-LOSS data selection (Mindermann et al. 2022, "Prioritized
+    * training on points that are learnable, worth learning, and not yet
+    * learnt"): score each candidate by its REDUCIBLE holdout loss —
+    * current-model loss minus the loss of a model trained on held-out
+    * data — and keep the points where it is positive. High current loss
+    * alone selects noise and unlearnable points; subtracting the
+    * holdout ("irreducible") loss cancels exactly those, leaving the
+    * learnable-but-not-yet-learnt mass the paper shows trains fastest.
+    *
+    * Engine form with LM proxies (the same substitution the other
+    * selection legs make — DSIR's hashed n-grams for importance,
+    * CCNet's bigram LM for perplexity): the "current model" is the
+    * add-one bigram LM trained on the training folds (doc_id % 5 ∈
+    * {2,3,4}), the "holdout model" the same LM trained on the disjoint
+    * % 5 == 1 fold, and both score the % 5 == 0 candidate pool.
+    *   rho(doc) = bits_train(doc) − bits_holdout(doc)   (fixed-point)
+    * selected ⇔ rho > 0: the training-fold model finds the doc harder
+    * than held-out data says it needs to be. On an iid corpus most
+    * docs read NEGATIVE (the 3×-larger training model wins), so the
+    * positive tail is sparse by design — exactly the paper's point
+    * that most of a shuffled corpus is already-learnt or noise
+    * (~23% selected on the sf fixtures).
+    *
+    * Everything is the q248 surprisal machinery run twice — linear
+    * scans, int64 fixed-point bits, bit-replayed by the DuckDB oracle
+    * (q261). Output, one row per pool doc: (doc_id, n_bigrams,
+    * train_bits_fp, holdout_bits_fp, rho_fp, is_selected); docs with
+    * no bigrams carry 0 bits on both sides and are never selected. */
+  def rhoLossScores(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pool = docs.filter(col(idCol) % 5 === 0)
+    val sTrain = TextAnalysis.lmSurprisal(pool,
+      docs.filter(col(idCol) % 5 >= 2), idCol, textCol)
+    val sHold = TextAnalysis.lmSurprisal(pool,
+      docs.filter(col(idCol) % 5 === 1), idCol, textCol)
+    sTrain
+      .select(col("doc_id"), col("n_bigrams"),
+        col("bits_fp").as("train_bits_fp"))
+      .join(sHold.select(col("doc_id"), col("bits_fp").as("holdout_bits_fp")),
+        Seq("doc_id"))
+      .withColumn("rho_fp", col("train_bits_fp") - col("holdout_bits_fp"))
+      .withColumn("is_selected", col("rho_fp") > 0)
+  }
+
   /** Budgets proportional to each source's own token volume (`pct`% of
     * it) — the self-scaling parameterization the declared query uses. */
   def proportionalBudgets(

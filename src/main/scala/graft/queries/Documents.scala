@@ -848,6 +848,17 @@ object Documents {
         .orderBy(col("domain"))
     }),
 
+    // RHO-LOSS data selection (Mindermann et al. 2022): per-candidate
+    // reducible holdout loss — bits under the training-fold LM minus
+    // bits under the disjoint holdout-fold LM — selecting the positive
+    // tail (learnable, worth learning, not yet learnt). The fifth
+    // data-selection leg; both surprisal chains and the verdict are
+    // replayed bit-exactly by the oracle.
+    "q261_rholoss_selection" -> ((s, dir) => {
+      graft.operators.Corpus.rhoLossScores(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet's head/middle/tail perplexity partition (Wenzek et al.
     // 2020 §4.3): every doc scored under the 80%-split bigram LM
     // (q248's machinery), then bucketed into thirds by WHOLE-BIN
@@ -1391,27 +1402,37 @@ object Documents {
     * the doc_id % 5 != 0 fold; scoring restricted to the held-out
     * % 5 == 0 fold; add-one ppb conditional, FixedPoint log2 surprisal
     * (1959352 = log2fp(1e9)), per-doc mean via integer div. */
-  private lazy val lmSurprisalCtes: String = {
+  /** The shared per-doc bigram explode the surprisal chains read. */
+  private val bgCte: String =
+    """bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+      |        i -> tok[i] || ' ' || tok[i + 1])) AS bg FROM t)""".stripMargin
+
+  /** One bigram-LM surprisal chain over `bg`: LM trained where
+    * `trainWhere` holds, the % 5 == 0 pool scored, CTE names prefixed
+    * with `p` so two differently-trained chains (q261) can coexist.
+    * With p = "" and the % 5 != 0 fold this is exactly q248's chain. */
+  private def lmChainCtes(trainWhere: String, p: String): String = {
     import graft.functions.FixedPoint.log2FpDuckSql
-    s"""bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)),
-       |        i -> tok[i] || ' ' || tok[i + 1])) AS bg FROM t),
-       |lb AS (SELECT bg, count(*) AS c12 FROM bg WHERE doc_id % 5 <> 0 GROUP BY bg),
-       |lp AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM lb GROUP BY 1),
-       |vs AS (SELECT count(DISTINCT w) AS v FROM (
-       |        SELECT unnest(tok) AS w FROM t WHERE doc_id % 5 <> 0)),
-       |sur AS (SELECT doc_id,
+    s"""${p}lb AS (SELECT bg, count(*) AS c12 FROM bg WHERE $trainWhere GROUP BY bg),
+       |${p}lp AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM ${p}lb GROUP BY 1),
+       |${p}vs AS (SELECT count(DISTINCT w) AS v FROM (
+       |        SELECT unnest(tok) AS w FROM t WHERE $trainWhere)),
+       |${p}sur AS (SELECT doc_id,
        |          1959352 - ${log2FpDuckSql("p_ppb")} AS sur
        |        FROM (SELECT b.doc_id,
        |                (coalesce(c12, 0) + 1) * 1000000000
        |                  // (coalesce(c1, 0) + v) AS p_ppb
-       |              FROM bg b LEFT JOIN lb USING (bg)
-       |              LEFT JOIN lp ON lp.w1 = split_part(b.bg, ' ', 1)
-       |              CROSS JOIN vs
+       |              FROM bg b LEFT JOIN ${p}lb USING (bg)
+       |              LEFT JOIN ${p}lp ON ${p}lp.w1 = split_part(b.bg, ' ', 1)
+       |              CROSS JOIN ${p}vs
        |              WHERE b.doc_id % 5 = 0)),
-       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |${p}sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |         sum(sur) // count(*) AS bits_fp
-       |       FROM sur GROUP BY doc_id)""".stripMargin
+       |       FROM ${p}sur GROUP BY doc_id)""".stripMargin
   }
+
+  private lazy val lmSurprisalCtes: String =
+    s"$bgCte,\n${lmChainCtes("doc_id % 5 <> 0", "")}"
 
   /** Mirrors Dedup.spanCoverage: duplicated k-gram start positions in
     * `dp(doc_id, pos)` → maximal interval-union spans → per-doc
@@ -2891,6 +2912,27 @@ object Documents {
          |    + 1000 // (SELECT count(*) FROM rw) AS BIGINT) AS smoothed_ppm
          |FROM nm ORDER BY domain""".stripMargin
     },
+
+    // Mirrors Corpus.rhoLossScores: TWO q248 surprisal chains over the
+    // shared bigram explode — the current-model LM on the % 5 in {2,3,4}
+    // folds, the holdout LM on % 5 = 1 — both scoring the % 5 = 0 pool;
+    // rho = train bits − holdout bits, selected when positive. Pool docs
+    // with no bigrams coalesce to 0 bits on both sides (never selected).
+    "q261_rholoss_selection" ->
+      s"""WITH $tokCte,
+         |$bgCte,
+         |${lmChainCtes("doc_id % 5 >= 2", "tr")},
+         |${lmChainCtes("doc_id % 5 = 1", "ho")}
+         |SELECT p.doc_id, CAST(coalesce(tr.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(tr.bits_fp, 0) AS BIGINT) AS train_bits_fp,
+         |  CAST(coalesce(ho.bits_fp, 0) AS BIGINT) AS holdout_bits_fp,
+         |  CAST(coalesce(tr.bits_fp, 0) - coalesce(ho.bits_fp, 0) AS BIGINT)
+         |    AS rho_fp,
+         |  coalesce(tr.bits_fp, 0) - coalesce(ho.bits_fp, 0) > 0 AS is_selected
+         |FROM (SELECT doc_id FROM t WHERE doc_id % 5 = 0) p
+         |LEFT JOIN trsc tr USING (doc_id)
+         |LEFT JOIN hosc ho USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
 
     // Mirrors Corpus.dsirScores: unigram+bigram hashed buckets, add-one
     // ppb rates, FixedPoint log2 weights (same int64 shift-square fold,

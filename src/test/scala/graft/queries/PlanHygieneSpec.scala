@@ -130,6 +130,8 @@ class PlanHygieneSpec extends SparkSpec {
                                // doc-count attach onto the bounded bin table
     "q260_domain_mix_weights", // q248's 1-row vocab-size attach feeding the
                                // |domains|-row DoReMi rollup
+    "q261_rholoss_selection",  // two q248 chains -> two 1-row vocab-size
+                               // attaches (train + holdout LM)
   )
 
   private def executedPlan(name: String): String = {
