@@ -56,6 +56,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Md5Hash32(es(0), intLit(es(1), "md5_hash32 seed"),
         if (es.length > 2) intLit(es(2), "md5_hash32 slot") else 0)
     }
+    inject("graft_log2fp",
+      "graft_log2fp(x) - fixed-point log2 (log2(x)*2^16, pure int64 " +
+        "shift-and-square; bit-identical to the DuckDB list_reduce spelling)") {
+      es => Log2Fp(es.head)
+    }
+    inject("graft_exp2fp",
+      "graft_exp2fp(x) - fixed-point exp2 (2^(x/2^16)*2^16-ish, Q28 " +
+        "constant-product chain; bit-identical to the DuckDB spelling)") {
+      es => Exp2Fp(es.head)
+    }
     inject("rhp_signature",
       "rhp_signature(vec, nbits, dim, seed[, portable]) - sign-random-projection " +
         "LSH signature; portable=true uses md5-derived ±1 planes any engine can reproduce") { es =>

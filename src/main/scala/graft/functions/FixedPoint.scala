@@ -22,11 +22,13 @@ package graft.functions
   * square < 2^42, (integer-part, 2^ip) pack ip·2^42 + 2^ip < 2^47 — all
   * comfortably inside int64.
   *
-  * The 16 rounds run inside ONE higher-order fold (`aggregate` in Spark,
-  * `list_reduce` in DuckDB) with the (mantissa, bits) state packed into
-  * a single bigint — linear expression size (a chained-withColumn
-  * unrolling would hit Catalyst's projection collapse and duplicate the
-  * self-referencing square 2^16-fold).
+  * In DuckDB the 16 rounds run inside ONE `list_reduce` fold with the
+  * (mantissa, bits) state packed into a single bigint — linear
+  * expression size (a chained-withColumn unrolling would hit Catalyst's
+  * projection collapse and duplicate the self-referencing square
+  * 2^16-fold). On the SPARK side the fold was retired in round 12 for a
+  * native codegen'd expression ([[Log2Fp]]/[[Exp2Fp]], same bits): see
+  * [[log2FpSparkSql]] for the measured why.
   *
   * Used by the DSIR importance weights ([[graft.operators.Corpus]]):
   * `w(b) = log2fp(rate_target) − log2fp(rate_raw)` — the paper's
@@ -34,9 +36,27 @@ package graft.functions
   */
 object FixedPoint {
 
-  /** Spark-SQL spelling. `x` MUST be a short column reference (it is
-    * inlined ~60×); caller guarantees `1 <= x < 2^31`. */
-  def log2FpSparkSql(x: String): String = gen(x, "div", "sequence(1, 16)", spark = true)
+  /** Spark-SQL spelling: a call to the NATIVE codegen'd expression
+    * ([[Log2Fp]], registered as `graft_log2fp` by GraftExtensions) —
+    * same int64 algorithm, same bits. Caller guarantees
+    * `1 <= x < 2^31`.
+    *
+    * Round 12: this used to emit the same `aggregate(...)` fold as the
+    * DuckDB spelling, but Spark's ArrayAggregate is CodegenFallback —
+    * the fold lambda evaluates INTERPRETED, and interpreted
+    * Expression.eval dispatch is exactly the code shape whose JIT type
+    * profiles a long-lived many-query JVM pollutes into megamorphic
+    * ~3x slowdown (the round-11 q255 in-sweep regression: 1.7 s fresh
+    * -> 3.9 s after 259 distinct queries, reproduced and profiled —
+    * the hot frames were DivModLike.eval under ArrayAggregate.eval).
+    * A native expression keeps the whole chain inside whole-stage
+    * codegen: one static JVM call, immune to session age. */
+  def log2FpSparkSql(x: String): String = s"graft_log2fp(CAST(($x) AS BIGINT))"
+
+  /** The pre-round-12 fold spelling — kept for the parity gate in
+    * FixedPointSpec (native ≡ legacy over the domain, in Spark). */
+  private[graft] def log2FpLegacySparkSql(x: String): String =
+    gen(x, "div", "sequence(1, 16)", spark = true)
 
   /** DuckDB spelling of the SAME arithmetic (`//` division, list_reduce
     * fold) — byte-for-byte the same integer operations. */
@@ -86,6 +106,51 @@ object FixedPoint {
     (62 to 31 by -1)
       .map(k => s"WHEN ($x) >= ${1L << k} THEN ${((k - 30).toLong << 42) + (1L << (k - 30))}")
       .mkString("(CASE ", " ", " ELSE 1 END)")
+
+  /** The runtime behind [[Log2Fp]] — a TOTAL transcription of the SQL
+    * spelling's arithmetic (the CASE bit-length pack, the m0 staging,
+    * the 16-round packed fold), valid bit-for-bit on EVERY int64 input:
+    * in-domain it equals [[log2FpRef]] (the spec oracle, which asserts
+    * its domain), out-of-domain it reproduces whatever the retired SQL
+    * fold computed (callers guarantee the domain by contract; the
+    * substitution must not turn silent garbage into a throw). All
+    * operations are Java long `/`/`%` — identical truncation and sign
+    * semantics to non-ANSI Spark `div`/`%`. */
+  def log2FpEval(x: Long): Long = {
+    var pack = 1L
+    if (x >= 2) {
+      var k = 30
+      while (x < (1L << k)) k -= 1
+      pack = (k.toLong << 42) + (1L << k)
+    }
+    val ip = pack / 4398046511104L
+    val p2 = pack % 4398046511104L
+    var acc = ((x * 1048576L) / p2) * 65536L
+    var i = 0
+    while (i < 16) {
+      val sq = (acc / 65536) * (acc / 65536) / 1048576
+      acc = if (sq >= 2097152) (sq / 2) * 65536 + (acc % 65536) * 2 + 1
+            else sq * 65536 + (acc % 65536) * 2
+      i += 1
+    }
+    ip * 65536 + acc % 65536
+  }
+
+  /** The runtime behind [[Exp2Fp]] — total transcription of the SQL
+    * exp2 spelling (Q28 constant-product chain + final shift), same
+    * contract as [[log2FpEval]]. */
+  def exp2FpEval(x: Long): Long = {
+    val f = x % 65536
+    var acc = 268435456L
+    var i = 1
+    while (i <= 16) {
+      if ((f / (1L << (16 - i))) % 2 == 1) acc = acc * Exp2C(i - 1) / 268435456L
+      i += 1
+    }
+    // shiftleft(CAST(1 AS BIGINT), CAST(x div 65536 AS INT)): Java <<
+    // masks the (wrapped-int) amount to 6 bits, exactly like Spark
+    (acc * (1L << (x / 65536).toInt)) / 4096
+  }
 
   /** JVM reference of the exact narrow algorithm — the spec oracle. */
   def log2FpRef(x: Long): Long = {
@@ -144,9 +209,14 @@ object FixedPoint {
     268526324L, 268480886L, 268458170L, 268446813L, 268441134L,
     268438295L)
 
-  /** Spark-SQL spelling. `x` MUST be a short column reference (inlined
-    * ~35×); caller guarantees `0 <= x <= 32·65536`. */
-  def exp2FpSparkSql(x: String): String =
+  /** Spark-SQL spelling: the NATIVE codegen'd [[Exp2Fp]]
+    * (`graft_exp2fp`) — see [[log2FpSparkSql]] for why the fold
+    * spelling was retired on the Spark side. Caller guarantees
+    * `0 <= x <= 32·65536`. */
+  def exp2FpSparkSql(x: String): String = s"graft_exp2fp(CAST(($x) AS BIGINT))"
+
+  /** The pre-round-12 fold spelling — kept for the parity gate. */
+  private[graft] def exp2FpLegacySparkSql(x: String): String =
     genExp2(x, "div", "sequence(1, 16)",
       ip => s"shiftleft(CAST(1 AS BIGINT), CAST($ip AS INT))", spark = true)
 

@@ -78,5 +78,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("md5_hash32", es =>
       Md5Hash32(es(0), intLit(es(1), "md5_hash32 seed"),
         if (es.length > 2) intLit(es(2), "md5_hash32 slot") else 0), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_log2fp", es => Log2Fp(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_exp2fp", es => Exp2Fp(es.head), "scala_udf")
   }
 }

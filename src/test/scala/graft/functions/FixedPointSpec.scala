@@ -13,6 +13,30 @@ class FixedPointSpec extends SparkSpec {
       1L << 30, (1L << 31) - 1) ++ // full documented domain up to 2^31-1
       (1 to 50).map(i => math.abs(new scala.util.Random(i).nextLong()) % ((1L << 31) - 2) + 1)
 
+  test("native graft_log2fp/graft_exp2fp == legacy aggregate-fold spelling, in Spark") {
+    // the round-12 swap (ArrayAggregate is CodegenFallback -> the fold
+    // lambda ran interpreted, whose megamorphic dispatch degraded ~3x in
+    // long-lived many-query JVMs): the native expression must reproduce
+    // the retired fold BIT-FOR-BIT, both evaluated by Spark itself
+    val out = values.toDF("x")
+      .selectExpr("x",
+        s"${FixedPoint.log2FpSparkSql("x")} AS nat",
+        s"${FixedPoint.log2FpLegacySparkSql("x")} AS leg")
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (x, nat, leg) => assert(nat == leg, s"log2 x=$x") }
+    val exps = ((0L to 65535L by 97L) ++ (0 to 32).map(_ * 65536L) ++
+      Seq(1L, 65535L, 65537L, 20L * 65536, 32L * 65536)).distinct
+    val eo = exps.toDF("x")
+      .selectExpr("x",
+        s"${FixedPoint.exp2FpSparkSql("x")} AS nat",
+        s"${FixedPoint.exp2FpLegacySparkSql("x")} AS leg")
+      .as[(Long, Long, Long)].collect()
+    eo.foreach { case (x, nat, leg) => assert(nat == leg, s"exp2 x=$x") }
+    // and the JVM eval twins agree with Spark's evaluation of the native
+    out.foreach { case (x, nat, _) => assert(FixedPoint.log2FpEval(x) == nat) }
+    eo.foreach { case (x, nat, _) => assert(FixedPoint.exp2FpEval(x) == nat) }
+  }
+
   test("log2FpSparkSql tracks math.log2 within 2e-5 across the domain") {
     val out = values.toDF("x")
       .selectExpr("x", s"${FixedPoint.log2FpSparkSql("x")} AS fp")
