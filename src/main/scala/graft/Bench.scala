@@ -55,27 +55,24 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadavg()
-    // Committed clean marks: the standing per-query seconds from the
-    // repo's bench_full.json at HEAD (this sweep overwrites the file at
-    // the end, so read it NOW). Feeds the second retake trigger below —
-    // a query reading far above its own committed mark is re-measured
-    // even when its segment's calibration looked flat. Regex-parsed on
-    // purpose (no JSON lib in the unmanaged classpath); absent or
-    // malformed file just means no mark-based retakes.
+    // Committed clean marks: per-query seconds merged (MINIMUM) across
+    // the last few COMMITTED bench_full.json records. Feeds the second
+    // retake trigger below — a query reading far above its committed
+    // mark is re-measured even when its segment's calibration looked
+    // flat. Two round-11 findings shaped this:
+    //  - marks must come from `git show` (the committed history), not
+    //    the working-tree file — a first sweep in the same checkout
+    //    overwrites bench_full.json, so a second sweep keyed off the
+    //    file would compare against its own possibly-contaminated
+    //    fresh record;
+    //  - the mark is the MIN over the last N committed records, not the
+    //    single latest: with latest-only marks a regression that lands
+    //    in one committed record becomes the new mark and stops
+    //    triggering (q255's 2.2x crept through exactly that ratchet —
+    //    3.88 s < 2x the previous loaded record's 3.45 s). Load only
+    //    ever inflates a reading, so min-merge is the principled mark.
     val cleanMarks: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_full.json")), "UTF-8")
-        val qStart = txt.indexOf("\"queries\":{")
-        // marks from another scale factor are meaningless as triggers
-        // (an sf0.001 smoke record would mark every sf0.1 reading hot)
-        if (qStart < 0 || !txt.contains(s""""sf":"$sfDir"""")) Map.empty
-        else {
-          val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
-          "\"(q[0-9]+)\":([0-9.]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      } catch { case _: Throwable => Map.empty }
+      BenchMarks.merge(BenchMarks.committedRecords(5).map(BenchMarks.parse(_, sfDir)))
     // Calibration: q01 is a plain scan+agg with a stable clean-box time
     // (~0.3 s at sf0.1); a reading far above that marks the sweep as
     // load-contaminated (see README's measurement protocol). A FAILED
@@ -99,11 +96,25 @@ object Bench {
     // a contaminated segment is then machine-detectable per ~30-query
     // window. Calibration runs OUTSIDE any timed region.
     val calibEvery = 30
+    // JIT code-cache occupancy (MB used across the CodeHeap pools): a
+    // 260-query sweep generates thousands of unique whole-stage-codegen
+    // classes; if the reserved code cache fills, HotSpot disables
+    // compilation and every later query runs its generated code cold —
+    // an in-sweep-only slowdown that no loadavg stamp can see (round
+    // 11's q255 read 2.2x its idle-box time ONLY inside full sweeps).
+    // Stamped per calibration point so the record shows the trajectory.
+    def codeCacheMb(): Double =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getName.startsWith("CodeHeap"))
+          .map(_.getUsage.getUsed.toDouble / (1 << 20)).sum
+      } catch { case _: Throwable => -1.0 }
     val calibPoints = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     def stampCalib(afterN: Int): Unit = {
       val (c, la) = (calibrate(), loadavg())
       calibPoints += ((afterN, c, la))
-      println(s"""{"metric":"calib","after_n":$afterN,"sec":${fmt3(c)},"loadavg":${fmt3(la)}}""")
+      println(s"""{"metric":"calib","after_n":$afterN,"sec":${fmt3(c)},"loadavg":${fmt3(la)},"codecache_mb":${fmt1(codeCacheMb())}}""")
       System.out.flush()
     }
     // One discarded calibration first: the very first measured q01 run
@@ -206,11 +217,8 @@ object Bench {
         val segSuspects = segmentOf.collect {
           case (n, s) if hotSegs(s) && results.contains(n) => n
         }.toSeq
-        val markSuspects = results.collect {
-          case (n, (sec, _, _))
-              if cleanMarks.get(n.takeWhile(_ != '_'))
-                .exists(m => sec > 2.0 * m && sec > 0.5) => n
-        }.toSeq
+        val markSuspects = BenchMarks.suspects(
+          results.toSeq.map { case (n, (sec, _, _)) => n -> sec }, cleanMarks)
         // mark suspects FIRST: they are few and individually diagnosed
         // (a >2x-vs-mark reading is exactly the class the round-10 q161
         // miss was), while segment suspects are a bulk sweep of ~30-query
