@@ -506,6 +506,98 @@ object Corpus {
     domainMixWeights(byDomain, etaNum, etaDen, smoothPpm)
   }
 
+  /** The DoReMi loop COMPOSED (Xie et al. 2023, the full recipe, not
+    * just one step): reweight → resample the mixture → retrain the
+    * reference LM on the resampled mix → rescore → reweight again, for
+    * `rounds` rounds. [[domainMixFromSurprisal]] is one iteration of
+    * this; the loop is what the paper actually runs (their Algorithm 1
+    * alternates proxy training with mixture updates — here the "proxy"
+    * is the same add-one bigram LM every other selection leg uses, so
+    * the whole multi-round trajectory stays engine-exact).
+    *
+    * The held-out/training folds are split by the PORTABLE id-HASH
+    * (`hash32(id) % 5`, `splitSeed`), NOT by `doc_id % 5` as the
+    * single-shot legs do: a modulo fold silently aliases with any
+    * id-periodic attribute — in the sf fixtures `source` cycles with
+    * period 20, so `% 5` leaves 16 of 20 domains with zero held-out
+    * mass and the 4 represented domains with zero TRAINING mass, and a
+    * resampled round-2 mix goes empty. The hash fold stratifies every
+    * domain across both sides for any id scheme (and is how a real
+    * pipeline splits anyway — the q57/q58 discipline).
+    *
+    * Per round r:
+    *   1. train the bigram LM on the CURRENT training mix (round 1: the
+    *      full hash-fold-!=0 side — the uniform mixture);
+    *   2. score the FIXED held-out fold, roll up per-domain
+    *      token-weighted losses, run the exponentiated-gradient step
+    *      ([[domainMixWeights]]) → this round's weight row per domain;
+    *   3. resample the NEXT round's training mix from the FULL training
+    *      fold: each domain keeps docs at rate smoothed_ppm(d) /
+    *      max_d smoothed_ppm (the hardest domain keeps everything;
+    *      easier domains are thinned proportionally), decided by the
+    *      portable id-hash Bernoulli ([[Sampling.keepByPpm]], seed + r)
+    *      — so every round's sample is a pure function of (corpus,
+    *      weights, seed) and the DuckDB oracle replays the entire
+    *      trajectory bit-for-bit (q262).
+    *
+    * Round-over-round movement is the point: thinning the easy domains
+    * shrinks their share of the LM's training mass, their held-out loss
+    * rises, and the excess spread COMPRESSES — the paper's equilibrating
+    * dynamic — while a domain the LM still finds hard keeps its full
+    * weight. DomainMixSpec pins this on a domain-skewed fixture.
+    *
+    * Scale shape: `rounds` is small and inherently sequential (each LM
+    * depends on the previous weights); each round costs one linear
+    * [[TextAnalysis.lmSurprisal]] scan + a |domains|-row reweight. The
+    * per-round weights frame is localCheckpointed (tens of rows) so
+    * round r+1's plan — and the final union — never re-runs round r's
+    * scan. Output: one row per (round, domain) —
+    * (round, domain, mass, loss_fp, excess_fp, weight_ppm,
+    * smoothed_ppm). */
+  def doremiLoop(docs: DataFrame, rounds: Int = 2, seed: Int = 18,
+      splitSeed: Int = 13, domainCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      etaNum: Long = 1L, etaDen: Long = 1L,
+      smoothPpm: Long = 1000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      "rounds is a small sequential loop by construction")
+    val fold = hash32(col(idCol).cast("string"), splitSeed) % 5
+    val heldOut = docs.filter(fold === 0)
+    val heldOutDomains = heldOut
+      .select(col(idCol).as("doc_id"), col(domainCol).as("domain"))
+    val trainAll = docs.filter(fold =!= 0)
+    var trainMix = trainAll
+    val perRound = (1 to rounds).map { r =>
+      val perDoc = TextAnalysis.lmSurprisal(heldOut, trainMix, idCol, textCol)
+      val byDomain = perDoc
+        .join(heldOutDomains, Seq("doc_id"))
+        .groupBy(col("domain"))
+        .agg(sum(col("n_bigrams")).as("mass"),
+          sum(col("bits_fp") * col("n_bigrams")).as("_wsum"))
+        .filter(col("mass") > 0)
+        .select(col("domain"), col("mass"),
+          expr("_wsum div mass").as("loss_fp"))
+      // |domains| rows; checkpointed so the resample join below and the
+      // final union both read it without re-running this round's scan
+      val w = domainMixWeights(byDomain, etaNum, etaDen, smoothPpm)
+        .localCheckpoint(eager = true)
+      if (r < rounds) {
+        val rates = w
+          .withColumn("_mx", max(col("smoothed_ppm")).over(Window.partitionBy()))
+          .select(col("domain").as("_rdom"),
+            expr("(smoothed_ppm * 1000000) div _mx").as("_keep_ppm"))
+        trainMix = trainAll
+          .join(broadcast(rates), col(domainCol) === col("_rdom"))
+          .filter(Sampling.keepByPpm(col(idCol), col("_keep_ppm"), seed + r))
+          .drop("_rdom", "_keep_ppm")
+      }
+      w.withColumn("round", lit(r))
+    }
+    perRound.reduce(_ unionByName _)
+      .select(col("round"), col("domain"), col("mass"), col("loss_fp"),
+        col("excess_fp"), col("weight_ppm"), col("smoothed_ppm"))
+  }
+
   /** RHO-LOSS data selection (Mindermann et al. 2022, "Prioritized
     * training on points that are learnable, worth learning, and not yet
     * learnt"): score each candidate by its REDUCIBLE holdout loss —

@@ -96,8 +96,15 @@ object TextAnalysis {
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(lmPrefix, Seq("w1"), "left")
       .crossJoin(broadcast(vStat))
+      // greatest(..., 1): an EMPTY LM corpus has v = 0 and no prefixes,
+      // so c1v would be 0 and the ppb quotient divides by zero (an ANSI
+      // error, not a NULL, under Spark 4 defaults). The guard floors it
+      // at 1 -> p_ppb = 1e9 -> surprisal 0 bits: "an empty model prices
+      // nothing". For any non-empty LM v >= 1 and the guard is a
+      // bit-exact no-op; the DuckDB chains carry the same floor.
       .selectExpr("doc_id",
-        "coalesce(c12, 0) + 1 AS c12p", "coalesce(c1, 0) + v AS c1v")
+        "coalesce(c12, 0) + 1 AS c12p",
+        "greatest(coalesce(c1, 0) + v, CAST(1 AS BIGINT)) AS c1v")
       .transform(surprisalFromCounts)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("sur")).as("_ss"))
@@ -191,6 +198,15 @@ object TextAnalysis {
     val stopArr = array(stopwords.map(lit): _*)
     docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      // Tokenless docs carry no quality signal and are EXCLUDED, by an
+      // explicit rule shared with the oracle: a NULL text tokenizes to a
+      // NULL array here but to zero `unnest` rows in the SQL mirror —
+      // without this filter the Spark side would emit a NULL-stats row
+      // (size(NULL) → NULL, every ppm NULL via div) that the oracle
+      // never sees (round-11 ADVICE, the q259 AUC denominator). A
+      // whitespace-only text is NOT this case: it tokenizes to one
+      // empty token in both engines and scores normally.
+      .filter(size(col("tok")) > 0)
       .select(
         col("doc_id"),
         size(col("tok")).cast("bigint").as("n_tokens"),

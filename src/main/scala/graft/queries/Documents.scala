@@ -848,6 +848,19 @@ object Documents {
         .orderBy(col("domain"))
     }),
 
+    // The DoReMi loop COMPOSED (the full Xie et al. recipe): round 1 =
+    // q260's exponentiated-gradient step under the uniform-mixture LM;
+    // its weights set per-domain keep rates, a portable-hash Bernoulli
+    // resamples the training mix, the LM RETRAINS on the resampled mix
+    // and the step runs again. One row per (round, domain); the whole
+    // two-round trajectory — both LM trainings included — is replayed
+    // bit-exactly by the oracle.
+    "q262_doremi_loop" -> ((s, dir) => {
+      graft.operators.Corpus.doremiLoop(t(s, dir, "documents"), rounds = 2,
+          seed = 18)
+        .orderBy(col("round"), col("domain"))
+    }),
+
     // RHO-LOSS data selection (Mindermann et al. 2022): per-candidate
     // reducible holdout loss — bits under the training-fold LM minus
     // bits under the disjoint holdout-fold LM — selecting the positive
@@ -1408,10 +1421,15 @@ object Documents {
       |        i -> tok[i] || ' ' || tok[i + 1])) AS bg FROM t)""".stripMargin
 
   /** One bigram-LM surprisal chain over `bg`: LM trained where
-    * `trainWhere` holds, the % 5 == 0 pool scored, CTE names prefixed
-    * with `p` so two differently-trained chains (q261) can coexist.
-    * With p = "" and the % 5 != 0 fold this is exactly q248's chain. */
-  private def lmChainCtes(trainWhere: String, p: String): String = {
+    * `trainWhere` holds, the `poolWhere` fold scored (default: q248's
+    * % 5 == 0 held-out fold; reference `b.` for the bigram row), CTE
+    * names prefixed with `p` so differently-trained chains (q261/q262)
+    * can coexist. With p = "" and the % 5 != 0 fold this is exactly
+    * q248's chain. The greatest(.., 1) floor mirrors the Spark side's
+    * empty-LM guard (v = 0 would divide by zero; any non-empty LM has
+    * v >= 1 and the floor is a bit-exact no-op). */
+  private def lmChainCtes(trainWhere: String, p: String,
+      poolWhere: String = "b.doc_id % 5 = 0"): String = {
     import graft.functions.FixedPoint.log2FpDuckSql
     s"""${p}lb AS (SELECT bg, count(*) AS c12 FROM bg WHERE $trainWhere GROUP BY bg),
        |${p}lp AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM ${p}lb GROUP BY 1),
@@ -1421,11 +1439,11 @@ object Documents {
        |          1959352 - ${log2FpDuckSql("p_ppb")} AS sur
        |        FROM (SELECT b.doc_id,
        |                (coalesce(c12, 0) + 1) * 1000000000
-       |                  // (coalesce(c1, 0) + v) AS p_ppb
+       |                  // greatest(coalesce(c1, 0) + v, 1) AS p_ppb
        |              FROM bg b LEFT JOIN ${p}lb USING (bg)
        |              LEFT JOIN ${p}lp ON ${p}lp.w1 = split_part(b.bg, ' ', 1)
        |              CROSS JOIN ${p}vs
-       |              WHERE b.doc_id % 5 = 0)),
+       |              WHERE $poolWhere)),
        |${p}sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |         sum(sur) // count(*) AS bits_fp
        |       FROM ${p}sur GROUP BY doc_id)""".stripMargin
@@ -1433,6 +1451,41 @@ object Documents {
 
   private lazy val lmSurprisalCtes: String =
     s"$bgCte,\n${lmChainCtes("doc_id % 5 <> 0", "")}"
+
+  /** Mirrors Corpus.domainMixWeights over a surprisal chain's per-doc
+    * `sc(doc_id, n_bigrams, bits_fp)` CTE: per-source token-weighted
+    * int64 mean loss, min-shifted excess, η = 1 exponent capped at 20
+    * bits, FixedPoint exp2 (DuckDB spelling), ppm normalization, the
+    * c = 1000 ppm uniform smoothing — every step integer. HUGEINT sums
+    * are cast back to BIGINT before the fixed-point ops (their
+    * contract). Ends in `${p}w(domain, mass, loss_fp, excess_fp,
+    * weight_ppm, smoothed_ppm)`; CTE names prefixed so the q262 loop
+    * can run the chain once per round. */
+  private def mixWeightCtes(sc: String, p: String): String = {
+    import graft.functions.FixedPoint.exp2FpDuckSql
+    s"""${p}dl AS (SELECT source AS domain,
+       |         CAST(sum(n_bigrams) AS BIGINT) AS mass,
+       |         CAST(CAST(sum(bits_fp * n_bigrams) AS BIGINT)
+       |           // sum(n_bigrams) AS BIGINT) AS loss_fp
+       |       FROM $sc JOIN documents USING (doc_id)
+       |       GROUP BY source HAVING sum(n_bigrams) > 0),
+       |${p}ex AS (SELECT domain, mass, loss_fp,
+       |         loss_fp - (SELECT min(loss_fp) FROM ${p}dl) AS excess_fp
+       |       FROM ${p}dl),
+       |${p}sx AS (SELECT domain, mass, loss_fp, excess_fp,
+       |         least((excess_fp * 1) // 1, 1310720) AS es FROM ${p}ex),
+       |${p}rw AS (SELECT domain, mass, loss_fp, excess_fp,
+       |         ${exp2FpDuckSql("es")} AS raw FROM ${p}sx),
+       |${p}nm AS (SELECT domain, mass, loss_fp, excess_fp,
+       |         CAST((raw * 1000000) // (SELECT CAST(sum(raw) AS BIGINT)
+       |           FROM ${p}rw) AS BIGINT) AS weight_ppm
+       |       FROM ${p}rw),
+       |${p}w AS (SELECT domain, mass, loss_fp, excess_fp, weight_ppm,
+       |         CAST(((1000000 - 1000) * weight_ppm) // 1000000
+       |           + 1000 // (SELECT count(*) FROM ${p}rw) AS BIGINT)
+       |           AS smoothed_ppm
+       |       FROM ${p}nm)""".stripMargin
+  }
 
   /** Mirrors Dedup.spanCoverage: duplicated k-gram start positions in
     * `dp(doc_id, pos)` → maximal interval-union spans → per-doc
@@ -2886,31 +2939,47 @@ object Documents {
     // spelling), ppm normalization and the c = 1000 ppm uniform
     // smoothing — every step integer, bit-identical. HUGEINT sums are
     // cast back to BIGINT before the fixed-point ops (their contract).
-    "q260_domain_mix_weights" -> {
-      import graft.functions.FixedPoint.exp2FpDuckSql
+    "q260_domain_mix_weights" ->
       s"""WITH $tokCte,
          |$lmSurprisalCtes,
-         |dl AS (SELECT source AS domain,
-         |         CAST(sum(n_bigrams) AS BIGINT) AS mass,
-         |         CAST(CAST(sum(bits_fp * n_bigrams) AS BIGINT)
-         |           // sum(n_bigrams) AS BIGINT) AS loss_fp
-         |       FROM sc JOIN documents USING (doc_id)
-         |       GROUP BY source HAVING sum(n_bigrams) > 0),
-         |ex AS (SELECT domain, mass, loss_fp,
-         |         loss_fp - (SELECT min(loss_fp) FROM dl) AS excess_fp
-         |       FROM dl),
-         |sx AS (SELECT domain, mass, loss_fp, excess_fp,
-         |         least((excess_fp * 1) // 1, 1310720) AS es FROM ex),
-         |rw AS (SELECT domain, mass, loss_fp, excess_fp,
-         |         ${exp2FpDuckSql("es")} AS raw FROM sx),
-         |nm AS (SELECT domain, mass, loss_fp, excess_fp,
-         |         CAST((raw * 1000000) // (SELECT CAST(sum(raw) AS BIGINT)
-         |           FROM rw) AS BIGINT) AS weight_ppm
-         |       FROM rw)
-         |SELECT domain, mass, loss_fp, excess_fp, weight_ppm,
-         |  CAST(((1000000 - 1000) * weight_ppm) // 1000000
-         |    + 1000 // (SELECT count(*) FROM rw) AS BIGINT) AS smoothed_ppm
-         |FROM nm ORDER BY domain""".stripMargin
+         |${mixWeightCtes("sc", "")}
+         |SELECT domain, mass, loss_fp, excess_fp, weight_ppm, smoothed_ppm
+         |FROM w ORDER BY domain""".stripMargin,
+
+    // Mirrors Corpus.doremiLoop (rounds = 2, seed = 18, splitSeed = 13):
+    // folds split by the PORTABLE id-hash (hash % 5 — a modulo fold
+    // aliases with the fixtures' id-periodic source assignment, see the
+    // operator's scaladoc); round 1 is the q260 exponentiated-gradient
+    // chain under the uniform-mixture LM; its smoothed weights set
+    // per-domain keep rates smoothed_ppm / max(smoothed_ppm), the
+    // q57-style hash Bernoulli (seed 18 + 1 = 19) draws the round-2
+    // training mix, the LM retrains on THAT mix, rescoring the same
+    // held-out fold, and the step runs again — the paper's full
+    // reweight→resample→retrain trajectory, every stage integer and
+    // bit-replayed.
+    "q262_doremi_loop" -> {
+      val hold = s"${h32("CAST(doc_id AS VARCHAR)", 13)} % 5"
+      val holdB = s"${h32("CAST(b.doc_id AS VARCHAR)", 13)} % 5 = 0"
+      s"""WITH $tokCte,
+         |$bgCte,
+         |${lmChainCtes(s"$hold <> 0", "r1", holdB)},
+         |${mixWeightCtes("r1sc", "r1")},
+         |r1mx AS (SELECT max(smoothed_ppm) AS mx FROM r1w),
+         |r1rt AS (SELECT domain, (smoothed_ppm * 1000000) // mx AS keep_ppm
+         |         FROM r1w CROSS JOIN r1mx),
+         |r1kp AS (SELECT d.doc_id FROM documents d
+         |         JOIN r1rt ON d.source = r1rt.domain
+         |         WHERE ${h32("CAST(d.doc_id AS VARCHAR)", 13)} % 5 <> 0
+         |           AND ${h32("CAST(d.doc_id AS VARCHAR)", 19)} * 1000000
+         |             < keep_ppm * 4294967296),
+         |${lmChainCtes("doc_id IN (SELECT doc_id FROM r1kp)", "r2", holdB)},
+         |${mixWeightCtes("r2sc", "r2")}
+         |SELECT 1 AS round, domain, mass, loss_fp, excess_fp, weight_ppm,
+         |  smoothed_ppm FROM r1w
+         |UNION ALL
+         |SELECT 2 AS round, domain, mass, loss_fp, excess_fp, weight_ppm,
+         |  smoothed_ppm FROM r2w
+         |ORDER BY round, domain""".stripMargin
     },
 
     // Mirrors Corpus.rhoLossScores: TWO q248 surprisal chains over the

@@ -75,6 +75,35 @@ class DomainMixSpec extends SparkSpec {
       s"sum=${w.sum}")
   }
 
+  test("doremiLoop: thinning the easy domain compresses the spread round-over-round") {
+    // domain-skewed fixture: "easy" docs share one sentence (the LM
+    // learns its bigrams from the training fold -> low held-out loss);
+    // "hard" docs are all-unique tokens (held-out bigrams unseen at any
+    // mixture -> high loss). Round 1 must upweight hard; the resample
+    // then thins easy's share of the training mix, easy's held-out loss
+    // rises, and the round-2 spread COMPRESSES — the paper's
+    // equilibrating dynamic, pinned here end-to-end.
+    val easyText = "the cat sat on the mat and the dog sat on the rug"
+    val docs = ((0L until 60L).map(i => (i, easyText, "easy")) ++
+      (60L until 120L).map(i =>
+        (i, s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e", "hard")))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.doremiLoop(docs, rounds = 2, seed = 18)
+      .select($"round", $"domain", $"smoothed_ppm")
+      .as[(Int, String, Long)].collect()
+    val r1 = out.filter(_._1 == 1).map(r => r._2 -> r._3).toMap
+    val r2 = out.filter(_._1 == 2).map(r => r._2 -> r._3).toMap
+    assert(r1.keySet == Set("easy", "hard") && r2.keySet == Set("easy", "hard"))
+    // round 1: unseen-bigram loss dominates -> hard holds most mass
+    assert(r1("hard") > r1("easy"), s"r1=$r1")
+    // round 2: the spread compresses, strictly
+    assert(r2("hard") - r2("easy") < r1("hard") - r1("easy"),
+      s"r1=$r1 r2=$r2")
+    // each round's smoothed weights near-partition 1e6 (3n floor bound)
+    Seq(r1, r2).foreach(m =>
+      assert(m.values.sum <= 1000000L && m.values.sum > 1000000L - 6, s"$m"))
+  }
+
   test("domainMixFromSurprisal drops domains with no held-out bigram mass") {
     val docs = Tables(spark, sf("sf0.001"), "documents")
       // a synthetic extra domain whose only doc is held-out but has a

@@ -129,6 +129,18 @@ class EdgeCasesSpec extends SparkSpec {
     assert(TextAnalysis.qualityScores(docs, "doc_id", "text").count() == 4)
   }
 
+  test("quality scoring excludes tokenless (NULL-text) docs with no NULL stats") {
+    // NULL text tokenizes to a NULL array here but to zero unnest rows in
+    // the DuckDB oracle; both engines must exclude it by the same rule —
+    // a surviving NULL-quality_ppm row would skew the q259 AUC
+    // denominator on only one side (round-11 ADVICE)
+    val docs = Seq((1L, Option("real text here")), (2L, Option("")),
+      (3L, None: Option[String]), (4L, Option("   "))).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityScores(docs, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("quality_ppm"))))
+  }
+
   test("kNN with an empty query set returns empty") {
     val corpus = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
     assert(Knn.exact(corpus, corpus.limit(0), k = 3).count() == 0)
