@@ -664,14 +664,21 @@ object Dedup {
     *     qualify and the block re-connects no matter how the bands
     *     scattered it; its reported GROUP matches the unbanded one
     *     (a min-ID hub could land outside the block and fragment it —
-    *     the round-10 ADVICE hole, closed here and spec-gated). What
-    *     banding spends is pair enumeration, not centroid-owning-block
-    *     recall. Secondary blocks not containing the hub and moderate
-    *     clusters pay a declared cross-band loss for member↔member
-    *     pairs dissimilar to the hub — the same accepted-recall
-    *     contract as the paper's own cross-cell misses. Never active
-    *     at or below `maxCellSize` — the declared queries' outputs are
-    *     bit-unchanged.
+    *     the round-10 ADVICE hole, closed here and spec-gated). A
+    *     SECOND hub is elected among the delegates whose signatures
+    *     disagree with hub 1 past the screen threshold (provably
+    *     unable to edge with it), by the same centroid-nearest rule,
+    *     and those far delegates spoke to it: a SECONDARY tight block
+    *     — one that owns neither the centroid nor hub 1 — re-connects
+    *     through hub 2 when it dominates the far set's centroid order
+    *     (round-11 verdict item; SemDedupSpanningSpec pins two-block
+    *     parity). What banding spends is pair enumeration, not tight-
+    *     block recall. The residual narrowing: third-and-beyond
+    *     blocks dominated in BOTH centroid orders, and moderate
+    *     clusters' member↔member pairs dissimilar to every hub — the
+    *     same accepted-recall contract as the paper's own cross-cell
+    *     misses. Never active at or below `maxCellSize` — the
+    *     declared queries' outputs are bit-unchanged.
     *  3b. `edgesMode = "spanning"` (opt-in; default `"all"` is the
     *     declared-query behavior): oversized cells emit a SPANNING
     *     structure instead of all within-band pairs — one star per
@@ -680,13 +687,16 @@ object Dedup {
     *     over-cap mass is genuinely duplicate (the census's tight tier
     *     spent its whole 249 s wall materializing 1.3e8 qualified
     *     edges that component labeling doesn't need); spanning keeps
-    *     edges per oversized cell ≤ 2·distinct. Declared recall
+    *     edges per oversized cell ≤ 3·distinct. Declared recall
     *     narrowing: a duplicate group is reported whole iff its
     *     members reach a hub — exact for the centroid-owning block
-    *     (both hub kinds sit inside it), fragmenting for a secondary
-    *     block that owns neither; under-cap cells are IDENTICAL in
-    *     both modes (SemDedupSpanningSpec gates parity on the
-    *     adversarial fixtures and the under-cap equivalence).
+    *     (band hubs and hub 1 sit inside it) AND for the second-
+    *     nearest block (it reaches hub 2, elected over the provably-
+    *     hub-1-dissimilar far set); only third-and-beyond blocks
+    *     dominated in both centroid orders may fragment; under-cap
+    *     cells are IDENTICAL in both modes (SemDedupSpanningSpec
+    *     gates two-block parity on the adversarial fixtures and the
+    *     under-cap equivalence).
     *  4. SIGN-BIT HAMMING PREFILTER on candidate pairs (recall-safe by
     *     margin): before the 2·dim-flop cosine, pairs are screened on
     *     the 64-bit signatures' hamming distance against
@@ -801,6 +811,11 @@ object Dedup {
     // declared cross-band loss for member↔member pairs dissimilar to
     // the hub — the same accepted-recall contract as the paper's own
     // cross-cell misses.
+    // hamming screen: expected disagreement at the threshold angle plus
+    // five binomial sigmas; >= 64 means the screen is a no-op (computed
+    // before the hub election — the SECOND hub's "far" membership below
+    // reuses it as a proof of dissimilarity)
+    val thr = hammingScreenThreshold(minCosine)
     val sigged = sigged0
       // the hub cosine only matters where spokes/stars can fire
       // (_sbits > 0); under-cap cells — every declared query — must not
@@ -810,14 +825,39 @@ object Dedup {
         when(col("_sbits") > 0,
           cosine_sim(micro_units(col("_v")), col("centroid")))
           .otherwise(lit(0.0)))
-      .withColumn("_hub",
-        min(struct((-col("_hcos")).as("nc"), col("del").as("del")))
+      // the sig rides along so the far test below needs no join-back;
+      // (nc, del) is already unique per row, so appending it can never
+      // change which delegate wins the min
+      .withColumn("_hubrec",
+        min(struct((-col("_hcos")).as("nc"), col("del").as("del"),
+          col("_psig").as("sig"))).over(wCell))
+      .withColumn("_hub", col("_hubrec").getField("del"))
+      // SECOND-HUB ELECTION (round-11 verdict item 4): a delegate whose
+      // sign signature disagrees with the cell hub's past the screen
+      // threshold provably cannot qualify an edge with it — its hub
+      // spoke is dead weight, and a SECONDARY tight block (one that
+      // owns neither the cell centroid nor, in spanning mode, a band
+      // hub) is made entirely of such delegates and would fragment
+      // across bands. Those "far" delegates elect their own hub by the
+      // same rule (centroid-nearest, min id on ties) and spoke to it:
+      // the block dominating the far set's centroid order re-connects
+      // exactly as the primary block does through hub 1. Cost: |far|
+      // extra LINEAR spoke candidates per oversized cell (their dead
+      // hub-1 spokes still enumerate, but the one-word popcount screen
+      // kills those before any cosine). With thr >= 64 the signature
+      // proves nothing and no far set exists (the screen is a no-op
+      // there too). Under-cap cells (_sbits = 0) never elect: declared
+      // queries are bit-unchanged.
+      .withColumn("_far",
+        col("_sbits") > 0 &&
+          hamming_dist(col("_psig"), col("_hubrec").getField("sig")) > lit(thr))
+      .withColumn("_hub2",
+        min(when(col("_far"),
+          struct((-col("_hcos")).as("nc"), col("del").as("del"))))
           .over(wCell).getField("del"))
       .select(col("cell_id"), col("_band"), col("del"), col("_psig"),
-        col("_v"), col("_sbits"), col("_hub"), col("_hcos"))
-    // hamming screen: expected disagreement at the threshold angle plus
-    // five binomial sigmas; >= 64 means the screen is a no-op
-    val thr = hammingScreenThreshold(minCosine)
+        col("_v"), col("_sbits"), col("_hub"), col("_hcos"),
+        col("_far"), col("_hub2"))
     // edgesMode = "spanning": oversized cells (the guard-active, OUTPUT-
     // bound regime — a tight over-cap block qualifies ~every within-band
     // pair, and the census measured the tight tier spending its whole
@@ -826,11 +866,13 @@ object Dedup {
     // centroid-nearest delegate, plus the cell-hub spokes below. Linear
     // edges per cell (≤ 2·distinct) in place of size·cap/2, with the
     // DECLARED recall narrowing: a duplicate group is reported whole iff
-    // its members reach a hub (the centroid-owning block always does —
-    // both hubs sit inside it; a secondary block that owns neither the
-    // cell nor a band hub fragments). Under-cap cells are untouched —
-    // identical output in both modes, so the declared queries (which
-    // never activate the guard) are bit-unchanged.
+    // its members reach a hub — the centroid-owning block always does
+    // (band hubs and hub 1 sit inside it), the second-nearest block
+    // reaches hub 2 (elected over the provably-hub-1-dissimilar far
+    // set), and only third-and-beyond blocks dominated in both centroid
+    // orders may fragment. Under-cap cells are untouched — identical
+    // output in both modes, so the declared queries (which never
+    // activate the guard) are bit-unchanged.
     val pairSrc =
       if (edgesMode == "spanning") sigged.filter(col("_sbits") === 0)
       else sigged
@@ -881,9 +923,33 @@ object Dedup {
           .select(col("id_a"), col("id_b"),
             col("_pa"), col("_pb"), col("_va"), col("_vb")))
       }
+    // second-hub spokes: every far delegate pairs with the far set's own
+    // centroid-nearest delegate (see the election above). Same broadcast
+    // shape as the hub-1 spokes — hubs2 is one row per oversized cell
+    // WITH a far set, empty in the all-under-cap common case. In "all"
+    // mode co-banded pairs are already enumerated by the within-band
+    // join, so same-band spokes are skipped; in spanning mode they are
+    // kept (the band star only guarantees a path through the BAND hub,
+    // which a far delegate cannot qualify with unless that hub is far
+    // too).
+    val hubs2 = sigged
+      .filter(col("_far") && col("del") === col("_hub2"))
+      .select(col("cell_id"), col("del").as("id_a"),
+        col("_psig").as("_pa"), col("_v").as("_va"),
+        col("_band").as("_hband"))
+    val starCand2Base = sigged
+      .filter(col("_far") && col("del") =!= col("_hub2"))
+      .select(col("cell_id"), col("_band"), col("del").as("id_b"),
+        col("_psig").as("_pb"), col("_v").as("_vb"))
+      .join(broadcast(hubs2), Seq("cell_id"))
+    val starCand2 =
+      if (edgesMode == "all") starCand2Base.filter(col("_band") =!= col("_hband"))
+      else starCand2Base
     val cand0 = joined.select(col("id_a"), col("id_b"),
         col("_pa"), col("_pb"), col("_va"), col("_vb"))
       .unionByName(starCand.select(col("id_a"), col("id_b"),
+        col("_pa"), col("_pb"), col("_va"), col("_vb")))
+      .unionByName(starCand2.select(col("id_a"), col("id_b"),
         col("_pa"), col("_pb"), col("_va"), col("_vb")))
     val cand = bandStarCand.map(cand0.unionByName(_)).getOrElse(cand0)
     val screened =

@@ -16,9 +16,11 @@ import graft.SparkSpec
   *     guard exists for — keeps GROUP PARITY with the all-pairs mode;
   *   - exact copies stay grouped in spanning mode (collapse edges bypass
   *     the pair stage entirely);
-  *   - the narrowing is real and DOCUMENTED: a secondary block that owns
-  *     neither the cell centroid nor a band hub may fragment — asserted
-  *     here so the docs and the behavior can never drift apart.
+  *   - a SECONDARY tight block (owning neither the cell centroid nor a
+  *     band hub) stays whole in both modes via the second-hub election
+  *     over the provably-hub-1-dissimilar far set (round-12; formerly
+  *     this spec asserted the fragmentation as the declared narrowing —
+  *     the residual narrowing is now third-and-beyond blocks only).
   */
 class SemDedupSpanningSpec extends SparkSpec {
   import spark.implicits._
@@ -125,15 +127,16 @@ class SemDedupSpanningSpec extends SparkSpec {
     }
   }
 
-  test("documented narrowing: a secondary block owning no hub may fragment") {
+  test("second-hub election: a secondary tight block stays whole in BOTH modes") {
     // dominant 12-member block at direction A (owns the centroid) + a
-    // 4-member tight block at orthogonal direction B. In all-pairs mode
-    // B survives banding whenever its members co-band; in spanning mode
-    // B's members only get edges THROUGH hubs they don't qualify with,
-    // so B is allowed to fragment — the declared contract. This test
-    // pins the DOMINANT block's parity (must hold in both modes) and
-    // documents B's weaker guarantee: its groups are a refinement
-    // (never a merge) of the all-pairs groups.
+    // 4-member tight block at orthogonal direction B. B's members own
+    // neither the cell centroid nor (typically) a band hub, so before
+    // the second-hub election banding could fragment B in either mode
+    // (this test formerly ASSERTED that fragmentation as the declared
+    // narrowing). Now: B's delegates are provably hub-1-dissimilar
+    // (orthogonal signatures disagree far past the screen threshold),
+    // so they elect hub 2 — a B member — and spoke to it: B must come
+    // out WHOLE, in both modes, with full group parity between them.
     val vecs = ((0L until 12L).map(i => (i, jig(Seq(0.0, 0.2, 1.0, 0.1), i))) ++
       (12L until 16L).map(i => (i, jig(Seq(1.0, 0.1, 0.0, 0.2), i))))
       .toDF("vec_id", "embedding")
@@ -141,11 +144,14 @@ class SemDedupSpanningSpec extends SparkSpec {
     val span = run(vecs, "spanning")
     val cAll = all.map(r => r._1 -> r._2).toMap
     val cSpan = span.map(r => r._1 -> r._2).toMap
-    // dominant block: exact parity
+    // dominant block: whole, exact parity
     assert((0L until 12L).forall(cSpan(_) == cAll(0L)))
-    // secondary block: refinement — two ids co-grouped under spanning
-    // are co-grouped under all-pairs (spanning never invents an edge)
-    for (i <- 12L until 16L; j <- 12L until 16L)
-      if (cSpan(i) == cSpan(j)) assert(cAll(i) == cAll(j))
+    // secondary block: WHOLE in both modes (the round-12 upgrade), and
+    // distinct from the dominant block
+    assert((12L until 16L).forall(cAll(_) == cAll(12L)), s"all-pairs fragmented B: $cAll")
+    assert((12L until 16L).forall(cSpan(_) == cSpan(12L)), s"spanning fragmented B: $cSpan")
+    assert(cSpan(12L) != cSpan(0L) && cAll(12L) != cAll(0L))
+    // and full output parity between the modes on this geometry
+    assert(span == all, s"\n all  $all\n span $span")
   }
 }
