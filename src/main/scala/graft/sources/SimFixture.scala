@@ -113,6 +113,13 @@ object SimFixture {
         staged = true
       }
     }
+    // Refresh the fixture's age on EVERY read: the stale-fixture GC
+    // below is age-gated, and without the touch a fixture staged >6h
+    // ago by a still-running older-build JVM could be collected by a
+    // newer build's first stage mid-scan (round-11 ADVICE — the age
+    // gate alone only protects fixtures younger than the cutoff). An
+    // actively-read fixture now never ages past the cutoff.
+    new java.io.File(Path).setLastModified(System.currentTimeMillis())
     s.read.parquet(Path)
   }
 
@@ -124,8 +131,9 @@ object SimFixture {
     * `/tmp/graft_sim_snapshots_<fp>` and, without this, abandons the old
     * one (plus any crashed JVM's `.stage-*` leftovers) forever. Runs
     * once, only when THIS build is about to stage its own fixture.
-    * Age-gated at 6 h so a long-running JVM of an older build can never
-    * have its fixture yanked out from under a mid-flight scan. */
+    * Age-gated at 6 h, and [[snapshots]] touches its fixture's mtime on
+    * every read — together: an ACTIVELY-READ fixture never ages past
+    * the cutoff, so only genuinely abandoned dirs are collected. */
   private def gcStaleFixtures(tmpDir: java.io.File): Unit = try {
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     Option(tmpDir.listFiles()).getOrElse(Array.empty).foreach { f =>

@@ -47,7 +47,34 @@ object StreamingIvfIngest {
     * slots) — run [[compactDedup]] to restore uniqueness, or use a
     * transactional table format to close the window entirely. */
   def ingest(index: IvfIndex, stream: DataFrame, indexPath: String,
-      checkpointDir: String, vecCol: String = "embedding"): StreamingQuery =
+      checkpointDir: String, vecCol: String = "embedding"): StreamingQuery = {
+    // batch ids restart at 0 under a NEW checkpoint — scope markers to
+    // the checkpoint lineage or a restarted pipeline would skip its
+    // first batches as "already committed". Full md5 of the dir: a
+    // 32-bit collision between two lineages sharing one index path
+    // would wrongly skip a batch as already committed.
+    val lineage = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val legacyHex = java.lang.Integer.toHexString(checkpointDir.hashCode)
+    // Markers written before the md5 upgrade used hashCode-hex; a
+    // restart replaying an already-committed pre-upgrade batch must
+    // still see its marker or it would append the rows twice. The
+    // legacy check is gated ONCE at stream start on whether any
+    // legacy-format marker for this lineage exists at all: a NEW
+    // checkpoint (no legacy markers) never consults them, so it cannot
+    // inherit the 32-bit cross-lineage collision-skip hazard the md5
+    // upgrade closed — and the common path saves one FS existence RPC
+    // per batch (round-11 ADVICE: an unconditional per-batch legacy
+    // probe retained the hazard permanently).
+    val startConf = stream.sparkSession.sparkContext.hadoopConfiguration
+    val commitsDir = new org.apache.hadoop.fs.Path(s"$indexPath/_ingest_commits")
+    val hasLegacyMarkers =
+      try {
+        val fs0 = commitsDir.getFileSystem(startConf)
+        fs0.exists(commitsDir) && fs0.listStatus(commitsDir)
+          .exists(_.getPath.getName.startsWith(legacyHex + "_"))
+      } catch { case _: Throwable => false }
     assigned(index, stream, vecCol)
       .writeStream
       .outputMode("append")
@@ -55,24 +82,14 @@ object StreamingIvfIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-        // batch ids restart at 0 under a NEW checkpoint — scope markers to
-        // the checkpoint lineage or a restarted pipeline would skip its
-        // first batches as "already committed". Full md5 of the dir: a
-        // 32-bit collision between two lineages sharing one index path
-        // would wrongly skip a batch as already committed.
-        val lineage = java.security.MessageDigest.getInstance("MD5")
-          .digest(checkpointDir.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
         val marker = new org.apache.hadoop.fs.Path(
           s"$indexPath/_ingest_commits/${lineage}_$batchId")
-        // markers written before the md5 upgrade used hashCode-hex; a
-        // restart replaying an already-committed pre-upgrade batch must
-        // still see its marker or it would append the rows twice
         val legacyMarker = new org.apache.hadoop.fs.Path(
-          s"$indexPath/_ingest_commits/" +
-            s"${java.lang.Integer.toHexString(checkpointDir.hashCode)}_$batchId")
+          s"$indexPath/_ingest_commits/${legacyHex}_$batchId")
         val fs = marker.getFileSystem(conf)
-        if (!fs.exists(marker) && !fs.exists(legacyMarker)) {
+        val committed = fs.exists(marker) ||
+          (hasLegacyMarkers && fs.exists(legacyMarker))
+        if (!committed) {
           batch.write.mode("append").partitionBy("cell_id")
             .parquet(s"$indexPath/assigned")
           fs.mkdirs(marker.getParent)
@@ -80,6 +97,7 @@ object StreamingIvfIngest {
         }
       }
       .start()
+  }
 
   /** Rewrite `assigned/` keeping one row per id — the maintenance pass
     * that bounds the lifetime of crash-window duplicates (replayed rows
