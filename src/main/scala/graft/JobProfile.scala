@@ -20,9 +20,17 @@ object JobProfile {
     val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
     val lines = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        starts += j.jobId -> (j.time,
-          Option(j.properties).map(_.getProperty("callSite.short", "?")).getOrElse("?"))
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        // callSite.short is often absent on SQL-launched jobs; fall back
+        // to the result stage's name (e.g. "count at Dedup.scala:532"),
+        // plus the job's stage/task census so fan-out is visible.
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(j.stageInfos.lastOption.map(_.name))
+          .getOrElse("?")
+        val census = s"[${j.stageInfos.size}st/${j.stageInfos.map(_.numTasks).sum}tk]"
+        starts += j.jobId -> (j.time, s"$census $site")
+      }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { case (t0, site) =>
           lines.synchronized { lines += ((j.jobId, (j.time - t0) / 1e3, site)) }
