@@ -20,10 +20,8 @@ object GraftFunctions {
     * bit-for-bit. One definition on purpose — Ivf and Pq must never
     * drift apart on the scale or rounding convention, and the DuckDB
     * oracles bake in the same `floor(x * 1000000.0)`. */
-  def micro_units(vec: Column): Column = {
-    import org.apache.spark.sql.functions.{transform, floor}
-    transform(vec.cast("array<double>"), x => floor(x * 1000000.0).cast("double"))
-  }
+  def micro_units(vec: Column): Column =
+    Bridge.column(MicroUnits(Bridge.expression(vec.cast("array<double>"))))
 
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))

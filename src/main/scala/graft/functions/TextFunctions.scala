@@ -17,12 +17,18 @@ object TextFunctions {
 
   /** Canonical form: lowercase, trimmed, whitespace collapsed to single
     * spaces. All tokenization starts here so results are stable under
-    * formatting noise. */
+    * formatting noise. One codegen'd byte walk ([[NormTextExpr]]) —
+    * bit-identical to the retired
+    * `regexp_replace(trim(lower(c)), "\\s+", " ")` spelling
+    * (TextExpressionsSpec), which the DuckDB oracles keep. */
   def normText(c: Column): Column =
-    regexp_replace(trim(lower(c)), "\\s+", " ")
+    graft.internal.Bridge.column(NormTextExpr(graft.internal.Bridge.expression(c)))
 
-  /** Whitespace tokens of the canonical form. */
-  def tokens(c: Column): Column = split(normText(c), " ")
+  /** Whitespace tokens of the canonical form. One codegen'd byte walk
+    * ([[TokensExpr]]) — bit-identical to the retired
+    * `split(normText(c), " ")` spelling (TextExpressionsSpec). */
+  def tokens(c: Column): Column =
+    graft.internal.Bridge.column(TokensExpr(graft.internal.Bridge.expression(c)))
 
   /** Portable 32-bit hash in [0, 2^32): first 8 hex digits of
     * md5(s + "#" + seed), as bigint. Seed gives independent hash families
@@ -63,18 +69,33 @@ object TextFunctions {
 
   /** Word n-gram shingles of a token array (empty if fewer than n tokens).
     * Element order follows token order; duplicates preserved (min-hash is
-    * insensitive to them).
-    *
-    * PERF: pass a *materialized* token column (project `tokens(text)` into
-    * its own select first), never `shingles(tokens(text), n)` inline — the
-    * lambda below references `tok` ~3n times and Catalyst re-evaluates a
-    * non-attribute subtree at every reference, turning one regex split per
-    * row into O(tokens·n) of them (~25× slower measured). */
+    * insensitive to them). One codegen'd call ([[WordShingles]]) —
+    * bit-identical to the retired interpreted
+    * `transform(sequence(...), i => concat_ws(" ", element_at(...)))`
+    * HOF spelling (TextExpressionsSpec), which the DuckDB oracles keep.
+    * The single-evaluation note from that spelling no longer binds
+    * (`shingles(tokens(text), n)` inline evaluates `tokens` once), but
+    * materializing the token column first remains good practice where
+    * several expressions consume it. */
   def shingles(tok: Column, n: Int): Column =
-    when(size(tok) >= n,
-      transform(sequence(lit(0), size(tok) - n),
-        i => concat_ws(" ", (1 to n).map(j => element_at(tok, i + j)): _*)))
-      .otherwise(array())
+    graft.internal.Bridge.column(
+      WordShingles(graft.internal.Bridge.expression(tok), n))
+
+  /** Fused `transform(shingles(tok, n), s => hash32(s, seed))` — the
+    * hashed-shingle-set projection of the whole dedup family, as one
+    * codegen'd call feeding token bytes straight into the digest (no
+    * shingle strings, no interpreted ArrayTransform). Bit-identical to
+    * the composed spelling (TextExpressionsSpec). */
+  def shingleHashes(tok: Column, n: Int, seed: Int): Column =
+    graft.internal.Bridge.column(
+      HashedShingles(graft.internal.Bridge.expression(tok), n, seed))
+
+  /** Fused `array_min(transform(hs, h => minhashPerm(h, i)))` — one scan
+    * per signature instead of two interpreted HOF nodes. Bit-identical
+    * (TextExpressionsSpec). */
+  def minhashMin(hs: Column, i: Int): Column =
+    graft.internal.Bridge.column(
+      MinhashMin(graft.internal.Bridge.expression(hs), i))
 
   /** Subword-ish segment count: alphabetic runs, digit runs, and single
     * punctuation marks of the canonical text (a deterministic stand-in for

@@ -146,7 +146,7 @@ object Dedup {
     val sigCols = Seq(col("doc_id"), col("hs"),
       size(col("hs")).cast("bigint").as("ns")) ++
       (0 until numHashes).map(i =>
-        array_min(transform(col("hs"), h => minhashPerm(h, i))).as(s"sig$i"))
+        minhashMin(col("hs"), i).as(s"sig$i"))
     // NB: `shingles(tokens(...))` inline is fine HERE — the whole chain
     // sits inside one projection where whole-stage codegen's subexpression
     // elimination evaluates the token split once (measured: inline 0.7s vs
@@ -164,8 +164,7 @@ object Dedup {
       // (measured 2x on the q38/q74/q79/q125 family).
       .filter(col(textCol).rlike("\\S\\s+\\S+\\s+\\S"))
       .select(col(idCol).as("doc_id"),
-        array_distinct(transform(shingles(tokens(col(textCol)), 3),
-          s => hash32(s, 0))).as("hs"))
+        array_distinct(shingleHashes(tokens(col(textCol)), 3, 0)).as("hs"))
       .select(sigCols: _*)
   }
 
@@ -203,8 +202,7 @@ object Dedup {
   private[graft] def shingleSets(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        array_distinct(transform(shingles(tokens(col(textCol)), 3),
-          s => hash32(s, 0))).as("hs"))
+        array_distinct(shingleHashes(tokens(col(textCol)), 3, 0)).as("hs"))
       .select(col("doc_id"), col("hs"),
         size(col("hs")).cast("bigint").as("ns"))
 
@@ -213,7 +211,7 @@ object Dedup {
     * set. */
   private def minhashSigCols(numHashes: Int): Seq[Column] =
     (0 until numHashes).map(i =>
-      array_min(transform(col("hs"), h => minhashPerm(h, i))).as(s"sig$i"))
+      minhashMin(col("hs"), i).as(s"sig$i"))
 
   /** [[nearDupPairs]] over a PRE-BUILT (ideally persisted) shingle-set
     * table. `ns > 0` replaces the public path's rlike pre-filter — safe
@@ -1435,7 +1433,7 @@ object Dedup {
     val sets = shared(docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
       .select(col("doc_id"),
-        array_distinct(transform(shingles(col("tok"), 3), s => hash32(s, 0)))
+        array_distinct(shingleHashes(col("tok"), 3, 0))
           .as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("bigint").as("ns")))
     val sh = sets.select(col("doc_id"), col("ns"), explode(col("hs")).as("s"))

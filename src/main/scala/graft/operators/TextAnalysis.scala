@@ -195,7 +195,6 @@ object TextAnalysis {
     * bit-identical results in every engine; the exposed doubles are a
     * single exact division by 10^6. */
   def qualityScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val stopArr = array(stopwords.map(lit): _*)
     docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
       // Tokenless docs carry no quality signal and are EXCLUDED, by an
@@ -210,8 +209,10 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(col("tok")).cast("bigint").as("n_tokens"),
-        size(filter(col("tok"), w => array_contains(stopArr, w))).cast("bigint").as("n_stop"),
-        aggregate(col("tok"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"))
+        graft.internal.Bridge.column(graft.functions.StopCount(
+          graft.internal.Bridge.expression(col("tok")), stopwords)).as("n_stop"),
+        graft.internal.Bridge.column(graft.functions.SumTokenLengths(
+          graft.internal.Bridge.expression(col("tok")))).as("sum_len"))
       .withColumn("stop_ppm", expr("(n_stop * 1000000) div n_tokens"))
       .withColumn("len_ppm",
         least(expr("(sum_len * 1000000) div (8 * n_tokens)"), lit(1000000L)))
