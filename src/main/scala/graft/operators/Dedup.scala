@@ -447,7 +447,8 @@ object Dedup {
     * cluster-portable cost number (each round is one Spark job; per-job
     * latency is what a busy cluster multiplies). Published per scale
     * tier in SCALE.md via [[graft.ScaleProbe]]. */
-  private[graft] def nearDupGroupsCounted(pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def nearDupGroupsCounted(pairs: DataFrame,
+      driverMaxEdges: Int = 1 << 16): (DataFrame, Int) = {
     // STAR CONTRACTION, then min-label propagation on the contracted
     // graph, both on DataFrames.
     //
@@ -525,9 +526,50 @@ object Dedup {
     // final mapping join reads it lazily); sym's edge-sized blocks free now
     free(symIds)
     var rounds = 0
-    // narrow probe of checkpointed partitions; skips the loop entirely
-    // when contraction already collapsed every component (the common case)
-    val cLabels: Option[DataFrame] = if (cSym.limit(1).isEmpty) None else {
+    // Three regimes on the contracted residual:
+    //  - 0 contracted edges (the common near-clique dup graph):
+    //    contraction already labeled everything, no loop — probed by the
+    //    same narrow limit(1) job as before round 12 (a count here would
+    //    scan every cached partition; the probe is one task);
+    //  - <= driverMaxEdges (round-12): the residual is DRIVER-SIZED —
+    //    collect it and run union-find locally, exactly the bounded-
+    //    collect discipline of the IVF centroids / BPE rules / PCA
+    //    moments. The distributed loop's per-round cost is ~6 Spark
+    //    jobs (hop broadcast, shortcut broadcast, checkpoint,
+    //    convergence probe), and a chainy residual runs 4+ rounds —
+    //    measured ~25 jobs / >1 s of pure job latency on q246 for a
+    //    graph of a few thousand edges. Labels are identical by
+    //    construction (min member id per connected component);
+    //    DedupSpec pins loop ≡ union-find on the
+    //    adversarial chain geometry;
+    //  - larger residuals keep the pointer-doubling loop unchanged
+    //    (the 100 TB path — nothing about it is local-mode-tuned).
+    val cLabels: Option[DataFrame] = if (cSym.limit(1).isEmpty) None
+    else if (cSym.count() <= driverMaxEdges) {
+      val rows = cSym.select(col("a"), col("b")).collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      rows.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      // representative = MIN member id per component: roots are unioned
+      // min-ward above, so find() already lands on the component minimum
+      val verts = new java.util.HashSet[Long]()
+      rows.foreach { r => verts.add(r.getLong(0)); verts.add(r.getLong(1)) }
+      val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](verts.size)
+      verts.forEach(v => labels += ((v, find(v))))
+      free(cSymIds)
+      Some(pairs.sparkSession.createDataFrame(labels.toSeq).toDF("id", "lbl"))
+    } else {
       var (labels, labelIds) = checkpointed(
         cSym.select(col("a").as("id")).distinct().select(col("id"), col("id").as("lbl")))
       var converged = false

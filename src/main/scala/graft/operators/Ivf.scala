@@ -360,21 +360,18 @@ object Ivf {
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
 
-  /** Adds `cell_id` to a frame that already carries `_mv` (micro vector). */
-  private def withCellId(mv: DataFrame, cs: Array[(Int, Seq[Double])]): DataFrame = {
-    val arr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-      cs.map { case (id, c) =>
-        struct(lit(id).as("cid"), array(c.map(lit): _*).as("centroid")) }): _*)
-    mv.withColumn("_cells", arr)
-      .withColumn("cell_id", expr(
-        """aggregate(
-          |  transform(_cells, e -> struct(e.cid AS cid,
-          |    aggregate(zip_with(_mv, e.centroid, (a, b) -> (a - b) * (a - b)),
-          |      cast(0.0 AS double), (s, x) -> s + x) AS d)),
-          |  struct(cast(-1 AS int) AS cid, cast('Infinity' AS double) AS d),
-          |  (acc, e) -> IF(e.d < acc.d, e, acc)).cid""".stripMargin))
-      .drop("_cells")
-  }
+  /** Adds `cell_id` to a frame that already carries `_mv` (micro vector).
+    * One codegen'd argmin ([[graft.functions.NearestCell]]) — the retired
+    * nested-HOF spelling (aggregate over transform over zip_with folds)
+    * was CodegenFallback, i.e. every vector × cell × dim step of Lloyd's
+    * assignment ran interpreted, once per iteration per consumer.
+    * Bit-identical fold order and tie/null semantics (IvfSpec parity
+    * test + the q29/q80/q246 oracle rows). */
+  private def withCellId(mv: DataFrame, cs: Array[(Int, Seq[Double])]): DataFrame =
+    mv.withColumn("cell_id", graft.internal.Bridge.column(
+      graft.functions.NearestCell(
+        graft.internal.Bridge.expression(col("_mv")),
+        cs.map(_._1), cs.map(_._2.toArray))))
 
   /** Assign arbitrary new vectors to a trained index's cells — a pure,
     * shuffle-free map column, so it works identically on BATCH and

@@ -79,7 +79,10 @@ class DedupSpec extends SparkSpec {
     // shrinks only by a constant (l0(v) = v-1 drops one vertex) — this
     // exercises the propagation loop over the contracted graph
     val chain = (0 until 23).map(i => (100L + i, 101L + i))
-    val (groups, rounds) = Dedup.nearDupGroupsCounted(chain.toDF("id_a", "id_b"))
+    // driverMaxEdges = 0 forces the DISTRIBUTED loop (the round-12
+    // driver union-find fallback would otherwise absorb this residual)
+    val (groups, rounds) = Dedup.nearDupGroupsCounted(
+      chain.toDF("id_a", "id_b"), driverMaxEdges = 0)
     val m = groups.as[(Long, Long)].collect().toMap
     assert((100 to 123).forall(i => m(i.toLong) == 100L), s"labels: $m")
     // pointer doubling covers ~2^rounds hops of the ~22-edge contracted
@@ -682,5 +685,20 @@ class DedupSpec extends SparkSpec {
     // generous wall guard (CI boxes are noisy); the quadratic form is
     // categorically slower on this shape, not marginally
     assert(sec < 30.0, s"excise took $sec s on the boilerplate fixture")
+  }
+
+  test("driver union-find fallback == distributed pointer-doubling loop") {
+    // the round-12 job-count cut: a driver-sized contracted residual is
+    // collected and union-found locally; labels must equal the loop's
+    // on the adversarial geometries (chain, fused star+chain, clique)
+    val edges = ((0 until 23).map(i => (100L + i, 101L + i)) ++      // chain
+      Seq((5L, 101L), (5L, 6L), (5L, 7L)) ++                          // star into it
+      Seq((200L, 201L), (201L, 202L), (200L, 202L))).toDF("id_a", "id_b")
+    val viaDriver = Dedup.nearDupGroupsCounted(edges)._1
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.nearDupGroupsCounted(edges, driverMaxEdges = 0)._1
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop, s"driver: $viaDriver\nloop: $viaLoop")
+    assert(viaDriver(123L) == 5L && viaDriver(200L) == 200L)
   }
 }

@@ -134,4 +134,52 @@ class IvfSpec extends SparkSpec {
     val rks = out.filter($"query_id" === 0).select($"rk").as[Int].collect().sorted.toSeq
     assert(rks == Seq(1, 2, 3, 4, 5))
   }
+
+  test("graft_nearest_cell == retired nested-HOF assignment spelling") {
+    // the round-12 native argmin must reproduce the retired
+    // aggregate/transform/zip_with fold BIT-FOR-BIT: same left-to-right
+    // double accumulation, strict < (first/lowest cid wins ties), null
+    // element -> -1, dimension-mismatched cell never wins
+    import org.apache.spark.sql.functions._
+    val cs: Array[(Int, Seq[Double])] = Array(
+      (0, Seq.fill(64)(0.0)), (1, Seq.fill(64)(1000.0)),
+      (2, Seq.fill(64)(-500.0)), (3, Seq.fill(64)(0.0)), // duplicate of 0: tie -> 0
+      (4, Seq.fill(32)(0.0))) // wrong dim: can never win
+    val arr = array(cs.map { case (id, c) =>
+      struct(lit(id).as("cid"), array(c.map(lit): _*).as("centroid")) }: _*)
+    val old = emb
+      .select($"vec_id", transform($"embedding".cast("array<double>"),
+        x => floor(x * 1000000.0).cast("double")).as("_mv"))
+      .withColumn("_cells", arr)
+      .withColumn("cell_old", expr(
+        """aggregate(
+          |  transform(_cells, e -> struct(e.cid AS cid,
+          |    aggregate(zip_with(_mv, e.centroid, (a, b) -> (a - b) * (a - b)),
+          |      cast(0.0 AS double), (s, x) -> s + x) AS d)),
+          |  struct(cast(-1 AS int) AS cid, cast('Infinity' AS double) AS d),
+          |  (acc, e) -> IF(e.d < acc.d, e, acc)).cid""".stripMargin))
+      .withColumn("cell_new", graft.internal.Bridge.column(
+        graft.functions.NearestCell(
+          graft.internal.Bridge.expression($"_mv"), cs.map(_._1), cs.map(_._2.toArray))))
+    assert(old.filter(not($"cell_old" <=> $"cell_new")).isEmpty, "corpus parity")
+    // null element and whole-null inputs -> -1 exactly as the fold
+    val edge = Seq(Option(Seq(Option(1.0), None)), None, Option(Seq(Option(0.0), Option(0.0))))
+      .toDF("_mv").select($"_mv".cast("array<double>").as("_mv"))
+    val cs2: Array[(Int, Seq[Double])] = Array((7, Seq(0.0, 0.0)))
+    val arr2 = array(cs2.map { case (id, c) =>
+      struct(lit(id).as("cid"), array(c.map(lit): _*).as("centroid")) }: _*)
+    val eo = edge.withColumn("_cells", arr2)
+      .withColumn("cell_old", expr(
+        """aggregate(
+          |  transform(_cells, e -> struct(e.cid AS cid,
+          |    aggregate(zip_with(_mv, e.centroid, (a, b) -> (a - b) * (a - b)),
+          |      cast(0.0 AS double), (s, x) -> s + x) AS d)),
+          |  struct(cast(-1 AS int) AS cid, cast('Infinity' AS double) AS d),
+          |  (acc, e) -> IF(e.d < acc.d, e, acc)).cid""".stripMargin))
+      .withColumn("cell_new", graft.internal.Bridge.column(
+        graft.functions.NearestCell(
+          graft.internal.Bridge.expression($"_mv"), cs2.map(_._1), cs2.map(_._2.toArray))))
+      .select($"cell_old", $"cell_new").collect()
+    eo.foreach(r => assert(r.get(0) == r.get(1), s"${r.get(0)} vs ${r.get(1)}"))
+  }
 }
