@@ -86,9 +86,19 @@ object Graph {
 
   /** [[kCore]] plus its peeling round count — the cluster-portable cost
     * number (each round is one job; per-job latency is what a busy
-    * cluster multiplies). Published per scale tier in SCALE.md. */
+    * cluster multiplies). Published per scale tier in SCALE.md.
+    *
+    * Round 12: a DRIVER-SIZED graph (<= `driverMaxEdges`, the
+    * bounded-collect discipline of the IVF centroids / CC union-find)
+    * is collected and peeled locally — the distributed loop costs ~4
+    * jobs per round and real peels run 5-10 rounds, all pure job
+    * latency on a few thousand edges. Survivors and the round count are
+    * identical by construction (same degree rule, same convergence
+    * test); Round5cSpec pins local ≡ distributed. Larger graphs keep
+    * the distributed peel unchanged (the 100 TB path). */
   private[graft] def kCoreCounted(edges: DataFrame, aCol: String,
-      bCol: String, k: Int, maxRounds: Int = 30): (DataFrame, Int) = {
+      bCol: String, k: Int, maxRounds: Int = 30,
+      driverMaxEdges: Int = 1 << 16): (DataFrame, Int) = {
     require(k >= 1, "k must be >= 1")
     var e = edges
       .select(col(aCol).cast("bigint").as("a"), col(bCol).cast("bigint").as("b"))
@@ -97,6 +107,24 @@ object Graph {
       .localCheckpoint(true)
     var nEdges = e.count()
     var round = 0
+    if (nEdges > 0 && nEdges <= driverMaxEdges) {
+      var cur = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      var convergedL = false
+      while (!convergedL && round < maxRounds) {
+        val deg = new java.util.HashMap[Long, Long]()
+        cur.foreach { case (a, b) =>
+          deg.merge(a, 1L, _ + _); deg.merge(b, 1L, _ + _)
+        }
+        val next = cur.filter { case (a, b) =>
+          deg.getOrDefault(a, 0L) >= k && deg.getOrDefault(b, 0L) >= k }
+        convergedL = next.length == cur.length
+        cur = next
+        round += 1
+      }
+      val out = if (cur.isEmpty) e.limit(0)
+      else e.sparkSession.createDataFrame(cur.toSeq).toDF("a", "b")
+      return (out, round)
+    }
     var converged = nEdges == 0
     while (!converged && round < maxRounds) {
       val bad = e.select(col("a").as("v"))
@@ -128,9 +156,10 @@ object Graph {
     * the oracle unrolls the identical rounds in SQL.
     *
     * Scale shape: per round, one equi-join of the symmetric edge list
-    * against the label table (shuffle on node id) and two keyed
-    * aggregations; `localCheckpoint` truncates the growing lineage.
-    * Returns (v, community). */
+    * against the label table (shuffle on node id) and ONE keyed
+    * aggregation (deterministic mode — partial-merged object hash
+    * aggregate, so the map side still combines); `localCheckpoint`
+    * truncates the growing lineage. Returns (v, community). */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
       iters: Int = 4): DataFrame = {
     require(iters >= 1)
@@ -143,14 +172,18 @@ object Graph {
     var lbl = sym.select(col("s").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // argmax votes in ONE keyed aggregation (round 12): deterministic
+      // mode == most frequent, ties to the SMALLEST label (Mode's
+      // deterministic path maxBys (count, value-reversed)) — bit-equal
+      // to the retired two-stage groupBy(v,lbl).count + max(struct(c,
+      // -lbl)) spelling, which paid a second (v,lbl)-keyed Exchange per
+      // round; Round5cSpec pins the full 4-round trajectory against the
+      // retired spelling on a tie-heavy graph
       val next = sym.join(lbl.withColumnRenamed("v", "s"), Seq("s"))
         .select(col("d").as("v"), col("lbl"))
         .unionAll(lbl)
-        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
-        // argmax votes, ties to the SMALLEST label (max of (c, -lbl))
         .groupBy(col("v"))
-        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("v"), (-col("m.nl")).as("lbl"))
+        .agg(mode(col("lbl"), deterministic = true).as("lbl"))
         .localCheckpoint(true)
       lbl = next
     }

@@ -13,22 +13,43 @@ import Q._
   */
 object Relational {
 
+  /** Per-order sorted DISTINCT part sets — `(l_orderkey, _ps)`. The
+    * staging table for the co-purchase pair family (round 12): one
+    * map-combined groupBy replaces the old `DISTINCT + li⋈li self-join`
+    * spelling (4 exchanges and an order-key hash build of the whole
+    * lineitem projection → 1 exchange; pair generation moves to the
+    * codegen'd posexplode+slice below). */
+  private def orderPartSets(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("_ps"))
+
+  /** Canonical (pa < pb) co-ordered part pairs with their distinct-order
+    * co-occurrence count — UNfiltered. Each order's sorted distinct set
+    * emits every a<b pair exactly once via posexplode + slice (native
+    * generators, whole-stage codegen — no interpreted HOF lambda), so the
+    * pair multiset is identical to the retired li⋈li self-join row for
+    * row and the oracle CTE (which keeps the join spelling) hash-matches.
+    * A mega-order is quadratic in BOTH spellings — no new skew hazard. */
+  private def copurchasePairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    orderPartSets(s, dir)
+      .filter(size(col("_ps")) >= 2)
+      .select(posexplode(col("_ps")).as(Seq("_i", "pa")), col("_ps"))
+      .select(col("pa"),
+        explode(slice(col("_ps"), col("_i") + lit(2), size(col("_ps")))).as("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+
   /** Co-purchase graph: canonical (pa < pb) part pairs ordered together
     * in >= 2 distinct orders. Pair expansion is per order (bounded by
     * order width², never catalog²); shared by the graph-analytics
     * queries q199/q202/q203/q205. */
   private[graft] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.as("a")
-      .join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 2)
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    copurchasePairs(s, dir).filter(col("n_ab") >= 2)
 
   /** DuckDB spelling of [[copurchaseEdges]] → `e(a, b)`. */
   private val copurchaseCte =
@@ -164,15 +185,19 @@ object Relational {
     // interactions); the per-item rank is a bounded top-k window.
     "q202_item_item_sim" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val marg = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("item"), col("b.l_partkey").as("neighbor"))
-        .agg(count(lit(1)).as("n_ab"))
+      // round 12: directed co-occurrence counts are the mirrored
+      // canonical pairs (count is order-symmetric), so the pair groupBy
+      // runs on HALF the rows and the li⋈li self-join disappears with
+      // it (plans/r12/q202_{before,after}.txt); marginals come off the
+      // same per-order set table — one lineitem pass total
+      val sets = orderPartSets(s, dir)
+      val marg = sets.select(explode(col("_ps")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+      val und = copurchasePairs(s, dir)
+      val pairs = und.select(col("pa").as("item"), col("pb").as("neighbor"),
+          col("n_ab"))
+        .unionAll(und.select(col("pb").as("item"), col("pa").as("neighbor"),
+          col("n_ab")))
       val sim = pairs
         .join(broadcast(marg.select(col("l_partkey").as("item"),
           col("n_i").as("n_a"))), Seq("item"))

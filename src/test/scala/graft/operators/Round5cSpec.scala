@@ -63,6 +63,59 @@ class Round5cSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("labelPropagation's deterministic-mode vote == the retired two-stage argmax") {
+    // round 12 fused the per-round groupBy(v,lbl).count + max(struct(c,
+    // -lbl)) into ONE mode(lbl, deterministic=true) aggregation; on a
+    // tie-heavy random graph the full 4-round trajectory must match the
+    // retired spelling label for label (ties -> smallest label)
+    val rnd = new Random(7)
+    val edges = (1 to 400)
+      .map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("a", "b")
+    val e = edges.select(col("a").cast("bigint").as("a"), col("b").cast("bigint").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = e.select(col("a").as("s"), col("b").as("d"))
+      .unionAll(e.select(col("b").as("s"), col("a").as("d"))).localCheckpoint(true)
+    var lbl = sym.select(col("s").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(true)
+    for (_ <- 1 to 4) { // the retired spelling, verbatim
+      lbl = sym.join(lbl.withColumnRenamed("v", "s"), Seq("s"))
+        .select(col("d").as("v"), col("lbl"))
+        .unionAll(lbl)
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val retired = lbl.orderBy($"v").as[(Long, Long)].collect().toSeq
+    val fused = Graph.labelPropagation(edges, "a", "b", iters = 4)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    assert(fused == retired)
+  }
+
+  test("kCore driver-local peel == distributed peel (edges and rounds)") {
+    // round 12: driver-sized graphs are peeled locally; survivors AND
+    // the round count must match the distributed loop. K5 core survives
+    // 3-core peeling; the pendant chain hanging off it peels away over
+    // several rounds (the multi-round geometry).
+    val k5 = for { a <- 0L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val chain = (0 until 6).map(i => (10L + i, 11L + i)) :+ (4L, 10L)
+    val edges = (k5 ++ chain).toDF("a", "b")
+    val (coreL, roundsL) = Graph.kCoreCounted(edges, "a", "b", k = 3)
+    val (coreD, roundsD) = Graph.kCoreCounted(edges, "a", "b", k = 3,
+      driverMaxEdges = 0)
+    val l = coreL.as[(Long, Long)].collect().toSet
+    val d = coreD.as[(Long, Long)].collect().toSet
+    assert(l == d && l == k5.toSet, s"local $l vs dist $d")
+    assert(roundsL == roundsD, s"rounds $roundsL vs $roundsD")
+    // empty-core geometry too (everything peels away)
+    val path = (0L to 5L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+    val (pl, prl) = Graph.kCoreCounted(path, "a", "b", k = 2)
+    val (pd, prd) = Graph.kCoreCounted(path, "a", "b", k = 2, driverMaxEdges = 0)
+    assert(pl.isEmpty && pd.isEmpty && prl == prd, s"$prl vs $prd")
+  }
+
   // ---- Audit.benford --------------------------------------------------
 
   test("benford emits all 9 digits with exact counts and shares") {
