@@ -38,9 +38,15 @@ object TextAnalysis {
     val testTok = test.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
     val scores = testTok.join(broadcast(rate), "w")
       .groupBy(col("doc_id"), col("lang")).agg(sum(col("rate")).as("score"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang").asc)
-    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+    // per-doc argmax (score DESC, lang ASC) as ONE map-side-combined
+    // aggregate (round 12) — the retired row_number window paid an
+    // exchange + sort over the whole (doc, lang) score table; the
+    // min_by ordering (-score, lang) is unique per row (lang is in it),
+    // so the pick is deterministic and identical
+    scores.groupBy(col("doc_id"))
+      .agg(min_by(struct(col("lang"), col("score")),
+        struct((-col("score")).as("s"), col("lang").as("l"))).as("m"))
+      .select(col("doc_id"), col("m.lang").as("pred_lang"), col("m.score").as("score"))
   }
 
   /** CCNet-style language-model quality filter (Wenzek et al. 2020,

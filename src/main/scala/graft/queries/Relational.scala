@@ -218,7 +218,10 @@ object Relational {
     // vertices to the fixpoint — the dense-cluster vs stringy-periphery
     // separator. Summary row: full vs core sizes.
     "q203_copurchase_kcore" -> ((s, dir) => {
-      val edges = copurchaseEdges(s, dir)
+      // localCheckpoint: the edge table has TWO consumers (the peel and
+      // the full-graph census) — without it the whole pair build runs
+      // twice (round 12)
+      val edges = copurchaseEdges(s, dir).localCheckpoint(true)
       val core = graft.operators.Graph.kCore(edges, "pa", "pb", k = 3)
       def census(df: org.apache.spark.sql.DataFrame, a: String, b: String,
           en: String, vn: String) =
@@ -716,13 +719,18 @@ object Relational {
     // reproduces it bit-for-bit. SURVEY §2.4 A11, §2.5 W2.
     "q70_min_cost_supplier" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
+      // round 12: the per-part argmin was a row_number window (exchange
+      // + sort over the whole (part, supplier) table); min(struct(price,
+      // suppkey)) is the same (avg_price ASC, suppkey ASC) pick — struct
+      // ordering is lexicographic and the key is unique — as ONE
+      // map-side-combined aggregate
       val ps = t(s, dir, "lineitem")
         .groupBy($"l_partkey", $"l_suppkey")
         .agg((dsum($"l_extendedprice", 2) / count(lit(1))).as("avg_price"))
-      val w = Window.partitionBy($"l_partkey")
-        .orderBy($"avg_price".asc, $"l_suppkey".asc)
-      ps.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      ps.groupBy($"l_partkey")
+        .agg(min(struct($"avg_price", $"l_suppkey")).as("m"))
+        .select($"l_partkey", $"m.l_suppkey".as("l_suppkey"),
+          $"m.avg_price".as("avg_price"))
         .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
         .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
         .select($"p_partkey", $"p_brand", $"s_name", $"avg_price")
@@ -944,17 +952,16 @@ object Relational {
     // expansion happens per order (bounded by order width², never
     // catalog²); marginals and the 1-row order total attach by broadcast.
     "q175_market_basket" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val nOrd = li.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val marg = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-        .agg(count(lit(1)).as("n_ab"))
+      // round 12: the li⋈li self-join pair build is the q199-family
+      // per-order set expansion (posexplode+slice — identical pair
+      // multiset, 2 exchanges, no join); order count and marginals ride
+      // the same per-order set table
+      val sets = orderPartSets(s, dir)
+      val nOrd = sets.agg(count(lit(1)).as("n_orders"))
+      val marg = sets.select(explode(col("_ps")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+      val pairs = copurchasePairs(s, dir)
+        .select(col("pa").as("part_a"), col("pb").as("part_b"), col("n_ab"))
       pairs
         .join(broadcast(marg.select(col("l_partkey").as("part_a"),
           col("n_p").as("n_a"))), Seq("part_a"))
