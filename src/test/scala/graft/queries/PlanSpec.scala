@@ -88,9 +88,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no full shuffle+sort of the scored set:\n" + p)
   }
 
-  test("q40: language-ID argmax window is rewritten to the bounded aggregate") {
+  test("q40: language-ID argmax is a map-side-combined aggregate, no window") {
+    // round 12 rewrote the row_number window to a single min_by aggregate:
+    // the per-doc pick is bounded map-side (partial phase) instead of an
+    // exchange + full sort of the (doc, lang) score table
     val p = plan("q40_lang_id")
-    assert(p.contains("top_k_rows"), p)
+    assert(p.contains("min_by"), "per-doc argmax must be the min_by aggregate:\n" + p)
     assert(!p.contains("Window"), p)
   }
 
@@ -147,12 +150,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q70: per-part argmin shuffles at most one row per group per task") {
-    // All-primitive payload → GroupedTopKRewrite's cost guard defers to
-    // Spark's native InferWindowGroupLimit, whose Partial stage bounds the
-    // pre-shuffle volume to one row per (task, part) — same scale property.
+    // round 12 rewrote the WindowGroupLimit window to min(struct(price,
+    // suppkey)) — ONE aggregate whose partial phase bounds the pre-shuffle
+    // volume to one row per (task, part); no Window/sort of the scored set
     val p = plan("q70_min_cost_supplier")
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
-      "map-side partial group-limit must bound the shuffle:\n" + p)
+    assert(p.contains("partial_min(struct(") || p.contains("partial_min(named_struct"),
+      "map-side partial min(struct) must bound the shuffle:\n" + p)
+    assert(!p.contains("Window"), "no window over the scored set:\n" + p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
