@@ -92,9 +92,24 @@ object Normalize {
   def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, numBuckets: Int = 256): DataFrame = {
     require(numBuckets >= 1)
+    // Round 13 (guide §5, the dsirScores scoped-cache discipline): the
+    // input frame fans out to FIVE consumers below (stats, bucket
+    // offsets, global positions, per-(group,bucket) cells, the ranked
+    // rows themselves). Un-materialized, each consumer re-runs the
+    // caller's upstream plan — for the quality-score callers (q151/q161)
+    // that is a corpus re-scan + re-tokenize per consumer (measured: the
+    // quantileNormalize leg of Corpus.curate alone read 3.5 s at sf0.1,
+    // ~5 tokenize passes for one). The frame is (id, group, value) —
+    // three narrow columns per row, the cheap-to-materialize shape (the
+    // round-12 "recompute beats materialize" lesson applies to exploded
+    // string rows, not to this) — so checkpoint it once, eagerly; the
+    // block is row-count-sized and the harness reclaims it between
+    // queries.
+    val dfc = df.select(col(idCol), col(groupCol), col(valueCol))
+      .localCheckpoint(eager = true)
     val v = col(valueCol)
-    val stats = df.agg(count(lit(1)).as("_n"), min(v).as("_mn"), max(v).as("_mx"))
-    val withB = df.crossJoin(broadcast(stats))
+    val stats = dfc.agg(count(lit(1)).as("_n"), min(v).as("_mn"), max(v).as("_mx"))
+    val withB = dfc.crossJoin(broadcast(stats))
       .withColumn("_bkt",
         when(col("_mx") === col("_mn"), lit(0))
           .otherwise(least(lit(numBuckets - 1),

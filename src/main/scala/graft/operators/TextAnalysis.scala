@@ -830,7 +830,7 @@ object TextAnalysis {
     * no per-round convergence job). Returns `(step, lhs, rhs,
     * pair_count)` — the ordered merge-rule artifact a tokenizer ships. */
   def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
-      nMerges: Int = 10): DataFrame = {
+      nMerges: Int = 10, driverMaxWords: Long = 1L << 18): DataFrame = {
     // The per-iteration argmax is a 1-row pull and the learned-rule table
     // is nMerges rows — the ONLY driver loop in the codebase, provably
     // bounded by this cap (production BPE vocabularies are trained
@@ -845,6 +845,72 @@ object TextAnalysis {
         array_join(expr("regexp_extract_all(w, '.', 0)"), "  "),
         lit(" ")).as("seg"), col("freq"))
     var cur = words.localCheckpoint()
+    // Round-13: the iteration table is VOCABULARY-sized (distinct words),
+    // and the distributed loop below costs 2 eager jobs per merge (argmax
+    // + replace-checkpoint) = ~2·nMerges jobs of pure latency on a table
+    // that is usually a few MB. When the vocab is driver-sized, collect
+    // (seg, freq) once and learn the merges locally — the same bounded-
+    // collect discipline as the k-core peel / CC union-find (guide §5:
+    // the driver may do bounded work; job COUNT is what a busy cluster
+    // multiplies). Semantics are replicated exactly: adjacent-pair counts
+    // weighted by freq, argmax by (count desc, lhs asc, rhs asc) with
+    // lhs/rhs compared as UTF-8 BYTES (Spark's binary string collation —
+    // Java's String#compareTo differs on supplementary code points), and
+    // Java String#replace, which scans left-to-right non-overlapping and
+    // resumes after each replacement — the same greedy fold contract as
+    // Spark's UTF8String.replace (TextAnalysisSpec pins local ≡
+    // distributed on the overlap-run and tie fixtures). Vocabularies past
+    // `driverMaxWords` (10-100M distinct words at crawl scale) keep the
+    // distributed loop — the 100 TB path is unchanged.
+    if (cur.count() <= driverMaxWords) {
+      def u8cmp(x: String, y: String): Int = {
+        val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val d = (a(i) & 0xff) - (b(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        a.length - b.length
+      }
+      var segs = cur.collect().map(r => (r.getString(0), r.getLong(1)))
+      val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= nMerges && !exhausted) {
+        val counts = new java.util.HashMap[(String, String), Long]()
+        segs.foreach { case (seg, freq) =>
+          val sym = seg.trim.split("  ")
+          var i = 0
+          while (i < sym.length - 1) {
+            val k = (sym(i), sym(i + 1))
+            counts.put(k, counts.getOrDefault(k, 0L) + freq)
+            i += 1
+          }
+        }
+        if (counts.isEmpty) exhausted = true // mirrors the empty-argmax
+        else {                               // crossJoin emptying the table
+          var best: ((String, String), Long) = null
+          counts.forEach { (p, c) =>
+            if (best == null || c > best._2 ||
+              (c == best._2 && {
+                val d = u8cmp(p._1, best._1._1)
+                d < 0 || (d == 0 && u8cmp(p._2, best._1._2) < 0)
+              })) best = (p, c)
+          }
+          val (a, b) = best._1
+          segs = segs.map { case (seg, freq) =>
+            (seg.replace(s" $a  $b ", s" $a$b "), freq)
+          }
+          rules += ((step, a, b, best._2))
+        }
+        step += 1
+      }
+      return docs.sparkSession.createDataFrame(rules.toSeq)
+        .toDF("step", "lhs", "rhs", "pair_count")
+    }
     val steps = (1 to nMerges).map { step =>
       val best = cur
         .select(split(trim(col("seg")), "  ").as("sym"), col("freq"))

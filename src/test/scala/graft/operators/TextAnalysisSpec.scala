@@ -219,6 +219,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("bpe merges: driver-local learner ≡ distributed loop (ties, overlaps, unicode)") {
+    import spark.implicits._
+    // covers: frequency-weighted counts, count ties broken (lhs, rhs)
+    // ascending, overlap runs (greedy left-to-right fold), multi-byte
+    // symbols, and merge exhaustion before nMerges (the empty-argmax
+    // regime where remaining steps emit no rule)
+    val docs = Seq(
+      (1L, "aaab aaab ab"), (2L, "aaab ab"), (3L, "aaaa"),
+      (4L, "ééxé zz zz"), (5L, "ba ba ab")).toDF("doc_id", "text")
+    def run(maxWords: Long) =
+      TextAnalysis.bpeMerges(docs, "doc_id", "text", nMerges = 12,
+          driverMaxWords = maxWords)
+        .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val local = run(1L << 18)
+    val dist = run(0L) // vocab > 0 forces the distributed loop
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local.size < 12, "fixture must exercise merge exhaustion")
+  }
+
   test("bpe encode: learned rules compress known words; merges stay in-word") {
     import spark.implicits._
     val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")

@@ -218,6 +218,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("o_orderstatus"), "filter must reach the orders branch:\n" + p)
   }
 
+  // ---- unpartitioned-window boundedness gates (round 13) ----
+  // The engine's global (no PARTITION BY) windows are by design windows
+  // over AGGREGATED, cardinality-bounded tables (distinct integer-ppm
+  // scores, bins, strata) — never over the corpus. That design claim is
+  // what makes the single-partition sort safe at 100 TB, so pin it in the
+  // plan: every `Window [` node must sit ABOVE a grouped aggregate (plans
+  // print top-down — the aggregate appears later in the string), i.e. the
+  // window's input already collapsed to the bounded value/stratum domain.
+  private def windowsSitAboveAggregate(name: String): Unit = {
+    val p = plan(name)
+    val firstW = p.indexOf("Window [")
+    assert(firstW >= 0, s"expected a global window in $name:\n" + p)
+    var w = firstW
+    while (w >= 0) {
+      val agg = math.max(p.indexOf("HashAggregate", w),
+        p.indexOf("SortAggregate", w))
+      assert(agg > w,
+        s"window at char $w of $name must sit above an aggregate " +
+          s"(bounded input):\n" + p)
+      w = p.indexOf("Window [", w + 1)
+    }
+  }
+
+  test("q116: AUC window runs over the distinct-score histogram, not rows") {
+    windowsSitAboveAggregate("q116_score_auc")
+  }
+  test("q119: KS windows run over the distinct-score histogram, not rows") {
+    windowsSitAboveAggregate("q119_ks_separation")
+  }
+  test("q120: threshold-sweep windows run over the distinct-score histogram") {
+    windowsSitAboveAggregate("q120_threshold_sweep")
+  }
+  test("q130: cumulative-gain windows run over the score histogram and bins") {
+    windowsSitAboveAggregate("q130_cumulative_gain")
+  }
+  test("q166: spearman rank windows run over distinct-value count tables") {
+    windowsSitAboveAggregate("q166_spearman_rank")
+  }
+  test("q228: Neyman allocation window runs over the strata table") {
+    windowsSitAboveAggregate("q228_neyman_alloc")
+  }
+  test("q255: perplexity-bucket window runs over the bounded bin histogram") {
+    windowsSitAboveAggregate("q255_perplexity_buckets")
+  }
+
   test("whole-stage codegen covers the cosine hot path (equi-join variant)") {
     // q20's BroadcastNestedLoopJoin disables whole-stage codegen around its
     // projection (cosine_sim still evaluates, interpreted); the equi-join
