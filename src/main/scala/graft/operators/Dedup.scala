@@ -40,7 +40,19 @@ object Dedup {
     * boxed read and costs 2.4x the clean pass (see Bench's per-run
     * cleanup). */
   private def shared(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Round 13: LAZY localCheckpoint instead of persist. Two measured
+    // reasons (§2.2/§5): (a) the columnar InMemoryRelation stores/reads
+    // array columns through the slow boxed path — the checkpoint keeps
+    // raw UnsafeRows; (b) a cached plan pins the raw shuffle-partition
+    // count on every re-read, where the checkpointed RDD inherits the
+    // AQE-coalesced (byte-sized) partitioning, so downstream stages stop
+    // paying 32 scheduling slots for MB-sized tables (the family ran
+    // up to 2× faster on 8 cores than 32 before this). Lazy, not eager:
+    // the first consuming job materializes it with its other stages
+    // overlapped, where an eager checkpoint is one serial job per frame
+    // (A/B: q31 0.95 vs 0.72 s, q161 ~9.1 vs ~8.0 s median). Same
+    // MEMORY_AND_DISK storage, same clean-state measurement rules.
+    df.localCheckpoint(eager = false)
 
   /** Exact duplicate groups by canonical text: (keep_id = min doc id,
     * n_copies). */
@@ -1867,10 +1879,17 @@ object Dedup {
       exemptOwner: Boolean = false): (DataFrame, DataFrame) = {
     require(k >= 2 && minDocs >= 2)
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+    val sc = docs.sparkSession.sparkContext
+    val preIds = sc.getPersistentRDDs.keySet.toSet
+    // lazy localCheckpoint, not persist: longs-only rows skip the
+    // columnar cache and keep the AQE-coalesced partitioning (see
+    // [[shared]]'s round-13 scaladoc); freed below by RDD id — the
+    // Dataset-level unpersist only clears the CacheManager entry
     val grams = toks
       .select(col("doc_id"), posexplode(shingles(col("tok"), k)).as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos"), hash32(col("s"), 0).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
+    val gramIds = sc.getPersistentRDDs.keySet.toSet.diff(preIds)
     val dupG = grams.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("_nd"), min(col("doc_id")).as("_own"))
       .filter(col("_nd") >= minDocs)
@@ -1887,7 +1906,8 @@ object Dedup {
         grams.join(dupG.select(col("g")), Seq("g"), "left_semi")
           .select(col("doc_id"), col("pos"))
     val dupPos = hits.localCheckpoint(eager = true)
-    grams.unpersist(blocking = false)
+    val live = sc.getPersistentRDDs
+    gramIds.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
     (toks, dupPos)
   }
 

@@ -784,10 +784,18 @@ object TextAnalysis {
     val edges = pairs
       .groupBy(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .agg(count(lit(1)).as("w"))
+    // Round 13 (§2.2): localCheckpoint, not cache — the checkpointed RDD
+    // inherits the AQE-coalesced partitioning (a few byte-sized
+    // partitions for a vocab-sized graph) where a cached plan pins the
+    // raw shuffle-partition count, so the 10 iteration stages each ran
+    // 64-97 tiny tasks of pure scheduling overhead (q114 was 1.7× FASTER
+    // on 8 cores than 32). Partition count now scales with the graph's
+    // bytes at any corpus size — nothing is local-tuned.
     val sym = edges.select(col("u"), col("v"), col("w"))
       .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
-      .cache()
-    val deg = sym.groupBy(col("u")).agg(sum(col("w")).as("wu")).cache()
+      .localCheckpoint(eager = false)
+    val deg = sym.groupBy(col("u")).agg(sum(col("w")).as("wu"))
+      .localCheckpoint(eager = false)
     val ranks0 = deg.select(col("u").as("node"), lit(S).as("pr"))
     val ranked = (1 to iters).foldLeft(ranks0) { (ranks, _) =>
       sym
