@@ -129,9 +129,10 @@ object Corpus {
         "left")
       .filter(col("m.id_a").isNull || col("p.id_a") > col("p.id_b"))
       .select(col("p.id_a").as(idCol)).distinct()
-    val scored = docs.select(col(idCol), col(sourceCol))
-      .join(TextAnalysis.qualityScores(docs, idCol, textCol)
-        .select(col("doc_id").as(idCol), col("quality_ppm")), Seq(idCol))
+    // round 13: source rides qualityScores' single pass (carry) — the
+    // retired spelling re-scanned docs and self-joined on the id
+    val scored = TextAnalysis.qualityScores(docs, idCol, textCol, Seq(sourceCol))
+      .select(col("doc_id").as(idCol), col(sourceCol), col("quality_ppm"))
     val norm = Normalize.quantileNormalize(scored, idCol, sourceCol, "quality_ppm")
       .select(col(idCol), col("norm_quality_ppm"))
     docs.select(col(idCol))
@@ -173,9 +174,9 @@ object Corpus {
       docs: DataFrame, budgets: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
-    val scored = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
-      .join(TextAnalysis.qualityScores(docs, idCol, textCol)
-        .select(col("doc_id"), col("n_tokens"), col("quality_ppm")), Seq("doc_id"))
+    val scored = TextAnalysis.qualityScores(docs, idCol, textCol, Seq(sourceCol))
+      .select(col("doc_id"), col(sourceCol).as("source"), col("n_tokens"),
+        col("quality_ppm"))
     val bins = scored.groupBy(col("source"), col("quality_ppm"))
       .agg(sum(col("n_tokens")).as("bin_tokens"))
     val kept = bins
@@ -648,9 +649,8 @@ object Corpus {
       docs: DataFrame, pct: Int,
       idCol: String = "doc_id", textCol: String = "text",
       sourceCol: String = "source"): DataFrame =
-    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
-      .join(TextAnalysis.qualityScores(docs, idCol, textCol)
-        .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+    TextAnalysis.qualityScores(docs, idCol, textCol, Seq(sourceCol))
+      .select(col("doc_id"), col(sourceCol).as("source"), col("n_tokens"))
       .groupBy(col("source"))
       .agg(expr(s"sum(n_tokens) * $pct div 100").as("token_budget"))
 

@@ -200,9 +200,21 @@ object TextAnalysis {
     * at sf0.1). Integer `div` and the `(2a+b) div 2b` half-up trick give
     * bit-identical results in every engine; the exposed doubles are a
     * single exact division by 10^6. */
-  def qualityScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScores(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityScores(docs, idCol, textCol, Nil)
+
+  /** [[qualityScores]] with pass-through columns: `carry` columns ride
+    * the same single narrow pass, so a caller needing (score, source) or
+    * (score, n_chars) does NOT pay a corpus self-join on the id to
+    * re-attach them (round 13, §3 join elimination — ~10 declared
+    * queries joined docs back onto this output for one column). Rows and
+    * score values are identical to the carry-free form by construction
+    * (same projection, same tokenless-doc filter). */
+  def qualityScores(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String]): DataFrame = {
     docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+      .select(Seq(col(idCol).as("doc_id"), tokens(col(textCol)).as("tok"))
+        ++ carry.map(col): _*)
       // Tokenless docs carry no quality signal and are EXCLUDED, by an
       // explicit rule shared with the oracle: a NULL text tokenizes to a
       // NULL array here but to zero `unnest` rows in the SQL mirror —
@@ -213,12 +225,13 @@ object TextAnalysis {
       // empty token in both engines and scores normally.
       .filter(size(col("tok")) > 0)
       .select(
-        col("doc_id"),
-        size(col("tok")).cast("bigint").as("n_tokens"),
-        graft.internal.Bridge.column(graft.functions.StopCount(
-          graft.internal.Bridge.expression(col("tok")), stopwords)).as("n_stop"),
-        graft.internal.Bridge.column(graft.functions.SumTokenLengths(
-          graft.internal.Bridge.expression(col("tok")))).as("sum_len"))
+        Seq(col("doc_id"),
+          size(col("tok")).cast("bigint").as("n_tokens"),
+          graft.internal.Bridge.column(graft.functions.StopCount(
+            graft.internal.Bridge.expression(col("tok")), stopwords)).as("n_stop"),
+          graft.internal.Bridge.column(graft.functions.SumTokenLengths(
+            graft.internal.Bridge.expression(col("tok")))).as("sum_len"))
+          ++ carry.map(col): _*)
       .withColumn("stop_ppm", expr("(n_stop * 1000000) div n_tokens"))
       .withColumn("len_ppm",
         least(expr("(sum_len * 1000000) div (8 * n_tokens)"), lit(1000000L)))
@@ -226,13 +239,14 @@ object TextAnalysis {
       .withColumn("quality_ppm",
         expr("(tok_ppm * 3 + (1000000 - stop_ppm) * 4 + len_ppm * 3) div 10"))
       .select(
-        col("doc_id"), col("n_tokens"),
-        (expr("(n_stop * 2000000 + n_tokens) div (2 * n_tokens)")
-          .cast("double") / 1000000.0).as("stop_ratio"),
-        (expr("(sum_len * 2000000 + n_tokens) div (2 * n_tokens)")
-          .cast("double") / 1000000.0).as("avg_token_len"),
-        col("quality_ppm"),
-        (col("quality_ppm").cast("double") / 1000000.0).as("quality"))
+        Seq(col("doc_id"), col("n_tokens"),
+          (expr("(n_stop * 2000000 + n_tokens) div (2 * n_tokens)")
+            .cast("double") / 1000000.0).as("stop_ratio"),
+          (expr("(sum_len * 2000000 + n_tokens) div (2 * n_tokens)")
+            .cast("double") / 1000000.0).as("avg_token_len"),
+          col("quality_ppm"),
+          (col("quality_ppm").cast("double") / 1000000.0).as("quality"))
+          ++ carry.map(col): _*)
   }
 
   /** Whitespace token count, subword-ish segment count, distinct tokens. */

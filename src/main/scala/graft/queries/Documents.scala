@@ -501,9 +501,9 @@ object Documents {
     // sample-DESIGN step ahead of q47's stratified draw.
     "q228_neyman_alloc" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
-        .select(col("doc_id"), col("quality_ppm"))
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text",
+          Seq("source"))
+        .select(col("doc_id"), col("quality_ppm"), col("source"))
       graft.operators.Sampling.neymanAllocation(
           scored, "source", "quality_ppm", budget = 10000L)
         .orderBy(col("source"))
@@ -564,10 +564,9 @@ object Documents {
     // class histogram (integer-exact ties), never a per-row rank.
     "q116_score_auc" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
-        .select(col("doc_id"), col("quality_ppm"))
-        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
-          "doc_id")
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text",
+          Seq("lang"))
+        .select(col("doc_id"), col("quality_ppm"), (col("lang") === "en").as("y"))
       graft.operators.Evaluate.binaryAuc(scored, col("y"), "quality_ppm")
     }),
 
@@ -576,10 +575,9 @@ object Documents {
     // map-side-combined groupBy.
     "q117_calibration" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
-        .select(col("doc_id"), col("quality_ppm"))
-        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
-          "doc_id")
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text",
+          Seq("lang"))
+        .select(col("doc_id"), col("quality_ppm"), (col("lang") === "en").as("y"))
       graft.operators.Evaluate.calibrationBins(scored, col("y"),
           "quality_ppm", lo = 0L, hi = 1000000L, nBins = 10)
         .orderBy(col("bin"))
@@ -598,10 +596,9 @@ object Documents {
     // over the distinct-score histogram; at_score is the natural cut.
     "q119_ks_separation" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
-        .select(col("doc_id"), col("quality_ppm"))
-        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
-          "doc_id")
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text",
+          Seq("lang"))
+        .select(col("doc_id"), col("quality_ppm"), (col("lang") === "en").as("y"))
       graft.operators.Evaluate.ksStatistic(scored, col("y"), "quality_ppm")
     }),
 
@@ -610,10 +607,9 @@ object Documents {
     // sums over the histogram — the threshold-choice artifact.
     "q120_threshold_sweep" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
-        .select(col("doc_id"), col("quality_ppm"))
-        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
-          "doc_id")
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text",
+          Seq("lang"))
+        .select(col("doc_id"), col("quality_ppm"), (col("lang") === "en").as("y"))
       graft.operators.Evaluate.thresholdSweep(scored, col("y"), "quality_ppm")
         .orderBy(col("threshold"))
     }),
@@ -667,10 +663,9 @@ object Documents {
     // capture vs the global rate — the targeting/threshold-budget chart.
     "q130_cumulative_gain" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
-        .select(col("doc_id"), col("quality_ppm"))
-        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
-          "doc_id")
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text",
+          Seq("lang"))
+        .select(col("doc_id"), col("quality_ppm"), (col("lang") === "en").as("y"))
       graft.operators.Evaluate.cumulativeGain(scored, col("y"),
           "quality_ppm", nBins = 10)
         .orderBy(col("bin"))
@@ -753,9 +748,10 @@ object Documents {
     "q151_quantile_normalize" -> ((s, dir) => {
       import graft.operators.Normalize
       val docs = t(s, dir, "documents")
-      val scored = docs.select(col("doc_id"), col("source"))
-        .join(TextAnalysis.qualityScores(docs, "doc_id", "text")
-          .select(col("doc_id"), col("quality_ppm")), Seq("doc_id"))
+      // round 13: source rides qualityScores' single pass (carry)
+      val scored = TextAnalysis.qualityScores(docs, "doc_id", "text",
+          Seq("source"))
+        .select(col("doc_id"), col("source"), col("quality_ppm"))
       Normalize.quantileNormalize(scored, "doc_id", "source", "quality_ppm")
         .orderBy(col("doc_id"))
     }),
@@ -1035,9 +1031,9 @@ object Documents {
     "q156_quality_length_grid" -> ((s, dir) => {
       import graft.operators.Histogram
       val docs = t(s, dir, "documents")
-      val f = docs.select(col("doc_id"), col("n_chars"))
-        .join(TextAnalysis.qualityScores(docs, "doc_id", "text")
-          .select(col("doc_id"), col("quality_ppm")), Seq("doc_id"))
+      val f = TextAnalysis.qualityScores(docs, "doc_id", "text",
+          Seq("n_chars"))
+        .select(col("doc_id"), col("n_chars"), col("quality_ppm"))
       Histogram.grid2d(f, "n_chars", 500L, 19, "quality_ppm", 100000L, 9)
         .orderBy(col("xb"), col("yb"))
     }),
@@ -1064,11 +1060,10 @@ object Documents {
     "q164_budget_select" -> ((s, dir) => {
       import graft.functions.TextFunctions.tokens
       val docs = t(s, dir, "documents")
-      val base = docs
-        .select(col("doc_id"), col("source"),
-          size(tokens(col("text"))).cast("bigint").as("n_tokens"))
-        .join(TextAnalysis.qualityScores(docs, "doc_id", "text")
-          .select(col("doc_id"), col("quality_ppm")), Seq("doc_id"))
+      val base = TextAnalysis.qualityScores(docs, "doc_id", "text",
+          Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("quality_ppm"))
       graft.operators.Sampling.budgetSelect(base, "doc_id", "source",
           "n_tokens", "quality_ppm", budgetNum = 3, budgetDen = 10)
         .select(col("source"), col("doc_id"), col("quality_ppm"),
@@ -1090,9 +1085,9 @@ object Documents {
     // tables instead of a per-row global rank window.
     "q166_spearman_rank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val f = docs.select(col("doc_id"), col("n_chars"))
-        .join(TextAnalysis.qualityScores(docs, "doc_id", "text")
-          .select(col("doc_id"), col("quality_ppm")), Seq("doc_id"))
+      val f = TextAnalysis.qualityScores(docs, "doc_id", "text",
+          Seq("n_chars"))
+        .select(col("doc_id"), col("n_chars"), col("quality_ppm"))
       graft.operators.Evaluate.spearman(f, "n_chars", "quality_ppm")
     }),
 
