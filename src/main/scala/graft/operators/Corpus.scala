@@ -784,14 +784,24 @@ object Corpus {
     val w = Array.fill[Long](nBuckets)(0L)
     for (_ <- 1 to steps) {
       val wLit = lit(w)
-      val delta = db
+      // Round 13 (§2.3 aggregate-before-shuffle): margins as a
+      // map-combined AGGREGATE per (doc, class) — an id appearing in
+      // BOTH frames must not merge its two classes' margins (mirrors the
+      // oracle's GROUP BY doc_id, y) — then the mistake set re-attaches
+      // to the cached feature frame by a semi join. The retired window
+      // spelling shuffled the ENTIRE feature frame on (doc_id, y) every
+      // step; the aggregate shuffles one partial row per (doc, class)
+      // per task, AQE broadcasts the mistake set while it is small, and
+      // the bucket update partial-aggregates map-side. Mistake set and
+      // update sums are identical (same margins, same filter).
+      val mistakes = db
         .withColumn("_wx", col("c") * element_at(wLit, col("b").cast("int") + 1))
-        .withColumn("_m", sum(col("_wx")).over(
-          // per (doc, class): an id appearing in BOTH frames must not
-          // merge its two classes' margins (mirrors the oracle's
-          // GROUP BY doc_id, y)
-          Window.partitionBy(col("doc_id"), col("y"))))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("_wx")).as("_m"))
         .filter(col("y") * col("_m") <= 0)
+        .select(col("doc_id"), col("y"))
+      val delta = db
+        .join(mistakes, Seq("doc_id", "y"), "left_semi")
         .groupBy(col("b")).agg(sum(col("y") * col("c")).as("dw"))
         .collect()
       delta.foreach(r => w(r.getAs[Long]("b").toInt) += r.getAs[Long]("dw"))

@@ -55,12 +55,24 @@ object Decontaminate {
       return trainH.select(col("doc_id")).limit(0).withColumn("n_shared", lit(0L))
     }
     val bf = testH.stat.bloomFilter("h", nTest, fpp)
-    val bcast = spark.sparkContext.broadcast(bf)
 
     // the bloom probe keys ONLY on the (always-bigint) hash column, so doc
-    // ids of any type (string, uuid, ...) pass through untouched
-    val candidates = trainH.filter((r: org.apache.spark.sql.Row) =>
-      bcast.value.mightContainLong(r.getAs[Long]("h")))
+    // ids of any type (string, uuid, ...) pass through untouched.
+    // Round 13 (§4): the probe is the codegen'd BloomFilterMightContain
+    // expression over the serialized filter literal — the retired
+    // Row-closure filter deserialized every train shingle row to an
+    // external Row and broke whole-stage codegen across scan→filter→join.
+    // Same filter bits, same probe math (mightContainLong), so the
+    // candidate set — and after exact verify, the output — is identical.
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val candidates = trainH.filter(graft.internal.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        graft.internal.Bridge.expression(lit(bfBytes)),
+        graft.internal.Bridge.expression(col("h")))))
 
     // exact verify: drop bloom false positives
     candidates

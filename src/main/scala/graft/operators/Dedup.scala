@@ -556,8 +556,13 @@ object Dedup {
     //    adversarial chain geometry;
     //  - larger residuals keep the pointer-doubling loop unchanged
     //    (the 100 TB path — nothing about it is local-mode-tuned).
+    // cSym holds BOTH directions of each contracted edge, so divide by 2:
+    // the threshold is in UNDIRECTED edges, consistent with kCoreCounted
+    // (round-12 ADVICE item). rounds stays 0 on the driver-local path —
+    // published round counts read 0 for "no distributed propagation ran",
+    // whether the residual was empty or driver-absorbed.
     val cLabels: Option[DataFrame] = if (cSym.limit(1).isEmpty) None
-    else if (cSym.count() <= driverMaxEdges) {
+    else if (cSym.count() / 2 <= driverMaxEdges) {
       val rows = cSym.select(col("a"), col("b")).collect()
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
